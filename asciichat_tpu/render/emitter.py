@@ -1,0 +1,102 @@
+"""Host-side ANSI emission from device cell records (native C++ fast path).
+
+Bridges asciichat_tpu.ops.cells record dicts to the multithreaded C++ emitter
+(native/emitter.cpp). The byte grammar it produces is the reference's scalar
+renderer grammar (SURVEY.md A.2); golden-tested against render/oracle.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from asciichat_tpu.render import palette as pal
+from asciichat_tpu.runtime.native_build import emitter_lib
+
+_DEFAULT_THREADS = max(1, min(16, (os.cpu_count() or 4)))
+
+
+def _worst_case_stride(mode: str, h: int, w: int, pad_w: int, pad_h: int) -> int:
+    per_cell = {
+        "mono": 4,
+        "truecolor_fg": 23,  # 19-byte SGR + 4-byte glyph
+        "256color": 15,
+        "16color": 10,
+        "16color_dithered": 10,
+        "16color_dithered_bg": 16,
+        "halfblock_truecolor": 41,  # fg(19)+bg(19)+glyph(3)
+        "halfblock_256": 25,
+        "halfblock_16": 15,
+        "halfblock_mono": 7,
+    }[mode]
+    per_row = 8 + pad_w  # reset + newline + left padding
+    # +8 slack for the emitter's 4-byte glyph over-copy and final reset
+    return h * w * per_cell + h * per_row + pad_h + 8
+
+
+def _u8(arr: np.ndarray) -> ctypes.POINTER(ctypes.c_uint8):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _c(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def emit_frames(
+    records: dict[str, np.ndarray],
+    mode: str,
+    palette: str = pal.DEFAULT_PALETTE,
+    pad_w: int = 0,
+    pad_h: int = 0,
+    nthreads: int | None = None,
+) -> list[bytes]:
+    """Emit a batch of byte-exact ANSI frames from host-side record arrays."""
+    lib = emitter_lib()
+    nthreads = nthreads or _DEFAULT_THREADS
+
+    first = next(iter(records.values()))
+    b = first.shape[0]
+    h, w = first.shape[1], first.shape[2]
+
+    stride = _worst_case_stride(mode, h, w, pad_w, pad_h)
+    out = np.empty((b, stride), dtype=np.uint8)
+    lens = np.zeros(b, dtype=np.int64)
+    lens_p = lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    if mode == "mono":
+        glyphs = _c(pal.mono_glyph_table(palette))
+        lib.ac_emit_mono(_u8(_c(records["key"])), b, h, w, _u8(glyphs), pad_w, pad_h,
+                         _u8(out), stride, lens_p, nthreads)
+    elif mode == "truecolor_fg":
+        glyphs = _c(pal.luminance_glyph_table(palette))
+        lib.ac_emit_truecolor_fg(_u8(_c(records["rgb"])), _u8(_c(records["luma"])), b, h, w,
+                                 _u8(glyphs), pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
+    elif mode in ("256color", "16color"):
+        glyphs = _c(pal.luminance_glyph_table(palette))
+        gidx = records["luma"] if mode == "256color" else records["key"]
+        lib.ac_emit_indexed(_u8(_c(records["color"])), _u8(_c(gidx)), b, h, w,
+                            1 if mode == "16color" else 0, _u8(glyphs), pad_w, pad_h,
+                            _u8(out), stride, lens_p, nthreads)
+    elif mode in ("16color_dithered", "16color_dithered_bg"):
+        glyphs = _c(pal.luminance_glyph_table(palette))
+        ramp = _c(pal.char_index_ramp_array(palette))
+        lib.ac_emit_16_dithered(_u8(_c(records["rgb"])), _u8(_c(records["luma"])), b, h, w,
+                                1 if mode.endswith("_bg") else 0, _u8(ramp), _u8(glyphs),
+                                pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
+    elif mode == "halfblock_truecolor":
+        lib.ac_emit_halfblock_truecolor(_u8(_c(records["top"])), _u8(_c(records["bot"])), b, h, w,
+                                        pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
+    elif mode in ("halfblock_256", "halfblock_16"):
+        lib.ac_emit_halfblock_indexed(_u8(_c(records["fg"])), _u8(_c(records["bg"])),
+                                      _u8(_c(records["transparent"])), b, h, w,
+                                      1 if mode == "halfblock_16" else 0,
+                                      pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
+    elif mode == "halfblock_mono":
+        lib.ac_emit_halfblock_mono(_u8(_c(records["top"])), _u8(_c(records["bot"])), b, h, w,
+                                   pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    return [out[i, : lens[i]].tobytes() for i in range(b)]
