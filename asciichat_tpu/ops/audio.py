@@ -1,0 +1,297 @@
+"""Batched audio DSP: N-source mixer with ducking/compression/soft-clip,
+noise gate, one-pole filters, linear resampler.
+
+TPU re-expression of lib/audio/mixer.c. The reference mixes per-client on
+dedicated 100 fps render threads, mutating one shared mixer under a rwlock
+(mixer.c:491-839); here ONE jitted op produces the mixes for ALL clients per
+tick: sources vectorize across VPU lanes, time steps run as a lax.scan over
+256-sample frames (MIXER_FRAME_SIZE, mixer.h:114) carrying the envelope /
+ducking / compressor state. Per-client "exclude self" mixes (mixer.c:636) are
+computed as (full weighted sum) - (own contribution) — O(1) per client instead
+of the reference's O(C) re-mix loop.
+
+Deliberate divergence from the reference: the C server shares one compressor
+state across per-client render threads (call-order dependent); here each
+client carries independent compressor state, which is deterministic and
+batch-parallel. Envelope/ducking state is shared (per-source), as in C.
+
+All constants match mixer.c: ducking threshold -45 dB / margin 6 dB /
+atten -6 dB / attack 10 ms / release 200 ms (mixer.c:121-125); compressor
+threshold -10 dB / ratio 4 / knee 2 / attack 10 ms / release 100 ms / makeup 0
+(mixer.c:43-61); crowd gain 1/speakers^0.5, base gain 1.0 (mixer.c:328-329);
+soft-clip threshold 0.7, steepness 3 (mixer.c:628, 1030-1041).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MIXER_FRAME_SIZE = 256  # mixer.h:114
+SAMPLE_RATE = 48_000  # audio.h:85-91 (48 kHz mono)
+AUDIO_FRAME_SAMPLES = 480  # 10 ms ticks
+
+
+def db_to_linear(db):
+    return jnp.power(10.0, db / 20.0)
+
+
+def linear_to_db(linear):
+    return 20.0 * jnp.log10(jnp.maximum(linear, 1e-12))
+
+
+def _coeff(tau_s: float, sample_rate: float) -> float:
+    """exp(-1/(tau*sr + eps)) (mixer.c:64-67, 130-133)."""
+    import math
+
+    return math.exp(-1.0 / (tau_s * sample_rate + 1e-12))
+
+
+@dataclasses.dataclass(frozen=True)
+class MixerParams:
+    sample_rate: int = SAMPLE_RATE
+    # ducking (mixer.c:121-125)
+    duck_threshold_db: float = -45.0
+    duck_margin_db: float = 6.0
+    duck_atten_db: float = -6.0
+    duck_attack_s: float = 0.010
+    duck_release_s: float = 0.200
+    # compressor (mixer.c:51, 54-61)
+    comp_threshold_db: float = -10.0
+    comp_ratio: float = 4.0
+    comp_knee_db: float = 2.0
+    comp_attack_s: float = 0.010
+    comp_release_s: float = 0.100
+    comp_makeup_db: float = 0.0
+    # bus (mixer.c:328-329)
+    crowd_alpha: float = 0.5
+    base_gain: float = 1.0
+    # soft clip (mixer.c:628)
+    clip_threshold: float = 0.7
+    clip_steepness: float = 3.0
+
+    @property
+    def duck_attack_coeff(self) -> float:
+        return _coeff(self.duck_attack_s, self.sample_rate)
+
+    @property
+    def duck_release_coeff(self) -> float:
+        return _coeff(self.duck_release_s, self.sample_rate)
+
+    @property
+    def comp_attack_coeff(self) -> float:
+        return _coeff(self.comp_attack_s, self.sample_rate)
+
+    @property
+    def comp_release_coeff(self) -> float:
+        return _coeff(self.comp_release_s, self.sample_rate)
+
+
+@dataclasses.dataclass
+class MixerState:
+    """Carried across ticks. S sources, C output channels (clients)."""
+
+    envelope: jax.Array  # [S] ducking envelope per source
+    duck_gain: jax.Array  # [S]
+    comp_envelope: jax.Array  # [C]
+    comp_gain: jax.Array  # [C]
+
+    @staticmethod
+    def init(num_sources: int, num_clients: int) -> "MixerState":
+        return MixerState(
+            envelope=jnp.zeros((num_sources,), jnp.float32),
+            duck_gain=jnp.ones((num_sources,), jnp.float32),
+            comp_envelope=jnp.zeros((num_clients,), jnp.float32),
+            comp_gain=jnp.ones((num_clients,), jnp.float32),
+        )
+
+    def astuple(self):
+        return (self.envelope, self.duck_gain, self.comp_envelope, self.comp_gain)
+
+
+def soft_clip(x, threshold: float, steepness: float):
+    """tanh knee above +-threshold (mixer.c:1030-1041)."""
+    hi = threshold + (1.0 - threshold) * jnp.tanh((x - threshold) * steepness)
+    lo = -threshold + (-1.0 + threshold) * jnp.tanh((x + threshold) * steepness)
+    return jnp.where(x > threshold, hi, jnp.where(x < -threshold, lo, x))
+
+
+def _compressor_gain_reduction_db(p: MixerParams, level_db):
+    """Soft-knee downward compression curve (mixer.c:70-86)."""
+    over = level_db - p.comp_threshold_db
+    knee = p.comp_knee_db
+    slope = 1.0 / p.comp_ratio - 1.0
+    x = over + knee * 0.5
+    soft = slope * (x * x) / (2.0 * knee)
+    return jnp.where(over <= -knee * 0.5, 0.0, jnp.where(over >= knee * 0.5, slope * over, soft))
+
+
+def _attack_release(value, target, attack_coeff, release_coeff):
+    """One-pole smoothing with separate attack/release (mixer.c:92-106)."""
+    coeff = jnp.where(target > value, attack_coeff, release_coeff)
+    # attack when target rises above value: env = a*env + (1-a)*target
+    return coeff * value + (1.0 - coeff) * target
+
+
+@functools.partial(jax.jit, static_argnames=("params", "exclude_self"))
+def mixer_process(
+    samples: jax.Array,  # float32 [S, N] source audio for this tick
+    active: jax.Array,  # bool [S] sources that delivered audio
+    state: tuple,  # MixerState.astuple()
+    params: MixerParams = MixerParams(),
+    exclude_self: bool = True,
+) -> tuple[jax.Array, tuple]:
+    """One mixer tick -> per-client mixes [C, N] and updated state.
+
+    With exclude_self=True, C == S and output[c] omits source c
+    (mixer_process_excluding_source, mixer.c:636). With False, C == 1 and
+    output[0] is the full mix (mixer_process, mixer.c:491).
+    """
+    s_count, n = samples.shape
+    p = params
+    pad = (-n) % MIXER_FRAME_SIZE
+    padded = jnp.pad(samples, ((0, 0), (0, pad)))
+    chunks = padded.reshape(s_count, -1, MIXER_FRAME_SIZE).transpose(1, 0, 2)  # [F, S, frame]
+    activef = active.astype(jnp.float32)
+
+    def step(carry, chunk):  # chunk [S, frame]
+        env, duck_gain, comp_env, comp_gain = carry
+        chunk = chunk * activef[:, None]  # inactive sources contribute silence
+
+        # Frame-peak envelope per source; only active sources update (mixer.c:557-580)
+        peak = jnp.max(jnp.abs(chunk), axis=1)
+        new_env = _attack_release(env, peak, p.duck_attack_coeff, p.duck_release_coeff)
+        env = jnp.where(active, new_env, env)
+
+        speaking = jnp.logical_and(active, env > db_to_linear(-60.0))
+        speaking_count = jnp.sum(speaking.astype(jnp.float32))
+
+        # Ducking over all slots (ducking_process_frame, mixer.c:185-216)
+        env_db = linear_to_db(env)
+        max_db = jnp.max(env_db)
+        is_speaking = env_db > p.duck_threshold_db
+        is_leader = jnp.logical_and(is_speaking, env_db >= max_db - p.duck_margin_db)
+        target = jnp.where(jnp.logical_and(is_speaking, ~is_leader), db_to_linear(p.duck_atten_db), 1.0)
+        duck_gain = _attack_release(duck_gain, target, p.duck_attack_coeff, p.duck_release_coeff)
+
+        crowd = jnp.where(speaking_count > 0, 1.0 / jnp.power(jnp.maximum(speaking_count, 1.0), p.crowd_alpha), 1.0)
+        combined = duck_gain * activef * (p.base_gain * crowd)  # [S]
+
+        weighted = chunk * combined[:, None]  # [S, frame]
+        full_mix = jnp.sum(weighted, axis=0)  # [frame]
+        if exclude_self:
+            mixes = full_mix[None, :] - weighted  # [S, frame]: drop own contribution
+        else:
+            mixes = full_mix[None, :]  # [1, frame]
+
+        # Per-client frame-peak compression (mixer.c:608-628)
+        frame_peak = jnp.max(jnp.abs(mixes), axis=1)  # [C]
+        comp_env = _attack_release(comp_env, frame_peak, p.comp_attack_coeff, p.comp_release_coeff)
+        gr_db = _compressor_gain_reduction_db(p, linear_to_db(comp_env))
+        target_lin = db_to_linear(gr_db + p.comp_makeup_db)
+        comp_gain = _attack_release(comp_gain, target_lin, p.comp_attack_coeff, p.comp_release_coeff)
+
+        out = soft_clip(mixes * comp_gain[:, None], p.clip_threshold, p.clip_steepness)
+        return (env, duck_gain, comp_env, comp_gain), out
+
+    new_state, outs = jax.lax.scan(step, state, chunks)
+    out = outs.transpose(1, 0, 2).reshape(outs.shape[1], -1)[:, :n]
+    return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# Noise gate (mixer.c:846-924): per-buffer peak, hysteresis, one-pole envelope.
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "attack_s", "release_s", "hysteresis", "sample_rate"))
+def noise_gate(
+    buf: jax.Array,  # [..., N]
+    envelope: jax.Array,  # [...] carried
+    gate_open: jax.Array,  # bool [...]
+    threshold: float = 0.01,
+    attack_s: float = 0.010,
+    release_s: float = 0.050,
+    hysteresis: float = 0.9,
+    sample_rate: int = SAMPLE_RATE,
+):
+    import math
+
+    attack_c = 1.0 - math.exp(-1.0 / (attack_s * sample_rate + 1e-12))
+    release_c = 1.0 - math.exp(-1.0 / (release_s * sample_rate + 1e-12))
+    peak = jnp.max(jnp.abs(buf), axis=-1)
+
+    def sample_step(carry, x):
+        env, is_open = carry
+        thr = jnp.where(is_open, threshold * hysteresis, threshold)
+        target = (peak > thr).astype(jnp.float32)
+        is_open = target > 0.5
+        coeff = jnp.where(target > env, attack_c, release_c)
+        env = env + coeff * (target - env)
+        return (env, is_open), x * env
+
+    (envelope, gate_open), out = jax.lax.scan(
+        sample_step, (envelope, gate_open), jnp.moveaxis(buf, -1, 0)
+    )
+    return jnp.moveaxis(out, 0, -1), envelope, gate_open
+
+
+# ---------------------------------------------------------------------------
+# One-pole filters (mixer.c:931-1023) as scans (sequential IIR -> lax.scan).
+
+
+@jax.jit
+def highpass(buf: jax.Array, prev_in: jax.Array, prev_out: jax.Array, alpha: float):
+    """y[n] = alpha * (y[n-1] + x[n] - x[n-1]) (mixer.c:953-965)."""
+
+    def step(carry, x):
+        pin, pout = carry
+        y = alpha * (pout + x - pin)
+        return (x, y), y
+
+    (prev_in, prev_out), out = jax.lax.scan(step, (prev_in, prev_out), jnp.moveaxis(buf, -1, 0))
+    return jnp.moveaxis(out, 0, -1), prev_in, prev_out
+
+
+@jax.jit
+def lowpass(buf: jax.Array, prev_out: jax.Array, alpha: float):
+    """y[n] = alpha*x[n] + (1-alpha)*y[n-1] (mixer.c:1004-1013)."""
+
+    def step(pout, x):
+        y = alpha * x + (1.0 - alpha) * pout
+        return y, y
+
+    prev_out, out = jax.lax.scan(step, prev_out, jnp.moveaxis(buf, -1, 0))
+    return jnp.moveaxis(out, 0, -1), prev_out
+
+
+def highpass_alpha(cutoff_hz: float, sample_rate: float = SAMPLE_RATE) -> float:
+    import math
+
+    return 1.0 / (1.0 + 2.0 * math.pi * cutoff_hz / sample_rate)
+
+
+def lowpass_alpha(cutoff_hz: float, sample_rate: float = SAMPLE_RATE) -> float:
+    import math
+
+    dt = 1.0 / sample_rate
+    rc = 1.0 / (2.0 * math.pi * cutoff_hz)
+    return dt / (rc + dt)
+
+
+# ---------------------------------------------------------------------------
+# Linear resampler (resample_linear, lib/audio/audio.c:578): batched gather.
+
+
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def resample_linear(buf: jax.Array, out_len: int) -> jax.Array:
+    """[..., N] -> [..., out_len] linear interpolation."""
+    n = buf.shape[-1]
+    ratio = (n - 1) / max(out_len - 1, 1)
+    pos = jnp.arange(out_len, dtype=jnp.float32) * ratio
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, n - 1)
+    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    frac = pos - i0.astype(jnp.float32)
+    return jnp.take(buf, i0, axis=-1) * (1.0 - frac) + jnp.take(buf, i1, axis=-1) * frac

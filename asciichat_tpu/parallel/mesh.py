@@ -1,0 +1,57 @@
+"""Device mesh + sharding layout for multi-chip scaling.
+
+The reference scales by spawning 2 render threads per client on one host
+(src/server/render.c:16-38, "linear to 9+ clients"). The TPU-native scaling
+axes (SURVEY.md §5) are clients x pixels: we shard the CLIENT batch over a
+"clients" mesh axis (data parallel — each chip renders its clients' frames)
+and optionally the cell-row axis over a "space" axis (spatial parallel — rows
+of the same frame land on different chips). Collectives are never written by
+hand: sharding annotations + jit let XLA insert all-gathers on ICI where the
+compositor needs every client's frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CLIENTS_AXIS = "clients"
+SPACE_AXIS = "space"
+
+
+def make_mesh(n_devices: int | None = None, space: int = 1, devices=None) -> Mesh:
+    """1D ("clients",) or 2D ("clients", "space") mesh over available devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices and len(devices) < n_devices:
+            # Single-chip session (e.g. the axon tunnel): fall back to the
+            # virtual CPU device pool for sharding validation.
+            devices = jax.devices("cpu")
+    n = n_devices or len(devices)
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    devices = np.asarray(devices[:n])
+    if space > 1:
+        assert n % space == 0, f"{n} devices not divisible by space={space}"
+        return Mesh(devices.reshape(n // space, space), (CLIENTS_AXIS, SPACE_AXIS))
+    return Mesh(devices.reshape(n), (CLIENTS_AXIS,))
+
+
+def client_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading client/batch axis; everything else replicated."""
+    return NamedSharding(mesh, P(CLIENTS_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def client_space_sharding(mesh: Mesh) -> NamedSharding:
+    """[C, rows, ...]: clients over the clients axis, rows over space axis."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(CLIENTS_AXIS, SPACE_AXIS))
+    return NamedSharding(mesh, P(CLIENTS_AXIS))
+
+
+def shard_batch(x: jax.Array | np.ndarray, mesh: Mesh) -> jax.Array:
+    return jax.device_put(x, client_sharding(mesh))

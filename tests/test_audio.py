@@ -1,0 +1,160 @@
+"""Mixer/DSP ops vs an independent per-sample numpy reference
+(lib/audio/mixer.c semantics)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from asciichat_tpu.ops import audio as A
+
+
+def _np_soft_clip(x, thr=0.7, steep=3.0):
+    if x > thr:
+        return thr + (1.0 - thr) * math.tanh((x - thr) * steep)
+    if x < -thr:
+        return -thr + (-1.0 + thr) * math.tanh((x + thr) * steep)
+    return x
+
+
+def _np_mixer(samples, active, params: A.MixerParams, exclude_self=True):
+    """Frame-loop reference mirroring mixer.c:491-633 (shared env/duck,
+    per-client compressor as documented in ops/audio.py)."""
+    s_count, n = samples.shape
+    c_count = s_count if exclude_self else 1
+    env = np.zeros(s_count)
+    duck = np.ones(s_count)
+    cenv = np.zeros(c_count)
+    cgain = np.ones(c_count)
+    out = np.zeros((c_count, n))
+    p = params
+    d2l = lambda db: 10.0 ** (db / 20.0)
+    l2d = lambda x: 20.0 * math.log10(max(x, 1e-12))
+
+    def ar(val, tgt, att, rel):
+        coeff = att if tgt > val else rel
+        return coeff * val + (1 - coeff) * tgt
+
+    for f0 in range(0, n, A.MIXER_FRAME_SIZE):
+        f1 = min(f0 + A.MIXER_FRAME_SIZE, n)
+        chunk = samples[:, f0:f1] * active[:, None]
+        for i in range(s_count):
+            if active[i]:
+                peak = np.max(np.abs(chunk[i]))
+                env[i] = ar(env[i], peak, p.duck_attack_coeff, p.duck_release_coeff)
+        speaking_count = sum(1 for i in range(s_count) if active[i] and env[i] > d2l(-60.0))
+        env_db = np.array([l2d(e) for e in env])
+        max_db = env_db.max()
+        for i in range(s_count):
+            is_speak = env_db[i] > p.duck_threshold_db
+            is_leader = is_speak and env_db[i] >= max_db - p.duck_margin_db
+            tgt = d2l(p.duck_atten_db) if (is_speak and not is_leader) else 1.0
+            duck[i] = ar(duck[i], tgt, p.duck_attack_coeff, p.duck_release_coeff)
+        crowd = 1.0 / (speaking_count ** p.crowd_alpha) if speaking_count > 0 else 1.0
+        combined = duck * active * (p.base_gain * crowd)
+        weighted = chunk * combined[:, None]
+        full = weighted.sum(axis=0)
+        mixes = full[None, :] - weighted if exclude_self else full[None, :]
+        for c in range(c_count):
+            fp = np.max(np.abs(mixes[c]))
+            cenv[c] = ar(cenv[c], fp, p.comp_attack_coeff, p.comp_release_coeff)
+            level = l2d(cenv[c])
+            over = level - p.comp_threshold_db
+            knee = p.comp_knee_db
+            slope = 1.0 / p.comp_ratio - 1.0
+            if over <= -knee / 2:
+                gr = 0.0
+            elif over >= knee / 2:
+                gr = slope * over
+            else:
+                x = over + knee / 2
+                gr = slope * x * x / (2 * knee)
+            tgt = d2l(gr + p.comp_makeup_db)
+            cgain[c] = ar(cgain[c], tgt, p.comp_attack_coeff, p.comp_release_coeff)
+            out[c, f0:f1] = [_np_soft_clip(v, p.clip_threshold, p.clip_steepness)
+                             for v in mixes[c] * cgain[c]]
+    return out
+
+
+@pytest.mark.parametrize("exclude_self", [True, False])
+def test_mixer_matches_reference(exclude_self):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    S, N = 4, 480
+    samples = (rng.normal(0, 0.2, (S, N)) * np.sin(np.arange(N) / 7)).astype(np.float32)
+    samples[1] *= 3.0  # loud leader triggers ducking of others
+    active = np.array([True, True, True, False])
+    p = A.MixerParams()
+    state = A.MixerState.init(S, S if exclude_self else 1).astuple()
+    got, _ = A.mixer_process(jnp.asarray(samples), jnp.asarray(active), state,
+                             p, exclude_self=exclude_self)
+    want = _np_mixer(samples.astype(np.float64), active.astype(np.float64), p, exclude_self)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_mixer_state_carries_across_ticks():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    S, N = 3, 480
+    p = A.MixerParams()
+    active = jnp.ones(S, bool)
+    state = A.MixerState.init(S, S).astuple()
+    a = rng.normal(0, 0.3, (S, N)).astype(np.float32)
+    b = rng.normal(0, 0.3, (S, N)).astype(np.float32)
+    out1, state = A.mixer_process(jnp.asarray(a), active, state, p)
+    out2, state = A.mixer_process(jnp.asarray(b), active, state, p)
+    # two-tick run == reference over the concatenation
+    want = _np_mixer(np.concatenate([a, b], axis=1).astype(np.float64), np.ones(S), p)
+    got = np.concatenate([np.asarray(out1), np.asarray(out2)], axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_exclude_self_removes_own_audio():
+    import jax.numpy as jnp
+
+    S, N = 2, 256
+    samples = np.zeros((S, N), np.float32)
+    samples[0] = 0.5  # only source 0 speaks
+    state = A.MixerState.init(S, S).astuple()
+    out, _ = A.mixer_process(jnp.asarray(samples), jnp.ones(S, bool), state)
+    out = np.asarray(out)
+    assert np.all(out[0] == 0.0)  # own audio excluded -> silence
+    assert np.max(np.abs(out[1])) > 0.01  # hears source 0
+
+
+def test_soft_clip_limits():
+    import jax.numpy as jnp
+
+    x = jnp.asarray([0.0, 0.5, 0.9, 5.0, -5.0])
+    y = np.asarray(A.soft_clip(x, 0.7, 3.0))
+    assert y[0] == 0.0 and y[1] == 0.5
+    assert 0.7 < y[2] < 0.9
+    # float32 tanh saturates to exactly 1.0 for large inputs (same as C)
+    assert y[3] <= 1.0 and y[4] >= -1.0
+
+
+def test_resample_linear_endpoints():
+    import jax.numpy as jnp
+
+    buf = jnp.asarray(np.arange(10, dtype=np.float32))
+    out = np.asarray(A.resample_linear(buf, 19))
+    assert out[0] == 0.0 and abs(out[-1] - 9.0) < 1e-5
+    np.testing.assert_allclose(out[1], 0.5, atol=1e-5)
+
+
+def test_filters_impulse():
+    import jax.numpy as jnp
+
+    x = np.zeros(64, np.float32)
+    x[0] = 1.0
+    alpha = A.lowpass_alpha(1000.0)
+    out, _ = A.lowpass(jnp.asarray(x), jnp.float32(0.0), alpha)
+    out = np.asarray(out)
+    # y[0]=alpha, y[n]=alpha*(1-alpha)^n impulse response
+    np.testing.assert_allclose(out[0], alpha, rtol=1e-5)
+    np.testing.assert_allclose(out[1], alpha * (1 - alpha), rtol=1e-5)
+    ah = A.highpass_alpha(100.0)
+    outh, _, _ = A.highpass(jnp.asarray(x), jnp.float32(0.0), jnp.float32(0.0), ah)
+    np.testing.assert_allclose(np.asarray(outh)[0], ah, rtol=1e-5)
