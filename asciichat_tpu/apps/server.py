@@ -1,0 +1,280 @@
+"""ascii-chat server: N clients in, personalized ASCII frames + mixed audio out.
+
+Asyncio + TPU re-expression of src/server/: where the reference runs 5 thread
+types (per-client receive/send/dispatch + 60 fps video render + 100 fps audio
+render threads, src/server/{client.c,render.c}), this server runs per-client
+asyncio tasks and ONE render tick that converts the shared composite once per
+distinct (caps, size, palette, filter) group on the TPU — the per-client
+fan-out is a batch/group dimension, not a thread count (SURVEY §2e.3).
+
+Protocol parity: ACIP framing + CRC32-C (net/packet.py), IMAGE_FRAME uploads
+-> latest-frame double buffer (video_frame.c semantics), ASCII_FRAME
+downloads with zstd (server stream path, stream.c:958), AUDIO_BATCH duplex
+with exclude-self mixes (mixer.c:636), PING/PONG keepalive
+(protocol.c:647), protocol violations disconnect (protocol.c:755).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import time
+
+import numpy as np
+
+from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net import protocol as proto
+from asciichat_tpu.net.transport import Transport, serve_tcp
+from asciichat_tpu.ops import audio as audio_ops
+from asciichat_tpu.ops import compositor, filters
+from asciichat_tpu.render import palette as pal
+from asciichat_tpu.render.pipeline import AsciiRenderer
+from asciichat_tpu.render.types import RenderMode
+from asciichat_tpu.runtime.double_buffer import LatestFrame
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("server")
+
+MAX_CLIENTS = 32  # include/ascii-chat/common/limits.h:26
+MAX_UPLOAD_W, MAX_UPLOAD_H = 800, 600  # client capture cap (capture.c:41-44)
+VIDEO_TICK = 1 / 60  # server render cadence (render.c:41)
+AUDIO_TICK = 480 / 48000  # 10 ms audio tick (render.c:42)
+
+
+class ClientState:
+    def __init__(self, cid: int, transport: Transport):
+        self.id = cid
+        self.transport = transport
+        self.wire_caps = proto.WireCapabilities()
+        self.has_caps = False
+        self.streaming = False
+        self.video = LatestFrame()
+        self.audio_buf: list[np.ndarray] = []
+        self.audio_pending = 0
+        self.last_seen = time.monotonic()
+        self.filter_name = "none"
+
+    @property
+    def size_key(self):
+        wc = self.wire_caps
+        return (wc.caps, wc.width, wc.height, wc.palette_type, wc.palette_custom,
+                self.filter_name)
+
+
+class AsciiChatServer:
+    def __init__(self, host: str = "0.0.0.0", port: int = 27224,
+                 palette: str = pal.DEFAULT_PALETTE, compression_level: int = 1):
+        self.host = host
+        self.port = port
+        self.palette = palette
+        self.compression_level = compression_level
+        self.clients: dict[int, ClientState] = {}
+        self._ids = itertools.count(1)
+        self.renderer = AsciiRenderer(palette)
+        self.mixer_state: tuple | None = None
+        self.mixer_slots: list[int] = []
+        self._server: asyncio.AbstractServer | None = None
+        self.ticks = 0
+
+    # ------------------------------------------------------------------
+    # Connection handling
+
+    async def _handle_conn(self, t: Transport) -> None:
+        if len(self.clients) >= MAX_CLIENTS:
+            await t.send(pkt.PacketType.ERROR_MESSAGE,
+                         proto.pack_error(1, "server full"))
+            return
+        cid = next(self._ids)
+        state = ClientState(cid, t)
+        self.clients[cid] = state
+        log.info("client %d connected from %s", cid, t.peername)
+        try:
+            await self._recv_loop(state)
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        except ValueError as e:
+            # protocol violation -> disconnect (disconnect_client_for_bad_data)
+            log.warning("client %d bad data: %s", cid, e)
+        finally:
+            self.clients.pop(cid, None)
+            log.info("client %d disconnected", cid)
+
+    async def _recv_loop(self, c: ClientState) -> None:
+        P = pkt.PacketType
+        while True:
+            ptype, payload = await c.transport.recv()
+            c.last_seen = time.monotonic()
+            if ptype == P.PROTOCOL_VERSION:
+                await c.transport.send(P.PROTOCOL_VERSION, payload)
+            elif ptype == P.CLIENT_CAPABILITIES:
+                c.wire_caps = proto.WireCapabilities.unpack(payload)
+                c.filter_name = (
+                    filters.FILTER_NAMES[c.wire_caps.color_filter]
+                    if c.wire_caps.color_filter < len(filters.FILTER_NAMES)
+                    else "none"
+                )
+                c.has_caps = True
+                await c.transport.send(P.CLEAR_CONSOLE)
+            elif ptype == P.SIZE_MESSAGE:
+                w, h = proto.unpack_size(payload)
+                c.wire_caps.width, c.wire_caps.height = w, h
+            elif ptype == P.STREAM_START:
+                c.streaming = True
+            elif ptype == P.STREAM_STOP:
+                c.streaming = False
+            elif ptype == P.IMAGE_FRAME:
+                pixels, w, h, fmt = pkt.unpack_image_frame(payload)
+                if fmt != pkt.PIXEL_FORMAT_RGB24 or w > MAX_UPLOAD_W or h > MAX_UPLOAD_H:
+                    raise ValueError(f"bad image frame {w}x{h} fmt={fmt}")
+                frame = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+                c.video.commit(frame)
+                c.streaming = True
+            elif ptype == P.AUDIO_BATCH:
+                body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
+                samples = np.frombuffer(body, "<f4")[:total]
+                c.audio_buf.append(samples)
+                c.audio_pending += len(samples)
+            elif ptype == P.PING:
+                await c.transport.send(P.PONG, payload)
+            elif ptype == P.CLIENT_LEAVE:
+                return
+            elif ptype == P.TEXT_MESSAGE:
+                await self._broadcast(P.TEXT_MESSAGE, payload, exclude=c.id)
+            # unknown types are tolerated (forward compat)
+
+    async def _broadcast(self, ptype, payload: bytes, exclude: int = -1) -> None:
+        for cid, c in list(self.clients.items()):
+            if cid != exclude and c.has_caps:
+                c.transport.send_nowait(ptype, payload)
+
+    # ------------------------------------------------------------------
+    # Render tick: composite once, convert once per caps-group
+
+    def _render_tick(self) -> None:
+        sources = [
+            (c, *c.video.get_latest())
+            for c in self.clients.values()
+            if c.streaming
+        ]
+        sources = [(c, f) for c, f, _ in sources if f is not None]
+        receivers = [c for c in self.clients.values() if c.has_caps]
+        if not sources or not receivers:
+            return
+
+        sizes = [(f.shape[1], f.shape[0]) for _, f in sources]
+        # max terminal among receivers defines composite char space (the
+        # reference composites per client; identical composite -> shared)
+        term_w = max(c.wire_caps.width for c in receivers)
+        term_h = max(c.wire_caps.height for c in receivers)
+        plan = compositor.plan_composite(sizes, term_w, term_h)
+
+        hmax = max(f.shape[0] for _, f in sources)
+        wmax = max(f.shape[1] for _, f in sources)
+        stack = np.zeros((len(sources), hmax, wmax, 3), np.uint8)
+        for i, (_, f) in enumerate(sources):
+            stack[i, : f.shape[0], : f.shape[1]] = f
+        composite = np.asarray(compositor.composite_gather(stack, plan))
+
+        rendered: dict[tuple, bytes] = {}
+        for c in receivers:
+            key = c.size_key
+            if key not in rendered:
+                wc = c.wire_caps
+                frame_px = composite
+                if c.filter_name != "none":
+                    frame_px = filters.apply_color_filter_reference(
+                        composite, c.filter_name, time.monotonic()
+                    )
+                req_h = (
+                    wc.height * 2
+                    if wc.caps.render_mode == RenderMode.HALF_BLOCK
+                    else wc.height
+                )  # stream.c:831
+                renderer = (
+                    AsciiRenderer(wc.palette_custom)
+                    if wc.palette_custom
+                    else self.renderer
+                )
+                rendered[key] = renderer.convert(frame_px, wc.width, req_h, wc.caps)
+            frame = rendered[key]
+            payload = pkt.pack_ascii_frame(
+                frame, c.wire_caps.width, c.wire_caps.height,
+                level=self.compression_level,
+            )
+            c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload)
+        self.ticks += 1
+
+    # ------------------------------------------------------------------
+    # Audio tick: exclude-self mixes for everyone in one batched op
+
+    def _audio_tick(self) -> None:
+        n = audio_ops.AUDIO_FRAME_SAMPLES
+        speakers = [c for c in self.clients.values() if c.audio_pending >= n]
+        listeners = [c for c in self.clients.values() if c.has_caps]
+        if not speakers or not listeners:
+            return
+        slots = [c.id for c in self.clients.values()]
+        if slots != self.mixer_slots or self.mixer_state is None:
+            self.mixer_slots = slots
+            self.mixer_state = audio_ops.MixerState.init(len(slots), len(slots)).astuple()
+        samples = np.zeros((len(slots), n), np.float32)
+        active = np.zeros(len(slots), bool)
+        for i, c in enumerate(self.clients.values()):
+            if c.audio_pending >= n:
+                buf = np.concatenate(c.audio_buf)
+                samples[i] = buf[:n]
+                rest = buf[n:]
+                c.audio_buf = [rest] if len(rest) else []
+                c.audio_pending = len(rest)
+                active[i] = True
+        import jax.numpy as jnp
+
+        mixes, self.mixer_state = audio_ops.mixer_process(
+            jnp.asarray(samples), jnp.asarray(active), self.mixer_state
+        )
+        mixes = np.asarray(mixes)
+        for i, c in enumerate(self.clients.values()):
+            if c.has_caps:
+                payload = pkt.pack_audio_batch(
+                    mixes[i].astype("<f4").tobytes(), n, 1
+                )
+                c.transport.send_nowait(pkt.PacketType.AUDIO_BATCH, payload)
+
+    # ------------------------------------------------------------------
+
+    async def _tick_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        next_video = next_audio = loop.time()
+        while True:
+            now = loop.time()
+            if now >= next_video:
+                try:
+                    await loop.run_in_executor(None, self._render_tick)
+                except Exception:
+                    log.exception("render tick failed")
+                next_video = max(next_video + VIDEO_TICK, now)
+            if now >= next_audio:
+                try:
+                    self._audio_tick()
+                except Exception:
+                    log.exception("audio tick failed")
+                next_audio = max(next_audio + AUDIO_TICK, now)
+            await asyncio.sleep(max(0.0, min(next_video, next_audio) - loop.time()))
+
+    async def run(self) -> None:
+        self._server = await serve_tcp(self._handle_conn, self.host, self.port)
+        log.info("listening on %s:%d", self.host, self.port)
+        tick = asyncio.get_running_loop().create_task(self._tick_loop())
+        try:
+            await self._server.serve_forever()
+        finally:
+            tick.cancel()
+
+
+def main(args) -> int:
+    server = AsciiChatServer(args.host, args.port, compression_level=args.compress)
+    try:
+        asyncio.run(server.run())
+    except KeyboardInterrupt:
+        pass
+    return 0

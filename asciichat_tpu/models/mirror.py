@@ -1,0 +1,116 @@
+"""Mirror mode: local capture -> ASCII -> terminal, no network.
+
+Equivalent of mirror_main -> session_render_loop (src/mirror/main.c:379,
+src/common/session/render.c:55) with the reference's 3-stage pipeline
+(capture -> convert -> display, src/common/session/pipeline.c): capture runs
+on a thread feeding a drop-on-full queue; the main loop converts on the TPU
+and writes frames. --snapshot renders one frame and exits
+(session/render.c:128-143).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from asciichat_tpu.ops import filters as filters_ops
+from asciichat_tpu.render.pipeline import AsciiRenderer
+from asciichat_tpu.render.types import TerminalCapabilities
+from asciichat_tpu.runtime.double_buffer import FrameQueue
+from asciichat_tpu.runtime.framesource import FrameSource
+from asciichat_tpu.utils import term
+from asciichat_tpu.utils.fps import FpsCounter
+
+
+class MirrorSession:
+    def __init__(
+        self,
+        source: FrameSource,
+        caps: TerminalCapabilities,
+        width: int,
+        height: int,
+        palette: str,
+        fps_limit: float = 60.0,
+        color_filter: str = "none",
+        flip_x: bool = False,
+        stretch: bool = False,
+        show_fps: bool = False,
+    ):
+        self.source = source
+        self.caps = caps
+        self.width = width
+        self.height = height
+        self.renderer = AsciiRenderer(palette)
+        self.fps_limit = fps_limit
+        self.color_filter = color_filter
+        self.flip_x = flip_x
+        self.stretch = stretch
+        self.show_fps = show_fps
+        self.queue = FrameQueue(maxsize=2)
+        self.writer = term.FrameWriter()
+        self.fps = FpsCounter()
+        self._stop = threading.Event()
+
+    def _capture_thread(self) -> None:
+        interval = 1.0 / getattr(self.source, "fps", 30.0)
+        while not self._stop.is_set():
+            t0 = time.monotonic()
+            frame = self.source.read()
+            if frame is None:
+                self.queue.push(None)
+                return
+            self.queue.push(frame)
+            dt = time.monotonic() - t0
+            if dt < interval:
+                time.sleep(interval - dt)
+
+    def _convert(self, frame) -> bytes:
+        import numpy as np
+
+        if self.flip_x:
+            frame = frame[:, ::-1]
+        if self.color_filter != "none":
+            frame = filters_ops.apply_color_filter_reference(
+                np.asarray(frame), self.color_filter, time.monotonic()
+            )
+        return self.renderer.convert(
+            frame, self.width, self.height, self.caps, stretch=self.stretch
+        )
+
+    def run_snapshot(self) -> bytes:
+        frame = self.source.read()
+        out = self._convert(frame)
+        self.writer.write_frame(out)
+        return out
+
+    def run(self, max_frames: int | None = None) -> int:
+        cap = threading.Thread(target=self._capture_thread, daemon=True)
+        cap.start()
+        self.writer.setup()
+        rendered = 0
+        min_interval = 1.0 / self.fps_limit if self.fps_limit else 0.0
+        last = 0.0
+        try:
+            while not self._stop.is_set():
+                frame = self.queue.pop(timeout=1.0)
+                if frame is None:
+                    break
+                now = time.monotonic()
+                if now - last < min_interval:
+                    continue  # drop: stay at the fps cap
+                last = now
+                out = self._convert(frame)
+                if self.show_fps:
+                    out += b"\x1b[0m\n" + f"{self.fps.fps:5.1f} fps".encode()
+                self.writer.write_frame(out)
+                self.fps.tick()
+                rendered += 1
+                if max_frames and rendered >= max_frames:
+                    break
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self._stop.set()
+            self.writer.teardown()
+            self.source.close()
+        return rendered

@@ -1,0 +1,109 @@
+"""Transport abstraction: framed ACIP packet streams over asyncio TCP.
+
+Mirrors the reference's transport vtable (acip_transport_t,
+include/ascii-chat/network/acip/transport.h:95-105) with TCP implemented and
+WebSocket/WebRTC as future transports. Where the reference spawns
+receive/send/dispatch threads per client (src/server/client.c:551-598), this
+runtime uses asyncio tasks + per-connection send queues (the packet-queue
+analog of lib/network/packet/queue.c).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import contextlib
+
+from asciichat_tpu.net import packet as pkt
+
+
+class Transport:
+    """One framed ACIP connection (either side)."""
+
+    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self.reader = reader
+        self.writer = writer
+        self._send_queue: asyncio.Queue[bytes | None] = asyncio.Queue(maxsize=256)
+        self._sender_task: asyncio.Task | None = None
+        self.closed = False
+
+    @property
+    def peername(self):
+        return self.writer.get_extra_info("peername")
+
+    def start_sender(self) -> None:
+        self._sender_task = asyncio.get_running_loop().create_task(self._sender())
+
+    async def _sender(self) -> None:
+        try:
+            while True:
+                buf = await self._send_queue.get()
+                if buf is None:
+                    break
+                self.writer.write(buf)
+                await self.writer.drain()
+        except (ConnectionError, asyncio.CancelledError):
+            pass
+
+    async def send(self, ptype: int, payload: bytes = b"") -> None:
+        """Queue a packet; drops the connection on overflow like the
+        reference's bounded per-client queues (drop-on-full backpressure)."""
+        buf = pkt.pack_packet(ptype, payload)
+        if self._sender_task is None:
+            self.writer.write(buf)
+            await self.writer.drain()
+        else:
+            await self._send_queue.put(buf)
+
+    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        """Non-blocking enqueue; returns False when the queue is full (the
+        frame is dropped — overload shedding, pipeline.c:72-80)."""
+        try:
+            self._send_queue.put_nowait(pkt.pack_packet(ptype, payload))
+            return True
+        except asyncio.QueueFull:
+            return False
+
+    async def recv(self) -> tuple[int, bytes]:
+        """Read one verified packet -> (type, payload).
+
+        Raises ValueError on magic/CRC violations (callers disconnect the
+        peer, mirroring disconnect_client_for_bad_data, protocol.c:755)."""
+        hdr = await self.reader.readexactly(pkt.HEADER_SIZE)
+        ptype, length, crc, _cid = pkt.unpack_header(hdr)
+        payload = await self.reader.readexactly(length) if length else b""
+        if not pkt.verify_payload(payload, crc):
+            raise ValueError(f"payload CRC mismatch for packet type {ptype}")
+        return ptype, payload
+
+    async def close(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        if self._sender_task is not None:
+            await self._send_queue.put(None)
+            with contextlib.suppress(asyncio.CancelledError):
+                await self._sender_task
+        with contextlib.suppress(ConnectionError):
+            self.writer.close()
+            await self.writer.wait_closed()
+
+
+async def connect_tcp(host: str, port: int) -> Transport:
+    reader, writer = await asyncio.open_connection(host, port)
+    t = Transport(reader, writer)
+    t.start_sender()
+    return t
+
+
+async def serve_tcp(handler, host: str, port: int) -> asyncio.AbstractServer:
+    """Listen and invoke `await handler(transport)` per connection."""
+
+    async def on_conn(reader, writer):
+        t = Transport(reader, writer)
+        t.start_sender()
+        try:
+            await handler(t)
+        finally:
+            await t.close()
+
+    return await asyncio.start_server(on_conn, host, port)

@@ -1,0 +1,131 @@
+"""Localhost integration: spawn the REAL unified CLI as subprocesses
+(server + clients), the reference's multi-node-without-a-cluster strategy
+(tests/integration/session/main_integration_test.c:37-207: fork/exec real
+binaries with PID-derived unique ports)."""
+
+import asyncio
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "ASCIICHAT_JAX_PLATFORM": "cpu", "PYTHONPATH": REPO}
+PORT = 21000 + os.getpid() % 20000
+
+
+def _spawn(*args):
+    return subprocess.Popen(
+        [sys.executable, "-m", "asciichat_tpu.apps.main", *args],
+        env=ENV, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+
+
+@pytest.fixture(scope="module")
+def server():
+    proc = _spawn("server", "--port", str(PORT), "--log-level", "WARNING")
+    time.sleep(4)  # jax import + listen
+    assert proc.poll() is None, proc.stderr.read().decode()[-2000:]
+    yield proc
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_mirror_snapshot_cli():
+    out = subprocess.run(
+        [sys.executable, "-m", "asciichat_tpu.apps.main", "mirror",
+         "--test-pattern", "--snapshot", "--width", "40", "--height", "10",
+         "--color-mode", "NONE", "--stretch"],
+        env=ENV, cwd=REPO, capture_output=True, timeout=180,
+    )
+    assert out.returncode == 0
+    lines = out.stdout.decode().rstrip("\n").split("\n")
+    assert len(lines) == 10
+    assert all(len(line) == 40 for line in lines)  # stretch fills exactly
+
+
+def test_client_receives_frames(server):
+    client = _spawn(
+        "client", "127.0.0.1", "--port", str(PORT), "--test-pattern",
+        "--width", "50", "--height", "12", "--color-mode", "COLOR_16",
+        "--max-frames", "4", "--no-reconnect", "--log-level", "WARNING",
+    )
+    out, err = client.communicate(timeout=180)
+    assert client.returncode == 0, err.decode()[-2000:]
+    assert b"\x1b[" in out  # SGR sequences present
+    assert out.count(b"\x1b[0m") >= 4  # at least one reset per frame
+
+
+def test_two_clients_grid(server):
+    c1 = _spawn("client", "127.0.0.1", "--port", str(PORT), "--test-pattern",
+                "--width", "80", "--height", "24", "--color-mode", "NONE",
+                "--max-frames", "8", "--no-reconnect", "--log-level", "WARNING")
+    c2 = _spawn("client", "127.0.0.1", "--port", str(PORT), "--test-pattern",
+                "--width", "80", "--height", "24", "--color-mode", "NONE",
+                "--max-frames", "8", "--no-reconnect", "--log-level", "WARNING")
+    out1, err1 = c1.communicate(timeout=180)
+    out2, err2 = c2.communicate(timeout=180)
+    assert c1.returncode == 0, err1.decode()[-1500:]
+    assert c2.returncode == 0, err2.decode()[-1500:]
+    assert len(out1) > 100 and len(out2) > 100
+
+
+def test_protocol_violation_disconnects(server):
+    """Garbage bytes must get the connection dropped, not crash the server."""
+
+    async def run():
+        reader, writer = await asyncio.open_connection("127.0.0.1", PORT)
+        writer.write(b"NOT AN ACIP PACKET" * 10)
+        await writer.drain()
+        data = await asyncio.wait_for(reader.read(), timeout=10)
+        writer.close()
+        return data
+
+    asyncio.run(run())  # server closes the connection (possibly empty read)
+    assert server.poll() is None  # server still alive
+
+
+def test_audio_roundtrip(server):
+    """Speak as one client over raw ACIP and verify a second client hears it."""
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import connect_tcp
+
+    async def run():
+        speaker = await connect_tcp("127.0.0.1", PORT)
+        listener = await connect_tcp("127.0.0.1", PORT)
+        for t in (speaker, listener):
+            await t.send(pkt.PacketType.CLIENT_CAPABILITIES,
+                         proto.WireCapabilities().pack())
+        tone = (0.5 * np.sin(np.arange(4800) / 20)).astype("<f4")
+        heard = asyncio.Event()
+
+        async def listen():
+            while not heard.is_set():
+                ptype, payload = await listener.recv()
+                if ptype == pkt.PacketType.AUDIO_BATCH:
+                    body, _, total, _, _ = pkt.unpack_audio_batch(payload)
+                    mix = np.frombuffer(body, "<f4")
+                    if np.abs(mix).max() > 0.01:
+                        heard.set()
+
+        task = asyncio.create_task(listen())
+        for _ in range(50):
+            await speaker.send(
+                pkt.PacketType.AUDIO_BATCH,
+                pkt.pack_audio_batch(tone.tobytes(), len(tone), 1),
+            )
+            await asyncio.sleep(0.05)
+            if heard.is_set():
+                break
+        ok = heard.is_set()
+        task.cancel()
+        await speaker.close()
+        await listener.close()
+        return ok
+
+    assert asyncio.run(asyncio.wait_for(run(), timeout=60))
