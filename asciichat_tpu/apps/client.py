@@ -16,6 +16,8 @@ import numpy as np
 
 from asciichat_tpu.net import packet as pkt
 from asciichat_tpu.net import protocol as proto
+from asciichat_tpu.net.crypto import CryptoContext
+from asciichat_tpu.net.handshake import SecureChannel, client_handshake
 from asciichat_tpu.net.transport import Transport, connect_tcp
 from asciichat_tpu.runtime.framesource import FrameSource
 from asciichat_tpu.utils import term
@@ -50,6 +52,8 @@ class AsciiChatClient:
         wire_caps: proto.WireCapabilities | None = None,
         capture_fps: float = 30.0,
         reconnect: bool = True,
+        encrypt: bool = False,
+        password: str | None = None,
     ):
         self.host = host
         self.port = port
@@ -57,6 +61,8 @@ class AsciiChatClient:
         self.wire_caps = wire_caps or proto.WireCapabilities()
         self.capture_fps = min(capture_fps, CAPTURE_FPS_CAP)
         self.reconnect = reconnect
+        self.encrypt = encrypt
+        self.password = password
         self.writer = term.FrameWriter()
         self.frames_received = 0
         self.frames_sent = 0
@@ -108,9 +114,17 @@ class AsciiChatClient:
                 self._stop.set()
 
     async def _session(self, max_frames: int | None) -> None:
-        t = await connect_tcp(self.host, self.port)
+        raw = await connect_tcp(self.host, self.port)
         log.info("connected to %s:%d", self.host, self.port)
+        t = raw
         try:
+            if self.encrypt:
+                ctx = CryptoContext()
+                if self.password:
+                    ctx.set_password(self.password)
+                if await client_handshake(raw, ctx, self.password):
+                    t = SecureChannel(raw, ctx, initiator=True)
+                    log.info("encryption established (X25519 + XSalsa20-Poly1305)")
             await t.send(pkt.PacketType.PROTOCOL_VERSION, b"\x01")
             await t.send(pkt.PacketType.CLIENT_CAPABILITIES, self.wire_caps.pack())
             if self.source is not None:
@@ -163,7 +177,8 @@ def main(args) -> int:
         source = open_source(test_pattern=args.test_pattern, file=args.file,
                              loop=args.loop)
     client = AsciiChatClient(args.address, args.port, source, wire,
-                             capture_fps=args.fps, reconnect=not args.no_reconnect)
+                             capture_fps=args.fps, reconnect=not args.no_reconnect,
+                             encrypt=args.encrypt, password=args.password)
     try:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:

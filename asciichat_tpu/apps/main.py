@@ -94,6 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--host", default="0.0.0.0")
     s.add_argument("--port", type=int, default=27224)
     s.add_argument("--compress", type=int, default=1, help="zstd level 1-9")
+    s.add_argument("--password", default=None, help="require password auth")
     from asciichat_tpu.apps import server as server_mod
 
     s.set_defaults(fn=server_mod.main)
@@ -104,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("address")
     c.add_argument("--port", type=int, default=27224)
     c.add_argument("--no-media", action="store_true", help="view-only")
+    c.add_argument("--encrypt", action="store_true",
+                   help="X25519 + XSalsa20-Poly1305 encrypted session")
+    c.add_argument("--password", default=None, help="password for auth")
     c.add_argument("--no-reconnect", action="store_true")
     c.add_argument("--max-frames", type=int, default=None)
     from asciichat_tpu.apps import client as client_mod

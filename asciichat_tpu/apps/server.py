@@ -24,6 +24,8 @@ import numpy as np
 
 from asciichat_tpu.net import packet as pkt
 from asciichat_tpu.net import protocol as proto
+from asciichat_tpu.net.crypto import CryptoContext
+from asciichat_tpu.net.handshake import HandshakeError, SecureChannel, server_handshake
 from asciichat_tpu.net.transport import Transport, serve_tcp
 from asciichat_tpu.ops import audio as audio_ops
 from asciichat_tpu.ops import compositor, filters
@@ -42,7 +44,7 @@ AUDIO_TICK = 480 / 48000  # 10 ms audio tick (render.c:42)
 
 
 class ClientState:
-    def __init__(self, cid: int, transport: Transport):
+    def __init__(self, cid: int, transport):
         self.id = cid
         self.transport = transport
         self.wire_caps = proto.WireCapabilities()
@@ -53,6 +55,7 @@ class ClientState:
         self.audio_pending = 0
         self.last_seen = time.monotonic()
         self.filter_name = "none"
+        self.pending_first: tuple[int, bytes] | None = None
 
     @property
     def size_key(self):
@@ -63,9 +66,11 @@ class ClientState:
 
 class AsciiChatServer:
     def __init__(self, host: str = "0.0.0.0", port: int = 27224,
-                 palette: str = pal.DEFAULT_PALETTE, compression_level: int = 1):
+                 palette: str = pal.DEFAULT_PALETTE, compression_level: int = 1,
+                 password: str | None = None):
         self.host = host
         self.port = port
+        self.password = password
         self.palette = palette
         self.compression_level = compression_level
         self.clients: dict[int, ClientState] = {}
@@ -85,9 +90,31 @@ class AsciiChatServer:
                          proto.pack_error(1, "server full"))
             return
         cid = next(self._ids)
-        state = ClientState(cid, t)
+        # Crypto negotiation: the first packet decides (handshake packets are
+        # plaintext, packet.h:304); anything else proceeds unencrypted.
+        chan = t
+        try:
+            first = await t.recv()
+            if self.password and not (1000 <= first[0] <= 1199):
+                await t.send(pkt.PacketType.ERROR_MESSAGE,
+                             proto.pack_error(2, "encryption required"))
+                return
+            if 1000 <= first[0] <= 1199:
+                ctx = CryptoContext()
+                if self.password:
+                    ctx.set_password(self.password)
+                if await server_handshake(t, ctx, first,
+                                          require_auth=self.password is not None):
+                    chan = SecureChannel(t, ctx, initiator=False)
+                first = None
+        except (HandshakeError, asyncio.IncompleteReadError, ValueError) as e:
+            log.warning("handshake with %s failed: %s", t.peername, e)
+            return
+        state = ClientState(cid, chan)
+        state.pending_first = first
         self.clients[cid] = state
-        log.info("client %d connected from %s", cid, t.peername)
+        log.info("client %d connected from %s%s", cid, t.peername,
+                 " (encrypted)" if chan is not t else "")
         try:
             await self._recv_loop(state)
         except (asyncio.IncompleteReadError, ConnectionError):
@@ -102,7 +129,11 @@ class AsciiChatServer:
     async def _recv_loop(self, c: ClientState) -> None:
         P = pkt.PacketType
         while True:
-            ptype, payload = await c.transport.recv()
+            if c.pending_first is not None:
+                ptype, payload = c.pending_first
+                c.pending_first = None
+            else:
+                ptype, payload = await c.transport.recv()
             c.last_seen = time.monotonic()
             if ptype == P.PROTOCOL_VERSION:
                 await c.transport.send(P.PROTOCOL_VERSION, payload)
@@ -272,7 +303,8 @@ class AsciiChatServer:
 
 
 def main(args) -> int:
-    server = AsciiChatServer(args.host, args.port, compression_level=args.compress)
+    server = AsciiChatServer(args.host, args.port, compression_level=args.compress,
+                             password=args.password)
     try:
         asyncio.run(server.run())
     except KeyboardInterrupt:

@@ -1,0 +1,282 @@
+"""Crypto core: X25519 key exchange + XSalsa20-Poly1305 secretbox + rekeying.
+
+Parity with lib/crypto/crypto.c:
+- key pair / shared key: X25519; the raw scalarmult output IS the secretbox
+  key (crypto.c:264-266, no KDF)
+- encryption format:     nonce(24) || MAC(16) || ciphertext
+  (crypto_encrypt, crypto.c:486-505)
+- nonce layout:          session_id(16) || big-endian counter(8), counter
+  starts at 1 (generate_nonce, crypto.c:54-73)
+- auth:                  HMAC-SHA256 over the 32-byte challenge nonce with the
+  shared key (crypto.c:837-885)
+- rekeying:              new ephemeral X25519 pair after 1M packets or 1h
+  (crypto.c:143-155, REKEY_* thresholds), REQUEST/RESPONSE/COMPLETE
+- password mode:         the reference derives keys with Argon2id; this
+  runtime uses scrypt (hashlib) — wire-incompatible for password sessions,
+  documented divergence (no Argon2 primitive in this environment).
+
+The cipher itself lives in native/sodium.cpp (own implementation of the
+public Salsa20/Poly1305 specs); _py_* functions are an independent
+pure-Python implementation used to cross-validate it in tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import functools
+import hashlib
+import hmac as hmac_mod
+import os
+import struct
+import time
+
+from cryptography.hazmat.primitives.asymmetric.x25519 import (
+    X25519PrivateKey,
+    X25519PublicKey,
+)
+
+KEY_SIZE = 32
+NONCE_SIZE = 24
+MAC_SIZE = 16
+SESSION_ID_SIZE = 16
+AUTH_CHALLENGE_SIZE = 32
+
+REKEY_PACKET_THRESHOLD = 1_000_000  # crypto.c:154
+REKEY_TIME_THRESHOLD_S = 3600.0  # crypto.c:155
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    from asciichat_tpu.runtime.native_build import load_library
+
+    lib = load_library("sodium")
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.ac_secretbox_easy.argtypes = [u8, ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.c_char_p, ctypes.c_char_p]
+    lib.ac_secretbox_easy.restype = ctypes.c_int
+    lib.ac_secretbox_open_easy.argtypes = [u8, ctypes.c_char_p, ctypes.c_uint64,
+                                           ctypes.c_char_p, ctypes.c_char_p]
+    lib.ac_secretbox_open_easy.restype = ctypes.c_int
+    lib.ac_poly1305.argtypes = [u8, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]
+    lib.ac_hsalsa20.argtypes = [u8, ctypes.c_char_p, ctypes.c_char_p]
+    return lib
+
+
+def secretbox(message: bytes, nonce: bytes, key: bytes) -> bytes:
+    """-> MAC(16) || ciphertext (crypto_secretbox_easy format)."""
+    assert len(nonce) == NONCE_SIZE and len(key) == KEY_SIZE
+    out = (ctypes.c_uint8 * (MAC_SIZE + len(message)))()
+    _lib().ac_secretbox_easy(out, message, len(message), nonce, key)
+    return bytes(out)
+
+
+def secretbox_open(boxed: bytes, nonce: bytes, key: bytes) -> bytes:
+    """Verify + decrypt; raises ValueError on MAC failure."""
+    assert len(nonce) == NONCE_SIZE and len(key) == KEY_SIZE
+    if len(boxed) < MAC_SIZE:
+        raise ValueError("ciphertext too short")
+    out = (ctypes.c_uint8 * (len(boxed) - MAC_SIZE))()
+    rc = _lib().ac_secretbox_open_easy(out, boxed, len(boxed), nonce, key)
+    if rc != 0:
+        raise ValueError("secretbox MAC verification failed")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Independent pure-Python reference (spec-derived) for cross-validation.
+
+_SIGMA = b"expand 32-byte k"
+
+
+def _rotl(v, n):
+    return ((v << n) | (v >> (32 - n))) & 0xFFFFFFFF
+
+
+def _salsa20_rounds(x: list[int]) -> None:
+    for _ in range(10):
+        for a, b, c, d in ((0, 4, 8, 12), (5, 9, 13, 1), (10, 14, 2, 6), (15, 3, 7, 11)):
+            x[b] ^= _rotl((x[a] + x[d]) & 0xFFFFFFFF, 7)
+            x[c] ^= _rotl((x[b] + x[a]) & 0xFFFFFFFF, 9)
+            x[d] ^= _rotl((x[c] + x[b]) & 0xFFFFFFFF, 13)
+            x[a] ^= _rotl((x[d] + x[c]) & 0xFFFFFFFF, 18)
+        for a, b, c, d in ((0, 1, 2, 3), (5, 6, 7, 4), (10, 11, 8, 9), (15, 12, 13, 14)):
+            x[b] ^= _rotl((x[a] + x[d]) & 0xFFFFFFFF, 7)
+            x[c] ^= _rotl((x[b] + x[a]) & 0xFFFFFFFF, 9)
+            x[d] ^= _rotl((x[c] + x[b]) & 0xFFFFFFFF, 13)
+            x[a] ^= _rotl((x[d] + x[c]) & 0xFFFFFFFF, 18)
+
+
+def _salsa20_state(key: bytes, n16: bytes) -> list[int]:
+    k = struct.unpack("<8I", key)
+    nn = struct.unpack("<4I", n16)
+    s = struct.unpack("<4I", _SIGMA)
+    return [s[0], k[0], k[1], k[2], k[3], s[1], nn[0], nn[1],
+            nn[2], nn[3], s[2], k[4], k[5], k[6], k[7], s[3]]
+
+
+def _py_hsalsa20(key: bytes, n16: bytes) -> bytes:
+    x = _salsa20_state(key, n16)
+    _salsa20_rounds(x)
+    idx = (0, 5, 10, 15, 6, 7, 8, 9)
+    return struct.pack("<8I", *(x[i] for i in idx))
+
+
+def _py_salsa20_block(key: bytes, n8: bytes, counter: int) -> bytes:
+    x0 = _salsa20_state(key, n8 + struct.pack("<Q", counter))
+    x = list(x0)
+    _salsa20_rounds(x)
+    return struct.pack("<16I", *(((a + b) & 0xFFFFFFFF) for a, b in zip(x, x0)))
+
+
+def _py_poly1305(msg: bytes, key: bytes) -> bytes:
+    r = int.from_bytes(key[:16], "little") & 0x0FFFFFFC0FFFFFFC0FFFFFFC0FFFFFFF
+    s = int.from_bytes(key[16:32], "little")
+    p = (1 << 130) - 5
+    acc = 0
+    for i in range(0, len(msg), 16):
+        block = msg[i : i + 16]
+        n = int.from_bytes(block, "little") + (1 << (8 * len(block)))
+        acc = ((acc + n) * r) % p
+    return ((acc + s) & ((1 << 128) - 1)).to_bytes(16, "little")
+
+
+def _py_secretbox(message: bytes, nonce: bytes, key: bytes) -> bytes:
+    subkey = _py_hsalsa20(key, nonce[:16])
+    block0 = _py_salsa20_block(subkey, nonce[16:], 0)
+    poly_key = block0[:32]
+    ct = bytearray()
+    head = min(len(message), 32)
+    ct += bytes(a ^ b for a, b in zip(message[:head], block0[32 : 32 + head]))
+    i = 32
+    counter = 1
+    while i < len(message):
+        block = _py_salsa20_block(subkey, nonce[16:], counter)
+        chunk = message[i : i + 64]
+        ct += bytes(a ^ b for a, b in zip(chunk, block))
+        i += 64
+        counter += 1
+    tag = _py_poly1305(bytes(ct), poly_key)
+    return tag + bytes(ct)
+
+
+# ---------------------------------------------------------------------------
+# Context + handshake state
+
+
+@dataclasses.dataclass
+class RekeyState:
+    packet_count: int = 0
+    last_time: float = dataclasses.field(default_factory=time.monotonic)
+    in_progress: bool = False
+    count: int = 0
+
+
+class CryptoContext:
+    """Per-connection crypto state (crypto_context_t analog)."""
+
+    def __init__(
+        self,
+        packet_threshold: int = REKEY_PACKET_THRESHOLD,
+        time_threshold_s: float = REKEY_TIME_THRESHOLD_S,
+    ):
+        self._private = X25519PrivateKey.generate()
+        self.public_key = self._private.public_key().public_bytes_raw()
+        self.shared_key: bytes | None = None
+        self.session_id = os.urandom(SESSION_ID_SIZE)
+        self.nonce_counter = 1  # crypto.c:114 (0 reserved)
+        self.handshake_complete = False
+        self.rekey = RekeyState()
+        self.packet_threshold = packet_threshold
+        self.time_threshold_s = time_threshold_s
+        self._temp_private: X25519PrivateKey | None = None
+        self.password_key: bytes | None = None
+        self.previous_key: bytes | None = None
+
+    # -- key exchange ----------------------------------------------------
+    def compute_shared(self, peer_public: bytes) -> None:
+        """Raw X25519 output is the secretbox key (crypto.c:264-266)."""
+        self.shared_key = self._private.exchange(X25519PublicKey.from_public_bytes(peer_public))
+
+    def set_password(self, password: str) -> None:
+        """Password-derived key. DIVERGENCE: scrypt instead of Argon2id (no
+        Argon2 primitive available); same 32-byte key role (crypto.c:164-192)."""
+        salt = hashlib.sha256(b"asciichat_tpu.password.v1").digest()[:16]
+        self.password_key = hashlib.scrypt(
+            password.encode(), salt=salt, n=2**14, r=8, p=1, dklen=32
+        )
+
+    @property
+    def _key(self) -> bytes:
+        key = self.shared_key or self.password_key
+        if key is None:
+            raise ValueError("no encryption key (handshake incomplete)")
+        return key
+
+    # -- nonce + packet encryption ----------------------------------------
+    def _next_nonce(self) -> bytes:
+        n = self.session_id + struct.pack(">Q", self.nonce_counter)
+        self.nonce_counter += 1
+        return n
+
+    def encrypt(self, plaintext: bytes) -> bytes:
+        """-> nonce(24) || MAC(16) || ct (crypto_encrypt, crypto.c:486-505)."""
+        nonce = self._next_nonce()
+        self.rekey.packet_count += 1
+        return nonce + secretbox(plaintext, nonce, self._key)
+
+    def decrypt(self, ciphertext: bytes) -> bytes:
+        if len(ciphertext) < NONCE_SIZE + MAC_SIZE:
+            raise ValueError("ciphertext too short")
+        nonce = ciphertext[:NONCE_SIZE]
+        try:
+            return secretbox_open(ciphertext[NONCE_SIZE:], nonce, self._key)
+        except ValueError:
+            # packets encrypted under the pre-rekey key may still be in
+            # flight; accept them during the transition window
+            if self.previous_key is not None:
+                return secretbox_open(ciphertext[NONCE_SIZE:], nonce, self.previous_key)
+            raise
+
+    # -- authentication ----------------------------------------------------
+    def make_challenge(self) -> bytes:
+        self.auth_nonce = os.urandom(AUTH_CHALLENGE_SIZE)
+        return self.auth_nonce
+
+    def answer_challenge(self, challenge: bytes) -> bytes:
+        """HMAC-SHA256 over challenge||shared_key, keyed by the password key
+        when one exists else the shared key (crypto.c:927-963: combined_data =
+        nonce(32)||shared_key(32), auth_key = password_key ?: shared_key)."""
+        data = challenge + (self.shared_key or b"")
+        key = self.password_key if self.password_key is not None else self._key
+        return hmac_mod.new(key, data, hashlib.sha256).digest()
+
+    def verify_challenge_answer(self, answer: bytes) -> bool:
+        want = self.answer_challenge(self.auth_nonce)
+        return hmac_mod.compare_digest(want, answer)
+
+    # -- rekeying ----------------------------------------------------------
+    def needs_rekey(self) -> bool:
+        """1M packets or 1 hour (crypto.c:143-155)."""
+        return (
+            self.rekey.packet_count >= self.packet_threshold
+            or time.monotonic() - self.rekey.last_time >= self.time_threshold_s
+        )
+
+    def start_rekey(self) -> bytes:
+        """-> new ephemeral public key (REKEY_REQUEST payload)."""
+        self._temp_private = X25519PrivateKey.generate()
+        self.rekey.in_progress = True
+        return self._temp_private.public_key().public_bytes_raw()
+
+    def finish_rekey(self, peer_new_public: bytes) -> None:
+        """Install the new shared key (crypto.c:1298-1341)."""
+        assert self._temp_private is not None
+        self.previous_key = self.shared_key
+        self.shared_key = self._temp_private.exchange(
+            X25519PublicKey.from_public_bytes(peer_new_public)
+        )
+        self._temp_private = None
+        self.rekey = RekeyState(count=self.rekey.count + 1)
+        self.nonce_counter = 1
+        self.session_id = os.urandom(SESSION_ID_SIZE)

@@ -1,0 +1,179 @@
+"""Crypto handshake state machines + encrypted packet wrapping.
+
+Flow parity with lib/crypto/handshake/{client,server}.c and packet.h:299-339:
+
+  client -> CRYPTO_CAPABILITIES  {supported kex/auth/cipher}
+  server -> CRYPTO_PARAMETERS    {chosen algorithms + sizes}
+  server -> CRYPTO_KEY_EXCHANGE_INIT  {server_pubkey[32]}
+  client -> CRYPTO_KEY_EXCHANGE_RESP  {client_pubkey[32]}
+  server -> CRYPTO_AUTH_CHALLENGE     {nonce[32]}        (password mode)
+  client -> CRYPTO_AUTH_RESPONSE      {HMAC-SHA256[32]}
+  server -> CRYPTO_HANDSHAKE_COMPLETE
+  (or client -> CRYPTO_NO_ENCRYPTION to proceed in plaintext)
+
+After completion every packet is built as inner_header||payload, encrypted
+(nonce||MAC||ct), and sent as PACKET_TYPE_ENCRYPTED (packet.c:486-505).
+Rekeying: REKEY_REQUEST/RESPONSE with fresh ephemeral X25519 keys after 1M
+packets or 1h (crypto.c:143-155, 1201-1203).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net.crypto import CryptoContext
+from asciichat_tpu.net.transport import Transport
+
+# Algorithm ids (packet.h:1064-1068)
+KEX_ALGO_X25519 = 0x01
+AUTH_ALGO_NONE = 0x00
+CIPHER_ALGO_XSALSA20_POLY1305 = 0x01
+
+CAPABILITIES_STRUCT = struct.Struct(">BBB")  # kex, auth, cipher bitmasks
+# crypto_parameters_packet_t (packet.h:981-1007), little-fields packed
+PARAMETERS_STRUCT = struct.Struct(">BBBBHHHHBBB3s")
+
+
+def pack_parameters(password_auth: bool) -> bytes:
+    return PARAMETERS_STRUCT.pack(
+        KEX_ALGO_X25519, AUTH_ALGO_NONE, CIPHER_ALGO_XSALSA20_POLY1305,
+        1 if password_auth else 0,
+        32, 0, 0, 32,  # kex pub size, auth pub, signature, shared secret
+        24, 16, 32,  # nonce, mac, hmac sizes
+        b"\0\0\0",
+    )
+
+
+class HandshakeError(ValueError):
+    pass
+
+
+async def client_handshake(
+    t: Transport, ctx: CryptoContext, password: str | None = None,
+    encrypt: bool = True,
+) -> bool:
+    """Run the client side; returns True when encryption is active."""
+    P = pkt.PacketType
+    if not encrypt:
+        await t.send(P.CRYPTO_NO_ENCRYPTION)
+        return False
+    await t.send(
+        P.CRYPTO_CAPABILITIES,
+        CAPABILITIES_STRUCT.pack(KEX_ALGO_X25519, AUTH_ALGO_NONE,
+                                 CIPHER_ALGO_XSALSA20_POLY1305),
+    )
+    ptype, payload = await t.recv()
+    if ptype != P.CRYPTO_PARAMETERS:
+        raise HandshakeError(f"expected CRYPTO_PARAMETERS, got {ptype}")
+    ptype, payload = await t.recv()
+    if ptype != P.CRYPTO_KEY_EXCHANGE_INIT or len(payload) < 32:
+        raise HandshakeError("bad KEY_EXCHANGE_INIT")
+    ctx.compute_shared(payload[:32])
+    await t.send(P.CRYPTO_KEY_EXCHANGE_RESP, ctx.public_key)
+
+    ptype, payload = await t.recv()
+    if ptype == P.CRYPTO_AUTH_CHALLENGE:
+        if password:
+            ctx.set_password(password)
+        # HMAC keyed by the shared secret (crypto.c:1068)
+        await t.send(P.CRYPTO_AUTH_RESPONSE, ctx.answer_challenge(payload[:32]))
+        ptype, payload = await t.recv()
+    if ptype == P.CRYPTO_AUTH_FAILED:
+        raise HandshakeError("authentication failed")
+    if ptype != P.CRYPTO_HANDSHAKE_COMPLETE:
+        raise HandshakeError(f"expected HANDSHAKE_COMPLETE, got {ptype}")
+    ctx.handshake_complete = True
+    return True
+
+
+async def server_handshake(
+    t: Transport, ctx: CryptoContext, first_packet: tuple[int, bytes],
+    require_auth: bool = False,
+) -> bool:
+    """Run the server side starting from the client's first crypto packet."""
+    P = pkt.PacketType
+    ptype, payload = first_packet
+    if ptype == P.CRYPTO_NO_ENCRYPTION:
+        return False
+    if ptype == P.CRYPTO_CLIENT_HELLO:
+        ptype, payload = await t.recv()
+    if ptype != P.CRYPTO_CAPABILITIES:
+        raise HandshakeError(f"expected CRYPTO_CAPABILITIES, got {ptype}")
+    await t.send(P.CRYPTO_PARAMETERS, pack_parameters(require_auth))
+    await t.send(P.CRYPTO_KEY_EXCHANGE_INIT, ctx.public_key)
+    ptype, payload = await t.recv()
+    if ptype != P.CRYPTO_KEY_EXCHANGE_RESP or len(payload) < 32:
+        raise HandshakeError("bad KEY_EXCHANGE_RESP")
+    ctx.compute_shared(payload[:32])
+
+    if require_auth:
+        challenge = ctx.make_challenge()
+        await t.send(P.CRYPTO_AUTH_CHALLENGE, challenge)
+        ptype, payload = await t.recv()
+        if ptype != P.CRYPTO_AUTH_RESPONSE or not ctx.verify_challenge_answer(payload[:32]):
+            await t.send(P.CRYPTO_AUTH_FAILED, b"authentication failed")
+            raise HandshakeError("client failed authentication")
+    await t.send(P.CRYPTO_HANDSHAKE_COMPLETE)
+    ctx.handshake_complete = True
+    return True
+
+
+class SecureChannel:
+    """Encrypt/decrypt packets over a Transport after handshake completion.
+
+    Outgoing: inner = header(22)||payload encrypted into PACKET_TYPE_ENCRYPTED.
+    Incoming: ENCRYPTED packets are unwrapped to (inner_type, inner_payload);
+    handshake-range packets (1000-1299) stay plaintext (packet.h:304).
+    Initiates rekeying transparently at the thresholds.
+    """
+
+    def __init__(self, t: Transport, ctx: CryptoContext, initiator: bool):
+        self.t = t
+        self.ctx = ctx
+        self.initiator = initiator
+
+    def _wrap(self, ptype: int, payload: bytes) -> bytes:
+        inner = pkt.pack_packet(ptype, payload)
+        return self.ctx.encrypt(inner)
+
+    def _unwrap(self, blob: bytes) -> tuple[int, bytes]:
+        inner = self.ctx.decrypt(blob)
+        ptype, length, crc, _cid = pkt.unpack_header(inner)
+        payload = inner[pkt.HEADER_SIZE : pkt.HEADER_SIZE + length]
+        if not pkt.verify_payload(payload, crc):
+            raise ValueError("inner packet CRC mismatch")
+        return ptype, payload
+
+    async def send(self, ptype: int, payload: bytes = b"") -> None:
+        if self.initiator and self.ctx.needs_rekey() and not self.ctx.rekey.in_progress:
+            await self.t.send(pkt.PacketType.CRYPTO_REKEY_REQUEST, self.ctx.start_rekey())
+        await self.t.send(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
+
+    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        return self.t.send_nowait(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
+
+    async def recv(self) -> tuple[int, bytes]:
+        while True:
+            ptype, payload = await self.t.recv()
+            P = pkt.PacketType
+            if ptype == P.ENCRYPTED:
+                return self._unwrap(payload)
+            if ptype == P.CRYPTO_REKEY_REQUEST:
+                await self.t.send(P.CRYPTO_REKEY_RESPONSE, self.ctx.start_rekey())
+                self.ctx.finish_rekey(payload[:32])
+                continue
+            if ptype == P.CRYPTO_REKEY_RESPONSE:
+                self.ctx.finish_rekey(payload[:32])
+                await self.t.send(P.CRYPTO_REKEY_COMPLETE)
+                continue
+            if ptype == P.CRYPTO_REKEY_COMPLETE:
+                continue
+            return ptype, payload  # plaintext control packet
+
+    async def close(self) -> None:
+        await self.t.close()
+
+    @property
+    def peername(self):
+        return self.t.peername

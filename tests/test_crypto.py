@@ -1,0 +1,195 @@
+"""Crypto: native cipher vs independent pure-Python spec implementation,
+RFC test vectors, handshake/rekey semantics."""
+
+import os
+import struct
+
+import pytest
+
+from asciichat_tpu.net import crypto as C
+
+
+def test_poly1305_rfc8439_vector():
+    # RFC 8439 §2.5.2
+    key = bytes.fromhex(
+        "85d6be7857556d337f4452fe42d506a80103808afb0db2fd4abff6af4149f51b"
+    )
+    msg = b"Cryptographic Forum Research Group"
+    want = bytes.fromhex("a8061dc1305136c6c22b8baf0c0127a9")
+    assert C._py_poly1305(msg, key) == want
+    # native agrees
+    import ctypes
+
+    tag = (ctypes.c_uint8 * 16)()
+    C._lib().ac_poly1305(tag, msg, len(msg), key)
+    assert bytes(tag) == want
+
+
+def test_salsa20_core_shift_invariance():
+    """Spec sanity: Salsa20 block output differs per counter and nonce."""
+    key = bytes(range(32))
+    n8 = bytes(8)
+    b0 = C._py_salsa20_block(key, n8, 0)
+    b1 = C._py_salsa20_block(key, n8, 1)
+    assert len(b0) == 64 and b0 != b1
+
+
+@pytest.mark.parametrize("size", [0, 1, 31, 32, 33, 63, 64, 65, 1000, 5000])
+def test_native_secretbox_matches_python(size):
+    key = os.urandom(32)
+    nonce = os.urandom(24)
+    msg = os.urandom(size)
+    assert C.secretbox(msg, nonce, key) == C._py_secretbox(msg, nonce, key)
+
+
+def test_secretbox_roundtrip_and_tamper():
+    key = os.urandom(32)
+    nonce = os.urandom(24)
+    msg = b"attack at dawn" * 100
+    boxed = C.secretbox(msg, nonce, key)
+    assert C.secretbox_open(boxed, nonce, key) == msg
+    bad = bytearray(boxed)
+    bad[20] ^= 1
+    with pytest.raises(ValueError):
+        C.secretbox_open(bytes(bad), nonce, key)
+    with pytest.raises(ValueError):
+        C.secretbox_open(boxed, os.urandom(24), key)
+
+
+def test_hsalsa20_native_matches_python():
+    import ctypes
+
+    key = os.urandom(32)
+    n16 = os.urandom(16)
+    out = (ctypes.c_uint8 * 32)()
+    C._lib().ac_hsalsa20(out, key, n16)
+    assert bytes(out) == C._py_hsalsa20(key, n16)
+
+
+def test_x25519_rfc7748_vector():
+    from cryptography.hazmat.primitives.asymmetric.x25519 import X25519PrivateKey
+
+    # RFC 7748 §6.1 Diffie-Hellman test vector
+    alice_priv = bytes.fromhex(
+        "77076d0a7318a57d3c16c17251b26645df4c2f87ebc0992ab177fba51db92c2a"
+    )
+    bob_pub = bytes.fromhex(
+        "de9edb7d7b7dc1b4d35b61c2ece435373f8343c85b78674dadfc7e146f882b4f"
+    )
+    shared = X25519PrivateKey.from_private_bytes(alice_priv).exchange(
+        C.X25519PublicKey.from_public_bytes(bob_pub)
+    )
+    assert shared == bytes.fromhex(
+        "4a5d9d5ba4ce2de1728e3bf480350f25e07e21c947d19e3376f09b3c1e161742"
+    )
+
+
+def test_context_exchange_and_encrypt():
+    a, b = C.CryptoContext(), C.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    assert a.shared_key == b.shared_key
+    ct = a.encrypt(b"hello")
+    assert b.decrypt(ct) == b"hello"
+    # nonce layout: session_id(16) + BE counter starting at 1 (crypto.c:54-73)
+    assert ct[:16] == a.session_id
+    assert struct.unpack(">Q", ct[16:24])[0] == 1
+    ct2 = a.encrypt(b"world")
+    assert struct.unpack(">Q", ct2[16:24])[0] == 2
+
+
+def test_challenge_response():
+    a, b = C.CryptoContext(), C.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    chal = a.make_challenge()
+    assert a.verify_challenge_answer(b.answer_challenge(chal))
+    a2 = C.CryptoContext()
+    a2.compute_shared(b.public_key)
+    a2.auth_nonce = chal
+    assert not a.verify_challenge_answer(b"x" * 32)
+
+
+def test_rekey_thresholds_and_flow():
+    a = C.CryptoContext(packet_threshold=3)
+    b = C.CryptoContext(packet_threshold=3)
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    old_key = a.shared_key
+    for _ in range(3):
+        b.decrypt(a.encrypt(b"x"))
+    assert a.needs_rekey()
+    pub_a = a.start_rekey()
+    pub_b = b.start_rekey()
+    a.finish_rekey(pub_b)
+    b.finish_rekey(pub_a)
+    assert a.shared_key == b.shared_key != old_key
+    assert not a.needs_rekey() and a.nonce_counter == 1
+    assert b.decrypt(a.encrypt(b"after rekey")) == b"after rekey"
+
+
+def test_password_mode():
+    a, b = C.CryptoContext(), C.CryptoContext()
+    a.set_password("hunter2")
+    b.set_password("hunter2")
+    assert b.decrypt(a.encrypt(b"pw mode")) == b"pw mode"
+    c = C.CryptoContext()
+    c.set_password("wrong")
+    with pytest.raises(ValueError):
+        c.decrypt(a.encrypt(b"pw mode"))
+
+
+def test_secure_channel_with_rekey_over_tcp():
+    """Full SecureChannel flow over a real localhost socket, with a rekey
+    triggered mid-stream (packet_threshold=5)."""
+    import asyncio
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.handshake import SecureChannel, client_handshake, server_handshake
+    from asciichat_tpu.net.transport import Transport, connect_tcp
+
+    async def run():
+        results = {}
+
+        async def on_server(t: Transport):
+            ctx = C.CryptoContext(packet_threshold=5)
+            first = await t.recv()
+            assert await server_handshake(t, ctx, first)
+            chan = SecureChannel(t, ctx, initiator=False)
+            got = []
+            for _ in range(20):
+                ptype, payload = await chan.recv()
+                got.append(payload)
+                await chan.send(pkt.PacketType.PONG, payload)
+            results["server_rekeys"] = ctx.rekey.count
+            results["got"] = got
+            done.set()
+
+        done = asyncio.Event()
+        server = await asyncio.start_server(
+            lambda r, w: on_server(Transport(r, w)), "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+
+        t = await connect_tcp("127.0.0.1", port)
+        ctx = C.CryptoContext(packet_threshold=5)
+        assert await client_handshake(t, ctx)
+        chan = SecureChannel(t, ctx, initiator=True)
+        echoed = []
+        for i in range(20):
+            msg = f"message {i}".encode()
+            await chan.send(pkt.PacketType.PING, msg)
+            ptype, payload = await chan.recv()
+            assert ptype == pkt.PacketType.PONG
+            echoed.append(payload)
+        await asyncio.wait_for(done.wait(), 10)
+        await chan.close()
+        server.close()
+        results["client_rekeys"] = ctx.rekey.count
+        results["echoed"] = echoed
+        return results
+
+    r = asyncio.run(asyncio.wait_for(run(), 60))
+    assert r["echoed"] == [f"message {i}".encode() for i in range(20)]
+    assert r["got"] == r["echoed"]
+    # at least one rekey fired on both sides past the 5-packet threshold
+    assert r["client_rekeys"] >= 1 and r["server_rekeys"] >= 1

@@ -129,3 +129,50 @@ def test_audio_roundtrip(server):
         return ok
 
     assert asyncio.run(asyncio.wait_for(run(), timeout=60))
+
+
+PORT_ENC = PORT + 1
+
+
+@pytest.fixture(scope="module")
+def enc_server():
+    proc = _spawn("server", "--port", str(PORT_ENC), "--password", "sekrit",
+                  "--log-level", "WARNING")
+    time.sleep(4)
+    assert proc.poll() is None, proc.stderr.read().decode()[-2000:]
+    yield proc
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def test_encrypted_session(enc_server):
+    client = _spawn(
+        "client", "127.0.0.1", "--port", str(PORT_ENC), "--test-pattern",
+        "--encrypt", "--password", "sekrit", "--width", "40", "--height", "10",
+        "--color-mode", "NONE", "--max-frames", "3", "--no-reconnect",
+        "--log-level", "INFO",
+    )
+    out, err = client.communicate(timeout=180)
+    assert client.returncode == 0, err.decode()[-2000:]
+    assert b"encryption established" in err
+    assert len(out) > 100  # frames arrived through the encrypted channel
+
+
+def test_wrong_password_rejected(enc_server):
+    client = _spawn(
+        "client", "127.0.0.1", "--port", str(PORT_ENC), "--test-pattern",
+        "--encrypt", "--password", "wrong", "--max-frames", "2",
+        "--no-reconnect", "--log-level", "WARNING",
+    )
+    out, err = client.communicate(timeout=180)
+    assert client.returncode != 0 or b"\x1b[" not in out
+    assert enc_server.poll() is None
+
+
+def test_plaintext_rejected_when_password_required(enc_server):
+    client = _spawn(
+        "client", "127.0.0.1", "--port", str(PORT_ENC), "--test-pattern",
+        "--max-frames", "2", "--no-reconnect", "--log-level", "WARNING",
+    )
+    out, err = client.communicate(timeout=180)
+    assert b"encryption required" in err or len(out) < 50
