@@ -1,0 +1,232 @@
+"""ACDS — the discovery (rendezvous) service.
+
+Parity with src/discovery-service/: memorable session strings backed by
+SQLite (server.c:209-223), join/leave/reconnect, string reservations,
+SQLite-backed rate limiting (server.c:216), WebRTC SDP/ICE relay
+(signaling.c:137), participant-list broadcast, and host election: clients
+report NETWORK_QUALITY metrics (packet type 6060) and the service runs the
+deterministic consensus election (net/consensus.elect) and broadcasts
+HOST_DESIGNATED (6062) — the centralized variant of the ring protocol; the
+ring state machines themselves live in net/consensus.py.
+
+Payload encoding: this implementation uses structured JSON for the ACDS
+subprotocol payloads (the reference uses packed C structs with Ed25519
+identity signatures, acds.h); packet types and session semantics match.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import secrets
+
+from asciichat_tpu.net import consensus as cons
+from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net.discovery import SessionDatabase
+from asciichat_tpu.net.rate_limit import RateLimiter
+from asciichat_tpu.net.transport import Transport, serve_tcp
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("acds")
+
+ELECTION_INTERVAL_S = 300.0  # "every 5 minutes" (ring-consensus-protocol.md)
+
+
+def _j(obj) -> bytes:
+    return json.dumps(obj).encode()
+
+
+def _uj(payload: bytes) -> dict:
+    return json.loads(payload.decode())
+
+
+class AcdsServer:
+    def __init__(self, host: str = "0.0.0.0", port: int = 27225,
+                 db_path: str = ":memory:", election_interval: float = ELECTION_INTERVAL_S):
+        self.host = host
+        self.port = port
+        self.db = SessionDatabase(db_path)
+        self.limiter = RateLimiter(db_path if db_path != ":memory:" else ":memory:")
+        self.election_interval = election_interval
+        # participant_id -> (transport, session_string)
+        self.clients: dict[str, tuple[Transport, str | None]] = {}
+        # session_string -> {participant_id: metrics}
+        self.metrics: dict[str, dict[str, cons.ParticipantMetrics]] = {}
+
+    async def _broadcast_participants(self, session_string: str) -> None:
+        info = self.db.lookup(session_string)
+        if not info:
+            return
+        msg = _j({
+            "session_string": session_string,
+            "participants": cons.ring_order(info.participants),
+            "host_id": info.host_id,
+        })
+        for pid in info.participants:
+            entry = self.clients.get(pid)
+            if entry:
+                entry[0].send_nowait(pkt.PacketType.ACIP_PARTICIPANT_LIST, msg)
+
+    async def _run_election(self, session_string: str) -> None:
+        """Centralized election over reported NETWORK_QUALITY metrics."""
+        info = self.db.lookup(session_string)
+        sess_metrics = self.metrics.get(session_string, {})
+        if not info or not sess_metrics:
+            return
+        reported = [sess_metrics[p] for p in info.participants if p in sess_metrics]
+        if not reported:
+            return
+        host_id, backup_id = cons.elect(reported)
+        host_m = next(m for m in reported if m.participant_id == host_id)
+        if host_id != info.host_id:
+            self.db.set_host(session_string, host_id, host_m.address, host_m.port)
+            log.info("session %s: host migrated to %s", session_string, host_id)
+        msg = _j({
+            "session_string": session_string,
+            "host_id": host_id,
+            "host_address": host_m.address,
+            "host_port": host_m.port,
+            "backup_id": backup_id,
+        })
+        for pid in info.participants:
+            entry = self.clients.get(pid)
+            if entry:
+                entry[0].send_nowait(pkt.PacketType.ACIP_HOST_DESIGNATED, msg)
+
+    async def _handle(self, t: Transport) -> None:
+        peer = t.peername[0] if t.peername else "?"
+        if not self.limiter.allow(peer, "connection"):
+            await t.send(pkt.PacketType.ERROR_MESSAGE, _j({"error": "rate limited"}))
+            return
+        participant_id: str | None = None
+        session_string: str | None = None
+        P = pkt.PacketType
+        try:
+            while True:
+                ptype, payload = await t.recv()
+                if ptype == P.ACIP_SESSION_CREATE:
+                    if not self.limiter.allow(peer, "session_create"):
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "rate limited"}))
+                        continue
+                    req = _uj(payload)
+                    participant_id = req.get("participant_id") or secrets.token_hex(8)
+                    try:
+                        info = self.db.create_session(
+                            participant_id, req.get("address", peer),
+                            req.get("port", 27224),
+                            session_string=req.get("reserved_string"),
+                        )
+                    except ValueError as e:
+                        await t.send(P.ERROR_MESSAGE, _j({"error": str(e)}))
+                        continue
+                    session_string = info.session_string
+                    self.clients[participant_id] = (t, session_string)
+                    await t.send(P.ACIP_SESSION_CREATED, _j({
+                        "session_string": info.session_string,
+                        "session_id": info.session_id,
+                        "participant_id": participant_id,
+                    }))
+                    await self._broadcast_participants(session_string)
+                elif ptype == P.ACIP_SESSION_LOOKUP:
+                    if not self.limiter.allow(peer, "session_lookup"):
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "rate limited"}))
+                        continue
+                    req = _uj(payload)
+                    info = self.db.lookup(req["session_string"])
+                    if info is None:
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "session not found"}))
+                    else:
+                        await t.send(P.ACIP_SESSION_INFO, _j({
+                            "session_string": info.session_string,
+                            "host_id": info.host_id,
+                            "host_address": info.host_address,
+                            "host_port": info.host_port,
+                            "participants": info.participants,
+                        }))
+                elif ptype in (P.ACIP_SESSION_JOIN, P.ACIP_SESSION_RECONNECT):
+                    req = _uj(payload)
+                    participant_id = req.get("participant_id") or secrets.token_hex(8)
+                    try:
+                        info = self.db.join(req["session_string"], participant_id,
+                                            req.get("address", peer), req.get("port", 0))
+                    except KeyError:
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "session not found"}))
+                        continue
+                    session_string = info.session_string
+                    self.clients[participant_id] = (t, session_string)
+                    await t.send(P.ACIP_SESSION_JOINED, _j({
+                        "session_string": info.session_string,
+                        "participant_id": participant_id,
+                        "host_id": info.host_id,
+                        "host_address": info.host_address,
+                        "host_port": info.host_port,
+                    }))
+                    await self._broadcast_participants(session_string)
+                elif ptype == P.ACIP_SESSION_LEAVE:
+                    if participant_id and session_string:
+                        self.db.leave(session_string, participant_id)
+                        await self._broadcast_participants(session_string)
+                elif ptype == P.ACIP_SESSION_END:
+                    if participant_id and session_string:
+                        self.db.end_session(session_string, participant_id)
+                elif ptype == P.ACIP_STRING_RESERVE:
+                    req = _uj(payload)
+                    if not self.limiter.allow(peer, "string_reserve"):
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "rate limited"}))
+                        continue
+                    ok = self.db.reserve_string(req["session_string"],
+                                                req.get("owner_id", peer))
+                    await t.send(P.ACIP_STRING_RESERVED, _j({"ok": ok}))
+                elif ptype == P.ACIP_STRING_RENEW:
+                    req = _uj(payload)
+                    self.db.renew_string(req["session_string"], req.get("owner_id", peer))
+                elif ptype == P.ACIP_STRING_RELEASE:
+                    req = _uj(payload)
+                    self.db.release_string(req["session_string"], req.get("owner_id", peer))
+                elif ptype == P.ACIP_NETWORK_QUALITY:
+                    m = cons.ParticipantMetrics.unpack(payload)
+                    if session_string:
+                        self.metrics.setdefault(session_string, {})[m.participant_id] = m
+                elif ptype == P.ACIP_HOST_ANNOUNCEMENT:
+                    if session_string:
+                        await self._run_election(session_string)
+                elif ptype in (P.ACIP_WEBRTC_SDP, P.ACIP_WEBRTC_ICE, P.ACIP_RING_COLLECT):
+                    # relay to target participant (signaling.c:137 pattern)
+                    req = _uj(payload)
+                    target = self.clients.get(req.get("to", ""))
+                    if target:
+                        target[0].send_nowait(ptype, payload)
+                elif ptype == P.PING:
+                    await t.send(P.PONG, payload)
+        except (asyncio.IncompleteReadError, ConnectionError, ValueError):
+            pass
+        finally:
+            if participant_id:
+                self.clients.pop(participant_id, None)
+                if session_string:
+                    self.db.leave(session_string, participant_id)
+                    await self._broadcast_participants(session_string)
+
+    async def _election_loop(self) -> None:
+        while True:
+            await asyncio.sleep(self.election_interval)
+            for s in list(self.metrics):
+                await self._run_election(s)
+
+    async def run(self) -> None:
+        server = await serve_tcp(self._handle, self.host, self.port)
+        log.info("ACDS listening on %s:%d", self.host, self.port)
+        loop_task = asyncio.get_running_loop().create_task(self._election_loop())
+        try:
+            await server.serve_forever()
+        finally:
+            loop_task.cancel()
+
+
+def main(args) -> int:
+    server = AcdsServer(args.host, args.port, db_path=args.db)
+    try:
+        asyncio.run(server.run())
+    except KeyboardInterrupt:
+        pass
+    return 0

@@ -114,6 +114,27 @@ def build_parser() -> argparse.ArgumentParser:
 
     c.set_defaults(fn=client_mod.main)
 
+    d = sub.add_parser("discovery-service", help="ACDS rendezvous server")
+    _add_common(d)
+    d.add_argument("--host", default="0.0.0.0")
+    d.add_argument("--port", type=int, default=27225)
+    d.add_argument("--db", default=":memory:", help="SQLite session database path")
+    from asciichat_tpu.apps import acds as acds_mod
+
+    d.set_defaults(fn=acds_mod.main)
+
+    dc = sub.add_parser("discovery", help="P2P session via discovery service")
+    _add_common(dc)
+    dc.add_argument("--acds", default="127.0.0.1", help="discovery service address")
+    dc.add_argument("--acds-port", type=int, default=27225)
+    dc.add_argument("--join", default=None, help="session string to join (else create)")
+    dc.add_argument("--port", type=int, default=27224, help="port to host on when creating")
+    dc.add_argument("--advertise", default="127.0.0.1", help="address to advertise as host")
+    dc.add_argument("--max-frames", type=int, default=None)
+    from asciichat_tpu.apps import discovery as discovery_mod
+
+    dc.set_defaults(fn=discovery_mod.main)
+
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.set_defaults(fn=lambda a: __import__("bench").main())
 

