@@ -65,10 +65,19 @@ def cmd_mirror(args) -> int:
     caps = term.detect_capabilities(RenderMode(args.render_mode), args.color_mode)
     w, h = term.terminal_size(args.width, args.height)
     source = open_source(test_pattern=args.test_pattern, file=args.file, loop=args.loop)
+    if args.render_file:
+        from asciichat_tpu.models.renderfile import render_to_file
+
+        n = render_to_file(source, args.render_file, caps, w, h,
+                           _resolve_palette(args.palette),
+                           max_frames=args.max_frames or 300, fps=int(args.fps))
+        print(f"rendered {n} frames to {args.render_file}")
+        return 0
     session = MirrorSession(
         source, caps, w, h, _resolve_palette(args.palette),
         fps_limit=args.fps, color_filter=args.color_filter,
         flip_x=args.flip_x, stretch=args.stretch, show_fps=args.show_fps,
+        matrix=args.matrix,
     )
     if args.snapshot:
         session.run_snapshot()
@@ -87,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_media(m)
     m.add_argument("--snapshot", action="store_true", help="render one frame and exit")
     m.add_argument("--max-frames", type=int, default=None)
+    m.add_argument("--matrix", action="store_true", help="digital rain overlay")
+    m.add_argument("--render-file", default=None,
+                   help="render to a video file (.y4m, or any format via ffmpeg)")
     m.set_defaults(fn=cmd_mirror)
 
     s = sub.add_parser("server", help="multi-client compositing server")

@@ -35,6 +35,7 @@ class MirrorSession:
         flip_x: bool = False,
         stretch: bool = False,
         show_fps: bool = False,
+        matrix: bool = False,
     ):
         self.source = source
         self.caps = caps
@@ -46,6 +47,9 @@ class MirrorSession:
         self.flip_x = flip_x
         self.stretch = stretch
         self.show_fps = show_fps
+        self.matrix = matrix
+        self._rain = None
+        self._t0 = time.monotonic()
         self.queue = FrameQueue(maxsize=2)
         self.writer = term.FrameWriter()
         self.fps = FpsCounter()
@@ -69,6 +73,17 @@ class MirrorSession:
 
         if self.flip_x:
             frame = frame[:, ::-1]
+        if self.matrix:
+            import jax.numpy as jnp
+
+            from asciichat_tpu.ops.rain import DigitalRain
+
+            if self._rain is None or self._rain.num_columns != frame.shape[1]:
+                self._rain = DigitalRain(frame.shape[1], frame.shape[0])
+            frame = np.asarray(
+                self._rain.apply(jnp.asarray(np.ascontiguousarray(frame)),
+                                 time.monotonic() - self._t0)
+            )
         if self.color_filter != "none":
             frame = filters_ops.apply_color_filter_reference(
                 np.asarray(frame), self.color_filter, time.monotonic()

@@ -295,3 +295,20 @@ def resample_linear(buf: jax.Array, out_len: int) -> jax.Array:
     i1 = jnp.clip(i0 + 1, 0, n - 1)
     frac = pos - i0.astype(jnp.float32)
     return jnp.take(buf, i0, axis=-1) * (1.0 - frac) + jnp.take(buf, i1, axis=-1) * frac
+
+
+# ---------------------------------------------------------------------------
+# Audio analysis (lib/audio/analysis.c): RMS / peak / dBFS levels, batched.
+
+
+@jax.jit
+def analyze_levels(buf: jax.Array) -> dict[str, jax.Array]:
+    """[..., N] -> {'rms', 'peak', 'rms_db', 'peak_db'} per leading batch dims."""
+    rms = jnp.sqrt(jnp.mean(buf * buf, axis=-1))
+    peak = jnp.max(jnp.abs(buf), axis=-1)
+    return {
+        "rms": rms,
+        "peak": peak,
+        "rms_db": linear_to_db(rms),
+        "peak_db": linear_to_db(peak),
+    }

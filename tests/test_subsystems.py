@@ -1,0 +1,151 @@
+"""Options registry/TOML/snapshots, digital rain, frame validator, tracer,
+render-file pipeline, audio analysis."""
+
+import numpy as np
+import pytest
+
+from asciichat_tpu.utils import options as opt
+
+from conftest import synthetic_frame
+
+
+def test_options_registry_and_snapshots():
+    r = opt.default_registry()
+    store = opt.OptionsStore(r)
+    snap = store.current
+    assert snap["width"] == 0 and snap.render_mode == 0
+    snap2 = store.publish(width=120, render_mode=2)
+    assert snap2["width"] == 120
+    assert snap["width"] == 0  # old snapshot immutable (RCU semantics)
+    with pytest.raises(AttributeError):
+        snap2.width = 5
+    with pytest.raises(KeyError):
+        store.publish(bogus=1)
+    with pytest.raises(ValueError):
+        store.publish(compress=99)  # validator
+    with pytest.raises(ValueError):
+        store.publish(color_mode="plaid")  # choices
+
+
+def test_options_mode_masks():
+    r = opt.default_registry()
+    server_opts = {d.name for d in r.descriptors(mode=opt.Mode.SERVER)}
+    assert "host" in server_opts and "test-pattern" not in server_opts
+    mirror_opts = {d.name for d in r.descriptors(mode=opt.Mode.MIRROR)}
+    assert "matrix" in mirror_opts and "host" not in mirror_opts
+
+
+def test_options_toml_and_presets(tmp_path):
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        """
+[display]
+width = 100
+palette = "blocks"
+
+[network]
+compress = 5
+
+[preset.lowbw]
+[preset.lowbw.display]
+color-mode = "16"
+[preset.lowbw.network]
+compress = 9
+"""
+    )
+    store = opt.OptionsStore(opt.default_registry())
+    snap = store.load_toml(str(cfg))
+    assert snap["width"] == 100 and snap["palette"] == "blocks" and snap["compress"] == 5
+    snap = store.load_toml(str(cfg), preset="lowbw")
+    assert snap["compress"] == 9 and snap["color-mode"] == "16"
+    with pytest.raises(KeyError):
+        store.load_toml(str(cfg), preset="nope")
+
+
+def test_options_generators():
+    r = opt.default_registry()
+    help_text = opt.generate_help(r, opt.Mode.MIRROR)
+    assert "--palette" in help_text and "display options:" in help_text
+    for shell in ("bash", "zsh", "fish"):
+        out = opt.generate_completions(r, shell)
+        assert "--palette" in out or "palette" in out
+
+
+def test_digital_rain_field():
+    from asciichat_tpu.ops.rain import DigitalRain
+
+    rain = DigitalRain(40, 20)
+    b0 = np.asarray(rain.brightness_field(0.0))
+    b1 = np.asarray(rain.brightness_field(1.0))
+    assert b0.shape == (20, 40)
+    assert np.all(b0 >= 0.0) and np.all(b0 <= 1.0)
+    assert not np.allclose(b0, b1)  # animates
+    # deterministic per construction parameters
+    rain2 = DigitalRain(40, 20)
+    np.testing.assert_allclose(np.asarray(rain2.brightness_field(0.0)), b0)
+    # overlay produces a mostly-green frame with default color
+    import jax.numpy as jnp
+
+    frame = synthetic_frame(20, 40, seed=1)
+    out = np.asarray(rain.apply(jnp.asarray(frame), 2.0))
+    assert out.shape == frame.shape
+    assert out[..., 1].astype(int).sum() > out[..., 0].astype(int).sum()
+
+
+def test_frame_validator():
+    from asciichat_tpu.render import oracle
+    from asciichat_tpu.render.validator import validate_frame, visual_width
+
+    frame = oracle.render_truecolor_fg(synthetic_frame(8, 30, seed=2))
+    rep = validate_frame(frame, expect_width=30, expect_height=8)
+    assert rep.valid, rep.errors
+    assert rep.max_visual_width == 30 and rep.lines == 8
+    # REP expansion counts repeated cells
+    mono = oracle.render_mono(np.full((1, 20, 3), 200, np.uint8))
+    assert visual_width(mono) == 20
+    bad = validate_frame(b"ok\x01bad")
+    assert not bad.valid and "control byte" in bad.errors[0]
+    trunc = validate_frame(b"hello\x1b[38;2;1")
+    assert not trunc.valid
+
+
+def test_tracer_breakdown():
+    from asciichat_tpu.utils.trace import Tracer
+
+    tr = Tracer("render", log_every_s=0.0)
+    with tr.section("resize"):
+        pass
+    with tr.section("print"):
+        pass
+    line = tr.breakdown(force=True)
+    assert line and "resize=" in line and "print=" in line and "total=" in line
+
+
+def test_render_file_y4m(tmp_path):
+    from asciichat_tpu.models.renderfile import render_to_file
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+    from asciichat_tpu.runtime.framesource import TestPatternSource
+
+    out = tmp_path / "clip.y4m"
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK)
+    n = render_to_file(TestPatternSource(160, 120), str(out), caps,
+                       width=40, height=12, palette="   .x", max_frames=5, scale=4)
+    assert n == 5
+    data = out.read_bytes()
+    assert data.startswith(b"YUV4MPEG2 ")
+    header = data.split(b"\n", 1)[0].decode()
+    assert "C444" in header
+    assert data.count(b"FRAME\n") == 5
+
+
+def test_audio_analysis():
+    import jax.numpy as jnp
+
+    from asciichat_tpu.ops.audio import analyze_levels
+
+    t = np.linspace(0, 1, 48000, dtype=np.float32)
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    levels = analyze_levels(jnp.asarray(sine[None]))
+    np.testing.assert_allclose(float(levels["rms"][0]), 0.5 / np.sqrt(2), rtol=1e-3)
+    np.testing.assert_allclose(float(levels["peak"][0]), 0.5, rtol=1e-3)
+    assert abs(float(levels["peak_db"][0]) - (-6.02)) < 0.1
