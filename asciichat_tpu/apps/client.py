@@ -54,6 +54,7 @@ class AsciiChatClient:
         reconnect: bool = True,
         encrypt: bool = False,
         password: str | None = None,
+        use_ws: bool = False,
     ):
         self.host = host
         self.port = port
@@ -63,6 +64,7 @@ class AsciiChatClient:
         self.reconnect = reconnect
         self.encrypt = encrypt
         self.password = password
+        self.use_ws = use_ws
         self.writer = term.FrameWriter()
         self.frames_received = 0
         self.frames_sent = 0
@@ -114,7 +116,12 @@ class AsciiChatClient:
                 self._stop.set()
 
     async def _session(self, max_frames: int | None) -> None:
-        raw = await connect_tcp(self.host, self.port)
+        if self.use_ws:
+            from asciichat_tpu.net.websocket import connect_ws
+
+            raw = await connect_ws(self.host, self.port)
+        else:
+            raw = await connect_tcp(self.host, self.port)
         log.info("connected to %s:%d", self.host, self.port)
         t = raw
         try:
@@ -178,7 +185,8 @@ def main(args) -> int:
                              loop=args.loop)
     client = AsciiChatClient(args.address, args.port, source, wire,
                              capture_fps=args.fps, reconnect=not args.no_reconnect,
-                             encrypt=args.encrypt, password=args.password)
+                             encrypt=args.encrypt, password=args.password,
+                             use_ws=args.ws)
     try:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:

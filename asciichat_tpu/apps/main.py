@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=27224)
     s.add_argument("--compress", type=int, default=1, help="zstd level 1-9")
     s.add_argument("--password", default=None, help="require password auth")
+    s.add_argument("--ws-port", type=int, default=None,
+                   help="also listen for WebSocket clients on this port")
+    s.add_argument("--mdns", action="store_true", help="announce via mDNS on the LAN")
+    s.add_argument("--inspect-port", type=int, default=None,
+                   help="live-process inspector HTTP port (query-server analog)")
     from asciichat_tpu.apps import server as server_mod
 
     s.set_defaults(fn=server_mod.main)
@@ -117,6 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("address")
     c.add_argument("--port", type=int, default=27224)
     c.add_argument("--no-media", action="store_true", help="view-only")
+    c.add_argument("--ws", action="store_true", help="connect over WebSocket")
     c.add_argument("--encrypt", action="store_true",
                    help="X25519 + XSalsa20-Poly1305 encrypted session")
     c.add_argument("--password", default=None, help="password for auth")

@@ -67,9 +67,13 @@ class ClientState:
 class AsciiChatServer:
     def __init__(self, host: str = "0.0.0.0", port: int = 27224,
                  palette: str = pal.DEFAULT_PALETTE, compression_level: int = 1,
-                 password: str | None = None):
+                 password: str | None = None, ws_port: int | None = None,
+                 mdns: bool = False, inspect_port: int | None = None):
         self.host = host
         self.port = port
+        self.ws_port = ws_port
+        self.mdns = mdns
+        self.inspect_port = inspect_port
         self.password = password
         self.palette = palette
         self.compression_level = compression_level
@@ -294,17 +298,47 @@ class AsciiChatServer:
 
     async def run(self) -> None:
         self._server = await serve_tcp(self._handle_conn, self.host, self.port)
-        log.info("listening on %s:%d", self.host, self.port)
+        log.info("listening on %s:%d (tcp)", self.host, self.port)
+        ws_server = None
+        if self.ws_port:
+            from asciichat_tpu.net.websocket import serve_ws
+
+            ws_server = await serve_ws(self._handle_conn, self.host, self.ws_port)
+            log.info("listening on %s:%d (websocket)", self.host, self.ws_port)
+        announcer = None
+        if self.mdns:
+            from asciichat_tpu.net.mdns import MdnsAnnouncer
+
+            announcer = MdnsAnnouncer("asciichat", self.port,
+                                      {"ver": "1", "ws": str(self.ws_port or 0)})
+            announcer.start()
+            log.info("mDNS announcing _asciichat._tcp.local")
+        if self.inspect_port is not None:
+            from asciichat_tpu.runtime.inspector import Inspector
+
+            insp = Inspector(self.inspect_port)
+            insp.register("server", lambda: {
+                "clients": len(self.clients),
+                "ticks": self.ticks,
+                "client_ids": list(self.clients),
+            })
+            actual = insp.start()
+            log.info("inspector on http://127.0.0.1:%d", actual)
         tick = asyncio.get_running_loop().create_task(self._tick_loop())
         try:
             await self._server.serve_forever()
         finally:
             tick.cancel()
+            if ws_server:
+                ws_server.close()
+            if announcer:
+                announcer.stop()
 
 
 def main(args) -> int:
     server = AsciiChatServer(args.host, args.port, compression_level=args.compress,
-                             password=args.password)
+                             password=args.password, ws_port=args.ws_port,
+                             mdns=args.mdns, inspect_port=args.inspect_port)
     try:
         asyncio.run(server.run())
     except KeyboardInterrupt:

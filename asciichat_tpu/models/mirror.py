@@ -18,8 +18,9 @@ from asciichat_tpu.render.pipeline import AsciiRenderer
 from asciichat_tpu.render.types import TerminalCapabilities
 from asciichat_tpu.runtime.double_buffer import FrameQueue
 from asciichat_tpu.runtime.framesource import FrameSource
-from asciichat_tpu.utils import term
+from asciichat_tpu.utils import term, ui
 from asciichat_tpu.utils.fps import FpsCounter
+from asciichat_tpu.utils.keyboard import KeyboardReader
 
 
 class MirrorSession:
@@ -54,6 +55,23 @@ class MirrorSession:
         self.writer = term.FrameWriter()
         self.fps = FpsCounter()
         self._stop = threading.Event()
+        self._show_help = False
+        self._filter_cycle = ["none", "green", "cyan", "orange", "rainbow"]
+
+    def _on_key(self, key: str) -> None:
+        """Live keybindings (session keyboard_handler.c analog)."""
+        if key in ("q", "\x03"):
+            self._stop.set()
+        elif key == "f":
+            self.flip_x = not self.flip_x
+        elif key == "m":
+            self.matrix = not self.matrix
+        elif key == "c":
+            i = (self._filter_cycle.index(self.color_filter) + 1
+                 if self.color_filter in self._filter_cycle else 0)
+            self.color_filter = self._filter_cycle[i % len(self._filter_cycle)]
+        elif key == "?":
+            self._show_help = not self._show_help
 
     def _capture_thread(self) -> None:
         interval = 1.0 / getattr(self.source, "fps", 30.0)
@@ -101,6 +119,8 @@ class MirrorSession:
     def run(self, max_frames: int | None = None) -> int:
         cap = threading.Thread(target=self._capture_thread, daemon=True)
         cap.start()
+        keyboard = KeyboardReader(self._on_key)
+        keyboard.start()
         self.writer.setup()
         rendered = 0
         min_interval = 1.0 / self.fps_limit if self.fps_limit else 0.0
@@ -115,8 +135,12 @@ class MirrorSession:
                     continue  # drop: stay at the fps cap
                 last = now
                 out = self._convert(frame)
+                if self._show_help:
+                    out += b"\x1b[0m\n" + ui.help_overlay()
                 if self.show_fps:
-                    out += b"\x1b[0m\n" + f"{self.fps.fps:5.1f} fps".encode()
+                    out += b"\x1b[0m\n" + ui.status_line(
+                        self.fps.fps, self.fps.frames, self.caps.renderer_key(),
+                        (self.width, self.height))
                 self.writer.write_frame(out)
                 self.fps.tick()
                 rendered += 1
@@ -126,6 +150,7 @@ class MirrorSession:
             pass
         finally:
             self._stop.set()
+            keyboard.stop()
             self.writer.teardown()
             self.source.close()
         return rendered

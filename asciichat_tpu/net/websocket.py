@@ -1,0 +1,223 @@
+"""WebSocket transport: ACIP packets over RFC 6455 binary frames.
+
+Parity with lib/network/websocket/{server,transport}.c (libwebsockets-based
+browser access): each ACIP packet (22-byte header + payload) travels as one
+binary WebSocket message. This is a dependency-free RFC 6455 implementation
+(handshake, masking, fragmentation, ping/pong, close) on asyncio streams,
+exposing the same Transport interface as net/transport.py so the server can
+accept TCP and WebSocket clients on different ports interchangeably.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import contextlib
+import hashlib
+import os
+import struct
+
+from asciichat_tpu.net import packet as pkt
+
+WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 8, 9, 10
+
+
+def _accept_key(client_key: str) -> str:
+    digest = hashlib.sha1((client_key + WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+async def _read_http_headers(reader: asyncio.StreamReader) -> tuple[str, dict[str, str]]:
+    request_line = (await reader.readline()).decode().strip()
+    headers: dict[str, str] = {}
+    while True:
+        line = (await reader.readline()).decode().strip()
+        if not line:
+            break
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return request_line, headers
+
+
+class WebSocketConnection:
+    """Framed RFC 6455 connection (post-handshake)."""
+
+    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter,
+                 is_client: bool):
+        self.reader = reader
+        self.writer = writer
+        self.is_client = is_client  # clients mask, servers don't
+        self.closed = False
+
+    async def send_message(self, data: bytes, opcode: int = OP_BINARY) -> None:
+        fin_op = 0x80 | opcode
+        n = len(data)
+        mask_bit = 0x80 if self.is_client else 0
+        if n < 126:
+            header = struct.pack(">BB", fin_op, mask_bit | n)
+        elif n < 65536:
+            header = struct.pack(">BBH", fin_op, mask_bit | 126, n)
+        else:
+            header = struct.pack(">BBQ", fin_op, mask_bit | 127, n)
+        if self.is_client:
+            mask = os.urandom(4)
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+            self.writer.write(header + mask + masked)
+        else:
+            self.writer.write(header + data)
+        await self.writer.drain()
+
+    async def recv_message(self) -> tuple[int, bytes]:
+        """-> (opcode, payload), reassembling fragmented messages."""
+        message = bytearray()
+        message_op = None
+        while True:
+            b1, b2 = struct.unpack(">BB", await self.reader.readexactly(2))
+            fin = b1 & 0x80
+            opcode = b1 & 0x0F
+            masked = b2 & 0x80
+            length = b2 & 0x7F
+            if length == 126:
+                (length,) = struct.unpack(">H", await self.reader.readexactly(2))
+            elif length == 127:
+                (length,) = struct.unpack(">Q", await self.reader.readexactly(8))
+            mask = await self.reader.readexactly(4) if masked else None
+            payload = await self.reader.readexactly(length) if length else b""
+            if mask:
+                payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            if opcode == OP_PING:
+                await self.send_message(payload, OP_PONG)
+                continue
+            if opcode == OP_PONG:
+                continue
+            if opcode == OP_CLOSE:
+                self.closed = True
+                with contextlib.suppress(ConnectionError):
+                    await self.send_message(payload, OP_CLOSE)
+                raise ConnectionError("websocket closed by peer")
+            if opcode in (OP_TEXT, OP_BINARY):
+                message_op = opcode
+                message = bytearray(payload)
+            elif opcode == OP_CONT:
+                message += payload
+            if fin:
+                return message_op or OP_BINARY, bytes(message)
+
+    async def close(self) -> None:
+        if not self.closed:
+            self.closed = True
+            with contextlib.suppress(ConnectionError, asyncio.IncompleteReadError):
+                await self.send_message(struct.pack(">H", 1000), OP_CLOSE)
+        with contextlib.suppress(ConnectionError):
+            self.writer.close()
+            await self.writer.wait_closed()
+
+
+class WebSocketTransport:
+    """ACIP-over-WebSocket with the net.transport.Transport interface."""
+
+    def __init__(self, ws: WebSocketConnection):
+        self.ws = ws
+        self._send_queue: asyncio.Queue[bytes | None] = asyncio.Queue(maxsize=256)
+        self._sender_task: asyncio.Task | None = None
+
+    @property
+    def peername(self):
+        return self.ws.writer.get_extra_info("peername")
+
+    def start_sender(self) -> None:
+        self._sender_task = asyncio.get_running_loop().create_task(self._sender())
+
+    async def _sender(self) -> None:
+        try:
+            while True:
+                buf = await self._send_queue.get()
+                if buf is None:
+                    return
+                await self.ws.send_message(buf)
+        except (ConnectionError, asyncio.CancelledError):
+            pass
+
+    async def send(self, ptype: int, payload: bytes = b"") -> None:
+        buf = pkt.pack_packet(ptype, payload)
+        if self._sender_task is None:
+            await self.ws.send_message(buf)
+        else:
+            await self._send_queue.put(buf)
+
+    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        try:
+            self._send_queue.put_nowait(pkt.pack_packet(ptype, payload))
+            return True
+        except asyncio.QueueFull:
+            return False
+
+    async def recv(self) -> tuple[int, bytes]:
+        _, message = await self.ws.recv_message()
+        if len(message) < pkt.HEADER_SIZE:
+            raise ValueError("short websocket message")
+        ptype, length, crc, _cid = pkt.unpack_header(message)
+        payload = message[pkt.HEADER_SIZE : pkt.HEADER_SIZE + length]
+        if len(payload) != length or not pkt.verify_payload(payload, crc):
+            raise ValueError("websocket packet CRC mismatch")
+        return ptype, payload
+
+    async def close(self) -> None:
+        if self._sender_task is not None:
+            await self._send_queue.put(None)
+            with contextlib.suppress(asyncio.CancelledError):
+                await self._sender_task
+        await self.ws.close()
+
+
+async def connect_ws(host: str, port: int, path: str = "/") -> WebSocketTransport:
+    reader, writer = await asyncio.open_connection(host, port)
+    key = base64.b64encode(os.urandom(16)).decode()
+    writer.write(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    await writer.drain()
+    status, headers = await _read_http_headers(reader)
+    if "101" not in status or headers.get("sec-websocket-accept") != _accept_key(key):
+        raise ConnectionError(f"websocket handshake failed: {status}")
+    t = WebSocketTransport(WebSocketConnection(reader, writer, is_client=True))
+    t.start_sender()
+    return t
+
+
+async def serve_ws(handler, host: str, port: int) -> asyncio.AbstractServer:
+    """Listen for WebSocket upgrades; `await handler(WebSocketTransport)`."""
+
+    async def on_conn(reader, writer):
+        try:
+            status, headers = await _read_http_headers(reader)
+            key = headers.get("sec-websocket-key")
+            if not key or "upgrade" not in headers.get("connection", "").lower():
+                writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                await writer.drain()
+                writer.close()
+                return
+            writer.write(
+                (
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+                ).encode()
+            )
+            await writer.drain()
+        except (asyncio.IncompleteReadError, ConnectionError):
+            return
+        t = WebSocketTransport(WebSocketConnection(reader, writer, is_client=False))
+        t.start_sender()
+        try:
+            await handler(t)
+        finally:
+            await t.close()
+
+    return await asyncio.start_server(on_conn, host, port)

@@ -1,0 +1,102 @@
+"""Live-process inspector over HTTP (ascii-query-server analog).
+
+The reference ships an out-of-process C++ tool that attaches LLDB to a live
+ascii-chat process and serves variable inspection over HTTP
+(src/tooling/query/main.cpp:1-60). Python processes can introspect
+themselves, so this runtime embeds the inspector: a background HTTP server
+exposing thread stacks, GC stats, the current options snapshot, and
+app-registered state providers. Also covers the reference's SIGUSR1 sync-dump
+and SIGUSR2 memory-report hooks (src/main.c:323-338) via /threads and /gc.
+"""
+
+from __future__ import annotations
+
+import gc
+import http.server
+import json
+import sys
+import threading
+import traceback
+from typing import Any, Callable
+
+
+class Inspector:
+    def __init__(self, port: int = 0, host: str = "127.0.0.1"):
+        self.providers: dict[str, Callable[[], Any]] = {}
+        self._httpd: http.server.ThreadingHTTPServer | None = None
+        self.host = host
+        self.port = port
+
+    def register(self, name: str, provider: Callable[[], Any]) -> None:
+        """Expose `provider()` (JSON-serializable) at /state/<name>."""
+        self.providers[name] = provider
+
+    # -- built-in endpoints -------------------------------------------------
+    def _threads(self) -> dict:
+        frames = sys._current_frames()
+        out = {}
+        for t in threading.enumerate():
+            frame = frames.get(t.ident)
+            out[t.name] = {
+                "daemon": t.daemon,
+                "alive": t.is_alive(),
+                "stack": traceback.format_stack(frame) if frame else [],
+            }
+        return out
+
+    def _gc(self) -> dict:
+        counts = gc.get_count()
+        return {
+            "counts": counts,
+            "objects": len(gc.get_objects()),
+            "garbage": len(gc.garbage),
+        }
+
+    def start(self) -> int:
+        inspector = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                try:
+                    if self.path == "/health":
+                        body = {"ok": True}
+                    elif self.path == "/threads":
+                        body = inspector._threads()
+                    elif self.path == "/gc":
+                        body = inspector._gc()
+                    elif self.path == "/state":
+                        body = sorted(inspector.providers)
+                    elif self.path.startswith("/state/"):
+                        name = self.path[len("/state/"):]
+                        provider = inspector.providers.get(name)
+                        if provider is None:
+                            self.send_error(404, f"no provider {name!r}")
+                            return
+                        body = provider()
+                    else:
+                        self.send_error(404)
+                        return
+                    data = json.dumps(body, default=str).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                except Exception as e:  # inspector must never kill the app
+                    try:
+                        self.send_error(500, str(e))
+                    except Exception:
+                        pass
+
+        self._httpd = http.server.ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        threading.Thread(target=self._httpd.serve_forever, daemon=True,
+                         name="inspector").start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()

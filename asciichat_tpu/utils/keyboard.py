@@ -1,0 +1,56 @@
+"""Raw-mode keyboard input (platform keyboard + session keyboard_handler).
+
+Parity with lib/platform/ keyboard handling + src/common/session/
+keyboard_handler.c: a reader thread in cbreak mode delivers single
+keypresses; sessions bind them to live actions (quit, flip, filter cycling,
+help overlay). Degrades to a no-op when stdin is not a TTY (piped runs).
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import threading
+
+
+class KeyboardReader:
+    def __init__(self, on_key):
+        self.on_key = on_key
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._saved = None
+        self.enabled = sys.stdin.isatty()
+
+    def start(self) -> None:
+        if not self.enabled:
+            return
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        self._saved = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        fd = sys.stdin.fileno()
+        while not self._stop.is_set():
+            r, _, _ = select.select([fd], [], [], 0.1)
+            if r:
+                try:
+                    key = os.read(fd, 1).decode(errors="replace")
+                except OSError:
+                    return
+                if key:
+                    self.on_key(key)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=0.5)
+        if self._saved is not None:
+            import termios
+
+            termios.tcsetattr(sys.stdin.fileno(), termios.TCSADRAIN, self._saved)

@@ -212,3 +212,36 @@ def test_discovery_session_end_to_end():
             if p and p.poll() is None:
                 p.terminate()
         acds.wait(timeout=10)
+
+
+PORT_WS = PORT + 4
+PORT_WS_TCP = PORT + 5
+
+
+def test_websocket_client_session():
+    """Server listens on TCP + WS; a client over WS receives frames."""
+    srv = _spawn("server", "--port", str(PORT_WS_TCP), "--ws-port", str(PORT_WS),
+                 "--log-level", "WARNING")
+    time.sleep(4)
+    assert srv.poll() is None, srv.stderr.read().decode()[-1500:]
+    try:
+        ws_client = _spawn(
+            "client", "127.0.0.1", "--port", str(PORT_WS), "--ws",
+            "--test-pattern", "--width", "40", "--height", "10",
+            "--color-mode", "NONE", "--max-frames", "3", "--no-reconnect",
+            "--log-level", "WARNING",
+        )
+        tcp_client = _spawn(
+            "client", "127.0.0.1", "--port", str(PORT_WS_TCP),
+            "--test-pattern", "--width", "40", "--height", "10",
+            "--color-mode", "NONE", "--max-frames", "3", "--no-reconnect",
+            "--log-level", "WARNING",
+        )
+        out_ws, err_ws = ws_client.communicate(timeout=180)
+        out_tcp, err_tcp = tcp_client.communicate(timeout=180)
+        assert ws_client.returncode == 0, err_ws.decode()[-1500:]
+        assert tcp_client.returncode == 0, err_tcp.decode()[-1500:]
+        assert len(out_ws) > 100 and len(out_tcp) > 100
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
