@@ -89,6 +89,10 @@ class AsciiChatClient:
             dt = loop.time() - t0
             await asyncio.sleep(max(0.0, interval - dt))
 
+    async def send_text(self, t, message: str) -> None:
+        """Text chat (PACKET_TYPE_TEXT_MESSAGE, relayed by the server)."""
+        await t.send(pkt.PacketType.TEXT_MESSAGE, message.encode()[:1000])
+
     async def _keepalive_task(self, t: Transport) -> None:
         while not self._stop.is_set():
             await asyncio.sleep(KEEPALIVE_INTERVAL)
@@ -110,6 +114,10 @@ class AsciiChatClient:
                 pass
             elif ptype == P.AUDIO_BATCH:
                 pass  # playback needs an audio device; counted only
+            elif ptype == P.TEXT_MESSAGE:
+                # chat line below the frame (client text chat)
+                self.writer.stream.write(b"\x1b[0m\r\n> " + payload[:200] + b"\r\n")
+                self.writer.stream.flush()
             elif ptype == P.ERROR_MESSAGE:
                 code, msg = proto.unpack_error(payload)
                 log.error("server error %d: %s", code, msg)
@@ -140,9 +148,27 @@ class AsciiChatClient:
                 asyncio.create_task(self._capture_task(t)),
                 asyncio.create_task(self._keepalive_task(t)),
             ]
+            # live terminal resize -> SIZE_MESSAGE (SIGWINCH handling,
+            # reference client sends updated dims on winch)
+            import signal
+
+            def on_winch():
+                w, h = term.terminal_size(None, None)
+                self.wire_caps.width, self.wire_caps.height = w, h
+                t.send_nowait(pkt.PacketType.SIZE_MESSAGE, proto.pack_size(w, h))
+
+            loop = asyncio.get_running_loop()
+            try:
+                loop.add_signal_handler(signal.SIGWINCH, on_winch)
+            except (ValueError, OSError, AttributeError):
+                pass
             try:
                 await self._recv_loop(t, max_frames)
             finally:
+                try:
+                    loop.remove_signal_handler(signal.SIGWINCH)
+                except (ValueError, OSError, AttributeError):
+                    pass
                 for task in tasks:
                     task.cancel()
                 await t.send(pkt.PacketType.CLIENT_LEAVE)

@@ -33,6 +33,7 @@ from asciichat_tpu.render import palette as pal
 from asciichat_tpu.render.pipeline import AsciiRenderer
 from asciichat_tpu.render.types import RenderMode
 from asciichat_tpu.runtime.double_buffer import LatestFrame
+from asciichat_tpu.runtime.ringbuffer import AudioRing
 from asciichat_tpu.utils.logsys import get_logger
 
 log = get_logger("server")
@@ -51,8 +52,7 @@ class ClientState:
         self.has_caps = False
         self.streaming = False
         self.video = LatestFrame()
-        self.audio_buf: list[np.ndarray] = []
-        self.audio_pending = 0
+        self.audio = AudioRing(48000)  # 1s of headroom, drops oldest
         self.last_seen = time.monotonic()
         self.filter_name = "none"
         self.pending_first: tuple[int, bytes] | None = None
@@ -166,9 +166,7 @@ class AsciiChatServer:
                 c.streaming = True
             elif ptype == P.AUDIO_BATCH:
                 body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
-                samples = np.frombuffer(body, "<f4")[:total]
-                c.audio_buf.append(samples)
-                c.audio_pending += len(samples)
+                c.audio.write(np.frombuffer(body, "<f4")[:total])
             elif ptype == P.PING:
                 await c.transport.send(P.PONG, payload)
             elif ptype == P.CLIENT_LEAVE:
@@ -244,7 +242,7 @@ class AsciiChatServer:
 
     def _audio_tick(self) -> None:
         n = audio_ops.AUDIO_FRAME_SAMPLES
-        speakers = [c for c in self.clients.values() if c.audio_pending >= n]
+        speakers = [c for c in self.clients.values() if len(c.audio) >= n]
         listeners = [c for c in self.clients.values() if c.has_caps]
         if not speakers or not listeners:
             return
@@ -255,12 +253,8 @@ class AsciiChatServer:
         samples = np.zeros((len(slots), n), np.float32)
         active = np.zeros(len(slots), bool)
         for i, c in enumerate(self.clients.values()):
-            if c.audio_pending >= n:
-                buf = np.concatenate(c.audio_buf)
-                samples[i] = buf[:n]
-                rest = buf[n:]
-                c.audio_buf = [rest] if len(rest) else []
-                c.audio_pending = len(rest)
+            if len(c.audio) >= n:
+                samples[i] = c.audio.read(n)
                 active[i] = True
         import jax.numpy as jnp
 

@@ -115,6 +115,24 @@ class StdinSource(FrameSource):
         return np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
 
 
+class WebcamSource(FrameSource):
+    """Live camera via the V4L2 backend (runtime/webcam.py)."""
+
+    def __init__(self, device: str = "/dev/video0", width: int = 640, height: int = 480):
+        from asciichat_tpu.runtime.webcam import open_webcam
+
+        self._cam = open_webcam(device, width, height)
+        self.width = self._cam.width
+        self.height = self._cam.height
+        self.fps = 30.0
+
+    def read(self):
+        return self._cam.read()
+
+    def close(self) -> None:
+        self._cam.close()
+
+
 def open_source(
     test_pattern: bool = False,
     file: str | None = None,
@@ -130,4 +148,13 @@ def open_source(
         if lower.endswith((".png", ".jpg", ".jpeg", ".bmp", ".gif", ".webp")):
             return ImageFileSource(file)
         return FFmpegFileSource(file, loop=loop)
+    if not test_pattern:
+        # default capture device: webcam when present, else the synthetic
+        # pattern (MEDIA_SOURCE_TEST fallback, webcam.c:21-27)
+        from asciichat_tpu.runtime.webcam import WebcamUnavailable
+
+        try:
+            return WebcamSource(width=width, height=height)
+        except WebcamUnavailable:
+            pass
     return TestPatternSource(width, height)

@@ -1,0 +1,166 @@
+"""V4L2 webcam capture (Linux) — pure-Python ioctl/mmap implementation.
+
+Parity with lib/video/webcam/linux/webcam_v4l2.c: open /dev/videoN, negotiate
+a pixel format (preferring RGB24, falling back to YUYV with software
+conversion), mmap kernel buffers, stream on, and read frames by
+dequeue/requeue. Gated on device availability: `open_webcam()` raises
+WebcamUnavailable when no camera exists (this environment), and the media
+source layer falls back to the synthetic test pattern exactly like the
+reference's --test-pattern path (lib/video/webcam/webcam.c:21-27).
+
+AVFoundation (macOS) and Media Foundation (Windows) backends are not
+implemented — this runtime targets Linux hosts.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import fcntl
+import mmap
+import os
+import select
+import struct
+
+import numpy as np
+
+# V4L2 ioctl numbers (videodev2.h)
+VIDIOC_QUERYCAP = 0x80685600
+VIDIOC_S_FMT = 0xC0D05605
+VIDIOC_REQBUFS = 0xC0145608
+VIDIOC_QUERYBUF = 0xC0585609
+VIDIOC_QBUF = 0xC058560F
+VIDIOC_DQBUF = 0xC0585611
+VIDIOC_STREAMON = 0x40045612
+VIDIOC_STREAMOFF = 0x40045613
+
+V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
+V4L2_MEMORY_MMAP = 1
+
+
+def fourcc(a: str) -> int:
+    return ord(a[0]) | ord(a[1]) << 8 | ord(a[2]) << 16 | ord(a[3]) << 24
+
+
+V4L2_PIX_FMT_RGB24 = fourcc("RGB3")
+V4L2_PIX_FMT_BGR24 = fourcc("BGR3")
+V4L2_PIX_FMT_YUYV = fourcc("YUYV")
+
+
+class WebcamUnavailable(RuntimeError):
+    pass
+
+
+def yuyv_to_rgb(buf: bytes, width: int, height: int) -> np.ndarray:
+    """YUYV 4:2:2 -> RGB24 (BT.601), vectorized (webcam_v4l2.c conversion)."""
+    data = np.frombuffer(buf, np.uint8)[: width * height * 2].reshape(height, width // 2, 4)
+    y0 = data[..., 0].astype(np.int32)
+    u = data[..., 1].astype(np.int32) - 128
+    y1 = data[..., 2].astype(np.int32)
+    v = data[..., 3].astype(np.int32) - 128
+    y = np.stack([y0, y1], axis=-1).reshape(height, width)
+    u = np.repeat(u, 2, axis=-1)
+    v = np.repeat(v, 2, axis=-1)
+    r = y + ((351 * v) >> 8)
+    g = y - ((179 * v + 86 * u) >> 8)
+    b = y + ((443 * u) >> 8)
+    return np.stack([r, g, b], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+class V4L2Webcam:
+    def __init__(self, device: str = "/dev/video0", width: int = 640,
+                 height: int = 480, num_buffers: int = 4):
+        if not os.path.exists(device):
+            raise WebcamUnavailable(f"{device} does not exist")
+        try:
+            self.fd = os.open(device, os.O_RDWR | os.O_NONBLOCK)
+        except OSError as e:
+            raise WebcamUnavailable(f"cannot open {device}: {e}") from e
+        self.width = width
+        self.height = height
+        self.pixfmt = V4L2_PIX_FMT_RGB24
+        self.buffers: list[mmap.mmap] = []
+        try:
+            self._setup(num_buffers)
+        except OSError as e:
+            os.close(self.fd)
+            raise WebcamUnavailable(f"V4L2 setup failed: {e}") from e
+
+    def _ioctl(self, req: int, arg) -> None:
+        fcntl.ioctl(self.fd, req, arg)
+
+    def _set_format(self, pixfmt: int) -> tuple[int, int, int]:
+        # struct v4l2_format: type u32, then v4l2_pix_format
+        fmt = struct.pack("<L", V4L2_BUF_TYPE_VIDEO_CAPTURE)
+        fmt += struct.pack("<LLLLLLLL", self.width, self.height, pixfmt,
+                           1, 0, 0, 0, 0)
+        fmt = bytearray(fmt.ljust(208, b"\0"))
+        self._ioctl(VIDIOC_S_FMT, fmt)
+        w, h, got_fmt = struct.unpack_from("<LLL", fmt, 4)
+        return w, h, got_fmt
+
+    def _setup(self, num_buffers: int) -> None:
+        for pf in (V4L2_PIX_FMT_RGB24, V4L2_PIX_FMT_BGR24, V4L2_PIX_FMT_YUYV):
+            try:
+                w, h, got = self._set_format(pf)
+                if got == pf:
+                    self.width, self.height, self.pixfmt = w, h, got
+                    break
+            except OSError:
+                continue
+        else:
+            raise WebcamUnavailable("no supported pixel format (RGB24/BGR24/YUYV)")
+
+        req = bytearray(struct.pack("<LLL", num_buffers, V4L2_BUF_TYPE_VIDEO_CAPTURE,
+                                    V4L2_MEMORY_MMAP).ljust(20, b"\0"))
+        self._ioctl(VIDIOC_REQBUFS, req)
+        count = struct.unpack_from("<L", req, 0)[0]
+        for i in range(count):
+            qb = bytearray(88)
+            struct.pack_into("<L", qb, 0, i)  # index
+            struct.pack_into("<L", qb, 4, V4L2_BUF_TYPE_VIDEO_CAPTURE)
+            struct.pack_into("<L", qb, 44, V4L2_MEMORY_MMAP)
+            self._ioctl(VIDIOC_QUERYBUF, qb)
+            length = struct.unpack_from("<L", qb, 48)[0]
+            offset = struct.unpack_from("<L", qb, 52)[0]
+            self.buffers.append(
+                mmap.mmap(self.fd, length, mmap.MAP_SHARED,
+                          mmap.PROT_READ | mmap.PROT_WRITE, offset=offset)
+            )
+            self._ioctl(VIDIOC_QBUF, qb)
+        self._ioctl(VIDIOC_STREAMON, struct.pack("<L", V4L2_BUF_TYPE_VIDEO_CAPTURE))
+
+    def read(self, timeout: float = 2.0) -> np.ndarray | None:
+        r, _, _ = select.select([self.fd], [], [], timeout)
+        if not r:
+            return None
+        qb = bytearray(88)
+        struct.pack_into("<L", qb, 4, V4L2_BUF_TYPE_VIDEO_CAPTURE)
+        struct.pack_into("<L", qb, 44, V4L2_MEMORY_MMAP)
+        self._ioctl(VIDIOC_DQBUF, qb)
+        index = struct.unpack_from("<L", qb, 0)[0]
+        used = struct.unpack_from("<L", qb, 8)[0]
+        raw = self.buffers[index][: used or len(self.buffers[index])]
+        if self.pixfmt == V4L2_PIX_FMT_YUYV:
+            frame = yuyv_to_rgb(raw, self.width, self.height)
+        else:
+            frame = np.frombuffer(raw, np.uint8)[: self.width * self.height * 3]
+            frame = frame.reshape(self.height, self.width, 3)
+            if self.pixfmt == V4L2_PIX_FMT_BGR24:
+                frame = frame[..., ::-1]
+        self._ioctl(VIDIOC_QBUF, qb)
+        return np.ascontiguousarray(frame)
+
+    def close(self) -> None:
+        try:
+            self._ioctl(VIDIOC_STREAMOFF, struct.pack("<L", V4L2_BUF_TYPE_VIDEO_CAPTURE))
+        except OSError:
+            pass
+        for b in self.buffers:
+            b.close()
+        os.close(self.fd)
+
+
+def open_webcam(device: str = "/dev/video0", width: int = 640, height: int = 480):
+    """-> V4L2Webcam, or raises WebcamUnavailable (callers fall back to the
+    test pattern, webcam.c:21-27)."""
+    return V4L2Webcam(device, width, height)

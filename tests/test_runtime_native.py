@@ -1,0 +1,101 @@
+"""Native ring buffer + V4L2 webcam module."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from asciichat_tpu.runtime.ringbuffer import AudioRing
+
+
+def test_ring_basic_rw():
+    r = AudioRing(1024)
+    assert len(r) == 0 and r.capacity == 1024
+    data = np.arange(480, dtype=np.float32)
+    assert r.write(data) == 480
+    assert len(r) == 480
+    out = r.read(480)
+    np.testing.assert_array_equal(out, data)
+    assert len(r) == 0
+    # partial read
+    r.write(data[:100])
+    out = r.read(480)
+    assert len(out) == 100
+
+
+def test_ring_overflow_drops_newest():
+    r = AudioRing(256)  # rounds to power of two
+    assert r.write(np.zeros(200, np.float32)) == 200
+    wrote = r.write(np.ones(200, np.float32))  # only 56 fit
+    assert wrote == 56 and r.overruns == 144
+    out = r.read(r.capacity)
+    assert len(out) == 256
+    np.testing.assert_array_equal(out[:200], 0.0)  # oldest kept (SPSC-safe)
+    np.testing.assert_array_equal(out[200:], 1.0)
+
+
+def test_ring_threaded_spsc():
+    r = AudioRing(1 << 14)
+    total = 50_000
+    received = []
+
+
+    import time
+
+    done = threading.Event()
+
+    def consumer():
+        got = 0
+        deadline = time.monotonic() + 30
+        while got < total and time.monotonic() < deadline:
+            out = r.read(480)
+            got += len(out)
+            if len(out):
+                received.append(out)
+            elif done.is_set() and len(r) == 0:
+                break
+
+    def producer_wrapped():
+        sent = 0
+        while sent < total:
+            n = min(479, total - sent)
+            wrote = r.write(np.arange(sent, sent + n, dtype=np.float32) % 1000)
+            sent += wrote  # retry unwritten tail (drop-newest semantics)
+        done.set()
+
+    tp = threading.Thread(target=producer_wrapped)
+    tc = threading.Thread(target=consumer)
+    tp.start(); tc.start(); tp.join(timeout=30); tc.join(timeout=35)
+    got = np.concatenate(received)
+    want = np.arange(total, dtype=np.float32) % 1000
+    # with producer retry there is no loss: order and content preserved
+    assert len(got) == total
+    np.testing.assert_array_equal(got, want)
+
+
+def test_webcam_gated_or_reads():
+    from asciichat_tpu.runtime.webcam import V4L2Webcam, WebcamUnavailable
+
+    try:
+        cam = V4L2Webcam()
+    except WebcamUnavailable:
+        pytest.skip("no camera in this environment (expected)")
+    frame = cam.read()
+    cam.close()
+    assert frame is None or frame.shape[2] == 3
+
+
+def test_yuyv_conversion():
+    from asciichat_tpu.runtime.webcam import yuyv_to_rgb
+
+    # pure white: Y=255, U=V=128
+    buf = bytes([255, 128, 255, 128]) * (16 * 16 // 2)
+    rgb = yuyv_to_rgb(buf, 16, 16)
+    assert np.all(rgb == 255)
+    # pure black
+    buf = bytes([0, 128, 0, 128]) * (16 * 16 // 2)
+    assert np.all(yuyv_to_rgb(buf, 16, 16) == 0)
+    # red-ish: V high raises R above G/B
+    buf = bytes([128, 128, 128, 255]) * (16 * 16 // 2)
+    rgb = yuyv_to_rgb(buf, 16, 16)
+    assert rgb[0, 0, 0] > rgb[0, 0, 1] and rgb[0, 0, 0] > rgb[0, 0, 2]
