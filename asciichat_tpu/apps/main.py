@@ -42,6 +42,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-level", default="INFO")
     p.add_argument("--grep", default=None, help="regex filter applied to log messages")
     p.add_argument("--log-json", action="store_true")
+    p.add_argument("--config", default=None, help="TOML config file")
+    p.add_argument("--preset", default=None, help="named preset from the config file")
 
 
 def _add_media(p: argparse.ArgumentParser) -> None:
@@ -171,6 +173,65 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", plat)
 
     args = build_parser().parse_args(argv)
+
+    # TOML config: file values fill in anything the CLI left at its default
+    # (config layering, lib/options/config/config.c semantics)
+    if getattr(args, "config", None):
+        from asciichat_tpu.utils.options import OptionsStore, default_registry
+
+        store = OptionsStore(default_registry())
+        snap = store.load_toml(args.config, preset=getattr(args, "preset", None))
+        parser_defaults = build_parser()
+        for key, value in snap.as_dict().items():
+            attr = key.replace("-", "_")
+            if not hasattr(args, attr):
+                continue
+            current = getattr(args, attr)
+            if isinstance(current, bool) and isinstance(value, bool):
+                # store_true flags: CLI can only turn them on, so OR layers
+                setattr(args, attr, current or value)
+                continue
+            if current in (None, parser_defaults.get_default(attr)):
+                if key == "color-mode" and isinstance(value, str):
+                    if value != "auto":
+                        value = ColorLevel[{"none": "NONE", "16": "COLOR_16",
+                                            "256": "COLOR_256",
+                                            "truecolor": "TRUECOLOR"}[value]]
+                    else:
+                        value = None
+                if attr in ("width", "height") and value == 0:
+                    continue
+                setattr(args, attr, value)
+
+    # SIGUSR1 -> thread/stack dump, SIGUSR2 -> gc/memory report (the
+    # reference's sync-state and leak-report signals, src/main.c:323-338)
+    import signal
+
+    def _dump_threads(*_):
+        import sys as _sys
+        import threading
+        import traceback
+
+        frames = _sys._current_frames()
+        for t in threading.enumerate():
+            print(f"--- thread {t.name} ---", file=_sys.stderr)
+            f = frames.get(t.ident)
+            if f:
+                traceback.print_stack(f, file=_sys.stderr)
+
+    def _dump_memory(*_):
+        import gc
+        import sys as _sys
+
+        print(f"--- gc: counts={gc.get_count()} objects={len(gc.get_objects())} ---",
+              file=_sys.stderr)
+
+    try:
+        signal.signal(signal.SIGUSR1, _dump_threads)
+        signal.signal(signal.SIGUSR2, _dump_memory)
+    except (ValueError, OSError, AttributeError):
+        pass
+
     logsys.configure(
         level=getattr(args, "log_level", "INFO"),
         log_file=getattr(args, "log_file", None),

@@ -149,3 +149,33 @@ def test_audio_analysis():
     np.testing.assert_allclose(float(levels["rms"][0]), 0.5 / np.sqrt(2), rtol=1e-3)
     np.testing.assert_allclose(float(levels["peak"][0]), 0.5, rtol=1e-3)
     assert abs(float(levels["peak_db"][0]) - (-6.02)) < 0.1
+
+
+def test_cli_config_layering(tmp_path):
+    """--config TOML + --preset apply through the real CLI."""
+    import os
+    import subprocess
+    import sys
+
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(
+        "[display]\nwidth = 52\nstretch = true\ncolor-mode = \"none\"\n"
+        "[preset.tiny]\n[preset.tiny.display]\nwidth = 30\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "ASCIICHAT_JAX_PLATFORM": "cpu", "PYTHONPATH": repo}
+
+    def run(*extra):
+        out = subprocess.run(
+            [sys.executable, "-m", "asciichat_tpu.apps.main", "mirror",
+             "--test-pattern", "--snapshot", "--height", "6",
+             "--config", str(cfg), *extra],
+            env=env, cwd=repo, capture_output=True, timeout=180,
+        )
+        assert out.returncode == 0, out.stderr.decode()[-800:]
+        return out.stdout.decode().rstrip("\n").split("\n")
+
+    assert all(len(ln) == 52 for ln in run())
+    assert all(len(ln) == 30 for ln in run("--preset", "tiny"))
+    # CLI overrides config
+    assert all(len(ln) == 20 for ln in run("--width", "20"))
