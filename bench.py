@@ -138,6 +138,15 @@ def main():
     log(f"host emitter (1 thread, worst-case-ish content): "
         f"{32 * emit_iters / (t1 - t0):,.0f} frames/s")
 
+    # --- supplemental: 9-client server tick (BASELINE target #2) ----------
+    try:
+        tick_rate = bench_server_tick()
+        log(f"9-client server tick (composite + 9 personalized renders + 9 "
+            f"exclusive mixes): {tick_rate:,.0f} ticks/s "
+            f"(reference cadence: 60/s)")
+    except Exception as e:  # supplemental only; never fail the headline
+        log(f"server tick bench skipped: {e}")
+
     print(json.dumps({
         "metric": "1080p_truecolor_ascii_fps_per_chip",
         "value": round(fps, 1),
@@ -145,6 +154,61 @@ def main():
         "vs_baseline": round(fps / 10000.0, 3),
     }))
     return 0
+
+
+def bench_server_tick() -> float:
+    """Full 9-client tick rate: composite gather from 9x 800x600 uploads +
+    9 personalized half-block renders (per-client color filters) + 9
+    exclude-self audio mixes, as ONE jitted step (models/server.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asciichat_tpu.models.server import ServerTick, plan_tick
+    from asciichat_tpu.ops import audio as audio_ops
+    from asciichat_tpu.ops import cells, filters, pixel
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    C = 9
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK)
+    plan = plan_tick([(800, 600)] * C, term_w=203, term_h=64, caps=caps)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (C, 600, 800, 3), dtype=np.uint8))
+    audio = jnp.asarray(rng.normal(0, 0.1, (C, 480)).astype(np.float32))
+    active = jnp.ones(C, bool)
+    tick = ServerTick(plan, client_filters=["none", "green", "cyan", "none",
+                                            "orange", "none", "pink", "none",
+                                            "rainbow"])
+
+    def one_tick(f, a, st):
+        gathered = f[tick.cidx, tick.src_y, tick.src_x]
+        composite = jnp.where(tick.comp_mask, gathered, jnp.zeros_like(gathered))
+        batch = jnp.broadcast_to(composite, (C, *composite.shape))
+        batch = filters.apply_color_filter(batch, tick.tint, tick.fg_on_bg,
+                                           tick.is_rainbow, tick.filter_on)
+        resized = pixel.resize_nn(batch, plan.render.dst_h_px, plan.render.dst_w)
+        recs = cells._records_for_mode(resized, plan.render.mode, tick.ramp)
+        mixes, st = audio_ops.mixer_process(a, active, st)
+        chk = sum(jnp.sum(v.astype(jnp.int32)) for v in recs.values())
+        return chk + jnp.sum(mixes).astype(jnp.int32), st
+
+    @jax.jit
+    def ticks_k(frames, audio, state, k):
+        def body(i, carry):
+            acc, st = carry
+            f = frames + (acc & 1).astype(jnp.uint8)
+            chk, st = one_tick(f, audio, st)
+            return (acc + chk, st)
+        return jax.lax.fori_loop(0, k, body, (jnp.int32(0), state))
+
+    st = tick.mixer_state
+    int(ticks_k(frames, audio, st, 8)[0])  # compile
+    t0 = time.perf_counter()
+    int(ticks_k(frames, audio, st, 8)[0])
+    t1 = time.perf_counter()
+    int(ticks_k(frames, audio, st, 40)[0])
+    t2 = time.perf_counter()
+    per_tick = ((t2 - t1) - (t1 - t0)) / 32
+    return 1.0 / per_tick
 
 
 if __name__ == "__main__":
