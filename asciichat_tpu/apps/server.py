@@ -230,9 +230,11 @@ class AsciiChatServer:
                 )
                 rendered[key] = renderer.convert(frame_px, wc.width, req_h, wc.caps)
             frame = rendered[key]
+            # capabilities bit0: client cannot decompress (browser clients)
+            no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
             payload = pkt.pack_ascii_frame(
                 frame, c.wire_caps.width, c.wire_caps.height,
-                level=self.compression_level,
+                compress=not no_compress, level=self.compression_level,
             )
             c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload)
         self.ticks += 1
@@ -295,10 +297,13 @@ class AsciiChatServer:
         log.info("listening on %s:%d (tcp)", self.host, self.port)
         ws_server = None
         if self.ws_port:
+            from asciichat_tpu.apps.webclient import INDEX_HTML
             from asciichat_tpu.net.websocket import serve_ws
 
-            ws_server = await serve_ws(self._handle_conn, self.host, self.ws_port)
-            log.info("listening on %s:%d (websocket)", self.host, self.ws_port)
+            ws_server = await serve_ws(self._handle_conn, self.host, self.ws_port,
+                                       index_html=INDEX_HTML)
+            log.info("listening on %s:%d (websocket + browser client page)",
+                     self.host, self.ws_port)
         announcer = None
         if self.mdns:
             from asciichat_tpu.net.mdns import MdnsAnnouncer

@@ -191,15 +191,25 @@ async def connect_ws(host: str, port: int, path: str = "/") -> WebSocketTranspor
     return t
 
 
-async def serve_ws(handler, host: str, port: int) -> asyncio.AbstractServer:
-    """Listen for WebSocket upgrades; `await handler(WebSocketTransport)`."""
+async def serve_ws(handler, host: str, port: int,
+                   index_html: str | None = None) -> asyncio.AbstractServer:
+    """Listen for WebSocket upgrades; `await handler(WebSocketTransport)`.
+    Plain HTTP GETs are answered with `index_html` when provided (the
+    browser client page) and 400 otherwise."""
 
     async def on_conn(reader, writer):
         try:
             status, headers = await _read_http_headers(reader)
             key = headers.get("sec-websocket-key")
             if not key or "upgrade" not in headers.get("connection", "").lower():
-                writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                if index_html is not None and status.startswith("GET"):
+                    body = index_html.encode()
+                    writer.write(
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                        + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+                    )
+                else:
+                    writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
                 await writer.drain()
                 writer.close()
                 return

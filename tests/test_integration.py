@@ -245,3 +245,50 @@ def test_websocket_client_session():
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_browser_page_and_no_compress_bit():
+    """The WS port serves the browser page; caps bit0 disables compression."""
+    import struct
+    import urllib.request
+
+    port_tcp, port_ws = PORT + 6, PORT + 7
+    srv = _spawn("server", "--port", str(port_tcp), "--ws-port", str(port_ws),
+                 "--log-level", "WARNING")
+    time.sleep(4)
+    assert srv.poll() is None, srv.stderr.read().decode()[-1500:]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port_ws}/", timeout=10) as r:
+            page = r.read()
+        assert b"<title>asciichat-tpu</title>" in page
+        assert b"capsPayload" in page and b"ansiToHtml" in page
+
+        feeder = _spawn("client", "127.0.0.1", "--port", str(port_tcp),
+                        "--test-pattern", "--max-frames", "100000",
+                        "--log-level", "WARNING")
+
+        async def browser_like():
+            from asciichat_tpu.net import packet as pkt
+            from asciichat_tpu.net.websocket import connect_ws
+
+            t = await connect_ws("127.0.0.1", port_ws, path="/ws")
+            caps = bytearray(168)
+            struct.pack_into(">I", caps, 0, 1)  # bit0: no-compression
+            struct.pack_into(">I", caps, 4, 3)
+            struct.pack_into(">I", caps, 12, 2)
+            struct.pack_into(">H", caps, 16, 80)
+            struct.pack_into(">H", caps, 18, 24)
+            caps[159] = 1
+            await t.send(pkt.PacketType.CLIENT_CAPABILITIES, bytes(caps))
+            while True:
+                ptype, payload = await t.recv()
+                if ptype == pkt.PacketType.ASCII_FRAME:
+                    _w, _h, orig, comp, _crc, _fl = pkt.ASCII_FRAME_HDR.unpack(payload[:24])
+                    await t.close()
+                    return orig, comp
+        orig, comp = asyncio.run(asyncio.wait_for(browser_like(), 60))
+        assert orig > 1024 and comp == 0  # large frame, NOT compressed
+        feeder.terminate()
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
