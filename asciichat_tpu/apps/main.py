@@ -158,6 +158,40 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.set_defaults(fn=lambda a: __import__("bench").main())
 
+    def cmd_strings(a) -> int:
+        """Word-list helper (src/strings/main.c analog)."""
+        from asciichat_tpu.net.discovery import (
+            ADJECTIVES, NOUNS, generate_session_string, validate_session_string,
+        )
+
+        if a.validate:
+            ok = validate_session_string(a.validate)
+            print("valid" if ok else "invalid")
+            return 0 if ok else 1
+        if a.list_words:
+            print("adjectives:", " ".join(ADJECTIVES))
+            print("nouns:", " ".join(NOUNS))
+            return 0
+        for _ in range(a.count):
+            print(generate_session_string())
+        return 0
+
+    st = sub.add_parser("strings", help="session word-string tool")
+    st.add_argument("--count", type=int, default=1)
+    st.add_argument("--validate", default=None)
+    st.add_argument("--list-words", action="store_true")
+    st.set_defaults(fn=cmd_strings, log_level="WARNING")
+
+    def cmd_completions(a) -> int:
+        from asciichat_tpu.utils.options import default_registry, generate_completions
+
+        print(generate_completions(default_registry(), a.shell))
+        return 0
+
+    comp = sub.add_parser("completions", help="generate shell completions")
+    comp.add_argument("shell", choices=["bash", "zsh", "fish"])
+    comp.set_defaults(fn=cmd_completions, log_level="WARNING")
+
     return ap
 
 
@@ -231,6 +265,37 @@ def main(argv=None) -> int:
         signal.signal(signal.SIGUSR2, _dump_memory)
     except (ValueError, OSError, AttributeError):
         pass
+
+    # panic reporter (src/tooling/panic analog): unhandled exceptions write a
+    # report with traceback + thread stacks before the process dies
+    def _panic_hook(exc_type, exc, tb):
+        import tempfile
+        import traceback
+
+        if issubclass(exc_type, (KeyboardInterrupt, BrokenPipeError)):
+            sys.__excepthook__(exc_type, exc, tb)
+            return
+        try:
+            path = os.path.join(tempfile.gettempdir(),
+                                f"asciichat-panic-{os.getpid()}.txt")
+            with open(path, "w") as f:
+                f.write("asciichat-tpu panic report\n\n")
+                traceback.print_exception(exc_type, exc, tb, file=f)
+                f.write("\n--- threads ---\n")
+                import threading
+
+                frames = sys._current_frames()
+                for t in threading.enumerate():
+                    f.write(f"\n{t.name}:\n")
+                    fr = frames.get(t.ident)
+                    if fr:
+                        traceback.print_stack(fr, file=f)
+            print(f"panic report written to {path}", file=sys.stderr)
+        except Exception:
+            pass
+        sys.__excepthook__(exc_type, exc, tb)
+
+    sys.excepthook = _panic_hook
 
     logsys.configure(
         level=getattr(args, "log_level", "INFO"),

@@ -179,3 +179,49 @@ def test_cli_config_layering(tmp_path):
     assert all(len(ln) == 30 for ln in run("--preset", "tiny"))
     # CLI overrides config
     assert all(len(ln) == 20 for ln in run("--width", "20"))
+
+
+def test_lifecycle_once_and_shutdown():
+    from asciichat_tpu.utils import lifecycle as lc
+
+    calls = []
+    assert lc.init_once("thing", lambda: calls.append("init"))
+    assert not lc.init_once("thing", lambda: calls.append("again"))
+    assert calls == ["init"] and lc.is_initialized("thing")
+    order = []
+    lc.on_shutdown("a", lambda: order.append("a"))
+    lc.on_shutdown("b", lambda: order.append("b"))
+    lc.shutdown_all()
+    assert order == ["b", "a"]  # reverse registration order
+    assert not lc.is_initialized("thing")
+
+
+def test_framefd_roundtrip():
+    import io
+
+    from asciichat_tpu.utils.framefd import read_frame, write_frame
+
+    buf = io.BytesIO()
+    frame = b"\x1b[38;2;1;2;3mAB\nCD\x1b[0m"
+    write_frame(buf.write, frame)
+    write_frame(buf.write, b"second")
+    buf.seek(0)
+    assert read_frame(buf.read) == frame
+    assert read_frame(buf.read) == b"second"
+    assert read_frame(buf.read) is None
+
+
+def test_strings_cli():
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "ASCIICHAT_JAX_PLATFORM": "cpu", "PYTHONPATH": repo}
+    out = subprocess.run(
+        [sys.executable, "-m", "asciichat_tpu.apps.main", "strings", "--count", "2"],
+        env=env, cwd=repo, capture_output=True, timeout=120, text=True)
+    from asciichat_tpu.net.discovery import validate_session_string
+
+    lines = out.stdout.strip().split("\n")
+    assert len(lines) == 2 and all(validate_session_string(ln) for ln in lines)
