@@ -155,8 +155,23 @@ def build_parser() -> argparse.ArgumentParser:
 
     dc.set_defaults(fn=discovery_mod.main)
 
+    def cmd_bench(a) -> int:
+        # bench.py lives at the repo root (driver contract), not in the
+        # package — load it by path so installed entry points work too
+        import importlib.util
+        import pathlib
+
+        path = pathlib.Path(__file__).resolve().parents[2] / "bench.py"
+        if not path.exists():
+            print("bench.py not found (repo checkout required)", file=sys.stderr)
+            return 1
+        spec = importlib.util.spec_from_file_location("asciichat_bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.main()
+
     b = sub.add_parser("bench", help="run the throughput benchmark")
-    b.set_defaults(fn=lambda a: __import__("bench").main())
+    b.set_defaults(fn=cmd_bench)
 
     def cmd_strings(a) -> int:
         """Word-list helper (src/strings/main.c analog)."""
@@ -215,27 +230,25 @@ def main(argv=None) -> int:
 
         store = OptionsStore(default_registry())
         snap = store.load_toml(args.config, preset=getattr(args, "preset", None))
-        parser_defaults = build_parser()
+        # An option loses to the CLI only when the user actually typed it —
+        # argparse defaults cannot distinguish "unset" for non-None defaults.
+        typed = set()
+        for tok in (argv if argv is not None else sys.argv[1:]):
+            if tok.startswith("--"):
+                typed.add(tok[2:].split("=", 1)[0])
         for key, value in snap.as_dict().items():
             attr = key.replace("-", "_")
-            if not hasattr(args, attr):
+            if not hasattr(args, attr) or key in typed or attr in typed:
                 continue
-            current = getattr(args, attr)
-            if isinstance(current, bool) and isinstance(value, bool):
-                # store_true flags: CLI can only turn them on, so OR layers
-                setattr(args, attr, current or value)
-                continue
-            if current in (None, parser_defaults.get_default(attr)):
-                if key == "color-mode" and isinstance(value, str):
-                    if value != "auto":
-                        value = ColorLevel[{"none": "NONE", "16": "COLOR_16",
-                                            "256": "COLOR_256",
-                                            "truecolor": "TRUECOLOR"}[value]]
-                    else:
-                        value = None
-                if attr in ("width", "height") and value == 0:
+            if key == "color-mode" and isinstance(value, str):
+                if value == "auto":
                     continue
-                setattr(args, attr, value)
+                value = ColorLevel[{"none": "NONE", "16": "COLOR_16",
+                                    "256": "COLOR_256",
+                                    "truecolor": "TRUECOLOR"}[value]]
+            if attr in ("width", "height") and value == 0:
+                continue  # registry 0 means auto-detect
+            setattr(args, attr, value)
 
     # SIGUSR1 -> thread/stack dump, SIGUSR2 -> gc/memory report (the
     # reference's sync-state and leak-report signals, src/main.c:323-338)

@@ -52,8 +52,7 @@ def plan_tick(
     return ServerTickPlan(comp, render, num_clients or len(source_sizes), audio_samples)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "dst_h", "dst_w"))
-def _tick_step(
+def tick_compute(
     frames: jax.Array,  # uint8 [C, H, W, 3] latest frame per client
     audio: jax.Array,  # float32 [C, N]
     active: jax.Array,  # bool [C]
@@ -71,7 +70,12 @@ def _tick_step(
     mode: str,
     dst_h: int,
     dst_w: int,
+    resized_hook=None,
 ):
+    """The full tick as a pure jittable function — the single source of truth
+    also traced by bench.py's server-tick benchmark and
+    __graft_entry__.dryrun_multichip (resized_hook lets the dry run insert a
+    sharding constraint on the per-client resized batch)."""
     c = frames.shape[0]
     # 1. composite gather (needs all clients -> all-gather over ICI when sharded)
     gathered = frames[cidx, src_y, src_x]
@@ -81,10 +85,17 @@ def _tick_step(
     batch = filters.apply_color_filter(batch, tint, fg_on_bg, is_rainbow, filter_on)
     # 3. batched ASCII cell render at the clients' terminal geometry
     resized = cells.pixel.resize_nn(batch, dst_h, dst_w)
+    if resized_hook is not None:
+        resized = resized_hook(resized)
     records = cells._records_for_mode(resized, mode, ramp)
     # 4. exclude-self audio mixes (mixer.c:636 semantics, O(1) per client)
     mixes, mixer_state = audio_ops.mixer_process(audio, active, mixer_state)
     return records, mixes, mixer_state
+
+
+_tick_step = functools.partial(jax.jit, static_argnames=("mode", "dst_h", "dst_w"))(
+    tick_compute
+)
 
 
 class ServerTick:
@@ -111,6 +122,12 @@ class ServerTick:
         self.src_y = jnp.asarray(plan.composite.src_y)
         self.src_x = jnp.asarray(plan.composite.src_x)
         self.mixer_state = audio_ops.MixerState.init(c, c).astuple()
+
+    @property
+    def consts(self) -> tuple:
+        """The static per-layout arrays, in tick_compute argument order."""
+        return (self.ramp, self.tint, self.fg_on_bg, self.is_rainbow,
+                self.filter_on, self.cidx, self.src_y, self.src_x, self.comp_mask)
 
     def step(self, frames, audio, active):
         records, mixes, self.mixer_state = _tick_step(

@@ -20,19 +20,27 @@ def write_frame(fd_write, frame: bytes) -> None:
 
 
 def read_frame(fd_read) -> bytes | None:
-    """-> frame bytes or None at EOF. fd_read(n) must return exactly n bytes."""
+    """-> frame bytes, None at clean EOF, ValueError on truncation/corruption."""
     hdr = fd_read(12)
-    if not hdr or len(hdr) < 12:
-        return None
+    if not hdr:
+        return None  # clean EOF between frames
+    if len(hdr) < 12:
+        raise ValueError(f"truncated frame header ({len(hdr)} of 12 bytes)")
     if hdr[:4] != MAGIC:
         raise ValueError("bad frame-fd magic")
     total, rows = struct.unpack(">II", hdr[4:])
     body = fd_read(total)
+    if len(body) < total:
+        raise ValueError(f"truncated frame body ({len(body)} of {total} bytes)")
     lines = []
     off = 0
     for _ in range(rows):
+        if off + 4 > total:
+            raise ValueError("corrupt frame: row header past body end")
         (n,) = struct.unpack(">I", body[off : off + 4])
         off += 4
+        if off + n > total:
+            raise ValueError("corrupt frame: row length past body end")
         lines.append(body[off : off + n])
         off += n
     return b"\n".join(lines)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import threading
 from typing import Callable
 
-_lock = threading.Lock()
+_lock = threading.RLock()  # reentrant: init_fn may init_once a dependency
 _initialized: dict[str, bool] = {}
 _shutdown_hooks: list[tuple[str, Callable[[], None]]] = []
 

@@ -163,9 +163,7 @@ def bench_server_tick() -> float:
     import jax
     import jax.numpy as jnp
 
-    from asciichat_tpu.models.server import ServerTick, plan_tick
-    from asciichat_tpu.ops import audio as audio_ops
-    from asciichat_tpu.ops import cells, filters, pixel
+    from asciichat_tpu.models.server import ServerTick, plan_tick, tick_compute
     from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
 
     C = 9
@@ -180,14 +178,11 @@ def bench_server_tick() -> float:
                                             "rainbow"])
 
     def one_tick(f, a, st):
-        gathered = f[tick.cidx, tick.src_y, tick.src_x]
-        composite = jnp.where(tick.comp_mask, gathered, jnp.zeros_like(gathered))
-        batch = jnp.broadcast_to(composite, (C, *composite.shape))
-        batch = filters.apply_color_filter(batch, tick.tint, tick.fg_on_bg,
-                                           tick.is_rainbow, tick.filter_on)
-        resized = pixel.resize_nn(batch, plan.render.dst_h_px, plan.render.dst_w)
-        recs = cells._records_for_mode(resized, plan.render.mode, tick.ramp)
-        mixes, st = audio_ops.mixer_process(a, active, st)
+        recs, mixes, st = tick_compute(
+            f, a, active, st, *tick.consts,
+            mode=plan.render.mode, dst_h=plan.render.dst_h_px,
+            dst_w=plan.render.dst_w,
+        )
         chk = sum(jnp.sum(v.astype(jnp.int32)) for v in recs.values())
         return chk + jnp.sum(mixes).astype(jnp.int32), st
 

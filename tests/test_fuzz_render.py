@@ -1,0 +1,53 @@
+"""Randomized byte-exactness fuzz: random shapes, targets, modes, palettes —
+the fast path must equal the oracle everywhere, not just at curated sizes."""
+
+import numpy as np
+import pytest
+
+from asciichat_tpu.render import oracle
+from asciichat_tpu.render import palette as pal
+from asciichat_tpu.render.pipeline import AsciiRenderer
+from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+CAPS_POOL = [
+    TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND),
+    TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.BACKGROUND),
+    TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK),
+    TerminalCapabilities(ColorLevel.COLOR_256, RenderMode.FOREGROUND),
+    TerminalCapabilities(ColorLevel.COLOR_256, RenderMode.HALF_BLOCK),
+    TerminalCapabilities(ColorLevel.COLOR_16, RenderMode.FOREGROUND),
+    TerminalCapabilities(ColorLevel.COLOR_16, RenderMode.HALF_BLOCK),
+    TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND),
+    TerminalCapabilities(ColorLevel.NONE, RenderMode.HALF_BLOCK),
+    TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, wants_padding=False),
+]
+PALETTES = [pal.PALETTE_STANDARD, pal.PALETTE_BLOCKS, pal.PALETTE_MINIMAL]
+
+
+@pytest.mark.parametrize("seed", range(18))
+def test_fuzz_full_convert(seed):
+    rng = np.random.default_rng(1000 + seed)
+    src_h = int(rng.integers(2, 90))
+    src_w = int(rng.integers(2, 120))
+    width = int(rng.integers(2, 70))
+    height = int(rng.integers(2, 30))
+    stretch = bool(rng.integers(0, 2))
+    caps = CAPS_POOL[seed % len(CAPS_POOL)]
+    palette = PALETTES[seed % len(PALETTES)]
+
+    # mix structured + flat + noisy content to stress RLE boundaries
+    frame = rng.integers(0, 256, (src_h, src_w, 3), dtype=np.uint8)
+    if seed % 3 == 0:
+        frame[:, : src_w // 2] = frame[:, :1]  # long runs
+    if seed % 4 == 0:
+        frame[: src_h // 2] = 0  # transparency regions
+
+    renderer = AsciiRenderer(palette)
+    got = renderer.convert(frame, width, height, caps, stretch=stretch)
+    want = oracle.ascii_convert_with_capabilities(
+        frame, width, height, caps, stretch=stretch, palette=palette
+    )
+    assert got == want, (
+        f"seed={seed} src={src_w}x{src_h} dst={width}x{height} "
+        f"caps={caps.renderer_key()} stretch={stretch}"
+    )

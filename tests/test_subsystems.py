@@ -225,3 +225,24 @@ def test_strings_cli():
 
     lines = out.stdout.strip().split("\n")
     assert len(lines) == 2 and all(validate_session_string(ln) for ln in lines)
+
+
+def test_framefd_truncation_and_nested_lifecycle():
+    import io
+
+    from asciichat_tpu.utils import lifecycle as lc
+    from asciichat_tpu.utils.framefd import read_frame, write_frame
+
+    buf = io.BytesIO()
+    write_frame(buf.write, b"hello\nworld")
+    data = buf.getvalue()
+    with pytest.raises(ValueError):
+        read_frame(io.BytesIO(data[:14]).read)  # truncated body
+    with pytest.raises(ValueError):
+        read_frame(io.BytesIO(data[:7]).read)  # truncated header
+    assert read_frame(io.BytesIO(b"").read) is None  # clean EOF
+
+    order = []
+    lc.init_once("nested-outer", lambda: lc.init_once("nested-inner",
+                                                      lambda: order.append("in")))
+    assert order == ["in"]  # reentrant lock: no self-deadlock
