@@ -34,7 +34,8 @@ from asciichat_tpu.render.pipeline import AsciiRenderer
 from asciichat_tpu.render.types import RenderMode
 from asciichat_tpu.runtime.double_buffer import LatestFrame
 from asciichat_tpu.runtime.ringbuffer import AudioRing
-from asciichat_tpu.utils.logsys import get_logger
+from asciichat_tpu.utils.logsys import get_logger, ring_log
+from asciichat_tpu.utils.ui import Stats
 
 log = get_logger("server")
 
@@ -84,6 +85,7 @@ class AsciiChatServer:
         self.mixer_slots: list[int] = []
         self._server: asyncio.AbstractServer | None = None
         self.ticks = 0
+        self.stats = Stats()
 
     # ------------------------------------------------------------------
     # Connection handling
@@ -236,7 +238,10 @@ class AsciiChatServer:
                 frame, c.wire_caps.width, c.wire_caps.height,
                 compress=not no_compress, level=self.compression_level,
             )
-            c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload)
+            if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
+                self.stats.frames_sent += 1
+                self.stats.bytes_sent += len(payload)
+        self.stats.frames_rendered += len(rendered)
         self.ticks += 1
 
     # ------------------------------------------------------------------
@@ -276,6 +281,7 @@ class AsciiChatServer:
     async def _tick_loop(self) -> None:
         loop = asyncio.get_running_loop()
         next_video = next_audio = loop.time()
+        next_stats = loop.time() + 30.0
         while True:
             now = loop.time()
             if now >= next_video:
@@ -290,6 +296,9 @@ class AsciiChatServer:
                 except Exception:
                     log.exception("audio tick failed")
                 next_audio = max(next_audio + AUDIO_TICK, now)
+            if now >= next_stats:
+                log.info("stats: %s", self.stats.report(len(self.clients)))
+                next_stats = now + 30.0
             await asyncio.sleep(max(0.0, min(next_video, next_audio) - loop.time()))
 
     async def run(self) -> None:
@@ -320,7 +329,9 @@ class AsciiChatServer:
                 "clients": len(self.clients),
                 "ticks": self.ticks,
                 "client_ids": list(self.clients),
+                "stats": self.stats.report(len(self.clients)),
             })
+            insp.register("logs", lambda: ring_log.tail(100))
             actual = insp.start()
             log.info("inspector on http://127.0.0.1:%d", actual)
         tick = asyncio.get_running_loop().create_task(self._tick_loop())

@@ -55,6 +55,33 @@ class JsonFormatter(logging.Formatter):
         })
 
 
+class RingLogHandler(logging.Handler):
+    """In-memory ring of recent records with regex search (the reference's
+    named ring-buffer logs + search, lib/log/{named,search}.c, mmap ring)."""
+
+    def __init__(self, capacity: int = 2048):
+        super().__init__()
+        from collections import deque
+
+        self.ring = deque(maxlen=capacity)
+
+    def emit(self, record):
+        try:
+            self.ring.append((record.created, record.levelname, record.name,
+                              record.getMessage()))
+        except Exception:
+            pass
+
+    def search(self, pattern: str, limit: int = 100) -> list[tuple]:
+        rx = re.compile(pattern)
+        return [e for e in self.ring if rx.search(e[3])][-limit:]
+
+    def tail(self, n: int = 50) -> list[tuple]:
+        return list(self.ring)[-n:]
+
+
+ring_log = RingLogHandler()
+
 _configured = False
 
 
@@ -72,6 +99,7 @@ def configure(
     stream = logging.StreamHandler(sys.stderr)
     stream.setFormatter(JsonFormatter() if json_output else ColorFormatter(fmt))
     root.addHandler(stream)
+    root.addHandler(ring_log)  # always-on in-memory ring for search/inspector
     if log_file:
         fh = logging.handlers.RotatingFileHandler(
             log_file, maxBytes=ROTATE_BYTES, backupCount=3
