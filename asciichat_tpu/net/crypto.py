@@ -192,6 +192,7 @@ class CryptoContext:
         self._temp_private: X25519PrivateKey | None = None
         self.password_key: bytes | None = None
         self.previous_key: bytes | None = None
+        self._previous_key_expiry = 0.0
 
     # -- key exchange ----------------------------------------------------
     def compute_shared(self, peer_public: bytes) -> None:
@@ -233,8 +234,13 @@ class CryptoContext:
             return secretbox_open(ciphertext[NONCE_SIZE:], nonce, self._key)
         except ValueError:
             # packets encrypted under the pre-rekey key may still be in
-            # flight; accept them during the transition window
+            # flight; accept them ONLY during a short transition window — the
+            # reference zeroizes the old key at rekey commit (crypto.c:1322),
+            # so the old key must actually retire (forward security).
             if self.previous_key is not None:
+                if time.monotonic() >= self._previous_key_expiry:
+                    self.previous_key = None
+                    raise
                 return secretbox_open(ciphertext[NONCE_SIZE:], nonce, self.previous_key)
             raise
 
@@ -247,8 +253,13 @@ class CryptoContext:
         """HMAC-SHA256 over challenge||shared_key, keyed by the password key
         when one exists else the shared key (crypto.c:927-963: combined_data =
         nonce(32)||shared_key(32), auth_key = password_key ?: shared_key)."""
-        data = challenge + (self.shared_key or b"")
-        key = self.password_key if self.password_key is not None else self._key
+        # The DH binding is mandatory: the reference refuses auth before key
+        # exchange completes (crypto.c:927-963), preventing a MITM from
+        # silently stripping the shared-secret binding in password sessions.
+        if self.shared_key is None:
+            raise ValueError("auth challenge before key exchange completed")
+        data = challenge + self.shared_key
+        key = self.password_key if self.password_key is not None else self.shared_key
         return hmac_mod.new(key, data, hashlib.sha256).digest()
 
     def verify_challenge_answer(self, answer: bytes) -> bool:
@@ -269,10 +280,17 @@ class CryptoContext:
         self.rekey.in_progress = True
         return self._temp_private.public_key().public_bytes_raw()
 
+    PREVIOUS_KEY_GRACE_S = 5.0
+
     def finish_rekey(self, peer_new_public: bytes) -> None:
-        """Install the new shared key (crypto.c:1298-1341)."""
-        assert self._temp_private is not None
+        """Install the new shared key (crypto.c:1298-1341). Raises ValueError
+        on an unsolicited rekey response (no rekey in progress) — the
+        reference returns CRYPTO_ERROR_REKEY_FAILED for this state instead of
+        crashing the connection."""
+        if self._temp_private is None:
+            raise ValueError("no rekey in progress")
         self.previous_key = self.shared_key
+        self._previous_key_expiry = time.monotonic() + self.PREVIOUS_KEY_GRACE_S
         self.shared_key = self._temp_private.exchange(
             X25519PublicKey.from_public_bytes(peer_new_public)
         )

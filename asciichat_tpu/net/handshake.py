@@ -164,7 +164,10 @@ class SecureChannel:
                 self.ctx.finish_rekey(payload[:32])
                 continue
             if ptype == P.CRYPTO_REKEY_RESPONSE:
-                self.ctx.finish_rekey(payload[:32])
+                try:
+                    self.ctx.finish_rekey(payload[:32])
+                except ValueError:
+                    continue  # unsolicited rekey response: ignore, don't die
                 await self.t.send(P.CRYPTO_REKEY_COMPLETE)
                 continue
             if ptype == P.CRYPTO_REKEY_COMPLETE:

@@ -167,7 +167,9 @@ def pack_packet(ptype: int, payload: bytes = b"", client_id: int = 0) -> bytes:
 
 
 def unpack_header(buf: bytes) -> tuple[int, int, int, int]:
-    """-> (type, length, crc32, client_id); raises on bad magic."""
+    """-> (type, length, crc32, client_id); raises ValueError on bad input."""
+    if len(buf) < HEADER_SIZE:
+        raise ValueError(f"short packet header: {len(buf)} < {HEADER_SIZE}")
     magic, ptype, length, crc, client_id = HEADER.unpack(buf[:HEADER_SIZE])
     if magic != MAGIC:
         raise ValueError(f"bad packet magic 0x{magic:x}")
@@ -241,9 +243,16 @@ def pack_ascii_frame(
     return hdr + data
 
 
+MAX_DECOMPRESSED_SIZE = 64 * 1024 * 1024  # decompression-bomb guard
+
+
 def unpack_ascii_frame(payload: bytes) -> tuple[bytes, int, int, int]:
     """-> (frame_bytes, width, height, flags); verifies CRC of the original."""
+    if len(payload) < ASCII_FRAME_HDR.size:
+        raise ValueError("short ascii frame header")
     w, h, orig, comp, crc, flags = ASCII_FRAME_HDR.unpack(payload[: ASCII_FRAME_HDR.size])
+    if orig > MAX_DECOMPRESSED_SIZE:
+        raise ValueError(f"ascii frame original_size {orig} exceeds cap")
     body = payload[ASCII_FRAME_HDR.size :]
     frame = decompress(body, orig) if comp else body
     if len(frame) != orig:
@@ -268,9 +277,15 @@ def pack_image_frame(
 
 def unpack_image_frame(payload: bytes) -> tuple[bytes, int, int, int]:
     """-> (pixels, width, height, pixel_format)."""
+    if len(payload) < IMAGE_FRAME_HDR.size:
+        raise ValueError("short image frame header")
     w, h, fmt, comp, crc, _ts = IMAGE_FRAME_HDR.unpack(payload[: IMAGE_FRAME_HDR.size])
+    if w > 10000 or h > 10000:  # reference dimension sanity (ascii.c:204)
+        raise ValueError(f"image dimensions {w}x{h} exceed sanity bounds")
+    if w * h * 3 > MAX_DECOMPRESSED_SIZE:
+        raise ValueError(f"image {w}x{h} exceeds decompression cap")
     body = payload[IMAGE_FRAME_HDR.size :]
-    pixels = decompress(body, w * h * 3 * 2 + 64) if comp else body
+    pixels = decompress(body, w * h * 3 + 64) if comp else body
     if crc32c(pixels) != crc:
         raise ValueError("image frame CRC mismatch")
     return pixels, w, h, fmt

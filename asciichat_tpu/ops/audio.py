@@ -130,9 +130,15 @@ def _compressor_gain_reduction_db(p: MixerParams, level_db):
 
 
 def _attack_release(value, target, attack_coeff, release_coeff):
-    """One-pole smoothing with separate attack/release (mixer.c:92-106)."""
+    """ENVELOPE smoothing: attack when the level RISES (mixer.c:92-95)."""
     coeff = jnp.where(target > value, attack_coeff, release_coeff)
-    # attack when target rises above value: env = a*env + (1-a)*target
+    return coeff * value + (1.0 - coeff) * target
+
+
+def _gain_smooth(value, target, attack_coeff, release_coeff):
+    """GAIN smoothing: attack when the gain FALLS — reduction engages fast,
+    recovery is slow (mixer.c:102-106 compressor, :209-214 ducking)."""
+    coeff = jnp.where(target < value, attack_coeff, release_coeff)
     return coeff * value + (1.0 - coeff) * target
 
 
@@ -175,7 +181,7 @@ def mixer_process(
         is_speaking = env_db > p.duck_threshold_db
         is_leader = jnp.logical_and(is_speaking, env_db >= max_db - p.duck_margin_db)
         target = jnp.where(jnp.logical_and(is_speaking, ~is_leader), db_to_linear(p.duck_atten_db), 1.0)
-        duck_gain = _attack_release(duck_gain, target, p.duck_attack_coeff, p.duck_release_coeff)
+        duck_gain = _gain_smooth(duck_gain, target, p.duck_attack_coeff, p.duck_release_coeff)
 
         crowd = jnp.where(speaking_count > 0, 1.0 / jnp.power(jnp.maximum(speaking_count, 1.0), p.crowd_alpha), 1.0)
         combined = duck_gain * activef * (p.base_gain * crowd)  # [S]
@@ -192,7 +198,7 @@ def mixer_process(
         comp_env = _attack_release(comp_env, frame_peak, p.comp_attack_coeff, p.comp_release_coeff)
         gr_db = _compressor_gain_reduction_db(p, linear_to_db(comp_env))
         target_lin = db_to_linear(gr_db + p.comp_makeup_db)
-        comp_gain = _attack_release(comp_gain, target_lin, p.comp_attack_coeff, p.comp_release_coeff)
+        comp_gain = _gain_smooth(comp_gain, target_lin, p.comp_attack_coeff, p.comp_release_coeff)
 
         out = soft_clip(mixes * comp_gain[:, None], p.clip_threshold, p.clip_steepness)
         return (env, duck_gain, comp_env, comp_gain), out

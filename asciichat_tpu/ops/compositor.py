@@ -146,12 +146,31 @@ def plan_composite(
     return CompositePlan(comp_w, comp_h, cols, rows, cidx, sy, sx)
 
 
+def device_maps(plan: CompositePlan) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Cached device copies of the gather maps: (cidx, sy, sx, mask).
+
+    The maps only change on join/leave/resize; without caching every tick
+    would re-upload ~4 int32 maps host->device (hundreds of KB at 60 fps).
+    The cache lives ON the plan object (a frozen dataclass, so set via
+    object.__setattr__) — keying a global dict by id(plan) would serve stale
+    maps when CPython reuses the id of a collected plan."""
+    cached = getattr(plan, "_device_maps", None)
+    if cached is None:
+        cached = (
+            jnp.asarray(np.maximum(plan.client_idx, 0)),
+            jnp.asarray(plan.src_y),
+            jnp.asarray(plan.src_x),
+            jnp.asarray((plan.client_idx >= 0)[..., None]),
+        )
+        object.__setattr__(plan, "_device_maps", cached)
+    return cached
+
+
 def composite_gather(frames: jax.Array, plan: CompositePlan) -> jax.Array:
     """Device data plane: frames uint8 [C, H, W, 3] -> composite uint8
     [height_px, width_px, 3]. Background cells are black (image_clear)."""
-    cidx = jnp.asarray(np.maximum(plan.client_idx, 0))
-    mask = jnp.asarray((plan.client_idx >= 0)[..., None])
-    gathered = frames[cidx, jnp.asarray(plan.src_y), jnp.asarray(plan.src_x)]
+    cidx, sy, sx, mask = device_maps(plan)
+    gathered = frames[cidx, sy, sx]
     return jnp.where(mask, gathered, jnp.zeros_like(gathered))
 
 

@@ -32,7 +32,13 @@ def _np_mixer(samples, active, params: A.MixerParams, exclude_self=True):
     l2d = lambda x: 20.0 * math.log10(max(x, 1e-12))
 
     def ar(val, tgt, att, rel):
+        # envelope: attack when level rises (mixer.c:92-95)
         coeff = att if tgt > val else rel
+        return coeff * val + (1 - coeff) * tgt
+
+    def gs(val, tgt, att, rel):
+        # gain: attack when gain falls (mixer.c:102-106, 209-214)
+        coeff = att if tgt < val else rel
         return coeff * val + (1 - coeff) * tgt
 
     for f0 in range(0, n, A.MIXER_FRAME_SIZE):
@@ -49,7 +55,7 @@ def _np_mixer(samples, active, params: A.MixerParams, exclude_self=True):
             is_speak = env_db[i] > p.duck_threshold_db
             is_leader = is_speak and env_db[i] >= max_db - p.duck_margin_db
             tgt = d2l(p.duck_atten_db) if (is_speak and not is_leader) else 1.0
-            duck[i] = ar(duck[i], tgt, p.duck_attack_coeff, p.duck_release_coeff)
+            duck[i] = gs(duck[i], tgt, p.duck_attack_coeff, p.duck_release_coeff)
         crowd = 1.0 / (speaking_count ** p.crowd_alpha) if speaking_count > 0 else 1.0
         combined = duck * active * (p.base_gain * crowd)
         weighted = chunk * combined[:, None]
@@ -70,7 +76,7 @@ def _np_mixer(samples, active, params: A.MixerParams, exclude_self=True):
                 x = over + knee / 2
                 gr = slope * x * x / (2 * knee)
             tgt = d2l(gr + p.comp_makeup_db)
-            cgain[c] = ar(cgain[c], tgt, p.comp_attack_coeff, p.comp_release_coeff)
+            cgain[c] = gs(cgain[c], tgt, p.comp_attack_coeff, p.comp_release_coeff)
             out[c, f0:f1] = [_np_soft_clip(v, p.clip_threshold, p.clip_steepness)
                              for v in mixes[c] * cgain[c]]
     return out

@@ -193,3 +193,39 @@ def test_secure_channel_with_rekey_over_tcp():
     assert r["got"] == r["echoed"]
     # at least one rekey fired on both sides past the 5-packet threshold
     assert r["client_rekeys"] >= 1 and r["server_rekeys"] >= 1
+
+
+def test_previous_key_expires_after_grace():
+    import time as time_mod
+
+    a = C.CryptoContext()
+    b = C.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    ct_old = a.encrypt(b"from the old key")
+    pub_a, pub_b = a.start_rekey(), b.start_rekey()
+    a.finish_rekey(pub_b)
+    b.finish_rekey(pub_a)
+    # within grace: old-key packet still decrypts
+    assert b.decrypt(ct_old) == b"from the old key"
+    # after grace: old key is retired
+    b._previous_key_expiry = time_mod.monotonic() - 1
+    ct_old2 = bytearray(ct_old)
+    with pytest.raises(ValueError):
+        b.decrypt(bytes(ct_old2))
+    assert b.previous_key is None  # zeroized
+
+
+def test_unsolicited_rekey_response_rejected():
+    a = C.CryptoContext()
+    b = C.CryptoContext()
+    a.compute_shared(b.public_key)
+    with pytest.raises(ValueError):
+        a.finish_rekey(b.public_key)  # no rekey in progress
+
+
+def test_challenge_requires_key_exchange():
+    a = C.CryptoContext()
+    a.set_password("pw")
+    with pytest.raises(ValueError):
+        a.answer_challenge(b"x" * 32)  # DH binding is mandatory

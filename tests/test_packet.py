@@ -113,3 +113,28 @@ def test_size_and_error_messages():
     assert proto.unpack_size(proto.pack_size(203, 64)) == (203, 64)
     code, msg = proto.unpack_error(proto.pack_error(42, "bad thing"))
     assert (code, msg) == (42, "bad thing")
+
+
+def test_decompression_bomb_rejected():
+    import struct
+
+    # image frame claiming 65535x65535 with a tiny compressed body
+    comp, _ = pkt._zstd()
+    body = comp.compress(b"\x00" * 100)
+    hdr = pkt.IMAGE_FRAME_HDR.pack(0xFFFF, 0xFFFF, 0, len(body), 0, 0)
+    with pytest.raises(ValueError, match="sanity|cap"):
+        pkt.unpack_image_frame(hdr + body)
+    # ascii frame claiming a 4GB original
+    hdr = pkt.ASCII_FRAME_HDR.pack(80, 24, 0xFFFFFFF0, len(body), 0,
+                                   pkt.FRAME_FLAG_IS_COMPRESSED)
+    with pytest.raises(ValueError, match="cap"):
+        pkt.unpack_ascii_frame(hdr + body)
+
+
+def test_short_header_raises_valueerror():
+    with pytest.raises(ValueError, match="short"):
+        pkt.unpack_header(b"\x00" * 10)
+    with pytest.raises(ValueError, match="short"):
+        pkt.unpack_ascii_frame(b"tiny")
+    with pytest.raises(ValueError, match="short"):
+        pkt.unpack_image_frame(b"tiny")

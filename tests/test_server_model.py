@@ -114,3 +114,37 @@ def test_graft_entry():
     jax.block_until_ready(out)
     assert out["rgb"].shape == (2, 28, 80, 3)
     g.dryrun_multichip(8)
+
+
+def test_sharded_tick_inserts_collectives():
+    """The compiled multi-chip tick must contain an all-gather (the composite
+    needs every client's frame) — evidence XLA routes it over the mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from asciichat_tpu.models.server import ServerTick, plan_tick, tick_compute
+    from asciichat_tpu.parallel import mesh as meshlib
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    C = 8
+    mesh = meshlib.make_mesh(8)
+    plan = plan_tick([(32, 24)] * C, term_w=64, term_h=20,
+                     caps=TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND))
+    tick = ServerTick(plan)
+    sh = NamedSharding(mesh, P(meshlib.CLIENTS_AXIS))
+    frames = jax.device_put(np.zeros((C, 24, 32, 3), np.uint8), sh)
+    audio = jax.device_put(np.zeros((C, 480), np.float32), sh)
+    active = jax.device_put(np.ones(C, bool), sh)
+    state = tuple(jax.device_put(np.asarray(x), sh) for x in tick.mixer_state)
+
+    import functools
+
+    fn = functools.partial(tick_compute, mode=plan.render.mode,
+                           dst_h=plan.render.dst_h_px, dst_w=plan.render.dst_w)
+    lowered = jax.jit(fn).lower(frames, audio, active, state, *tick.consts)
+    hlo = lowered.compile().as_text()
+    assert "all-gather" in hlo or "all-reduce" in hlo or "collective" in hlo, (
+        "expected a cross-device collective in the compiled sharded tick"
+    )
