@@ -292,3 +292,53 @@ def test_browser_page_and_no_compress_bit():
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_custom_palette_and_filter_over_wire(server):
+    """CLIENT_CAPABILITIES palette_custom + color_filter personalize frames."""
+    import struct
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import connect_tcp
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    async def run():
+        feeder = await connect_tcp("127.0.0.1", PORT)
+        await feeder.send(pkt.PacketType.CLIENT_CAPABILITIES,
+                          proto.WireCapabilities().pack())
+        frame = np.full((48, 64, 3), 200, np.uint8)
+        await feeder.send(pkt.PacketType.IMAGE_FRAME,
+                          pkt.pack_image_frame(frame.tobytes(), 64, 48))
+
+        caps = TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND,
+                                    wants_padding=False)
+        viewer_wire = proto.WireCapabilities(
+            caps=caps, width=40, height=12, palette_custom="@+. ",
+            color_filter=3,  # green
+        )
+        viewer = await connect_tcp("127.0.0.1", PORT)
+        await viewer.send(pkt.PacketType.CLIENT_CAPABILITIES, viewer_wire.pack())
+        deadline = asyncio.get_event_loop().time() + 30
+        body = None
+        while asyncio.get_event_loop().time() < deadline:
+            # keep feeding so the tick has a source
+            await feeder.send(pkt.PacketType.IMAGE_FRAME,
+                              pkt.pack_image_frame(frame.tobytes(), 64, 48))
+            try:
+                ptype, payload = await asyncio.wait_for(viewer.recv(), timeout=5)
+            except asyncio.TimeoutError:
+                continue
+            if ptype == pkt.PacketType.ASCII_FRAME:
+                body, _w, _h, _fl = pkt.unpack_ascii_frame(payload)
+                break
+        await feeder.close()
+        await viewer.close()
+        return body
+
+    body = asyncio.run(asyncio.wait_for(run(), 60))
+    assert body is not None
+    # mono render of a flat bright frame with palette "@+. " must use ONLY
+    # characters from the custom palette (flat gray 200 -> one glyph + REP)
+    visible = set(body.replace(b"\n", b"")) - set(b"\x1b[0123456789b")
+    assert visible and visible <= set(b"@+. "), visible

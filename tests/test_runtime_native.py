@@ -99,3 +99,21 @@ def test_yuyv_conversion():
     buf = bytes([128, 128, 128, 255]) * (16 * 16 // 2)
     rgb = yuyv_to_rgb(buf, 16, 16)
     assert rgb[0, 0, 0] > rgb[0, 0, 1] and rgb[0, 0, 0] > rgb[0, 0, 2]
+
+
+def test_device_frame_stager():
+    import numpy as np
+
+    from asciichat_tpu.runtime.device_stream import DeviceFrameStager
+
+    stager = DeviceFrameStager()
+    a = np.full((2, 4, 4, 3), 1, np.uint8)
+    b = np.full((2, 4, 4, 3), 2, np.uint8)
+    c = np.full((2, 4, 4, 3), 3, np.uint8)
+    assert stager.stage(a) is None  # nothing resident yet
+    got = stager.stage(b)
+    np.testing.assert_array_equal(np.asarray(got), a)  # previous batch ready
+    got = stager.stage(c)
+    np.testing.assert_array_equal(np.asarray(got), b)
+    np.testing.assert_array_equal(np.asarray(stager.latest()), c)
+    stager.flush()
