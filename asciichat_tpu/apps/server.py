@@ -121,6 +121,7 @@ class AsciiChatServer:
         self.clients[cid] = state
         log.info("client %d connected from %s%s", cid, t.peername,
                  " (encrypted)" if chan is not t else "")
+        await self._broadcast_state()
         try:
             await self._recv_loop(state)
         except (asyncio.IncompleteReadError, ConnectionError):
@@ -131,6 +132,7 @@ class AsciiChatServer:
         finally:
             self.clients.pop(cid, None)
             log.info("client %d disconnected", cid)
+            await self._broadcast_state()
 
     async def _recv_loop(self, c: ClientState) -> None:
         P = pkt.PacketType
@@ -152,6 +154,7 @@ class AsciiChatServer:
                 )
                 c.has_caps = True
                 await c.transport.send(P.CLEAR_CONSOLE)
+                await self._broadcast_state()
             elif ptype == P.SIZE_MESSAGE:
                 w, h = proto.unpack_size(payload)
                 c.wire_caps.width, c.wire_caps.height = w, h
@@ -171,11 +174,33 @@ class AsciiChatServer:
                 c.audio.write(np.frombuffer(body, "<f4")[:total])
             elif ptype == P.PING:
                 await c.transport.send(P.PONG, payload)
+            elif ptype == P.CLIENT_JOIN:
+                c.streaming = True  # announces media capability (packet.h:5003)
+            elif ptype == P.REMOTE_LOG:
+                # bidirectional remote logging (packet.h:2004)
+                log.info("remote[%d]: %s", c.id,
+                         payload[:500].decode(errors="replace"))
+            elif ptype == P.AUDIO_OPUS_BATCH:
+                # Opus is a gated codec seat (runtime/codecs.py); without a
+                # libopus binding the batch is acknowledged but not mixed
+                pass
             elif ptype == P.CLIENT_LEAVE:
                 return
             elif ptype == P.TEXT_MESSAGE:
                 await self._broadcast(P.TEXT_MESSAGE, payload, exclude=c.id)
             # unknown types are tolerated (forward compat)
+
+    async def _broadcast_state(self) -> None:
+        """PACKET_TYPE_SERVER_STATE: current roster to all clients
+        (src/server state broadcast, packet.h:5008)."""
+        import json
+
+        payload = json.dumps({
+            "clients": len(self.clients),
+            "streaming": sum(1 for c in self.clients.values() if c.streaming),
+            "max_clients": MAX_CLIENTS,
+        }).encode()
+        await self._broadcast(pkt.PacketType.SERVER_STATE, payload)
 
     async def _broadcast(self, ptype, payload: bytes, exclude: int = -1) -> None:
         for cid, c in list(self.clients.items()):

@@ -145,6 +145,17 @@ def open_source(
         return StdinSource(*stdin_size)
     if file:
         lower = file.lower()
+        if lower.startswith(("http://", "https://")):
+            # yt-dlp URL resolution fallback (lib/media/yt_dlp.c): resolve the
+            # page URL to a direct media URL, then decode via ffmpeg
+            if shutil.which("yt-dlp"):
+                resolved = subprocess.run(
+                    ["yt-dlp", "-g", "-f", "best", file],
+                    capture_output=True, text=True, timeout=60,
+                )
+                if resolved.returncode == 0 and resolved.stdout.strip():
+                    file = resolved.stdout.strip().split("\n")[0]
+            return FFmpegFileSource(file, loop=loop)
         if lower.endswith((".png", ".jpg", ".jpeg", ".bmp", ".gif", ".webp")):
             return ImageFileSource(file)
         return FFmpegFileSource(file, loop=loop)
