@@ -204,8 +204,17 @@ class AcdsServer:
             if participant_id:
                 self.clients.pop(participant_id, None)
                 if session_string:
+                    info = self.db.lookup(session_string)
+                    was_host = bool(info and info.host_id == participant_id)
                     self.db.leave(session_string, participant_id)
+                    self.metrics.get(session_string, {}).pop(participant_id, None)
                     await self._broadcast_participants(session_string)
+                    if was_host:
+                        # host failover: immediate re-election among the
+                        # remaining participants (backup promotion path)
+                        log.info("host %s left session %s: re-electing",
+                                 participant_id, session_string)
+                        await self._run_election(session_string)
 
     async def _election_loop(self) -> None:
         while True:

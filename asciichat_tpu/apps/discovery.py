@@ -1,16 +1,19 @@
-"""Discovery mode: P2P sessions with automatic host negotiation.
+"""Discovery mode: P2P sessions with automatic host negotiation + failover.
 
-Parity with src/discovery/ + src/common/session/{host,participant}.c: the
-first participant creates a session on the ACDS and HOSTS the chat server
-locally; joiners look the session up by its word-string and connect to the
-designated host. Participants report NETWORK_QUALITY metrics; when ACDS
-broadcasts HOST_DESIGNATED with a new host (election or failover),
-participants migrate by reconnecting to the new address.
+Parity with src/discovery/ + src/common/session/{host,participant}.c and the
+host-failover path (ring-consensus election of host+backup,
+docs/ring-consensus-protocol.md): every participant runs a STANDBY chat
+server on its own port and reports NETWORK_QUALITY metrics advertising it;
+the ACDS designates the host (initially the session creator). When the host
+drops, the ACDS immediately re-elects among the remaining participants and
+broadcasts HOST_DESIGNATED — every participant's viewer migrates to the new
+host by reconnecting, so the session survives the host's death.
 """
 
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import json
 import secrets
 
@@ -36,6 +39,10 @@ class DiscoverySession:
         self.host_id: str | None = None
         self.host_address: str | None = None
         self.host_port: int | None = None
+        # this participant's own standby-server contact info (advertised in
+        # NETWORK_QUALITY so elections can designate us)
+        self.my_address: str = "127.0.0.1"
+        self.my_port: int = 0
         self.participants: list[str] = []
         self.on_host_changed = None  # callback(address, port)
         self._t = None
@@ -45,23 +52,27 @@ class DiscoverySession:
 
     async def create(self, my_port: int, my_address: str = "127.0.0.1",
                      reserved_string: str | None = None) -> str:
+        self.my_address, self.my_port = my_address, my_port
         await self._t.send(pkt.PacketType.ACIP_SESSION_CREATE, json.dumps({
             "participant_id": self.participant_id,
             "address": my_address,
             "port": my_port,
             "reserved_string": reserved_string,
         }).encode())
-        ptype, payload = await self._t.recv()
-        resp = json.loads(payload)
-        if ptype == pkt.PacketType.ERROR_MESSAGE:
-            raise RuntimeError(resp.get("error", "session create failed"))
-        self.session_string = resp["session_string"]
-        self.host_id = self.participant_id
-        self.host_address, self.host_port = my_address, my_port
-        return self.session_string
+        while True:
+            ptype, payload = await self._t.recv()
+            if ptype == pkt.PacketType.ERROR_MESSAGE:
+                raise RuntimeError(json.loads(payload).get("error", "create failed"))
+            if ptype == pkt.PacketType.ACIP_SESSION_CREATED:
+                resp = json.loads(payload)
+                self.session_string = resp["session_string"]
+                self.host_id = self.participant_id
+                self.host_address, self.host_port = my_address, my_port
+                return self.session_string
 
-    async def join(self, session_string: str, my_address: str = "",
+    async def join(self, session_string: str, my_address: str = "127.0.0.1",
                    my_port: int = 0) -> tuple[str, int]:
+        self.my_address, self.my_port = my_address, my_port
         await self._t.send(pkt.PacketType.ACIP_SESSION_JOIN, json.dumps({
             "participant_id": self.participant_id,
             "session_string": session_string,
@@ -85,8 +96,8 @@ class DiscoverySession:
         return cons.ParticipantMetrics(
             participant_id=self.participant_id,
             nat_tier=1, upload_kbps=10_000, rtt_ms=20, stun_success_pct=100,
-            address=self.host_address or "127.0.0.1",
-            port=self.host_port or 0,
+            address=self.my_address,
+            port=self.my_port,
         )
 
     async def event_loop(self) -> None:
@@ -120,51 +131,95 @@ class DiscoverySession:
 
     async def leave(self) -> None:
         if self._t and self.session_string:
-            await self._t.send(pkt.PacketType.ACIP_SESSION_LEAVE, b"{}")
+            with contextlib.suppress(ConnectionError):
+                await self._t.send(pkt.PacketType.ACIP_SESSION_LEAVE, b"{}")
             await self._t.close()
+
+
+async def _viewer_loop(sess: DiscoverySession, args, writer_factory) -> int:
+    """Follow the designated host: (re)connect the viewer client whenever the
+    ACDS announces a migration (host failover, participant.c role)."""
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.utils import term
+
+    caps = term.detect_capabilities()
+    w, h = term.terminal_size(args.width, args.height)
+    received_total = 0
+    while True:
+        host, port = sess.host_address, sess.host_port
+        if sess.host_id == sess.participant_id:
+            host, port = "127.0.0.1", sess.my_port  # we ARE the host
+        remaining = None if args.max_frames is None else args.max_frames - received_total
+        if remaining is not None and remaining <= 0:
+            return received_total
+        changed = asyncio.Event()
+        sess.on_host_changed = lambda a, p: changed.set()
+        client = AsciiChatClient(
+            host, port, writer_factory(),
+            proto.WireCapabilities(caps=caps, width=w, height=h),
+            reconnect=False,
+        )
+        run_task = asyncio.create_task(client.run(max_frames=remaining))
+        changed_task = asyncio.create_task(changed.wait())
+        done, _ = await asyncio.wait({run_task, changed_task},
+                                     return_when=asyncio.FIRST_COMPLETED)
+        received_total += client.frames_received
+        if run_task in done:
+            changed_task.cancel()
+            exc = run_task.exception()
+            if exc is None and (args.max_frames is None or received_total >= args.max_frames):
+                return received_total
+            # connection to the host died: wait for a HOST_DESIGNATED
+            log.warning("viewer lost the host (%s); awaiting re-election",
+                        exc or "stream ended")
+            try:
+                await asyncio.wait_for(changed.wait(), timeout=30)
+            except asyncio.TimeoutError:
+                return received_total
+        else:
+            # migration announced mid-stream: reconnect to the new host
+            run_task.cancel()
+            with contextlib.suppress(asyncio.CancelledError, Exception):
+                await run_task
 
 
 async def run_discovery(args) -> int:
     from asciichat_tpu.apps.server import AsciiChatServer
+    from asciichat_tpu.runtime.framesource import open_source
 
     sess = DiscoverySession(args.acds, args.acds_port)
     await sess.connect()
+
+    # every participant runs a standby server so it can be elected host
+    standby = AsciiChatServer("0.0.0.0", args.port)
+    from asciichat_tpu.net.transport import serve_tcp
+
+    standby_srv = await serve_tcp(standby._handle_conn, "0.0.0.0", args.port)
+    standby_tick = asyncio.get_running_loop().create_task(standby._tick_loop())
+
     if args.join:
-        host, port = await sess.join(args.join)
-        log.info("joined %s -> host at %s:%d", args.join, host, port)
+        host, port = await sess.join(args.join, my_address=args.advertise,
+                                     my_port=args.port)
+        log.info("joined %s -> host at %s:%d (standby server on :%d)",
+                 args.join, host, port, args.port)
         print(f"session: {args.join}\nhost: {host}:{port}", flush=True)
-        events = asyncio.create_task(sess.event_loop())
-        from asciichat_tpu.apps.client import AsciiChatClient
-        from asciichat_tpu.net import protocol as proto
-        from asciichat_tpu.runtime.framesource import open_source
-        from asciichat_tpu.utils import term
+    else:
+        session_string = await sess.create(args.port, my_address=args.advertise)
+        print(f"session: {session_string}", flush=True)
+        log.info("hosting session %s on port %d", session_string, args.port)
 
-        caps = term.detect_capabilities()
-        w, h = term.terminal_size(args.width, args.height)
-        client = AsciiChatClient(
-            host, port, open_source(test_pattern=True),
-            proto.WireCapabilities(caps=caps, width=w, height=h),
-        )
-        try:
-            await client.run(max_frames=args.max_frames)
-        finally:
-            events.cancel()
-            await sess.leave()
-        return 0
-
-    # create + host
-    port = args.port
-    session_string = await sess.create(port, my_address=args.advertise)
-    print(f"session: {session_string}", flush=True)
-    log.info("hosting session %s on port %d", session_string, port)
     events = asyncio.create_task(sess.event_loop())
-    server = AsciiChatServer("0.0.0.0", port)
     try:
-        await server.run()
+        n = await _viewer_loop(sess, args,
+                               lambda: open_source(test_pattern=True))
+        log.info("viewer received %d frames", n)
+        return 0
     finally:
         events.cancel()
+        standby_tick.cancel()
+        standby_srv.close()
         await sess.leave()
-    return 0
 
 
 def main(args) -> int:

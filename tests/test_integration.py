@@ -342,3 +342,38 @@ def test_custom_palette_and_filter_over_wire(server):
     # characters from the custom palette (flat gray 200 -> one glyph + REP)
     visible = set(body.replace(b"\n", b"")) - set(b"\x1b[0123456789b")
     assert visible and visible <= set(b"@+. "), visible
+
+
+def test_host_failover():
+    """Kill the session host: ACDS re-elects, the surviving participant's
+    viewer migrates to the new host and keeps receiving frames (the host
+    failover path, docs/ring-consensus-protocol.md)."""
+    ap, pa, pb = PORT + 8, PORT + 9, PORT + 10
+    acds = _spawn("discovery-service", "--port", str(ap), "--log-level", "INFO")
+    time.sleep(3)
+    assert acds.poll() is None, acds.stderr.read().decode()[-1500:]
+    a = b = None
+    try:
+        a = _spawn("discovery", "--acds", "127.0.0.1", "--acds-port", str(ap),
+                   "--port", str(pa), "--log-level", "WARNING")
+        session = a.stdout.readline().decode().strip().split(": ", 1)[1]
+        time.sleep(4)
+        b = _spawn("discovery", "--acds", "127.0.0.1", "--acds-port", str(ap),
+                   "--join", session, "--port", str(pb), "--max-frames", "100000",
+                   "--width", "40", "--height", "10", "--log-level", "INFO")
+        time.sleep(8)
+        a.kill()  # host dies mid-session
+        a.wait(timeout=10)
+        deadline = time.monotonic() + 30
+        migrated = False
+        while time.monotonic() < deadline and not migrated:
+            line = b.stderr.readline().decode()
+            if "host migrated" in line:
+                migrated = True
+        assert migrated, "no HOST_DESIGNATED migration observed"
+        assert b.poll() is None  # survivor keeps running as the new host
+    finally:
+        for p in (b, acds):
+            if p and p.poll() is None:
+                p.kill()
+        acds.wait(timeout=10)
