@@ -211,9 +211,14 @@ async def run_discovery(args) -> int:
 
     events = asyncio.create_task(sess.event_loop())
     try:
-        n = await _viewer_loop(sess, args,
-                               lambda: open_source(test_pattern=True))
-        log.info("viewer received %d frames", n)
+        if args.join or args.view:
+            # joiners view the designated host; creators only with --view
+            # (a self-viewing host triples the per-participant load)
+            n = await _viewer_loop(sess, args,
+                                   lambda: open_source(test_pattern=True))
+            log.info("viewer received %d frames", n)
+        else:
+            await asyncio.Event().wait()  # host: serve until interrupted
         return 0
     finally:
         events.cancel()

@@ -17,11 +17,11 @@ ENV = {**os.environ, "ASCIICHAT_JAX_PLATFORM": "cpu", "PYTHONPATH": REPO}
 PORT = 21000 + os.getpid() % 20000
 
 
-def _spawn(*args):
+def _spawn(*args, stdout=subprocess.PIPE):
     return subprocess.Popen(
         [sys.executable, "-m", "asciichat_tpu.apps.main", *args],
         env=ENV, cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        stdout=stdout, stderr=subprocess.PIPE,
     )
 
 
@@ -358,9 +358,12 @@ def test_host_failover():
                    "--port", str(pa), "--log-level", "WARNING")
         session = a.stdout.readline().decode().strip().split(": ", 1)[1]
         time.sleep(4)
+        # b's frame output goes to devnull: an undrained stdout pipe fills
+        # and blocks its event loop before the migration can be observed
         b = _spawn("discovery", "--acds", "127.0.0.1", "--acds-port", str(ap),
                    "--join", session, "--port", str(pb), "--max-frames", "100000",
-                   "--width", "40", "--height", "10", "--log-level", "INFO")
+                   "--width", "40", "--height", "10", "--log-level", "INFO",
+                   stdout=subprocess.DEVNULL)
         time.sleep(8)
         a.kill()  # host dies mid-session
         a.wait(timeout=10)
