@@ -318,3 +318,55 @@ def analyze_levels(buf: jax.Array) -> dict[str, jax.Array]:
         "rms_db": linear_to_db(rms),
         "peak_db": linear_to_db(peak),
     }
+
+
+# ---------------------------------------------------------------------------
+# Acoustic echo cancellation (the reference integrates WebRTC AEC3 via
+# lib/audio/client_pipeline.cpp). TPU-native seat: a per-sample NLMS adaptive
+# filter — the far-end (speaker) signal is filtered by an adaptive estimate
+# of the echo path and subtracted from the near-end (mic) capture; weights
+# update inside a lax.scan. Divergence: AEC3 adds double-talk detection and
+# nonlinear suppression; this seat is plain NLMS (>=10 dB ERLE on a linear
+# echo path, mild distortion during double-talk).
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "mu"))
+def echo_cancel(
+    mic: jax.Array,  # [N] near-end capture (speech + echo)
+    far: jax.Array,  # [N] far-end reference (what the speaker played)
+    weights: jax.Array,  # [taps] carried filter state
+    far_tail: jax.Array,  # [taps] last far-end samples from the previous tick
+    taps: int = 256,
+    mu: float = 0.5,
+):
+    """-> (echo-cancelled mic [N], weights, new far_tail). NLMS:
+    w += mu * e * x / (||x||^2 + eps), echo estimate y = w . x."""
+    far_hist = jnp.concatenate([far_tail, far])  # [taps + N]
+
+    def step(w, idx):
+        x = jax.lax.dynamic_slice(far_hist, (idx,), (taps,))
+        y = jnp.dot(w, x)
+        e = mic[idx] - y
+        norm = jnp.dot(x, x) + 1e-6
+        w = w + mu * e * x / norm
+        return w, e
+
+    weights, out = jax.lax.scan(step, weights, jnp.arange(mic.shape[0]))
+    return out, weights, far_hist[-taps:]
+
+
+class EchoCanceller:
+    """Stateful wrapper for per-tick echo cancellation (client pipeline)."""
+
+    def __init__(self, taps: int = 256, mu: float = 0.5):
+        self.taps = taps
+        self.mu = mu
+        self.weights = jnp.zeros((taps,), jnp.float32)
+        self.far_tail = jnp.zeros((taps,), jnp.float32)
+
+    def process(self, mic, far):
+        out, self.weights, self.far_tail = echo_cancel(
+            jnp.asarray(mic, jnp.float32), jnp.asarray(far, jnp.float32),
+            self.weights, self.far_tail, taps=self.taps, mu=self.mu,
+        )
+        return out
