@@ -14,6 +14,20 @@ import asyncio
 import contextlib
 
 from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.utils.logsys import DEV, get_logger
+
+_log = get_logger("packet")
+
+
+def _trace(direction: str, ptype: int, size: int) -> None:
+    """Packet tracing (debug-build packet tracing parity, README.md:253);
+    DEV level so it is free unless --log-level DEV."""
+    if _log.isEnabledFor(DEV):
+        try:
+            name = pkt.PacketType(ptype).name
+        except ValueError:
+            name = str(ptype)
+        _log.log(DEV, "%s %s (%d bytes)", direction, name, size)
 
 
 class Transport:
@@ -47,6 +61,7 @@ class Transport:
     async def send(self, ptype: int, payload: bytes = b"") -> None:
         """Queue a packet; drops the connection on overflow like the
         reference's bounded per-client queues (drop-on-full backpressure)."""
+        _trace("send", ptype, len(payload))
         buf = pkt.pack_packet(ptype, payload)
         if self._sender_task is None:
             self.writer.write(buf)
@@ -73,6 +88,7 @@ class Transport:
         payload = await self.reader.readexactly(length) if length else b""
         if not pkt.verify_payload(payload, crc):
             raise ValueError(f"payload CRC mismatch for packet type {ptype}")
+        _trace("recv", ptype, length)
         return ptype, payload
 
     async def close(self) -> None:

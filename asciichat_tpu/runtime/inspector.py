@@ -52,6 +52,23 @@ class Inspector:
             "garbage": len(gc.garbage),
         }
 
+    def _memory(self) -> dict:
+        """Top allocation sites (debug-memory leak report parity,
+        lib/debug/memory.c); starts tracemalloc on first call."""
+        import tracemalloc
+
+        if not tracemalloc.is_tracing():
+            tracemalloc.start()
+            return {"status": "tracing started; call again for a snapshot"}
+        snap = tracemalloc.take_snapshot()
+        top = snap.statistics("lineno")[:15]
+        return {
+            "top_allocations": [
+                {"site": str(s.traceback), "kb": s.size // 1024, "count": s.count}
+                for s in top
+            ]
+        }
+
     def start(self) -> int:
         inspector = self
 
@@ -67,6 +84,8 @@ class Inspector:
                         body = inspector._threads()
                     elif self.path == "/gc":
                         body = inspector._gc()
+                    elif self.path == "/memory":
+                        body = inspector._memory()
                     elif self.path == "/state":
                         body = sorted(inspector.providers)
                     elif self.path.startswith("/state/"):
