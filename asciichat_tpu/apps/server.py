@@ -41,6 +41,10 @@ log = get_logger("server")
 
 MAX_CLIENTS = 32  # include/ascii-chat/common/limits.h:26
 MAX_UPLOAD_W, MAX_UPLOAD_H = 800, 600  # client capture cap (capture.c:41-44)
+# Clamp client-declared terminal dims (u16 on the wire) so a hostile client
+# can't force giant composites / per-shape jit recompiles (reference clamps
+# dims server-side, e.g. handlers.c:254).
+MAX_TERM_W, MAX_TERM_H = 1024, 512
 VIDEO_TICK = 1 / 60  # server render cadence (render.c:41)
 AUDIO_TICK = 480 / 48000  # 10 ms audio tick (render.c:42)
 
@@ -101,7 +105,14 @@ class AsciiChatServer:
         chan = t
         try:
             first = await t.recv()
-            if self.password and not (1000 <= first[0] <= 1199):
+            # A password-protected server requires the FULL handshake: both
+            # non-crypto first packets AND an explicit CRYPTO_NO_ENCRYPTION
+            # opt-out are rejected (lib/crypto/handshake/server.c:177-189 —
+            # the reference refuses plaintext downgrade when auth is required).
+            if self.password and (
+                not (1000 <= first[0] <= 1199)
+                or first[0] == pkt.PacketType.CRYPTO_NO_ENCRYPTION
+            ):
                 await t.send(pkt.PacketType.ERROR_MESSAGE,
                              proto.pack_error(2, "encryption required"))
                 return
@@ -147,6 +158,8 @@ class AsciiChatServer:
                 await c.transport.send(P.PROTOCOL_VERSION, payload)
             elif ptype == P.CLIENT_CAPABILITIES:
                 c.wire_caps = proto.WireCapabilities.unpack(payload)
+                c.wire_caps.width = min(c.wire_caps.width, MAX_TERM_W)
+                c.wire_caps.height = min(c.wire_caps.height, MAX_TERM_H)
                 c.filter_name = (
                     filters.FILTER_NAMES[c.wire_caps.color_filter]
                     if c.wire_caps.color_filter < len(filters.FILTER_NAMES)
@@ -157,7 +170,8 @@ class AsciiChatServer:
                 await self._broadcast_state()
             elif ptype == P.SIZE_MESSAGE:
                 w, h = proto.unpack_size(payload)
-                c.wire_caps.width, c.wire_caps.height = w, h
+                c.wire_caps.width = min(w, MAX_TERM_W)
+                c.wire_caps.height = min(h, MAX_TERM_H)
             elif ptype == P.STREAM_START:
                 c.streaming = True
             elif ptype == P.STREAM_STOP:
@@ -210,14 +224,17 @@ class AsciiChatServer:
     # ------------------------------------------------------------------
     # Render tick: composite once, convert once per caps-group
 
-    def _render_tick(self) -> None:
+    def _render_tick(self, snapshot: list[ClientState]) -> None:
+        # `snapshot` is taken on the event-loop thread; this method runs in an
+        # executor and must not iterate self.clients (mutated on connect/
+        # disconnect -> 'dict changed size during iteration').
         sources = [
             (c, *c.video.get_latest())
-            for c in self.clients.values()
+            for c in snapshot
             if c.streaming
         ]
         sources = [(c, f) for c, f, _ in sources if f is not None]
-        receivers = [c for c in self.clients.values() if c.has_caps]
+        receivers = [c for c in snapshot if c.has_caps]
         if not sources or not receivers:
             return
 
@@ -311,7 +328,8 @@ class AsciiChatServer:
             now = loop.time()
             if now >= next_video:
                 try:
-                    await loop.run_in_executor(None, self._render_tick)
+                    snapshot = list(self.clients.values())
+                    await loop.run_in_executor(None, self._render_tick, snapshot)
                 except Exception:
                     log.exception("render tick failed")
                 next_video = max(next_video + VIDEO_TICK, now)

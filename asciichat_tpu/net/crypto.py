@@ -193,6 +193,8 @@ class CryptoContext:
         self.password_key: bytes | None = None
         self.previous_key: bytes | None = None
         self._previous_key_expiry = 0.0
+        self._pending_key: bytes | None = None
+        self._last_incoming_rekey = 0.0
 
     # -- key exchange ----------------------------------------------------
     def compute_shared(self, peer_public: bytes) -> None:
@@ -233,6 +235,22 @@ class CryptoContext:
         try:
             return secretbox_open(ciphertext[NONCE_SIZE:], nonce, self._key)
         except ValueError:
+            # A packet that decrypts under the PENDING rekey key is
+            # proof-of-possession: the peer demonstrably holds the new shared
+            # secret, so commit it now. This matches the reference's rule that
+            # a rekey only takes effect once REKEY_COMPLETE verifies under the
+            # new key (handshake/common.c:586+, crypto.c:1225) — and also
+            # covers data packets that overtake the COMPLETE in flight.
+            if self._pending_key is not None:
+                try:
+                    out = secretbox_open(
+                        ciphertext[NONCE_SIZE:], nonce, self._pending_key
+                    )
+                except ValueError:
+                    pass
+                else:
+                    self._commit_pending()
+                    return out
             # packets encrypted under the pre-rekey key may still be in
             # flight; accept them ONLY during a short transition window — the
             # reference zeroizes the old key at rekey commit (crypto.c:1322),
@@ -281,20 +299,47 @@ class CryptoContext:
         return self._temp_private.public_key().public_bytes_raw()
 
     PREVIOUS_KEY_GRACE_S = 5.0
+    MIN_INCOMING_REKEY_INTERVAL_S = 5.0
 
-    def finish_rekey(self, peer_new_public: bytes) -> None:
-        """Install the new shared key (crypto.c:1298-1341). Raises ValueError
-        on an unsolicited rekey response (no rekey in progress) — the
-        reference returns CRYPTO_ERROR_REKEY_FAILED for this state instead of
-        crashing the connection."""
-        if self._temp_private is None:
-            raise ValueError("no rekey in progress")
-        self.previous_key = self.shared_key
-        self._previous_key_expiry = time.monotonic() + self.PREVIOUS_KEY_GRACE_S
-        self.shared_key = self._temp_private.exchange(
+    def allow_incoming_rekey(self) -> bool:
+        """Rate limit on incoming rekey requests: an injected/replayed
+        plaintext REKEY_REQUEST must not be able to churn the session
+        (crypto.c rate-limits requests; ADVICE r1)."""
+        now = time.monotonic()
+        if now - self._last_incoming_rekey < self.MIN_INCOMING_REKEY_INTERVAL_S:
+            return False
+        self._last_incoming_rekey = now
+        return True
+
+    def respond_rekey(self, peer_new_public: bytes) -> bytes:
+        """Responder side: derive the new shared key but hold it PENDING —
+        the current key stays active until the peer proves possession (any
+        packet decrypting under the pending key commits it, see decrypt()).
+        Returns our fresh ephemeral public key for REKEY_RESPONSE."""
+        temp = X25519PrivateKey.generate()
+        self._pending_key = temp.exchange(
             X25519PublicKey.from_public_bytes(peer_new_public)
         )
+        return temp.public_key().public_bytes_raw()
+
+    def _commit_pending(self) -> None:
+        self.previous_key = self.shared_key
+        self._previous_key_expiry = time.monotonic() + self.PREVIOUS_KEY_GRACE_S
+        self.shared_key = self._pending_key
+        self._pending_key = None
         self._temp_private = None
         self.rekey = RekeyState(count=self.rekey.count + 1)
         self.nonce_counter = 1
         self.session_id = os.urandom(SESSION_ID_SIZE)
+
+    def finish_rekey(self, peer_new_public: bytes) -> None:
+        """Initiator side: install the new shared key (crypto.c:1298-1341).
+        Raises ValueError on an unsolicited rekey response (no rekey in
+        progress) — the reference returns CRYPTO_ERROR_REKEY_FAILED for this
+        state instead of crashing the connection."""
+        if self._temp_private is None:
+            raise ValueError("no rekey in progress")
+        self._pending_key = self._temp_private.exchange(
+            X25519PublicKey.from_public_bytes(peer_new_public)
+        )
+        self._commit_pending()

@@ -95,6 +95,10 @@ async def server_handshake(
     P = pkt.PacketType
     ptype, payload = first_packet
     if ptype == P.CRYPTO_NO_ENCRYPTION:
+        if require_auth:
+            # No plaintext downgrade when authentication is required
+            # (lib/crypto/handshake/server.c:177-189).
+            raise HandshakeError("client requested no encryption but auth is required")
         return False
     if ptype == P.CRYPTO_CLIENT_HELLO:
         ptype, payload = await t.recv()
@@ -160,17 +164,32 @@ class SecureChannel:
             if ptype == P.ENCRYPTED:
                 return self._unwrap(payload)
             if ptype == P.CRYPTO_REKEY_REQUEST:
-                await self.t.send(P.CRYPTO_REKEY_RESPONSE, self.ctx.start_rekey())
-                self.ctx.finish_rekey(payload[:32])
+                # Plaintext and unauthenticated: respond, but hold the new
+                # key PENDING until the peer proves possession (a packet
+                # decrypting under it — normally the REKEY_COMPLETE proof).
+                # Rate-limited so injected requests can't churn the session.
+                if len(payload) < 32 or not self.ctx.allow_incoming_rekey():
+                    continue
+                await self.t.send(
+                    P.CRYPTO_REKEY_RESPONSE, self.ctx.respond_rekey(payload[:32])
+                )
                 continue
             if ptype == P.CRYPTO_REKEY_RESPONSE:
                 try:
                     self.ctx.finish_rekey(payload[:32])
                 except ValueError:
                     continue  # unsolicited rekey response: ignore, don't die
-                await self.t.send(P.CRYPTO_REKEY_COMPLETE)
+                # Proof-of-possession: a marker encrypted under the NEW key;
+                # the responder commits only once this decrypts (crypto.c:1225).
+                await self.t.send(
+                    P.CRYPTO_REKEY_COMPLETE, self.ctx.encrypt(b"REKEY-OK")
+                )
                 continue
             if ptype == P.CRYPTO_REKEY_COMPLETE:
+                try:
+                    self.ctx.decrypt(payload)  # commits the pending key
+                except ValueError:
+                    pass  # forged/garbled proof: keep the current key
                 continue
             return ptype, payload  # plaintext control packet
 

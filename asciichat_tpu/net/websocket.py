@@ -23,6 +23,11 @@ WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 8, 9, 10
 
+# One ACIP packet per message; anything beyond header+max payload is hostile.
+# Mirrors the TCP transport's pre-read MAX_PACKET_SIZE gate so a peer on the
+# public ws port cannot claim a multi-GB frame and exhaust memory.
+MAX_MESSAGE_SIZE = pkt.MAX_PACKET_SIZE + pkt.HEADER_SIZE
+
 
 def _accept_key(client_key: str) -> str:
     digest = hashlib.sha1((client_key + WS_GUID).encode()).digest()
@@ -83,6 +88,8 @@ class WebSocketConnection:
                 (length,) = struct.unpack(">H", await self.reader.readexactly(2))
             elif length == 127:
                 (length,) = struct.unpack(">Q", await self.reader.readexactly(8))
+            if length > MAX_MESSAGE_SIZE or len(message) + length > MAX_MESSAGE_SIZE:
+                raise ValueError(f"websocket frame too large ({length} bytes)")
             mask = await self.reader.readexactly(4) if masked else None
             payload = await self.reader.readexactly(length) if length else b""
             if mask:

@@ -229,3 +229,79 @@ def test_challenge_requires_key_exchange():
     a.set_password("pw")
     with pytest.raises(ValueError):
         a.answer_challenge(b"x" * 32)  # DH binding is mandatory
+
+
+def test_injected_rekey_request_cannot_hijack_session():
+    """An attacker who injects a plaintext CRYPTO_REKEY_REQUEST must not be
+    able to replace the session key: the responder holds the new key PENDING
+    and only commits once a packet decrypts under it (proof-of-possession,
+    handshake/common.c:586+, crypto.c:1225)."""
+    a = C.CryptoContext()
+    b = C.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    old_key = b.shared_key
+
+    attacker = C.CryptoContext()
+    b.respond_rekey(attacker.public_key)  # forged request handled
+    # current key untouched: legitimate traffic still flows
+    assert b.shared_key == old_key
+    assert b.decrypt(a.encrypt(b"still the old key")) == b"still the old key"
+    assert b.rekey.count == 0  # never committed
+    # the attacker (who does not know b's temp pubkey response... even with
+    # it, cannot craft a proof without the DH secret) -> garbage proof fails
+    with pytest.raises(ValueError):
+        b.decrypt(os.urandom(60))
+    assert b.shared_key == old_key
+
+
+def test_pending_rekey_commits_on_proof():
+    """Responder commits the pending key exactly when a packet decrypts
+    under it (the REKEY_COMPLETE proof or an overtaking data packet)."""
+    a = C.CryptoContext()
+    b = C.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    pub_a = a.start_rekey()
+    pub_b = b.respond_rekey(pub_a)
+    a.finish_rekey(pub_b)  # initiator commits on response
+    assert b.rekey.count == 0
+    proof = a.encrypt(b"REKEY-OK")
+    assert b.decrypt(proof) == b"REKEY-OK"
+    assert b.rekey.count == 1  # committed on proof
+    assert b.shared_key == a.shared_key
+    assert b.decrypt(a.encrypt(b"new key traffic")) == b"new key traffic"
+
+
+def test_incoming_rekey_rate_limited():
+    b = C.CryptoContext()
+    assert b.allow_incoming_rekey()
+    assert not b.allow_incoming_rekey()  # within MIN_INCOMING_REKEY_INTERVAL_S
+    b._last_incoming_rekey = 0.0
+    assert b.allow_incoming_rekey()
+
+
+def test_no_encryption_downgrade_rejected_when_auth_required():
+    """CRYPTO_NO_ENCRYPTION (1109) is inside the handshake packet range but
+    must NOT bypass a password requirement (server.c:177-189)."""
+    import asyncio
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.handshake import HandshakeError, server_handshake
+
+    class NullTransport:
+        async def send(self, *a, **k):
+            pass
+
+        async def recv(self):
+            raise AssertionError("should not read past the downgrade attempt")
+
+    ctx = C.CryptoContext()
+    ctx.set_password("pw")
+    first = (pkt.PacketType.CRYPTO_NO_ENCRYPTION, b"")
+    with pytest.raises(HandshakeError):
+        asyncio.run(server_handshake(NullTransport(), ctx, first, require_auth=True))
+    # without auth it remains a valid plaintext opt-out
+    ok = asyncio.run(server_handshake(NullTransport(), C.CryptoContext(), first,
+                                      require_auth=False))
+    assert ok is False

@@ -100,3 +100,79 @@ def test_inspector_endpoints():
             get("/state/nope")
     finally:
         insp.stop()
+
+
+def test_websocket_oversized_frame_rejected():
+    """A peer claiming a multi-GB frame must be rejected before any read
+    (memory-exhaustion guard, mirrors the TCP MAX_PACKET_SIZE gate)."""
+    import struct
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.websocket import MAX_MESSAGE_SIZE, WebSocketConnection
+
+    async def run():
+        reader = asyncio.StreamReader()
+        # binary frame, FIN, unmasked, 64-bit length = 8 GB
+        reader.feed_data(struct.pack(">BBQ", 0x82, 127, 8 << 30))
+
+        class W:  # writer never used before the raise
+            def get_extra_info(self, *_):
+                return None
+
+        ws = WebSocketConnection(reader, W(), is_client=False)
+        with pytest.raises(ValueError):
+            await ws.recv_message()
+
+        # fragment accumulation across frames is also bounded
+        reader2 = asyncio.StreamReader()
+        half = MAX_MESSAGE_SIZE // 2 + 100
+        reader2.feed_data(struct.pack(">BBQ", 0x02, 127, half) + b"a" * half)
+        reader2.feed_data(struct.pack(">BBQ", 0x80, 127, half) + b"b" * half)
+        ws2 = WebSocketConnection(reader2, W(), is_client=False)
+        with pytest.raises(ValueError):
+            await ws2.recv_message()
+        assert MAX_MESSAGE_SIZE == pkt.MAX_PACKET_SIZE + pkt.HEADER_SIZE
+
+    asyncio.run(asyncio.wait_for(run(), 10))
+
+
+def test_server_clamps_client_dims():
+    """A client advertising 65535x65535 must be clamped before render
+    planning (resource-DoS guard; reference handlers.c:254)."""
+    from asciichat_tpu.apps.server import MAX_TERM_H, MAX_TERM_W, AsciiChatServer, ClientState
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import protocol as proto
+
+    class FakeTransport:
+        def __init__(self, packets):
+            self.packets = list(packets)
+            self.sent = []
+
+        async def recv(self):
+            if not self.packets:
+                raise asyncio.IncompleteReadError(b"", 1)
+            return self.packets.pop(0)
+
+        async def send(self, ptype, payload=b""):
+            self.sent.append((ptype, payload))
+
+        def send_nowait(self, ptype, payload=b""):
+            self.sent.append((ptype, payload))
+            return True
+
+    async def run():
+        srv = AsciiChatServer()
+        caps = proto.WireCapabilities()
+        caps.width, caps.height = 65535, 65535
+        t = FakeTransport([
+            (pkt.PacketType.CLIENT_CAPABILITIES, caps.pack()),
+            (pkt.PacketType.SIZE_MESSAGE, proto.pack_size(60000, 50000)),
+        ])
+        c = ClientState(1, t)
+        srv.clients[1] = c
+        with pytest.raises(asyncio.IncompleteReadError):
+            await srv._recv_loop(c)
+        assert c.wire_caps.width <= MAX_TERM_W
+        assert c.wire_caps.height <= MAX_TERM_H
+
+    asyncio.run(asyncio.wait_for(run(), 10))
