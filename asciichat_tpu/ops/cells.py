@@ -96,5 +96,11 @@ def ramp_for_palette(palette: str) -> jax.Array:
 
 
 def records_to_numpy(records: RecordDict) -> dict[str, np.ndarray]:
-    """Device -> host transfer of the record dict (one blocking fetch)."""
-    return {k: np.asarray(v) for k, v in jax.device_get(records).items()}
+    """Device -> host transfer of the record dict (one blocking fetch).
+
+    Forces C-contiguity: some backends (axon) hand back strided views, and a
+    non-contiguous record array makes the emitter re-copy it on EVERY emit
+    call (~3x slowdown measured at 203x64x32)."""
+    return {
+        k: np.ascontiguousarray(v) for k, v in jax.device_get(records).items()
+    }

@@ -8,7 +8,9 @@ renderer grammar (SURVEY.md A.2); golden-tested against render/oracle.py.
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
+import threading
 
 import numpy as np
 
@@ -16,6 +18,33 @@ from asciichat_tpu.render import palette as pal
 from asciichat_tpu.runtime.native_build import emitter_lib
 
 _DEFAULT_THREADS = max(1, min(16, (os.cpu_count() or 4)))
+
+# Reusable per-thread output buffers: allocating a fresh multi-MB np.empty
+# every call page-faults the whole buffer each tick (~50% of emit time at
+# 203x64x32); buffers are keyed by rounded-up size class and reused.
+_tls = threading.local()
+
+
+def _out_buffers(b: int, stride: int) -> tuple[np.ndarray, np.ndarray]:
+    cache = getattr(_tls, "bufs", None)
+    if cache is None:
+        cache = _tls.bufs = {}
+    key = (b, stride)
+    got = cache.get(key)
+    if got is None:
+        if len(cache) > 8:  # bound the pool (size classes churn on resize)
+            cache.clear()
+        got = cache[key] = (np.empty((b, stride), np.uint8), np.zeros(b, np.int64))
+    return got
+
+
+@functools.lru_cache(maxsize=64)
+def _tables(palette: str) -> dict[str, np.ndarray]:
+    return {
+        "mono": np.ascontiguousarray(pal.mono_glyph_table(palette), dtype=np.uint8),
+        "luma": np.ascontiguousarray(pal.luminance_glyph_table(palette), dtype=np.uint8),
+        "ramp": np.ascontiguousarray(pal.char_index_ramp_array(palette), dtype=np.uint8),
+    }
 
 
 def _worst_case_stride(mode: str, h: int, w: int, pad_w: int, pad_h: int) -> int:
@@ -51,8 +80,16 @@ def emit_frames(
     pad_w: int = 0,
     pad_h: int = 0,
     nthreads: int | None = None,
+    copy: bool = True,
 ) -> list[bytes]:
-    """Emit a batch of byte-exact ANSI frames from host-side record arrays."""
+    """Emit a batch of byte-exact ANSI frames from host-side record arrays.
+
+    copy=False returns zero-copy memoryviews into a per-thread buffer that is
+    REUSED by the next emit_frames call on the same thread — consume (send/
+    compress/compare) before emitting again. Materializing a 244 KB bytes
+    object per frame costs ~95 us on this host, more than the emission itself;
+    the serving path compresses/sends straight from the view instead.
+    """
     lib = emitter_lib()
     nthreads = nthreads or _DEFAULT_THREADS
 
@@ -61,29 +98,24 @@ def emit_frames(
     h, w = first.shape[1], first.shape[2]
 
     stride = _worst_case_stride(mode, h, w, pad_w, pad_h)
-    out = np.empty((b, stride), dtype=np.uint8)
-    lens = np.zeros(b, dtype=np.int64)
+    out, lens = _out_buffers(b, stride)
     lens_p = lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    tabs = _tables(palette)
 
     if mode == "mono":
-        glyphs = _c(pal.mono_glyph_table(palette))
-        lib.ac_emit_mono(_u8(_c(records["key"])), b, h, w, _u8(glyphs), pad_w, pad_h,
+        lib.ac_emit_mono(_u8(_c(records["key"])), b, h, w, _u8(tabs["mono"]), pad_w, pad_h,
                          _u8(out), stride, lens_p, nthreads)
     elif mode == "truecolor_fg":
-        glyphs = _c(pal.luminance_glyph_table(palette))
         lib.ac_emit_truecolor_fg(_u8(_c(records["rgb"])), _u8(_c(records["luma"])), b, h, w,
-                                 _u8(glyphs), pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
+                                 _u8(tabs["luma"]), pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
     elif mode in ("256color", "16color"):
-        glyphs = _c(pal.luminance_glyph_table(palette))
         gidx = records["luma"] if mode == "256color" else records["key"]
         lib.ac_emit_indexed(_u8(_c(records["color"])), _u8(_c(gidx)), b, h, w,
-                            1 if mode == "16color" else 0, _u8(glyphs), pad_w, pad_h,
+                            1 if mode == "16color" else 0, _u8(tabs["luma"]), pad_w, pad_h,
                             _u8(out), stride, lens_p, nthreads)
     elif mode in ("16color_dithered", "16color_dithered_bg"):
-        glyphs = _c(pal.luminance_glyph_table(palette))
-        ramp = _c(pal.char_index_ramp_array(palette))
         lib.ac_emit_16_dithered(_u8(_c(records["rgb"])), _u8(_c(records["luma"])), b, h, w,
-                                1 if mode.endswith("_bg") else 0, _u8(ramp), _u8(glyphs),
+                                1 if mode.endswith("_bg") else 0, _u8(tabs["ramp"]), _u8(tabs["luma"]),
                                 pad_w, pad_h, _u8(out), stride, lens_p, nthreads)
     elif mode == "halfblock_truecolor":
         lib.ac_emit_halfblock_truecolor(_u8(_c(records["top"])), _u8(_c(records["bot"])), b, h, w,
@@ -99,4 +131,8 @@ def emit_frames(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
+    if not copy:
+        # zero-copy ndarray views (buffer protocol: zstd/socket/crc consume
+        # them directly); valid until this thread's next emit_frames call
+        return [out[i, : lens[i]] for i in range(b)]
     return [out[i, : lens[i]].tobytes() for i in range(b)]

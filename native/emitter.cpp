@@ -35,6 +35,10 @@ struct Dec3 {
 };
 
 Dec3 DEC3[256];
+// ";<dec>" stamped as ONE unaligned 4-byte store (over-write, advance by
+// SEMI_L): the hot-path replacement for put1(';') + put_dec(v).
+uint32_t SEMI_W[256];
+uint8_t SEMI_L[256];
 // 16-color SGR code strings: fg 30-37/90-97, bg 40-47/100-107 (ansi.c:386-394)
 char FG16[16][8];
 uint8_t FG16_LEN[16];
@@ -58,6 +62,9 @@ struct InitTables {
         DEC3[v].len = 1;
         DEC3[v].s[0] = char('0' + d0);
       }
+      char w[4] = {';', DEC3[v].s[0], DEC3[v].s[1], DEC3[v].s[2]};
+      memcpy(&SEMI_W[v], w, 4);
+      SEMI_L[v] = (uint8_t)(1 + DEC3[v].len);
     }
     for (int i = 0; i < 16; ++i) {
       int fg = i < 8 ? 30 + i : 90 + (i - 8);
@@ -89,33 +96,45 @@ inline void put_u32(Buf& b, uint32_t v) {
   while (i--) put1(b, tmp[i]);
 }
 
+// SGR stamping: fixed 6/8-byte prefix stores + one 4-byte ";ddd" store per
+// component (over-write; advance by actual length). ~6 unaligned stores per
+// truecolor SGR instead of ~12 byte-wise puts — the buffer always has slack
+// (worst-case stride sizing in render/emitter.py).
 inline void sgr_tc_fg(Buf& b, uint8_t r, uint8_t g, uint8_t bl) {
-  put(b, "\x1b[38;2;", 7);
-  put_dec(b, r);
-  put1(b, ';');
-  put_dec(b, g);
-  put1(b, ';');
-  put_dec(b, bl);
-  put1(b, 'm');
+  memcpy(b.p, "\x1b[38;2", 6);
+  b.p += 6;
+  memcpy(b.p, &SEMI_W[r], 4);
+  b.p += SEMI_L[r];
+  memcpy(b.p, &SEMI_W[g], 4);
+  b.p += SEMI_L[g];
+  memcpy(b.p, &SEMI_W[bl], 4);
+  b.p += SEMI_L[bl];
+  *b.p++ = 'm';
 }
 inline void sgr_tc_bg(Buf& b, uint8_t r, uint8_t g, uint8_t bl) {
-  put(b, "\x1b[48;2;", 7);
-  put_dec(b, r);
-  put1(b, ';');
-  put_dec(b, g);
-  put1(b, ';');
-  put_dec(b, bl);
-  put1(b, 'm');
+  memcpy(b.p, "\x1b[48;2", 6);
+  b.p += 6;
+  memcpy(b.p, &SEMI_W[r], 4);
+  b.p += SEMI_L[r];
+  memcpy(b.p, &SEMI_W[g], 4);
+  b.p += SEMI_L[g];
+  memcpy(b.p, &SEMI_W[bl], 4);
+  b.p += SEMI_L[bl];
+  *b.p++ = 'm';
 }
 inline void sgr_256_fg(Buf& b, uint8_t idx) {
-  put(b, "\x1b[38;5;", 7);
-  put_dec(b, idx);
-  put1(b, 'm');
+  memcpy(b.p, "\x1b[38;5", 6);
+  b.p += 6;
+  memcpy(b.p, &SEMI_W[idx], 4);
+  b.p += SEMI_L[idx];
+  *b.p++ = 'm';
 }
 inline void sgr_256_bg(Buf& b, uint8_t idx) {
-  put(b, "\x1b[48;5;", 7);
-  put_dec(b, idx);
-  put1(b, 'm');
+  memcpy(b.p, "\x1b[48;5", 6);
+  b.p += 6;
+  memcpy(b.p, &SEMI_W[idx], 4);
+  b.p += SEMI_L[idx];
+  *b.p++ = 'm';
 }
 inline void sgr_16_fg(Buf& b, uint8_t idx) {
   if (idx >= 16) idx = 7;
@@ -192,6 +211,23 @@ inline void put_glyph(Buf& b, const uint8_t* tab, unsigned idx) {
   b.p += e[0];
 }
 
+// Run scanning 8 bytes at a time: returns the first index > x where row
+// differs from row[x] (the end of the run). ~8x fewer compares on flat
+// regions; the tail falls back to byte compares.
+inline int run_end_u8(const uint8_t* row, int x, int W, uint8_t k) {
+  uint64_t pat = 0x0101010101010101ull * k;
+  int j = x + 1;
+  while (j + 8 <= W) {
+    uint64_t v;
+    memcpy(&v, row + j, 8);
+    uint64_t diff = v ^ pat;
+    if (diff) return j + (int)(__builtin_ctzll(diff) >> 3);
+    j += 8;
+  }
+  while (j < W && row[j] == k) ++j;
+  return j;
+}
+
 void parallel_for(int B, int nthreads, const std::function<void(int)>& fn) {
   if (nthreads <= 1 || B <= 1) {
     for (int b = 0; b < B; ++b) fn(b);
@@ -228,8 +264,7 @@ void ac_emit_mono(const uint8_t* keys, int B, int H, int W,
       int x = 0;
       while (x < W) {
         uint8_t k = row[x];
-        int j = x + 1;
-        while (j < W && row[j] == k) ++j;
+        int j = run_end_u8(row, x, W, k);
         uint32_t run = (uint32_t)(j - x);
         put_glyph(buf, glyphs64, k);
         if (rep_profitable(run)) {
@@ -253,37 +288,72 @@ void ac_emit_truecolor_fg(const uint8_t* rgb, const uint8_t* luma, int B, int H,
                           int W, const uint8_t* glyphs256, int pad_w, int pad_h,
                           uint8_t* out, int64_t stride, int64_t* lens,
                           int nthreads) {
+  // Specialize for all-ASCII glyph tables (every stock palette): glyph
+  // emission is a single store and the RLE context compare is one packed u32
+  // compare — no per-pixel table-shape branch.
+  bool all_ascii = true;
+  char gl1[256];
+  for (int i = 0; i < 256; ++i) {
+    const uint8_t* e = glyphs256 + i * 5;
+    if (e[0] != 1 || e[1] >= 128) {
+      all_ascii = false;
+      break;
+    }
+    gl1[i] = (char)e[1];
+  }
   parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* prgb = rgb + (int64_t)b * H * W * 3;
     const uint8_t* plum = luma + (int64_t)b * H * W;
     pad_top(buf, pad_h);
-    bool first_pixel = true;
-    uint8_t lr = 255, lg = 255, lb = 255;  // ansi_rle_init (ansi.c:255-257)
-    for (int y = 0; y < H; ++y) {
-      if (pad_w) pad_spaces(buf, pad_w);
-      const uint8_t* rowp = prgb + (int64_t)y * W * 3;
-      const uint8_t* rowl = plum + (int64_t)y * W;
-      for (int x = 0; x < W; ++x) {
-        uint8_t r = rowp[x * 3], g = rowp[x * 3 + 1], bl = rowp[x * 3 + 2];
-        const uint8_t* e = glyphs256 + (unsigned)rowl[x] * 5;
-        if (e[0] == 1 && e[1] < 128) {
-          if (first_pixel || r != lr || g != lg || bl != lb) {
-            sgr_tc_fg(buf, r, g, bl);
-            lr = r;
-            lg = g;
-            lb = bl;
-            first_pixel = false;
+    if (all_ascii) {
+      // last > 0xFFFFFF means "no context yet": the first pixel always
+      // differs, which is exactly ansi_rle_init's first_pixel semantics
+      // (ansi.c:255-257 — lr=lg=lb=255 with a first_pixel flag).
+      uint32_t last = 0x1000000u;
+      for (int y = 0; y < H; ++y) {
+        if (pad_w) pad_spaces(buf, pad_w);
+        const uint8_t* rowp = prgb + (int64_t)y * W * 3;
+        const uint8_t* rowl = plum + (int64_t)y * W;
+        for (int x = 0; x < W; ++x) {
+          const uint8_t* px = rowp + x * 3;
+          uint32_t cur = (uint32_t)px[0] << 16 | (uint32_t)px[1] << 8 | px[2];
+          if (cur != last) {
+            sgr_tc_fg(buf, px[0], px[1], px[2]);
+            last = cur;
           }
-          put1(buf, (char)e[1]);
-        } else {
-          // multi-byte UTF-8: always SGR, ctx untouched (foreground.c:286-296)
-          sgr_tc_fg(buf, r, g, bl);
-          memcpy(buf.p, e + 1, 4);
-          buf.p += e[0];
+          *buf.p++ = (uint8_t)gl1[rowl[x]];
         }
+        if (y != H - 1) put1(buf, '\n');
       }
-      if (y != H - 1) put1(buf, '\n');
+    } else {
+      bool first_pixel = true;
+      uint8_t lr = 255, lg = 255, lb = 255;  // ansi_rle_init (ansi.c:255-257)
+      for (int y = 0; y < H; ++y) {
+        if (pad_w) pad_spaces(buf, pad_w);
+        const uint8_t* rowp = prgb + (int64_t)y * W * 3;
+        const uint8_t* rowl = plum + (int64_t)y * W;
+        for (int x = 0; x < W; ++x) {
+          uint8_t r = rowp[x * 3], g = rowp[x * 3 + 1], bl = rowp[x * 3 + 2];
+          const uint8_t* e = glyphs256 + (unsigned)rowl[x] * 5;
+          if (e[0] == 1 && e[1] < 128) {
+            if (first_pixel || r != lr || g != lg || bl != lb) {
+              sgr_tc_fg(buf, r, g, bl);
+              lr = r;
+              lg = g;
+              lb = bl;
+              first_pixel = false;
+            }
+            put1(buf, (char)e[1]);
+          } else {
+            // multi-byte UTF-8: always SGR, ctx untouched (foreground.c:286-296)
+            sgr_tc_fg(buf, r, g, bl);
+            memcpy(buf.p, e + 1, 4);
+            buf.p += e[0];
+          }
+        }
+        if (y != H - 1) put1(buf, '\n');
+      }
     }
     sgr_reset(buf);
     lens[b] = buf.p - (out + (int64_t)b * stride);
@@ -471,8 +541,9 @@ void ac_emit_halfblock_indexed(const uint8_t* fg, const uint8_t* bg,
       int x = 0;
       while (x < W) {
         uint8_t f = rf[x], g = rg[x];
-        int j = x + 1;
-        while (j < W && rf[j] == f && rg[j] == g) ++j;
+        // run ends where EITHER the fg or bg index changes
+        int jf = run_end_u8(rf, x, W, f);
+        int j = run_end_u8(rg, x, jf, g);
         uint32_t run = (uint32_t)(j - x);
         if (rt[x]) {
           if (cf != -1 || cb != -1) {
