@@ -90,6 +90,14 @@ class AsciiChatServer:
         self._server: asyncio.AbstractServer | None = None
         self.ticks = 0
         self.stats = Stats()
+        # Batched device tick (models/server.RenderGroup) is the production
+        # path; ASCIICHAT_TICK=host forces the per-group numpy fallback, and
+        # any device failure falls back automatically.
+        import os as _os
+
+        self._device_tick = _os.environ.get("ASCIICHAT_TICK", "device") != "host"
+        self._group_cache: dict[tuple, object] = {}
+        self.tick_compute_count = 0
 
     # ------------------------------------------------------------------
     # Connection handling
@@ -238,18 +246,84 @@ class AsciiChatServer:
         if not sources or not receivers:
             return
 
-        sizes = [(f.shape[1], f.shape[0]) for _, f in sources]
-        # max terminal among receivers defines composite char space (the
-        # reference composites per client; identical composite -> shared)
-        term_w = max(c.wire_caps.width for c in receivers)
-        term_h = max(c.wire_caps.height for c in receivers)
-        plan = compositor.plan_composite(sizes, term_w, term_h)
-
+        sizes = tuple((f.shape[1], f.shape[0]) for _, f in sources)
         hmax = max(f.shape[0] for _, f in sources)
         wmax = max(f.shape[1] for _, f in sources)
         stack = np.zeros((len(sources), hmax, wmax, 3), np.uint8)
         for i, (_, f) in enumerate(sources):
             stack[i, : f.shape[0], : f.shape[1]] = f
+
+        if self._device_tick:
+            try:
+                self._render_tick_device(receivers, sizes, stack)
+                self.ticks += 1
+                return
+            except Exception:
+                log.exception("device render tick failed; using host fallback")
+                self._device_tick = False
+        self._render_tick_host(receivers, sizes, stack)
+        self.ticks += 1
+
+    def _render_tick_device(self, receivers, sizes, stack) -> None:
+        """Production path: ONE jitted render_compute per geometry group
+        (models/server.RenderGroup — composite gather + per-receiver filter +
+        batched render fused on device), host emission batched per group.
+        Counterpart of src/server/stream.c:958 + render.c:340 where the
+        per-client fan-out is threads; here it is the batch dimension."""
+        import jax.numpy as jnp
+
+        from asciichat_tpu.models.server import RenderGroup
+        from asciichat_tpu.ops import cells as cells_ops
+        from asciichat_tpu.render import emitter
+
+        groups: dict[tuple, list[ClientState]] = {}
+        for c in receivers:
+            wc = c.wire_caps
+            key = (wc.caps, wc.width, wc.height, wc.palette_custom)
+            groups.setdefault(key, []).append(c)
+
+        frames_dev = jnp.asarray(stack)
+        now = time.monotonic()
+        for key, members in groups.items():
+            wc0 = members[0].wire_caps
+            filter_names = [m.filter_name for m in members]
+            cache_key = (sizes, key, len(members))
+            grp = self._group_cache.get(cache_key)
+            if grp is None:
+                if len(self._group_cache) > 64:
+                    self._group_cache.clear()
+                grp = RenderGroup(
+                    list(sizes), wc0.width, wc0.height, wc0.caps,
+                    filter_names, wc0.palette_custom or self.palette,
+                )
+                self._group_cache[cache_key] = grp
+            elif grp.filter_names != filter_names:
+                grp.set_filters(filter_names)
+            records = grp.step(frames_dev, now)
+            host = cells_ops.records_to_numpy(records)
+            views = emitter.emit_frames(
+                host, grp.render.mode, grp.palette,
+                pad_w=grp.render.pad_w, pad_h=grp.render.pad_h, copy=False,
+            )
+            for i, c in enumerate(members):
+                no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
+                payload = pkt.pack_ascii_frame(
+                    bytes(views[i]), c.wire_caps.width, c.wire_caps.height,
+                    compress=not no_compress, level=self.compression_level,
+                )
+                if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
+                    self.stats.frames_sent += 1
+                    self.stats.bytes_sent += len(payload)
+            self.stats.frames_rendered += len(members)
+            self.tick_compute_count += 1
+
+    def _render_tick_host(self, receivers, sizes, stack) -> None:
+        """CPU fallback: host compositing + per-size-key conversion."""
+        # max terminal among receivers defines composite char space (the
+        # reference composites per client; identical composite -> shared)
+        term_w = max(c.wire_caps.width for c in receivers)
+        term_h = max(c.wire_caps.height for c in receivers)
+        plan = compositor.plan_composite(list(sizes), term_w, term_h)
         composite = np.asarray(compositor.composite_gather(stack, plan))
 
         rendered: dict[tuple, bytes] = {}
@@ -284,24 +358,25 @@ class AsciiChatServer:
                 self.stats.frames_sent += 1
                 self.stats.bytes_sent += len(payload)
         self.stats.frames_rendered += len(rendered)
-        self.ticks += 1
 
     # ------------------------------------------------------------------
     # Audio tick: exclude-self mixes for everyone in one batched op
 
-    def _audio_tick(self) -> None:
+    def _audio_tick(self, snapshot: list[ClientState]) -> None:
+        # runs in an executor (first-call jit must not stall the event loop);
+        # iterates the snapshot, not self.clients
         n = audio_ops.AUDIO_FRAME_SAMPLES
-        speakers = [c for c in self.clients.values() if len(c.audio) >= n]
-        listeners = [c for c in self.clients.values() if c.has_caps]
+        speakers = [c for c in snapshot if len(c.audio) >= n]
+        listeners = [c for c in snapshot if c.has_caps]
         if not speakers or not listeners:
             return
-        slots = [c.id for c in self.clients.values()]
+        slots = [c.id for c in snapshot]
         if slots != self.mixer_slots or self.mixer_state is None:
             self.mixer_slots = slots
             self.mixer_state = audio_ops.MixerState.init(len(slots), len(slots)).astuple()
         samples = np.zeros((len(slots), n), np.float32)
         active = np.zeros(len(slots), bool)
-        for i, c in enumerate(self.clients.values()):
+        for i, c in enumerate(snapshot):
             if len(c.audio) >= n:
                 samples[i] = c.audio.read(n)
                 active[i] = True
@@ -311,7 +386,7 @@ class AsciiChatServer:
             jnp.asarray(samples), jnp.asarray(active), self.mixer_state
         )
         mixes = np.asarray(mixes)
-        for i, c in enumerate(self.clients.values()):
+        for i, c in enumerate(snapshot):
             if c.has_caps:
                 payload = pkt.pack_audio_batch(
                     mixes[i].astype("<f4").tobytes(), n, 1
@@ -335,7 +410,8 @@ class AsciiChatServer:
                 next_video = max(next_video + VIDEO_TICK, now)
             if now >= next_audio:
                 try:
-                    self._audio_tick()
+                    snapshot = list(self.clients.values())
+                    await loop.run_in_executor(None, self._audio_tick, snapshot)
                 except Exception:
                     log.exception("audio tick failed")
                 next_audio = max(next_audio + AUDIO_TICK, now)
@@ -371,6 +447,8 @@ class AsciiChatServer:
             insp.register("server", lambda: {
                 "clients": len(self.clients),
                 "ticks": self.ticks,
+                "tick_compute": self.tick_compute_count,
+                "device_tick": self._device_tick,
                 "client_ids": list(self.clients),
                 "stats": self.stats.report(len(self.clients)),
             })

@@ -52,6 +52,42 @@ def plan_tick(
     return ServerTickPlan(comp, render, num_clients or len(source_sizes), audio_samples)
 
 
+def render_compute(
+    frames: jax.Array,  # uint8 [S, H, W, 3] latest frame per SOURCE
+    ramp: jax.Array,
+    tint: jax.Array,  # [C] per-RECEIVER filter params (C may differ from S)
+    fg_on_bg: jax.Array,
+    is_rainbow: jax.Array,
+    filter_on: jax.Array,
+    cidx: jax.Array,
+    src_y: jax.Array,
+    src_x: jax.Array,
+    comp_mask: jax.Array,
+    *,
+    mode: str,
+    dst_h: int,
+    dst_w: int,
+    resized_hook=None,
+) -> cells.RecordDict:
+    """Video half of the tick: composite gather -> per-receiver color filter
+    -> batched ASCII cell render. The receiver count is tint.shape[0]; in the
+    live server sources (clients streaming video) and receivers (clients
+    watching) are different sets (src/server/stream.c renders per client from
+    the shared source set)."""
+    # 1. composite gather (needs all sources -> all-gather over ICI when sharded)
+    gathered = frames[cidx, src_y, src_x]
+    composite = jnp.where(comp_mask, gathered, jnp.zeros_like(gathered))
+    # 2. per-receiver personalization: replicate + color filter (data, not branches)
+    c = tint.shape[0]
+    batch = jnp.broadcast_to(composite, (c, *composite.shape))
+    batch = filters.apply_color_filter(batch, tint, fg_on_bg, is_rainbow, filter_on)
+    # 3. batched ASCII cell render at the receivers' terminal geometry
+    resized = cells.pixel.resize_nn(batch, dst_h, dst_w)
+    if resized_hook is not None:
+        resized = resized_hook(resized)
+    return cells._records_for_mode(resized, mode, ramp)
+
+
 def tick_compute(
     frames: jax.Array,  # uint8 [C, H, W, 3] latest frame per client
     audio: jax.Array,  # float32 [C, N]
@@ -76,19 +112,12 @@ def tick_compute(
     also traced by bench.py's server-tick benchmark and
     __graft_entry__.dryrun_multichip (resized_hook lets the dry run insert a
     sharding constraint on the per-client resized batch)."""
-    c = frames.shape[0]
-    # 1. composite gather (needs all clients -> all-gather over ICI when sharded)
-    gathered = frames[cidx, src_y, src_x]
-    composite = jnp.where(comp_mask, gathered, jnp.zeros_like(gathered))
-    # 2. per-client personalization: replicate + color filter (data, not branches)
-    batch = jnp.broadcast_to(composite, (c, *composite.shape))
-    batch = filters.apply_color_filter(batch, tint, fg_on_bg, is_rainbow, filter_on)
-    # 3. batched ASCII cell render at the clients' terminal geometry
-    resized = cells.pixel.resize_nn(batch, dst_h, dst_w)
-    if resized_hook is not None:
-        resized = resized_hook(resized)
-    records = cells._records_for_mode(resized, mode, ramp)
-    # 4. exclude-self audio mixes (mixer.c:636 semantics, O(1) per client)
+    records = render_compute(
+        frames, ramp, tint, fg_on_bg, is_rainbow, filter_on,
+        cidx, src_y, src_x, comp_mask,
+        mode=mode, dst_h=dst_h, dst_w=dst_w, resized_hook=resized_hook,
+    )
+    # exclude-self audio mixes (mixer.c:636 semantics, O(1) per client)
     mixes, mixer_state = audio_ops.mixer_process(audio, active, mixer_state)
     return records, mixes, mixer_state
 
@@ -96,6 +125,70 @@ def tick_compute(
 _tick_step = functools.partial(jax.jit, static_argnames=("mode", "dst_h", "dst_w"))(
     tick_compute
 )
+
+_render_step = functools.partial(jax.jit, static_argnames=("mode", "dst_h", "dst_w"))(
+    render_compute
+)
+
+
+class RenderGroup:
+    """Live-server render group: the receivers sharing one (caps, size,
+    palette) geometry, fed from the shared source stack by ONE jitted
+    render_compute call per tick (the production use of the flagship model —
+    src/server/stream.c:958 + render.c:340 render per client per thread; here
+    the group IS the batch dimension).
+
+    Rebuilt when the source layout or group geometry changes; jit graphs are
+    cached by shape, so membership churn only re-traces when shapes change.
+    """
+
+    def __init__(
+        self,
+        source_sizes: list[tuple[int, int]],
+        term_w: int,
+        term_h: int,
+        caps: TerminalCapabilities,
+        filter_names: list[str],
+        palette: str = pal.DEFAULT_PALETTE,
+    ):
+        comp = compositor.plan_composite(source_sizes, term_w, term_h)
+        req_h = term_h * 2 if caps.render_mode == RenderMode.HALF_BLOCK else term_h
+        self.render = plan_render(comp.width_px, comp.height_px, term_w, req_h, caps)
+        self.palette = palette
+        self.ramp = cells.ramp_for_palette(palette)
+        self.cidx = jnp.asarray(np.maximum(comp.client_idx, 0))
+        self.comp_mask = jnp.asarray((comp.client_idx >= 0)[..., None])
+        self.src_y = jnp.asarray(comp.src_y)
+        self.src_x = jnp.asarray(comp.src_x)
+        self.filter_names: list[str] = []
+        self.has_rainbow = False
+        self.set_filters(filter_names)
+        self.ticks = 0
+
+    def set_filters(self, names: list[str], time_s: float = 0.0) -> None:
+        """Per-receiver filter params are data: updating them never re-traces.
+        Rainbow tints are time-dependent (color_filter.c:169) so rainbow
+        groups refresh params every tick."""
+        self.filter_names = list(names)
+        self.has_rainbow = "rainbow" in names
+        tint, fg_on_bg, is_rainbow, enabled = filters.filter_params(names, time_s)
+        self.tint = jnp.asarray(tint)
+        self.fg_on_bg = jnp.asarray(fg_on_bg)
+        self.is_rainbow = jnp.asarray(is_rainbow)
+        self.filter_on = jnp.asarray(enabled)
+
+    def step(self, frames: jax.Array, time_s: float = 0.0) -> cells.RecordDict:
+        """frames uint8 [S, Hmax, Wmax, 3] -> records for the group's receivers."""
+        if self.has_rainbow:
+            self.set_filters(self.filter_names, time_s)
+        records = _render_step(
+            frames, self.ramp, self.tint, self.fg_on_bg, self.is_rainbow,
+            self.filter_on, self.cidx, self.src_y, self.src_x, self.comp_mask,
+            mode=self.render.mode, dst_h=self.render.dst_h_px,
+            dst_w=self.render.dst_w,
+        )
+        self.ticks += 1
+        return records
 
 
 class ServerTick:

@@ -380,3 +380,35 @@ def test_host_failover():
             if p and p.poll() is None:
                 p.kill()
         acds.wait(timeout=10)
+
+
+def test_live_server_uses_batched_device_tick():
+    """The live server must execute the flagship batched render path
+    (models/server.RenderGroup -> render_compute on device), not the host
+    fallback — asserted via the inspector's tick_compute counter."""
+    import json
+    import urllib.request
+
+    port, insp = PORT + 10, PORT + 11
+    srv = _spawn("server", "--port", str(port), "--inspect-port", str(insp),
+                 "--log-level", "WARNING")
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        client = _spawn(
+            "client", "127.0.0.1", "--port", str(port), "--test-pattern",
+            "--width", "40", "--height", "12", "--color-mode", "TRUECOLOR",
+            "--max-frames", "5", "--no-reconnect", "--log-level", "WARNING",
+        )
+        out, err = client.communicate(timeout=180)
+        assert client.returncode == 0, err.decode()[-2000:]
+        assert b"\x1b[" in out  # truecolor frames arrived
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{insp}/state/server", timeout=10
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["device_tick"] is True
+        assert stats["tick_compute"] > 0, stats
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
