@@ -55,6 +55,8 @@ class AsciiChatClient:
         encrypt: bool = False,
         password: str | None = None,
         use_ws: bool = False,
+        audio_source=None,
+        audio_sink=None,
     ):
         self.host = host
         self.port = port
@@ -68,6 +70,18 @@ class AsciiChatClient:
         self.writer = term.FrameWriter()
         self.frames_received = 0
         self.frames_sent = 0
+        # Audio duplex (src/client/audio.c:276 capture, :531 playback):
+        # capture frames run the DSP pipeline (AEC vs received playback,
+        # highpass, gate) before leaving as AUDIO_BATCH.
+        self.audio_source = audio_source
+        self.audio_sink = audio_sink
+        self.audio_pipeline = None
+        if audio_source is not None:
+            from asciichat_tpu.ops.audio import ClientAudioPipeline
+
+            self.audio_pipeline = ClientAudioPipeline()
+        self.audio_frames_sent = 0
+        self.audio_frames_received = 0
         self._stop = asyncio.Event()
 
     async def _capture_task(self, t: Transport) -> None:
@@ -88,6 +102,33 @@ class AsciiChatClient:
             self.frames_sent += 1
             dt = loop.time() - t0
             await asyncio.sleep(max(0.0, interval - dt))
+
+    async def _audio_capture_task(self, t: Transport) -> None:
+        """10 ms cadence: read a 480-sample frame, run the client DSP
+        pipeline, ship it as AUDIO_BATCH (src/client/audio.c:276-350)."""
+        if self.audio_source is None:
+            return
+        from asciichat_tpu.ops.audio import AUDIO_FRAME_SAMPLES, SAMPLE_RATE
+
+        n = AUDIO_FRAME_SAMPLES
+        interval = n / SAMPLE_RATE
+        loop = asyncio.get_running_loop()
+        while not self._stop.is_set():
+            t0 = loop.time()
+            try:
+                frame = await loop.run_in_executor(None, self.audio_source.read, n)
+            except Exception as e:
+                log.warning("audio capture ended: %s", e)
+                return
+            processed = await loop.run_in_executor(
+                None, self.audio_pipeline.process, frame
+            )
+            payload = pkt.pack_audio_batch(
+                np.asarray(processed, "<f4").tobytes(), n, 1
+            )
+            t.send_nowait(pkt.PacketType.AUDIO_BATCH, payload)
+            self.audio_frames_sent += 1
+            await asyncio.sleep(max(0.0, interval - (loop.time() - t0)))
 
     async def send_text(self, t, message: str) -> None:
         """Text chat (PACKET_TYPE_TEXT_MESSAGE, relayed by the server)."""
@@ -113,7 +154,16 @@ class AsciiChatClient:
             elif ptype == P.PONG:
                 pass
             elif ptype == P.AUDIO_BATCH:
-                pass  # playback needs an audio device; counted only
+                # playback: exclude-self server mix -> sink; the played
+                # signal is also the AEC far-end reference
+                # (src/client/audio.c:531 playback thread)
+                body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
+                mix = np.frombuffer(body, "<f4")[:total]
+                self.audio_frames_received += 1
+                if self.audio_sink is not None:
+                    self.audio_sink.write(mix)
+                if self.audio_pipeline is not None:
+                    self.audio_pipeline.add_far(mix)
             elif ptype == P.TEXT_MESSAGE:
                 # chat line below the frame (client text chat)
                 self.writer.stream.write(b"\x1b[0m\r\n> " + payload[:200] + b"\r\n")
@@ -146,6 +196,7 @@ class AsciiChatClient:
                 await t.send(pkt.PacketType.STREAM_START)
             tasks = [
                 asyncio.create_task(self._capture_task(t)),
+                asyncio.create_task(self._audio_capture_task(t)),
                 asyncio.create_task(self._keepalive_task(t)),
             ]
             # live terminal resize -> SIZE_MESSAGE (SIGWINCH handling,
@@ -193,6 +244,12 @@ class AsciiChatClient:
                     await asyncio.sleep(delay)
         finally:
             self.writer.teardown()
+            for dev in (self.audio_source, self.audio_sink):
+                if dev is not None:
+                    try:
+                        dev.close()
+                    except Exception:
+                        pass
 
 
 def main(args) -> int:
@@ -209,10 +266,21 @@ def main(args) -> int:
     if not args.no_media:
         source = open_source(test_pattern=args.test_pattern, file=args.file,
                              loop=args.loop)
+    audio_source = audio_sink = None
+    want_audio = args.audio or args.tone_hz is not None or args.audio_wav
+    if want_audio:
+        from asciichat_tpu.runtime.audiodev import open_audio_sink, open_audio_source
+
+        audio_source = open_audio_source(
+            tone_hz=args.tone_hz, wav=args.audio_wav,
+            mic=args.audio and args.tone_hz is None and not args.audio_wav,
+        )
+        audio_sink = open_audio_sink(args.audio_out)
     client = AsciiChatClient(args.address, args.port, source, wire,
                              capture_fps=args.fps, reconnect=not args.no_reconnect,
                              encrypt=args.encrypt, password=args.password,
-                             use_ws=args.ws)
+                             use_ws=args.ws, audio_source=audio_source,
+                             audio_sink=audio_sink)
     try:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:

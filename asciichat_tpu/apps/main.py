@@ -130,6 +130,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--password", default=None, help="password for auth")
     c.add_argument("--no-reconnect", action="store_true")
     c.add_argument("--max-frames", type=int, default=None)
+    c.add_argument("--audio", action="store_true",
+                   help="send/receive audio (mic via arecord, else 440Hz tone)")
+    c.add_argument("--tone-hz", type=float, default=None,
+                   help="synthetic tone capture frequency (0 = silence); implies --audio")
+    c.add_argument("--audio-wav", default=None,
+                   help="WAV file as the audio capture source; implies --audio")
+    c.add_argument("--audio-out", default=None,
+                   help="write received mix to this raw-f32 file (default: speaker/null)")
     from asciichat_tpu.apps import client as client_mod
 
     c.set_defaults(fn=client_mod.main)

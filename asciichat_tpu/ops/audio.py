@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MIXER_FRAME_SIZE = 256  # mixer.h:114
 SAMPLE_RATE = 48_000  # audio.h:85-91 (48 kHz mono)
@@ -344,7 +345,10 @@ def echo_cancel(
     far_hist = jnp.concatenate([far_tail, far])  # [taps + N]
 
     def step(w, idx):
-        x = jax.lax.dynamic_slice(far_hist, (idx,), (taps,))
+        # window ENDS at the current far sample (far_hist[idx+taps] == far[idx])
+        # so the filter models echo delays 0..taps-1 — a zero-latency speaker
+        # path (loopback tests, software mixers) must be cancellable too
+        x = jax.lax.dynamic_slice(far_hist, (idx + 1,), (taps,))
         y = jnp.dot(w, x)
         e = mic[idx] - y
         norm = jnp.dot(x, x) + 1e-6
@@ -370,3 +374,53 @@ class EchoCanceller:
             self.weights, self.far_tail, taps=self.taps, mu=self.mu,
         )
         return out
+
+
+# ---------------------------------------------------------------------------
+# Client capture pipeline (lib/audio/client_pipeline.cpp analog): the chain a
+# captured mic frame runs before leaving the client — echo cancellation
+# against the far-end playback reference, DC-removal highpass, noise gate —
+# with all carried DSP state threaded across 10 ms frames.
+
+
+class ClientAudioPipeline:
+    """Stateful per-client capture chain (src/client/audio.c:276 capture path).
+
+    AEC runs first (the echo estimate must see the raw mic), then the
+    highpass, then the gate — matching the reference pipeline ordering
+    (client_pipeline.cpp: AEC3 -> filters -> gate)."""
+
+    def __init__(self, use_aec: bool = True, gate_threshold: float = 0.01,
+                 highpass_hz: float = 100.0):
+        self.aec = EchoCanceller() if use_aec else None
+        self.gate_threshold = gate_threshold
+        self.hp_alpha = float(
+            1.0 / (1.0 + 2.0 * 3.141592653589793 * highpass_hz / SAMPLE_RATE)
+        )  # one-pole HP coefficient form used by highpass() (mixer.c:953)
+        self.hp_in = jnp.zeros((), jnp.float32)
+        self.hp_out = jnp.zeros((), jnp.float32)
+        self.gate_env = jnp.zeros((), jnp.float32)
+        self.gate_open = jnp.zeros((), bool)
+        self._far = np.zeros(0, np.float32)
+
+    def add_far(self, buf: np.ndarray) -> None:
+        """Feed received playback audio as the AEC far-end reference; bounded
+        to 1 s so a stalled playback path cannot grow it without limit."""
+        self._far = np.concatenate(
+            [self._far, np.asarray(buf, np.float32).ravel()]
+        )[-SAMPLE_RATE:]
+
+    def process(self, mic: np.ndarray) -> np.ndarray:
+        n = len(mic)
+        x = jnp.asarray(mic, jnp.float32)
+        if self.aec is not None:
+            if len(self._far) >= n:
+                far, self._far = self._far[:n], self._far[n:]
+            else:
+                far = np.zeros(n, np.float32)
+            x = self.aec.process(x, far)
+        x, self.hp_in, self.hp_out = highpass(x, self.hp_in, self.hp_out, self.hp_alpha)
+        x, self.gate_env, self.gate_open = noise_gate(
+            x, self.gate_env, self.gate_open, threshold=self.gate_threshold
+        )
+        return np.asarray(x, np.float32)

@@ -1,0 +1,226 @@
+"""Audio capture sources and playback sinks for the client.
+
+Counterpart of the reference client's PortAudio capture/playback
+(src/client/audio.c:276 audio_capture_thread, :531 audio_playback_thread) and
+lib/audio/ device glue. This environment has no audio hardware or PortAudio;
+the design mirrors runtime/framesource.py: a small Source/Sink interface with
+real-device backends gated on availability (arecord/aplay CLIs) and
+synthetic/file backends that exercise the identical pipeline.
+
+All audio is 48 kHz mono float32 in [-1, 1] (audio.h:85-91), moved in
+10 ms frames of 480 samples (AUDIO_FRAME_SAMPLES).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import subprocess
+import wave
+from pathlib import Path
+
+import numpy as np
+
+SAMPLE_RATE = 48_000
+FRAME = 480  # 10 ms
+
+
+class AudioSourceUnavailable(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Sources
+
+
+class ToneSource:
+    """Synthetic sine tone — the no-microphone capture source (the reference
+    test suite uses synthetic buffers the same way, tests/unit/audio)."""
+
+    def __init__(self, freq_hz: float = 440.0, amplitude: float = 0.2):
+        self.freq = freq_hz
+        self.amplitude = amplitude
+        self._phase = 0.0
+
+    def read(self, n: int = FRAME) -> np.ndarray:
+        t = self._phase + np.arange(n, dtype=np.float64)
+        out = (self.amplitude * np.sin(2 * math.pi * self.freq * t / SAMPLE_RATE))
+        self._phase += n
+        return out.astype(np.float32)
+
+    def close(self) -> None:
+        pass
+
+
+class SilenceSource:
+    """All-zero capture (a muted mic)."""
+
+    def read(self, n: int = FRAME) -> np.ndarray:
+        return np.zeros(n, np.float32)
+
+    def close(self) -> None:
+        pass
+
+
+class WavFileSource:
+    """Loops a WAV file as the capture source (any PCM16/PCM32/float WAV;
+    resampled to 48 kHz mono with the same linear resampler the DSP stack
+    uses, ops/audio.resample_linear semantics)."""
+
+    def __init__(self, path: str, loop: bool = True):
+        with wave.open(path, "rb") as w:
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif width == 4:
+            data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise AudioSourceUnavailable(f"unsupported WAV sample width {width}")
+        if ch > 1:
+            data = data.reshape(-1, ch).mean(axis=1)
+        if rate != SAMPLE_RATE:
+            out_len = int(len(data) * SAMPLE_RATE / rate)
+            x = np.linspace(0.0, len(data) - 1, out_len)
+            data = np.interp(x, np.arange(len(data)), data).astype(np.float32)
+        if not len(data):
+            raise AudioSourceUnavailable("empty WAV file")
+        self._data = data
+        self._pos = 0
+        self._loop = loop
+        self.exhausted = False
+
+    def read(self, n: int = FRAME) -> np.ndarray:
+        out = np.zeros(n, np.float32)
+        need, at = n, 0
+        while need:
+            if self._pos >= len(self._data):
+                if not self._loop:
+                    self.exhausted = True
+                    break
+                self._pos = 0
+            take = min(need, len(self._data) - self._pos)
+            out[at : at + take] = self._data[self._pos : self._pos + take]
+            self._pos += take
+            at += take
+            need -= take
+        return out
+
+    def close(self) -> None:
+        pass
+
+
+class MicSource:
+    """Real microphone via the ALSA `arecord` CLI (gated: no PortAudio or
+    libasound binding ships in this environment; same CLI-pipe strategy as
+    the ffmpeg frame source)."""
+
+    def __init__(self, device: str = "default"):
+        if shutil.which("arecord") is None:
+            raise AudioSourceUnavailable("arecord not found (no ALSA CLI)")
+        self.proc = subprocess.Popen(
+            ["arecord", "-q", "-D", device, "-f", "FLOAT_LE",
+             "-r", str(SAMPLE_RATE), "-c", "1", "-t", "raw"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+
+    def read(self, n: int = FRAME) -> np.ndarray:
+        raw = self.proc.stdout.read(n * 4)
+        if not raw:
+            raise AudioSourceUnavailable("arecord stream ended")
+        return np.frombuffer(raw.ljust(n * 4, b"\0"), "<f4").copy()
+
+    def close(self) -> None:
+        self.proc.terminate()
+        self.proc.wait(timeout=5)
+
+
+def open_audio_source(tone_hz: float | None = None, wav: str | None = None,
+                      mic: bool = False, amplitude: float = 0.2):
+    """Source factory mirroring framesource.open_source: explicit WAV/tone
+    first, a real microphone when asked for, tone fallback otherwise."""
+    if wav:
+        return WavFileSource(wav)
+    if tone_hz is not None:
+        return ToneSource(tone_hz, amplitude) if tone_hz > 0 else SilenceSource()
+    if mic:
+        try:
+            return MicSource()
+        except AudioSourceUnavailable:
+            pass  # no ALSA: fall through to the synthetic tone
+    return ToneSource(440.0, amplitude)
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+
+
+class NullSink:
+    """Counts + remembers level stats without a device (headless client)."""
+
+    def __init__(self):
+        self.samples = 0
+        self.sumsq = 0.0
+
+    def write(self, buf: np.ndarray) -> None:
+        self.samples += len(buf)
+        self.sumsq += float(np.dot(buf, buf))
+
+    @property
+    def rms(self) -> float:
+        return math.sqrt(self.sumsq / self.samples) if self.samples else 0.0
+
+    def close(self) -> None:
+        pass
+
+
+class FileSink(NullSink):
+    """Raw float32 file sink — /dev/null-able playback capture for tests
+    and for piping into external players."""
+
+    def __init__(self, path: str):
+        super().__init__()
+        self._f = Path(path).open("wb")
+
+    def write(self, buf: np.ndarray) -> None:
+        super().write(buf)
+        self._f.write(np.asarray(buf, "<f4").tobytes())
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class PlaybackSink(NullSink):
+    """Real speaker via the ALSA `aplay` CLI (gated like MicSource)."""
+
+    def __init__(self, device: str = "default"):
+        super().__init__()
+        if shutil.which("aplay") is None:
+            raise AudioSourceUnavailable("aplay not found (no ALSA CLI)")
+        self.proc = subprocess.Popen(
+            ["aplay", "-q", "-D", device, "-f", "FLOAT_LE",
+             "-r", str(SAMPLE_RATE), "-c", "1", "-t", "raw"],
+            stdin=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+
+    def write(self, buf: np.ndarray) -> None:
+        super().write(buf)
+        self.proc.stdin.write(np.asarray(buf, "<f4").tobytes())
+
+    def close(self) -> None:
+        self.proc.stdin.close()
+        self.proc.terminate()
+        self.proc.wait(timeout=5)
+
+
+def open_audio_sink(out: str | None = None):
+    """Sink factory: explicit file path, real speaker when available,
+    null sink otherwise."""
+    if out:
+        return FileSink(out)
+    try:
+        return PlaybackSink()
+    except AudioSourceUnavailable:
+        return NullSink()

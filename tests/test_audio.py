@@ -203,3 +203,74 @@ def test_echo_canceller_converges():
     # so some distortion is expected
     corr = np.corrcoef(out, speech)[0, 1]
     assert corr > 0.75, corr
+
+
+def test_audiodev_sources_and_sinks(tmp_path):
+    """Capture sources + sinks (runtime/audiodev.py, src/client/audio.c
+    device-glue analog): tone phase continuity, WAV resample/loop, file sink
+    RMS accounting."""
+    import wave
+
+    import numpy as np
+
+    from asciichat_tpu.runtime import audiodev as ad
+
+    tone = ad.ToneSource(1000.0, 0.5)
+    a, b = tone.read(480), tone.read(480)
+    joined = np.concatenate([a, b])
+    # phase-continuous across reads: matches one long synthesis
+    t = np.arange(960) / ad.SAMPLE_RATE
+    want = (0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    assert np.allclose(joined, want, atol=1e-5)
+
+    # WAV: PCM16 stereo 24 kHz -> mono 48 kHz, looping
+    path = str(tmp_path / "t.wav")
+    sig = (np.sin(2 * np.pi * 440 * np.arange(2400) / 24000) * 16000).astype("<i2")
+    stereo = np.repeat(sig, 2)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        w.writeframes(stereo.tobytes())
+    src = ad.WavFileSource(path)
+    buf = src.read(9600)  # 2x the (resampled) file length -> wraps
+    assert buf.shape == (9600,) and np.abs(buf).max() > 0.3
+
+    sink = ad.FileSink(str(tmp_path / "out.f32"))
+    sink.write(a)
+    sink.write(b)
+    sink.close()
+    back = np.fromfile(str(tmp_path / "out.f32"), "<f4")
+    assert np.array_equal(back, joined)
+    assert abs(sink.rms - np.sqrt((joined ** 2).mean())) < 1e-6
+
+    silent = ad.SilenceSource()
+    assert not silent.read(480).any()
+
+
+def test_client_audio_pipeline_aec_converges():
+    """ClientAudioPipeline (lib/audio/client_pipeline.cpp analog): a mic
+    signal that is purely an echo of the far-end reference is attenuated
+    >10 dB once NLMS converges; a live (non-echo) signal passes the gate."""
+    import numpy as np
+
+    from asciichat_tpu.ops.audio import ClientAudioPipeline
+
+    rng = np.random.default_rng(0)
+    far = rng.normal(0, 0.1, 48000).astype(np.float32)
+    p = ClientAudioPipeline()
+    in_rms = out_rms = 0.0
+    for i in range(0, 48000, 480):
+        chunk = far[i : i + 480]
+        p.add_far(chunk)
+        out = p.process(chunk)  # mic == echo of the speaker
+        if i >= 24000:  # after convergence
+            in_rms += float(np.mean(chunk ** 2))
+            out_rms += float(np.mean(out ** 2))
+    assert out_rms < in_rms / 10  # >10 dB ERLE
+
+    p2 = ClientAudioPipeline(use_aec=False)
+    tone = (0.2 * np.sin(2 * np.pi * 440 * np.arange(4800) / 48000)).astype(np.float32)
+    outs = [p2.process(tone[i : i + 480]) for i in range(0, 4800, 480)]
+    steady = np.concatenate(outs[5:])
+    assert np.sqrt((steady ** 2).mean()) > 0.1  # gate open, tone passes

@@ -412,3 +412,43 @@ def test_live_server_uses_batched_device_tick():
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_client_audio_duplex_exclude_self(tmp_path):
+    """Two REAL clients exchange audio through the server: A captures a 440 Hz
+    tone, B captures silence. Exclude-self mixing (mixer.c:636) means A's
+    received mix is ~silent (its own tone excluded) while B's carries A's
+    tone (src/client/audio.c:276 capture, :531 playback)."""
+    import signal
+
+    port = PORT + 12
+    srv = _spawn("server", "--port", str(port), "--log-level", "WARNING")
+    time.sleep(4)
+    fa, fb = str(tmp_path / "a.f32"), str(tmp_path / "b.f32")
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        a = _spawn("client", "127.0.0.1", "--port", str(port), "--no-media",
+                   "--tone-hz", "440", "--audio-out", fa,
+                   "--no-reconnect", "--log-level", "WARNING")
+        b = _spawn("client", "127.0.0.1", "--port", str(port), "--no-media",
+                   "--tone-hz", "0", "--audio-out", fb,
+                   "--no-reconnect", "--log-level", "WARNING")
+        time.sleep(14)  # jax import + several seconds of real audio exchange
+        for p in (a, b):
+            p.send_signal(signal.SIGINT)
+        for p in (a, b):
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        va = np.fromfile(fa, "<f4")
+        vb = np.fromfile(fb, "<f4")
+        assert len(vb) >= 4800, f"B received only {len(vb)} samples of mix"
+        vbs = vb[len(vb) // 2:]  # steady state: skip gate attack/duck ramp
+        rms_b = float(np.sqrt(np.mean(vbs * vbs)))
+        rms_a = float(np.sqrt(np.mean(va * va))) if len(va) else 0.0
+        assert rms_b > 0.02, f"B does not hear A's tone (rms={rms_b})"
+        assert rms_a < rms_b * 0.2, f"A hears itself (rms_a={rms_a}, rms_b={rms_b})"
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
