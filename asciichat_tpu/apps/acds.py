@@ -67,8 +67,30 @@ class AcdsServer:
             if entry:
                 entry[0].send_nowait(pkt.PacketType.ACIP_PARTICIPANT_LIST, msg)
 
+    def _broadcast_host(self, session_string: str, host_id: str,
+                        address: str, port: int, backup_id: str | None) -> None:
+        info = self.db.lookup(session_string)
+        if not info:
+            return
+        if host_id != info.host_id:
+            self.db.set_host(session_string, host_id, address, port)
+            log.info("session %s: host migrated to %s", session_string, host_id)
+        msg = _j({
+            "session_string": session_string,
+            "host_id": host_id,
+            "host_address": address,
+            "host_port": port,
+            "backup_id": backup_id,
+        })
+        for pid in info.participants:
+            entry = self.clients.get(pid)
+            if entry:
+                entry[0].send_nowait(pkt.PacketType.ACIP_HOST_DESIGNATED, msg)
+
     async def _run_election(self, session_string: str) -> None:
-        """Centralized election over reported NETWORK_QUALITY metrics."""
+        """Centralized FALLBACK election over reported NETWORK_QUALITY
+        metrics (the primary path is the participants' own ring consensus,
+        whose leader announces results via ACIP_HOST_ANNOUNCEMENT)."""
         info = self.db.lookup(session_string)
         sess_metrics = self.metrics.get(session_string, {})
         if not info or not sess_metrics:
@@ -78,20 +100,8 @@ class AcdsServer:
             return
         host_id, backup_id = cons.elect(reported)
         host_m = next(m for m in reported if m.participant_id == host_id)
-        if host_id != info.host_id:
-            self.db.set_host(session_string, host_id, host_m.address, host_m.port)
-            log.info("session %s: host migrated to %s", session_string, host_id)
-        msg = _j({
-            "session_string": session_string,
-            "host_id": host_id,
-            "host_address": host_m.address,
-            "host_port": host_m.port,
-            "backup_id": backup_id,
-        })
-        for pid in info.participants:
-            entry = self.clients.get(pid)
-            if entry:
-                entry[0].send_nowait(pkt.PacketType.ACIP_HOST_DESIGNATED, msg)
+        self._broadcast_host(session_string, host_id, host_m.address,
+                             host_m.port, backup_id)
 
     async def _handle(self, t: Transport) -> None:
         peer = t.peername[0] if t.peername else "?"
@@ -189,7 +199,24 @@ class AcdsServer:
                         self.metrics.setdefault(session_string, {})[m.participant_id] = m
                 elif ptype == P.ACIP_HOST_ANNOUNCEMENT:
                     if session_string:
-                        await self._run_election(session_string)
+                        req = {}
+                        if payload:
+                            try:
+                                req = _uj(payload)
+                            except ValueError:
+                                pass
+                        if "host_id" in req:
+                            # ring-elected result announced by the ring
+                            # leader: adopt it so late joiners see the same
+                            # host (the ring is the primary election path)
+                            self._broadcast_host(
+                                session_string, req["host_id"],
+                                req.get("host_address", peer),
+                                int(req.get("host_port", 0)),
+                                req.get("backup_id"),
+                            )
+                        else:
+                            await self._run_election(session_string)
                 elif ptype in (P.ACIP_WEBRTC_SDP, P.ACIP_WEBRTC_ICE, P.ACIP_RING_COLLECT):
                     # relay to target participant (signaling.c:137 pattern)
                     req = _uj(payload)

@@ -25,6 +25,137 @@ from asciichat_tpu.utils.logsys import get_logger
 log = get_logger("discovery")
 
 QUALITY_REPORT_INTERVAL_S = 30.0
+RING_COLLECTION_INTERVAL_S = 60.0  # periodic ring rounds (consensus docs: 5 min)
+
+
+def _encode_ring_msg(msg: dict) -> dict:
+    """Ring messages travel as JSON with hex-packed participant_metrics_t
+    entries (the reference packs the same struct into STATS_UPDATE,
+    docs/ring-consensus-protocol.md wire formats)."""
+    out = dict(msg)
+    if "metrics" in out:
+        out["metrics"] = [m.pack().hex() for m in out["metrics"]]
+    return out
+
+
+def _decode_ring_msg(msg: dict) -> dict:
+    out = dict(msg)
+    if "metrics" in out:
+        out["metrics"] = [
+            cons.ParticipantMetrics.unpack(bytes.fromhex(h)) for h in out["metrics"]
+        ]
+    return out
+
+
+class RingRunner:
+    """Drives the ring-consensus state machine (net/consensus.py) over live
+    ACIP: ring messages are relayed participant-to-participant through the
+    ACDS (ACIP_RING_COLLECT, the signaling.c:137 relay pattern — the P2P mesh
+    may not exist yet when consensus runs). The centralized ACDS election
+    stays as the fallback when the ring path fails.
+
+    Counterpart of lib/network/consensus/{coordinator,election}.c +
+    docs/ring-consensus-protocol.md: the leader starts a collection round,
+    STATS_UPDATE accumulates metrics around the ring, the leader elects and
+    broadcasts RING_ELECTION_RESULT, every participant RE-VERIFIES the
+    election from the included metrics and rejects a forged result.
+    """
+
+    def __init__(self, sess: "DiscoverySession",
+                 interval_s: float = RING_COLLECTION_INTERVAL_S):
+        self.sess = sess
+        self.cp = cons.ConsensusParticipant(sess.participant_id, sess.metrics)
+        self.interval = interval_s
+        self.rounds_completed = 0
+        self.results_verified = 0
+        self.results_rejected = 0
+
+    # -- wiring -------------------------------------------------------------
+    def _send(self, to_pid: str, msg: dict) -> None:
+        self.sess._t.send_nowait(pkt.PacketType.ACIP_RING_COLLECT, json.dumps({
+            "to": to_pid,
+            "from": self.sess.participant_id,
+            "msg": _encode_ring_msg(msg),
+        }).encode())
+
+    def on_members(self, participant_ids: list[str]) -> None:
+        self.cp.on_ring_members(participant_ids)
+
+    async def leader_loop(self) -> None:
+        """The ring leader starts a collection round every interval."""
+        while True:
+            await asyncio.sleep(self.interval)
+            self.start_round_if_leader()
+
+    def start_round_if_leader(self) -> bool:
+        if not self.cp.is_leader or len(self.cp.positions) < 2:
+            return False
+        to_pid, msg = self.cp.start_collection()
+        self._send(to_pid, msg)
+        return True
+
+    # -- message handling ----------------------------------------------------
+    def on_ring_packet(self, payload: bytes) -> None:
+        data = json.loads(payload)
+        msg = _decode_ring_msg(data["msg"])
+        mtype = msg.get("type")
+        if mtype == "STATS_UPDATE":
+            out = self.cp.on_stats_update(msg)
+            if out is None:
+                return
+            to_pid, next_msg = out
+            if to_pid is None:
+                # collection closed the loop: we are the leader with a result
+                self.rounds_completed += 1
+                for p in self.cp.positions:
+                    if p != self.cp.my_id:
+                        self._send(p, next_msg)
+                self._apply_result(next_msg, announce=True)
+            else:
+                self._send(to_pid, next_msg)
+        elif mtype == "RING_ELECTION_RESULT":
+            ack = self.cp.on_election_result(msg)
+            if ack["ack_status"] == "ACCEPTED":
+                self.results_verified += 1
+                self._apply_result(msg, announce=False)
+            else:
+                self.results_rejected += 1
+                log.warning(
+                    "rejected RING_ELECTION_RESULT claiming host=%s (recomputed "
+                    "election disagrees — forged or stale)", msg.get("host_id"),
+                )
+            self._send(data.get("from", ""), ack)
+        elif mtype == "STATS_ACK":
+            if msg.get("ack_status") == "REJECTED":
+                log.warning("participant %s rejected our election result",
+                            msg.get("participant_id"))
+
+    def _apply_result(self, msg: dict, announce: bool) -> None:
+        """Adopt a VERIFIED election result; the leader also announces it to
+        the ACDS so the session DB (late joiners) stays consistent."""
+        host_id = msg["host_id"]
+        host_m = next(
+            (m for m in msg["metrics"] if m.participant_id == host_id), None
+        )
+        if host_m is None:
+            return
+        sess = self.sess
+        if announce:
+            sess._t.send_nowait(pkt.PacketType.ACIP_HOST_ANNOUNCEMENT, json.dumps({
+                "session_string": sess.session_string,
+                "host_id": host_id,
+                "host_address": host_m.address,
+                "host_port": host_m.port,
+                "backup_id": msg.get("backup_id"),
+            }).encode())
+        if host_id != sess.host_id:
+            sess.host_id = host_id
+            sess.host_address = host_m.address
+            sess.host_port = host_m.port
+            log.info("ring consensus: host is now %s (%s:%d)",
+                     host_id, host_m.address, host_m.port)
+            if sess.on_host_changed:
+                sess.on_host_changed(host_m.address, host_m.port)
 
 
 class DiscoverySession:
@@ -45,7 +176,12 @@ class DiscoverySession:
         self.my_port: int = 0
         self.participants: list[str] = []
         self.on_host_changed = None  # callback(address, port)
+        self.ring: RingRunner | None = None  # attach_ring() enables P2P consensus
         self._t = None
+
+    def attach_ring(self, interval_s: float = RING_COLLECTION_INTERVAL_S) -> "RingRunner":
+        self.ring = RingRunner(self, interval_s)
+        return self.ring
 
     async def connect(self) -> None:
         self._t = await connect_tcp(self.acds_host, self.acds_port)
@@ -116,6 +252,14 @@ class DiscoverySession:
                 if ptype == P.ACIP_PARTICIPANT_LIST:
                     info = json.loads(payload)
                     self.participants = info["participants"]
+                    if self.ring:
+                        self.ring.on_members(self.participants)
+                elif ptype == P.ACIP_RING_COLLECT:
+                    if self.ring:
+                        try:
+                            self.ring.on_ring_packet(payload)
+                        except (KeyError, ValueError) as e:
+                            log.warning("bad ring packet dropped: %s", e)
                 elif ptype == P.ACIP_HOST_DESIGNATED:
                     info = json.loads(payload)
                     if info["host_id"] != self.host_id:
@@ -189,6 +333,8 @@ async def run_discovery(args) -> int:
     from asciichat_tpu.runtime.framesource import open_source
 
     sess = DiscoverySession(args.acds, args.acds_port)
+    ring = sess.attach_ring(getattr(args, "ring_interval", None)
+                            or RING_COLLECTION_INTERVAL_S)
     await sess.connect()
 
     # every participant runs a standby server so it can be elected host
@@ -210,6 +356,7 @@ async def run_discovery(args) -> int:
         log.info("hosting session %s on port %d", session_string, args.port)
 
     events = asyncio.create_task(sess.event_loop())
+    ring_task = asyncio.create_task(ring.leader_loop())
     try:
         if args.join or args.view:
             # joiners view the designated host; creators only with --view
@@ -222,6 +369,7 @@ async def run_discovery(args) -> int:
         return 0
     finally:
         events.cancel()
+        ring_task.cancel()
         standby_tick.cancel()
         standby_srv.close()
         await sess.leave()

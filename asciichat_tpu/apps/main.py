@@ -159,6 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--port", type=int, default=27224, help="port to host on when creating")
     dc.add_argument("--advertise", default="127.0.0.1", help="address to advertise as host")
     dc.add_argument("--max-frames", type=int, default=None)
+    dc.add_argument("--ring-interval", type=float, default=None,
+                    help="ring-consensus collection interval in seconds (default 60)")
     dc.add_argument("--view", action="store_true",
                     help="when creating, also view the session locally")
     from asciichat_tpu.apps import discovery as discovery_mod

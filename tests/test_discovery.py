@@ -158,3 +158,92 @@ def test_metrics_wire_roundtrip():
                                 measured_at_ms=int(time.time() * 1000))
     back = cons.ParticipantMetrics.unpack(m.pack())
     assert back == m
+
+
+def test_ring_consensus_over_live_acip():
+    """The ring protocol running over REAL sockets: 3 participants relay
+    STATS_UPDATE around the ring through the ACDS (ACIP_RING_COLLECT), the
+    leader elects + broadcasts RING_ELECTION_RESULT, every participant
+    re-verifies it, the ACDS adopts the announced host — and a forged result
+    injected by a participant is rejected (coordinator.c/election.c +
+    docs/ring-consensus-protocol.md)."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+
+    quality = {
+        "p-aaa": dict(nat_tier=0, upload_kbps=50_000, rtt_ms=5),    # best -> host
+        "p-mmm": dict(nat_tier=1, upload_kbps=20_000, rtt_ms=30),   # backup
+        "p-zzz": dict(nat_tier=3, upload_kbps=2_000, rtt_ms=200),   # ring leader
+    }
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        from asciichat_tpu.net.transport import serve_tcp
+
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+
+        sessions: dict[str, DiscoverySession] = {}
+        for pid in quality:
+            s = DiscoverySession("127.0.0.1", port, participant_id=pid)
+            s.metrics = lambda p=pid, s=s: cons.ParticipantMetrics(
+                participant_id=p, address=s.my_address, port=s.my_port,
+                **quality[p])
+            s.attach_ring(interval_s=3600)  # rounds driven explicitly below
+            await s.connect()
+            sessions[pid] = s
+        session_string = await sessions["p-aaa"].create(
+            my_port=15001, my_address="10.0.0.1")
+        await sessions["p-mmm"].join(session_string, "10.0.0.2", 15002)
+        await sessions["p-zzz"].join(session_string, "10.0.0.3", 15003)
+
+        events = [asyncio.create_task(s.event_loop()) for s in sessions.values()]
+        try:
+            # membership settles (queued PARTICIPANT_LIST packets drain)
+            for _ in range(100):
+                if all(len(s.ring.cp.positions) == 3 for s in sessions.values()):
+                    break
+                await asyncio.sleep(0.05)
+            leader = sessions["p-zzz"].ring
+            assert leader.cp.is_leader
+            assert leader.start_round_if_leader()
+            for _ in range(100):
+                if (leader.rounds_completed >= 1
+                        and sessions["p-aaa"].ring.results_verified >= 1
+                        and sessions["p-mmm"].ring.results_verified >= 1):
+                    break
+                await asyncio.sleep(0.05)
+            assert leader.rounds_completed == 1
+            # everyone converged on the ring-elected host via the live path
+            for s in sessions.values():
+                assert s.host_id == "p-aaa", (s.participant_id, s.host_id)
+                assert s.host_address == "10.0.0.1" and s.host_port == 15001
+            assert leader.cp.backup_id == "p-mmm"
+            # the ACDS adopted the announced result for late joiners
+            await asyncio.sleep(0.2)
+            info = acds.db.lookup(session_string)
+            assert info.host_id == "p-aaa"
+
+            # forged result: p-mmm claims the weak leader is the host
+            forged_metrics = [sessions[p].metrics() for p in quality]
+            sessions["p-mmm"].ring._send("p-aaa", {
+                "type": "RING_ELECTION_RESULT", "round_id": 99,
+                "host_id": "p-zzz", "backup_id": "p-mmm",
+                "metrics": forged_metrics,
+            })
+            for _ in range(100):
+                if sessions["p-aaa"].ring.results_rejected >= 1:
+                    break
+                await asyncio.sleep(0.05)
+            assert sessions["p-aaa"].ring.results_rejected == 1
+            assert sessions["p-aaa"].host_id == "p-aaa"  # unchanged
+        finally:
+            for e in events:
+                e.cancel()
+            for s in sessions.values():
+                await s.leave()
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
