@@ -9,9 +9,10 @@ deterministic consensus election (net/consensus.elect) and broadcasts
 HOST_DESIGNATED (6062) — the centralized variant of the ring protocol; the
 ring state machines themselves live in net/consensus.py.
 
-Payload encoding: this implementation uses structured JSON for the ACDS
-subprotocol payloads (the reference uses packed C structs with Ed25519
-identity signatures, acds.h); packet types and session semantics match.
+Payload encoding: structured JSON bodies inside Ed25519-signed envelopes
+(net/identity.py) — the reference uses packed C structs with the same
+identity-signature scheme (acds.h); packet types, signing discipline, and
+session semantics match, the body encoding differs (documented divergence).
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import json
 import secrets
 
 from asciichat_tpu.net import consensus as cons
+from asciichat_tpu.net import identity as ident
 from asciichat_tpu.net import packet as pkt
 from asciichat_tpu.net.discovery import SessionDatabase
 from asciichat_tpu.net.rate_limit import RateLimiter
@@ -30,6 +32,12 @@ from asciichat_tpu.utils.logsys import get_logger
 log = get_logger("acds")
 
 ELECTION_INTERVAL_S = 300.0  # "every 5 minutes" (ring-consensus-protocol.md)
+
+# Every ACDS subprotocol payload (packet types 6000-6099) is Ed25519-signed
+# (the reference signs its packed ACDS structs, acds.h): clients sign with
+# their participant identity (pinned first-use), the service signs with its
+# own identity (clients TOFU-pin it). Forged/tampered payloads are dropped.
+SIGNED_RANGE = range(6000, 6100)
 
 
 def _j(obj) -> bytes:
@@ -52,6 +60,11 @@ class AcdsServer:
         self.clients: dict[str, tuple[Transport, str | None]] = {}
         # session_string -> {participant_id: metrics}
         self.metrics: dict[str, dict[str, cons.ParticipantMetrics]] = {}
+        self.identity = ident.Identity()
+        self.pins = ident.KnownPeers()  # participant_id -> pinned pubkey
+
+    def _signed_send(self, t: Transport, ptype: int, body: bytes) -> None:
+        t.send_nowait(ptype, self.identity.sign(ptype, body))
 
     async def _broadcast_participants(self, session_string: str) -> None:
         info = self.db.lookup(session_string)
@@ -61,11 +74,18 @@ class AcdsServer:
             "session_string": session_string,
             "participants": cons.ring_order(info.participants),
             "host_id": info.host_id,
+            # pinned identity keys so participants can verify each other's
+            # relayed (ring/SDP) messages end-to-end
+            "pubkeys": {
+                p: k.hex()
+                for p in info.participants
+                if (k := self.pins.get(p)) is not None
+            },
         })
         for pid in info.participants:
             entry = self.clients.get(pid)
             if entry:
-                entry[0].send_nowait(pkt.PacketType.ACIP_PARTICIPANT_LIST, msg)
+                self._signed_send(entry[0], pkt.PacketType.ACIP_PARTICIPANT_LIST, msg)
 
     def _broadcast_host(self, session_string: str, host_id: str,
                         address: str, port: int, backup_id: str | None) -> None:
@@ -85,7 +105,7 @@ class AcdsServer:
         for pid in info.participants:
             entry = self.clients.get(pid)
             if entry:
-                entry[0].send_nowait(pkt.PacketType.ACIP_HOST_DESIGNATED, msg)
+                self._signed_send(entry[0], pkt.PacketType.ACIP_HOST_DESIGNATED, msg)
 
     async def _run_election(self, session_string: str) -> None:
         """Centralized FALLBACK election over reported NETWORK_QUALITY
@@ -111,15 +131,36 @@ class AcdsServer:
         participant_id: str | None = None
         session_string: str | None = None
         P = pkt.PacketType
+        sender_pub: bytes | None = None
         try:
             while True:
                 ptype, payload = await t.recv()
+                raw_payload = payload  # original envelope (for relaying)
+                if ptype in SIGNED_RANGE:
+                    # verify the Ed25519 envelope; forged/tampered payloads
+                    # are dropped, an imposter re-using a known participant
+                    # id with a different key is refused (first-use pinning)
+                    try:
+                        sender_pub, payload = ident.open_envelope(ptype, payload)
+                        if participant_id is not None:
+                            self.pins.check(participant_id, sender_pub)
+                    except ident.SignatureError as e:
+                        log.warning("dropping unsigned/forged packet %d from %s: %s",
+                                    ptype, peer, e)
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "bad signature"}))
+                        continue
                 if ptype == P.ACIP_SESSION_CREATE:
                     if not self.limiter.allow(peer, "session_create"):
                         await t.send(P.ERROR_MESSAGE, _j({"error": "rate limited"}))
                         continue
                     req = _uj(payload)
                     participant_id = req.get("participant_id") or secrets.token_hex(8)
+                    try:
+                        self.pins.check(participant_id, sender_pub)
+                    except ident.SignatureError:
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "identity key mismatch"}))
+                        participant_id = None
+                        continue
                     try:
                         info = self.db.create_session(
                             participant_id, req.get("address", peer),
@@ -131,7 +172,7 @@ class AcdsServer:
                         continue
                     session_string = info.session_string
                     self.clients[participant_id] = (t, session_string)
-                    await t.send(P.ACIP_SESSION_CREATED, _j({
+                    self._signed_send(t, P.ACIP_SESSION_CREATED, _j({
                         "session_string": info.session_string,
                         "session_id": info.session_id,
                         "participant_id": participant_id,
@@ -146,7 +187,7 @@ class AcdsServer:
                     if info is None:
                         await t.send(P.ERROR_MESSAGE, _j({"error": "session not found"}))
                     else:
-                        await t.send(P.ACIP_SESSION_INFO, _j({
+                        self._signed_send(t, P.ACIP_SESSION_INFO, _j({
                             "session_string": info.session_string,
                             "host_id": info.host_id,
                             "host_address": info.host_address,
@@ -157,6 +198,12 @@ class AcdsServer:
                     req = _uj(payload)
                     participant_id = req.get("participant_id") or secrets.token_hex(8)
                     try:
+                        self.pins.check(participant_id, sender_pub)
+                    except ident.SignatureError:
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "identity key mismatch"}))
+                        participant_id = None
+                        continue
+                    try:
                         info = self.db.join(req["session_string"], participant_id,
                                             req.get("address", peer), req.get("port", 0))
                     except KeyError:
@@ -164,7 +211,7 @@ class AcdsServer:
                         continue
                     session_string = info.session_string
                     self.clients[participant_id] = (t, session_string)
-                    await t.send(P.ACIP_SESSION_JOINED, _j({
+                    self._signed_send(t, P.ACIP_SESSION_JOINED, _j({
                         "session_string": info.session_string,
                         "participant_id": participant_id,
                         "host_id": info.host_id,
@@ -186,7 +233,7 @@ class AcdsServer:
                         continue
                     ok = self.db.reserve_string(req["session_string"],
                                                 req.get("owner_id", peer))
-                    await t.send(P.ACIP_STRING_RESERVED, _j({"ok": ok}))
+                    self._signed_send(t, P.ACIP_STRING_RESERVED, _j({"ok": ok}))
                 elif ptype == P.ACIP_STRING_RENEW:
                     req = _uj(payload)
                     self.db.renew_string(req["session_string"], req.get("owner_id", peer))
@@ -195,7 +242,10 @@ class AcdsServer:
                     self.db.release_string(req["session_string"], req.get("owner_id", peer))
                 elif ptype == P.ACIP_NETWORK_QUALITY:
                     m = cons.ParticipantMetrics.unpack(payload)
-                    if session_string:
+                    if m.participant_id != participant_id:
+                        log.warning("metrics id-spoof dropped: %s claimed by %s",
+                                    m.participant_id, participant_id)
+                    elif session_string:
                         self.metrics.setdefault(session_string, {})[m.participant_id] = m
                 elif ptype == P.ACIP_HOST_ANNOUNCEMENT:
                     if session_string:
@@ -218,11 +268,20 @@ class AcdsServer:
                         else:
                             await self._run_election(session_string)
                 elif ptype in (P.ACIP_WEBRTC_SDP, P.ACIP_WEBRTC_ICE, P.ACIP_RING_COLLECT):
-                    # relay to target participant (signaling.c:137 pattern)
+                    # relay to target participant (signaling.c:137 pattern);
+                    # the ORIGINAL sender-signed envelope travels end-to-end
+                    # so the receiver verifies the sender, not the relay
                     req = _uj(payload)
+                    claimed_from = req.get("from", "")
+                    try:
+                        self.pins.check(claimed_from, sender_pub)
+                    except ident.SignatureError:
+                        log.warning("relay from-spoof dropped: %s claimed by %s",
+                                    claimed_from, participant_id)
+                        continue
                     target = self.clients.get(req.get("to", ""))
                     if target:
-                        target[0].send_nowait(ptype, payload)
+                        target[0].send_nowait(ptype, raw_payload)
                 elif ptype == P.PING:
                     await t.send(P.PONG, payload)
         except (asyncio.IncompleteReadError, ConnectionError, ValueError):

@@ -18,11 +18,67 @@ import json
 import secrets
 
 from asciichat_tpu.net import consensus as cons
+from asciichat_tpu.net import identity as ident
 from asciichat_tpu.net import packet as pkt
 from asciichat_tpu.net.transport import connect_tcp
 from asciichat_tpu.utils.logsys import get_logger
 
 log = get_logger("discovery")
+
+SIGNED_RANGE = range(6000, 6100)  # Ed25519-signed ACDS subprotocol (acds.h)
+
+
+class SignedAcdsChannel:
+    """Transport wrapper: signs outgoing ACDS subprotocol payloads with this
+    participant's Ed25519 identity and verifies incoming ones — service
+    packets against the TOFU-pinned ACDS key, relayed peer packets
+    (ring/SDP/ICE, which travel sender-signed end-to-end through the relay)
+    against the sender's pinned key. Forged or tampered packets are DROPPED
+    (the reference rejects unsigned ACDS structs, acds.h)."""
+
+    ACDS_NAME = "@acds"
+
+    def __init__(self, t, identity: ident.Identity, pins: ident.KnownPeers):
+        self.t = t
+        self.identity = identity
+        self.pins = pins
+        P = pkt.PacketType
+        self._relayed = {P.ACIP_RING_COLLECT, P.ACIP_WEBRTC_SDP, P.ACIP_WEBRTC_ICE}
+        self.dropped = 0
+
+    async def send(self, ptype: int, payload: bytes = b"") -> None:
+        if ptype in SIGNED_RANGE:
+            payload = self.identity.sign(ptype, payload)
+        await self.t.send(ptype, payload)
+
+    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        if ptype in SIGNED_RANGE:
+            payload = self.identity.sign(ptype, payload)
+        return self.t.send_nowait(ptype, payload)
+
+    async def recv(self) -> tuple[int, bytes]:
+        while True:
+            ptype, payload = await self.t.recv()
+            if ptype in SIGNED_RANGE:
+                try:
+                    pub, body = ident.open_envelope(ptype, payload)
+                    if ptype in self._relayed:
+                        self.pins.check(json.loads(body).get("from", ""), pub)
+                    else:
+                        self.pins.check(self.ACDS_NAME, pub)
+                except (ident.SignatureError, ValueError) as e:
+                    self.dropped += 1
+                    log.warning("dropped forged/unverifiable packet %d: %s", ptype, e)
+                    continue
+                payload = body
+            return ptype, payload
+
+    async def close(self) -> None:
+        await self.t.close()
+
+    @property
+    def peername(self):
+        return self.t.peername
 
 QUALITY_REPORT_INTERVAL_S = 30.0
 RING_COLLECTION_INTERVAL_S = 60.0  # periodic ring rounds (consensus docs: 5 min)
@@ -177,6 +233,8 @@ class DiscoverySession:
         self.participants: list[str] = []
         self.on_host_changed = None  # callback(address, port)
         self.ring: RingRunner | None = None  # attach_ring() enables P2P consensus
+        self.identity = ident.Identity()
+        self.pins = ident.KnownPeers()
         self._t = None
 
     def attach_ring(self, interval_s: float = RING_COLLECTION_INTERVAL_S) -> "RingRunner":
@@ -184,7 +242,8 @@ class DiscoverySession:
         return self.ring
 
     async def connect(self) -> None:
-        self._t = await connect_tcp(self.acds_host, self.acds_port)
+        raw = await connect_tcp(self.acds_host, self.acds_port)
+        self._t = SignedAcdsChannel(raw, self.identity, self.pins)
 
     async def create(self, my_port: int, my_address: str = "127.0.0.1",
                      reserved_string: str | None = None) -> str:
@@ -252,6 +311,13 @@ class DiscoverySession:
                 if ptype == P.ACIP_PARTICIPANT_LIST:
                     info = json.loads(payload)
                     self.participants = info["participants"]
+                    # pin fellow participants' identity keys (ACDS-signed
+                    # list) so relayed ring/SDP messages verify end-to-end
+                    for pid, hexkey in (info.get("pubkeys") or {}).items():
+                        try:
+                            self.pins.check(pid, bytes.fromhex(hexkey))
+                        except (ident.SignatureError, ValueError) as e:
+                            log.warning("participant %s key conflict: %s", pid, e)
                     if self.ring:
                         self.ring.on_members(self.participants)
                 elif ptype == P.ACIP_RING_COLLECT:

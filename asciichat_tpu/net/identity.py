@@ -1,0 +1,108 @@
+"""Ed25519 identities + signed ACDS subprotocol envelopes.
+
+The reference signs its ACDS packets with Ed25519 identity keys (packed
+structs + signatures, acds.h; crypto identity keys in lib/crypto/crypto.c) so
+discovery-service traffic — session creation, joins, metrics, host
+designations — cannot be forged by an on-path attacker or another
+participant. This module is the TPU framework's counterpart:
+
+- Identity: an Ed25519 keypair (ephemeral, or persisted to a key file).
+- Envelope: every ACDS subprotocol payload travels as
+      pubkey(32) || sig(64) || body
+  where sig = Ed25519(key, be16(packet_type) || body). Binding the packet
+  type prevents cross-type replay (a signed NETWORK_QUALITY body can't be
+  re-presented as a HOST_ANNOUNCEMENT).
+- Pinning (known-hosts style): the first key seen for a participant-id (or
+  for the ACDS itself) is pinned; later envelopes must verify under the
+  pinned key. An imposter presenting a fresh key for a known id is rejected.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+from cryptography.exceptions import InvalidSignature
+from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+    Ed25519PrivateKey,
+    Ed25519PublicKey,
+)
+
+PUBKEY_SIZE = 32
+SIG_SIZE = 64
+ENVELOPE_OVERHEAD = PUBKEY_SIZE + SIG_SIZE
+
+
+class SignatureError(ValueError):
+    pass
+
+
+class Identity:
+    """An Ed25519 signing identity (crypto.c identity-key analog)."""
+
+    def __init__(self, private: Ed25519PrivateKey | None = None):
+        self._private = private or Ed25519PrivateKey.generate()
+        self.public_bytes = self._private.public_key().public_bytes_raw()
+
+    @staticmethod
+    def load_or_create(path: str | Path) -> "Identity":
+        """Persistent identity: 32-byte raw seed file (0600)."""
+        p = Path(path)
+        if p.exists():
+            return Identity(Ed25519PrivateKey.from_private_bytes(p.read_bytes()[:32]))
+        ident = Identity()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.touch(mode=0o600)
+        p.write_bytes(ident._private.private_bytes_raw())
+        return ident
+
+    def sign(self, ptype: int, body: bytes) -> bytes:
+        """-> pubkey(32) || sig(64) || body."""
+        sig = self._private.sign(struct.pack(">H", ptype & 0xFFFF) + body)
+        return self.public_bytes + sig + body
+
+    @property
+    def id_hex(self) -> str:
+        return self.public_bytes.hex()
+
+
+def open_envelope(ptype: int, enveloped: bytes) -> tuple[bytes, bytes]:
+    """Verify and strip an envelope -> (signer_pubkey, body).
+    Raises SignatureError on truncation or a bad signature."""
+    if len(enveloped) < ENVELOPE_OVERHEAD:
+        raise SignatureError("enveloped payload too short")
+    pub = enveloped[:PUBKEY_SIZE]
+    sig = enveloped[PUBKEY_SIZE:ENVELOPE_OVERHEAD]
+    body = enveloped[ENVELOPE_OVERHEAD:]
+    try:
+        Ed25519PublicKey.from_public_bytes(pub).verify(
+            sig, struct.pack(">H", ptype & 0xFFFF) + body
+        )
+    except (InvalidSignature, ValueError) as e:
+        raise SignatureError(f"bad envelope signature: {e}") from None
+    return pub, body
+
+
+class KnownPeers:
+    """First-use key pinning (the reference's known-hosts-style identity
+    store): name -> pinned pubkey. `check` pins on first sight and raises on
+    any later mismatch."""
+
+    def __init__(self):
+        self._pins: dict[str, bytes] = {}
+
+    def check(self, name: str, pubkey: bytes) -> None:
+        pinned = self._pins.get(name)
+        if pinned is None:
+            self._pins[name] = pubkey
+        elif pinned != pubkey:
+            raise SignatureError(
+                f"identity key mismatch for {name!r}: "
+                f"pinned {pinned.hex()[:16]}…, got {pubkey.hex()[:16]}…"
+            )
+
+    def get(self, name: str) -> bytes | None:
+        return self._pins.get(name)
+
+    def forget(self, name: str) -> None:
+        self._pins.pop(name, None)

@@ -247,3 +247,91 @@ def test_ring_consensus_over_live_acip():
             srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_identity_envelope_and_pinning():
+    """Ed25519 envelope: verify/strip, packet-type binding (a signed body
+    can't be replayed as a different packet type), first-use pinning."""
+    import pytest
+
+    from asciichat_tpu.net import identity as ident
+
+    me = ident.Identity()
+    env = me.sign(6062, b'{"host_id": "x"}')
+    pub, body = ident.open_envelope(6062, env)
+    assert pub == me.public_bytes and body == b'{"host_id": "x"}'
+    with pytest.raises(ident.SignatureError):
+        ident.open_envelope(6060, env)  # cross-type replay
+    tampered = env[:ident.ENVELOPE_OVERHEAD] + b'{"host_id": "y"}'
+    with pytest.raises(ident.SignatureError):
+        ident.open_envelope(6062, tampered)
+
+    pins = ident.KnownPeers()
+    pins.check("alice", me.public_bytes)  # pinned first-use
+    pins.check("alice", me.public_bytes)  # same key ok
+    with pytest.raises(ident.SignatureError):
+        pins.check("alice", ident.Identity().public_bytes)  # imposter key
+
+
+def test_signed_acds_rejects_forgery_and_imposters():
+    """Live sockets: (a) a HOST_DESIGNATED injected with a non-ACDS key is
+    dropped by participants (TOFU-pinned service identity); (b) a second
+    connection reusing an existing participant_id with a different identity
+    key is refused; (c) a tampered signed payload is dropped by the ACDS."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import identity as ident
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import connect_tcp, serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="honest")
+        await s1.connect()
+        session_string = await s1.create(my_port=15001, my_address="10.0.0.1")
+        events = asyncio.create_task(s1.event_loop())
+        try:
+            # (a) forged HOST_DESIGNATED: attacker-signed, injected straight
+            # into the participant's connection via the service's transport
+            await asyncio.sleep(0.2)
+            attacker = ident.Identity()
+            fake = attacker.sign(
+                pkt.PacketType.ACIP_HOST_DESIGNATED,
+                b'{"host_id": "evil", "host_address": "6.6.6.6", "host_port": 666}',
+            )
+            acds.clients["honest"][0].send_nowait(
+                pkt.PacketType.ACIP_HOST_DESIGNATED, fake)
+            await asyncio.sleep(0.3)
+            assert s1.host_id == "honest"  # unchanged
+            assert s1._t.dropped >= 1
+
+            # (b) imposter: same participant_id, different identity key
+            imposter = DiscoverySession("127.0.0.1", port, participant_id="honest")
+            await imposter.connect()
+            with __import__("pytest").raises(RuntimeError, match="identity"):
+                await imposter.join(session_string)
+            await imposter._t.close()
+
+            # (c) tampered payload to the ACDS: signature breaks, dropped
+            raw = await connect_tcp("127.0.0.1", port)
+            evil_env = bytearray(attacker.sign(
+                pkt.PacketType.ACIP_SESSION_JOIN,
+                ('{"participant_id": "p2", "session_string": "%s"}'
+                 % session_string).encode()))
+            evil_env[-1] ^= 0xFF  # tamper after signing
+            await raw.send(pkt.PacketType.ACIP_SESSION_JOIN, bytes(evil_env))
+            ptype, payload = await asyncio.wait_for(raw.recv(), 5)
+            assert ptype == pkt.PacketType.ERROR_MESSAGE
+            assert b"signature" in payload
+            await raw.close()
+        finally:
+            events.cancel()
+            await s1.leave()
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
