@@ -11,9 +11,9 @@ Parity with lib/crypto/crypto.c:
   shared key (crypto.c:837-885)
 - rekeying:              new ephemeral X25519 pair after 1M packets or 1h
   (crypto.c:143-155, REKEY_* thresholds), REQUEST/RESPONSE/COMPLETE
-- password mode:         the reference derives keys with Argon2id; this
-  runtime uses scrypt (hashlib) — wire-incompatible for password sessions,
-  documented divergence (no Argon2 primitive in this environment).
+- password mode:         Argon2id (native/argon2.cpp, RFC 9106) with the
+  reference's effective libsodium parameters — wire-format parity
+  (crypto.c:336-352).
 
 The cipher itself lives in native/sodium.cpp (own implementation of the
 public Salsa20/Poly1305 specs); _py_* functions are an independent
@@ -61,6 +61,36 @@ def _lib():
     lib.ac_poly1305.argtypes = [u8, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]
     lib.ac_hsalsa20.argtypes = [u8, ctypes.c_char_p, ctypes.c_char_p]
     return lib
+
+
+@functools.lru_cache(maxsize=1)
+def _argon2_lib():
+    from asciichat_tpu.runtime.native_build import load_library
+
+    lib = load_library("argon2")
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    u32 = ctypes.c_uint32
+    lib.ac_argon2id.argtypes = [ctypes.c_char_p, u32, ctypes.c_char_p, u32,
+                                u32, u32, u32, ctypes.c_char_p, u32,
+                                ctypes.c_char_p, u32, u8, u32]
+    lib.ac_argon2id.restype = ctypes.c_int
+    return lib
+
+
+def argon2id(password: bytes, salt: bytes, t: int = 2, m_kib: int = 65536,
+             parallelism: int = 1, outlen: int = 32,
+             secret: bytes = b"", ad: bytes = b"") -> bytes:
+    """Argon2id v1.3 (RFC 9106) from native/argon2.cpp — the reference's
+    crypto_pwhash counterpart (crypto.c:348). Validated against the RFC §5.3
+    vector and two independent implementations in tests/test_crypto.py."""
+    out = (ctypes.c_uint8 * outlen)()
+    rc = _argon2_lib().ac_argon2id(
+        password, len(password), salt, len(salt), t, m_kib, parallelism,
+        secret or None, len(secret), ad or None, len(ad), out, outlen,
+    )
+    if rc != 0:
+        raise ValueError(f"argon2id failed (rc={rc})")
+    return bytes(out)
 
 
 def secretbox(message: bytes, nonce: bytes, key: bytes) -> bytes:
@@ -202,11 +232,15 @@ class CryptoContext:
         self.shared_key = self._private.exchange(X25519PublicKey.from_public_bytes(peer_public))
 
     def set_password(self, password: str) -> None:
-        """Password-derived key. DIVERGENCE: scrypt instead of Argon2id (no
-        Argon2 primitive available); same 32-byte key role (crypto.c:164-192)."""
-        salt = hashlib.sha256(b"asciichat_tpu.password.v1").digest()[:16]
-        self.password_key = hashlib.scrypt(
-            password.encode(), salt=salt, n=2**14, r=8, p=1, dklen=32
+        """Password key via Argon2id (native/argon2.cpp, RFC 9106), with the
+        reference's exact effective parameters (crypto.c:336-352): libsodium
+        crypto_pwhash INTERACTIVE limits (t=2, m=64 MiB, p=1) and the
+        deterministic salt "ascii-chat-password-salt-v1" — of which libsodium
+        reads crypto_pwhash_SALTBYTES=16 bytes, so the effective salt is the
+        first 16 bytes. Wire-format parity for password sessions."""
+        self.password_key = argon2id(
+            password.encode(), b"ascii-chat-password-salt-v1"[:16],
+            t=2, m_kib=64 * 1024, parallelism=1, outlen=32,
         )
 
     @property

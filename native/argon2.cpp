@@ -1,0 +1,368 @@
+// Argon2id (RFC 9106) + BLAKE2b (RFC 7693): own implementation from the
+// public specifications — the password KDF the reference gets from libsodium's
+// crypto_pwhash (lib/crypto/crypto.c:348-352, Argon2id with the INTERACTIVE
+// opslimit/memlimit). Same ground rules as native/sodium.cpp: no code from
+// the reference (which vendors libsodium and contains no Argon2 source);
+// cross-validated in tests against RFC 9106 §5.3 vectors and two independent
+// Python bindings (argon2-cffi, cryptography).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libargon2.so argon2.cpp
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+inline uint64_t rotr64(uint64_t x, int n) { return (x >> n) | (x << (64 - n)); }
+
+// ---------------------------------------------------------------------------
+// BLAKE2b (RFC 7693)
+
+const uint64_t B2B_IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL,
+};
+
+const uint8_t B2B_SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+};
+
+struct Blake2b {
+  uint64_t h[8];
+  uint8_t buf[128];
+  size_t buflen;
+  uint64_t t;  // bytes compressed so far (128 bytes max message here < 2^64)
+
+  void init(size_t outlen) {
+    memcpy(h, B2B_IV, sizeof(h));
+    h[0] ^= 0x01010000ULL ^ (uint64_t)outlen;
+    buflen = 0;
+    t = 0;
+  }
+
+  static void g(uint64_t* v, int a, int b, int c, int d, uint64_t x, uint64_t y) {
+    v[a] = v[a] + v[b] + x;
+    v[d] = rotr64(v[d] ^ v[a], 32);
+    v[c] = v[c] + v[d];
+    v[b] = rotr64(v[b] ^ v[c], 24);
+    v[a] = v[a] + v[b] + y;
+    v[d] = rotr64(v[d] ^ v[a], 16);
+    v[c] = v[c] + v[d];
+    v[b] = rotr64(v[b] ^ v[c], 63);
+  }
+
+  void compress(const uint8_t* block, bool last) {
+    uint64_t m[16], v[16];
+    for (int i = 0; i < 16; ++i) memcpy(&m[i], block + 8 * i, 8);
+    memcpy(v, h, 64);
+    memcpy(v + 8, B2B_IV, 64);
+    v[12] ^= t;
+    // t_hi is always 0 for our message sizes (v[13] ^= 0)
+    if (last) v[14] = ~v[14];
+    for (int r = 0; r < 12; ++r) {
+      const uint8_t* s = B2B_SIGMA[r];
+      g(v, 0, 4, 8, 12, m[s[0]], m[s[1]]);
+      g(v, 1, 5, 9, 13, m[s[2]], m[s[3]]);
+      g(v, 2, 6, 10, 14, m[s[4]], m[s[5]]);
+      g(v, 3, 7, 11, 15, m[s[6]], m[s[7]]);
+      g(v, 0, 5, 10, 15, m[s[8]], m[s[9]]);
+      g(v, 1, 6, 11, 12, m[s[10]], m[s[11]]);
+      g(v, 2, 7, 8, 13, m[s[12]], m[s[13]]);
+      g(v, 3, 4, 9, 14, m[s[14]], m[s[15]]);
+    }
+    for (int i = 0; i < 8; ++i) h[i] ^= v[i] ^ v[i + 8];
+  }
+
+  void update(const uint8_t* in, size_t n) {
+    while (n) {
+      if (buflen == 128) {  // buffer full AND more input -> not the last block
+        t += 128;
+        compress(buf, false);
+        buflen = 0;
+      }
+      size_t take = 128 - buflen;
+      if (take > n) take = n;
+      memcpy(buf + buflen, in, take);
+      buflen += take;
+      in += take;
+      n -= take;
+    }
+  }
+
+  void final(uint8_t* out, size_t outlen) {
+    t += buflen;
+    memset(buf + buflen, 0, 128 - buflen);
+    compress(buf, true);
+    uint8_t full[64];
+    for (int i = 0; i < 8; ++i) memcpy(full + 8 * i, &h[i], 8);
+    memcpy(out, full, outlen);
+  }
+};
+
+void blake2b(uint8_t* out, size_t outlen, const uint8_t* in, size_t inlen) {
+  Blake2b b;
+  b.init(outlen);
+  b.update(in, inlen);
+  b.final(out, outlen);
+}
+
+// H' — Argon2's variable-length hash (RFC 9106 §3.3)
+void hprime(uint8_t* out, uint32_t outlen, const uint8_t* in, size_t inlen) {
+  uint8_t lenle[4];
+  memcpy(lenle, &outlen, 4);  // little-endian on all supported targets
+  if (outlen <= 64) {
+    Blake2b b;
+    b.init(outlen);
+    b.update(lenle, 4);
+    b.update(in, inlen);
+    b.final(out, outlen);
+    return;
+  }
+  uint32_t r = (outlen + 31) / 32 - 2;
+  uint8_t v[64];
+  Blake2b b;
+  b.init(64);
+  b.update(lenle, 4);
+  b.update(in, inlen);
+  b.final(v, 64);
+  memcpy(out, v, 32);
+  for (uint32_t i = 1; i < r; ++i) {
+    blake2b(v, 64, v, 64);
+    memcpy(out + 32 * i, v, 32);
+  }
+  uint32_t last = outlen - 32 * r;
+  uint8_t tail[64];
+  blake2b(tail, last, v, 64);
+  memcpy(out + 32 * r, tail, last);
+}
+
+// ---------------------------------------------------------------------------
+// Argon2 core (RFC 9106 §3)
+
+constexpr int QWORDS = 128;  // 1024-byte block = 128 u64
+
+struct Block {
+  uint64_t v[QWORDS];
+};
+
+inline void block_xor(Block& dst, const Block& a, const Block& b) {
+  for (int i = 0; i < QWORDS; ++i) dst.v[i] = a.v[i] ^ b.v[i];
+}
+
+inline uint64_t fblamka(uint64_t x, uint64_t y) {
+  return x + y + 2 * (x & 0xFFFFFFFFULL) * (y & 0xFFFFFFFFULL);
+}
+
+inline void pg(uint64_t& a, uint64_t& b, uint64_t& c, uint64_t& d) {
+  a = fblamka(a, b);
+  d = rotr64(d ^ a, 32);
+  c = fblamka(c, d);
+  b = rotr64(b ^ c, 24);
+  a = fblamka(a, b);
+  d = rotr64(d ^ a, 16);
+  c = fblamka(c, d);
+  b = rotr64(b ^ c, 63);
+}
+
+inline void permute(uint64_t& v0, uint64_t& v1, uint64_t& v2, uint64_t& v3,
+                    uint64_t& v4, uint64_t& v5, uint64_t& v6, uint64_t& v7,
+                    uint64_t& v8, uint64_t& v9, uint64_t& v10, uint64_t& v11,
+                    uint64_t& v12, uint64_t& v13, uint64_t& v14, uint64_t& v15) {
+  pg(v0, v4, v8, v12);
+  pg(v1, v5, v9, v13);
+  pg(v2, v6, v10, v14);
+  pg(v3, v7, v11, v15);
+  pg(v0, v5, v10, v15);
+  pg(v1, v6, v11, v12);
+  pg(v2, v7, v8, v13);
+  pg(v3, v4, v9, v14);
+}
+
+// G(X, Y): R = X^Y, P over rows then columns, output R ^ result
+void g_compress(Block& out, const Block& x, const Block& y, bool xor_out) {
+  Block r, z;
+  block_xor(r, x, y);
+  z = r;
+  for (int i = 0; i < 8; ++i) {  // rows: 16 consecutive u64
+    uint64_t* p = z.v + 16 * i;
+    permute(p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9], p[10],
+            p[11], p[12], p[13], p[14], p[15]);
+  }
+  for (int i = 0; i < 8; ++i) {  // columns: pairs with stride 16
+    uint64_t* p = z.v + 2 * i;
+    permute(p[0], p[1], p[16], p[17], p[32], p[33], p[48], p[49], p[64], p[65],
+            p[80], p[81], p[96], p[97], p[112], p[113]);
+  }
+  if (xor_out) {
+    for (int i = 0; i < QWORDS; ++i) out.v[i] ^= r.v[i] ^ z.v[i];
+  } else {
+    for (int i = 0; i < QWORDS; ++i) out.v[i] = r.v[i] ^ z.v[i];
+  }
+}
+
+void next_addresses(Block& addr, Block& input, const Block& zero) {
+  input.v[6]++;
+  Block tmp;
+  g_compress(tmp, zero, input, false);
+  g_compress(addr, zero, tmp, false);
+}
+
+struct Params {
+  uint32_t t, m_kib, p, tag_len, type;  // type: 0=d 1=i 2=id
+};
+
+int argon2_core(uint8_t* out, const Params& prm, const uint8_t* pwd,
+                uint32_t pwdlen, const uint8_t* salt, uint32_t saltlen,
+                const uint8_t* secret, uint32_t secretlen, const uint8_t* ad,
+                uint32_t adlen) {
+  const uint32_t VERSION = 0x13;
+  uint32_t p = prm.p;
+  if (p == 0 || prm.t == 0 || prm.m_kib < 8 * p) return -1;
+  uint32_t mblocks = prm.m_kib / (4 * p) * (4 * p);  // m' (RFC §3.2 step 3)
+  uint32_t q = mblocks / p;                          // lane length
+  uint32_t seg = q / 4;                              // segment length
+
+  // H0 (RFC §3.2 step 1)
+  uint8_t h0[72];  // 64 + room for the two LE32 appendices per lane/column
+  {
+    Blake2b b;
+    b.init(64);
+    uint32_t le;
+    auto put32 = [&](uint32_t v) {
+      le = v;
+      b.update((uint8_t*)&le, 4);
+    };
+    put32(p);
+    put32(prm.tag_len);
+    put32(prm.m_kib);
+    put32(prm.t);
+    put32(VERSION);
+    put32(prm.type);
+    put32(pwdlen);
+    b.update(pwd, pwdlen);
+    put32(saltlen);
+    b.update(salt, saltlen);
+    put32(secretlen);
+    if (secretlen) b.update(secret, secretlen);
+    put32(adlen);
+    if (adlen) b.update(ad, adlen);
+    b.final(h0, 64);
+  }
+
+  Block* mem = (Block*)malloc((size_t)mblocks * sizeof(Block));
+  if (!mem) return -2;
+
+  // first two blocks of every lane (RFC §3.2 step 5-6)
+  for (uint32_t lane = 0; lane < p; ++lane) {
+    for (uint32_t col = 0; col < 2; ++col) {
+      memcpy(h0 + 64, &col, 4);
+      memcpy(h0 + 68, &lane, 4);
+      hprime((uint8_t*)mem[(size_t)lane * q + col].v, 1024, h0, 72);
+    }
+  }
+
+  // memory filling (RFC §3.4; single-threaded: lanes within a slice are
+  // data-independent so sequential processing is equivalent)
+  for (uint32_t pass = 0; pass < prm.t; ++pass) {
+    for (uint32_t slice = 0; slice < 4; ++slice) {
+      for (uint32_t lane = 0; lane < p; ++lane) {
+        bool di = (prm.type == 1) ||
+                  (prm.type == 2 && pass == 0 && slice < 2);  // Argon2i addressing
+        Block input = {}, zero = {}, addr = {};
+        if (di) {
+          input.v[0] = pass;
+          input.v[1] = lane;
+          input.v[2] = slice;
+          input.v[3] = mblocks;
+          input.v[4] = prm.t;
+          input.v[5] = prm.type;
+        }
+        uint32_t start = (pass == 0 && slice == 0) ? 2 : 0;
+        if (di && start == 2) next_addresses(addr, input, zero);
+        for (uint32_t j = start; j < seg; ++j) {
+          uint32_t col = slice * seg + j;
+          uint32_t prev_col = (col == 0) ? q - 1 : col - 1;
+          const Block& prev = mem[(size_t)lane * q + prev_col];
+          uint64_t rand64;
+          if (di) {
+            // regenerate every 128 positions; the start==2 case (pass 0,
+            // slice 0) pre-generated its first block before the loop
+            if (j % QWORDS == 0) next_addresses(addr, input, zero);
+            rand64 = addr.v[j % QWORDS];
+          } else {
+            rand64 = prev.v[0];
+          }
+          uint32_t j1 = (uint32_t)rand64;
+          uint32_t j2 = (uint32_t)(rand64 >> 32);
+          uint32_t ref_lane =
+              (pass == 0 && slice == 0) ? lane : (j2 % p);
+          // reference area size (RFC §3.4.2)
+          uint32_t area;
+          if (pass == 0) {
+            if (ref_lane == lane)
+              area = slice * seg + j - 1;
+            else
+              area = slice * seg - (j == 0 ? 1 : 0);
+          } else {
+            if (ref_lane == lane)
+              area = q - seg + j - 1;
+            else
+              area = q - seg - (j == 0 ? 1 : 0);
+          }
+          uint64_t x = ((uint64_t)j1 * j1) >> 32;
+          uint64_t y = (area * x) >> 32;
+          uint32_t zpos = (uint32_t)(area - 1 - y);
+          uint32_t start_pos = (pass == 0) ? 0 : ((slice + 1) * seg) % q;
+          uint32_t ref_col = (start_pos + zpos) % q;
+          const Block& ref = mem[(size_t)ref_lane * q + ref_col];
+          Block& cur = mem[(size_t)lane * q + col];
+          g_compress(cur, prev, ref, /*xor_out=*/pass > 0);
+        }
+      }
+    }
+  }
+
+  // final: XOR of all lanes' last columns -> H'(tag_len)
+  Block c = mem[(size_t)0 * q + (q - 1)];
+  for (uint32_t lane = 1; lane < p; ++lane)
+    block_xor(c, c, mem[(size_t)lane * q + (q - 1)]);
+  hprime(out, prm.tag_len, (uint8_t*)c.v, 1024);
+
+  // wipe + free (secure_memzero discipline, crypto.c:200)
+  memset(mem, 0, (size_t)mblocks * sizeof(Block));
+  free(mem);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ac_argon2id(const uint8_t* pwd, uint32_t pwdlen, const uint8_t* salt,
+                uint32_t saltlen, uint32_t t, uint32_t m_kib, uint32_t par,
+                const uint8_t* secret, uint32_t secretlen, const uint8_t* ad,
+                uint32_t adlen, uint8_t* out, uint32_t outlen) {
+  Params prm{t, m_kib, par, outlen, /*type=*/2};
+  return argon2_core(out, prm, pwd, pwdlen, salt, saltlen, secret, secretlen,
+                     ad, adlen);
+}
+
+void ac_blake2b(uint8_t* out, uint32_t outlen, const uint8_t* in,
+                uint64_t inlen) {
+  blake2b(out, outlen, in, inlen);
+}
+
+}  // extern "C"

@@ -305,3 +305,45 @@ def test_no_encryption_downgrade_rejected_when_auth_required():
     ok = asyncio.run(server_handshake(NullTransport(), C.CryptoContext(), first,
                                       require_auth=False))
     assert ok is False
+
+
+def test_argon2id_rfc9106_vector():
+    """RFC 9106 §5.3 Argon2id known-answer test (t=3, m=32 KiB, p=4, with
+    secret + associated data) against native/argon2.cpp."""
+    got = C.argon2id(b"\x01" * 32, b"\x02" * 16, t=3, m_kib=32, parallelism=4,
+                     outlen=32, secret=b"\x03" * 8, ad=b"\x04" * 12)
+    assert got.hex() == (
+        "0d640df58d78766c08c037a34a8b53c9d01ef0452d75b65eb52520e96b01e659"
+    )
+
+
+def test_argon2id_cross_validation():
+    """Cross-validate against TWO independent implementations (argon2-cffi
+    and cryptography's Argon2id) over varied parameters."""
+    from argon2.low_level import Type, hash_secret_raw
+
+    for t, m, p in [(1, 8, 1), (2, 64, 2), (3, 128, 4)]:
+        pw, salt = os.urandom(10), os.urandom(16)
+        ref = hash_secret_raw(pw, salt, time_cost=t, memory_cost=m,
+                              parallelism=p, hash_len=32, type=Type.ID)
+        assert C.argon2id(pw, salt, t=t, m_kib=m, parallelism=p) == ref
+
+    from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
+
+    pw, salt = b"correct horse", os.urandom(16)
+    ref2 = Argon2id(salt=salt, length=32, iterations=2, lanes=1,
+                    memory_cost=64).derive(pw)
+    assert C.argon2id(pw, salt, t=2, m_kib=64, parallelism=1) == ref2
+
+
+def test_password_kdf_is_argon2id_with_reference_params():
+    """set_password derives via Argon2id with the reference's effective
+    libsodium-INTERACTIVE parameters and deterministic salt
+    (crypto.c:336-352): same password -> same key on both sides."""
+    a, b = C.CryptoContext(), C.CryptoContext()
+    a.set_password("hunter2")
+    b.set_password("hunter2")
+    assert a.password_key == b.password_key
+    want = C.argon2id(b"hunter2", b"ascii-chat-password-salt-v1"[:16],
+                      t=2, m_kib=65536, parallelism=1)
+    assert a.password_key == want
