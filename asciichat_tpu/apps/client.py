@@ -57,6 +57,7 @@ class AsciiChatClient:
         use_ws: bool = False,
         audio_source=None,
         audio_sink=None,
+        want_h265: bool = False,
     ):
         self.host = host
         self.port = port
@@ -82,6 +83,14 @@ class AsciiChatClient:
             self.audio_pipeline = ClientAudioPipeline()
         self.audio_frames_sent = 0
         self.audio_frames_received = 0
+        # H.265 uplink: requested by the user, activated only once the server
+        # advertises a decoder in SERVER_STATE (capability negotiation;
+        # lib/video/h265/encoder.c + session/h265/server.c). Falls back to
+        # raw RGB IMAGE_FRAME otherwise.
+        self.want_h265 = want_h265
+        self.h265_active = False
+        self._h265_enc = None
+        self.h265_frames_sent = 0
         self._stop = asyncio.Event()
 
     async def _capture_task(self, t: Transport) -> None:
@@ -95,13 +104,37 @@ class AsciiChatClient:
             if frame is None:
                 break
             frame = _fit_upload(np.asarray(frame))
-            payload = pkt.pack_image_frame(
-                frame.tobytes(), frame.shape[1], frame.shape[0]
-            )
-            t.send_nowait(pkt.PacketType.IMAGE_FRAME, payload)
+            if self.h265_active:
+                self._send_h265(t, frame)
+            else:
+                payload = pkt.pack_image_frame(
+                    frame.tobytes(), frame.shape[1], frame.shape[0]
+                )
+                t.send_nowait(pkt.PacketType.IMAGE_FRAME, payload)
             self.frames_sent += 1
             dt = loop.time() - t0
             await asyncio.sleep(max(0.0, interval - dt))
+
+    def _send_h265(self, t: Transport, frame: np.ndarray) -> None:
+        """Encode + ship one frame as IMAGE_FRAME_H265 access units; any
+        failure drops back to raw RGB for the rest of the session."""
+        from asciichat_tpu.runtime import codecs
+
+        h, w = frame.shape[:2]
+        try:
+            if self._h265_enc is None or (self._h265_enc.width,
+                                          self._h265_enc.height) != (w, h):
+                if self._h265_enc is not None:
+                    self._h265_enc.close()
+                self._h265_enc = codecs.H265Encoder(w, h, fps=int(self.capture_fps))
+            for au in self._h265_enc.encode(frame):
+                payload = pkt.pack_image_frame(au, w, h, pkt.PIXEL_FORMAT_HEVC)
+                t.send_nowait(pkt.PacketType.IMAGE_FRAME_H265, payload)
+                self.h265_frames_sent += 1
+        except (codecs.CodecUnavailable, OSError, BrokenPipeError) as e:
+            log.warning("h265 uplink failed (%s); falling back to raw RGB", e)
+            self.h265_active = False
+            self._h265_enc = None
 
     async def _audio_capture_task(self, t: Transport) -> None:
         """10 ms cadence: read a 480-sample frame, run the client DSP
@@ -153,6 +186,19 @@ class AsciiChatClient:
                 self.writer._first = True
             elif ptype == P.PONG:
                 pass
+            elif ptype == P.SERVER_STATE:
+                # codec negotiation: enable the H.265 uplink only when the
+                # server advertises a decoder (falls back to raw otherwise)
+                if self.want_h265 and not self.h265_active:
+                    import json
+
+                    try:
+                        codecs_adv = json.loads(payload).get("codecs", [])
+                    except ValueError:
+                        codecs_adv = []
+                    if "h265" in codecs_adv:
+                        self.h265_active = True
+                        log.info("server supports h265: switching uplink")
             elif ptype == P.AUDIO_BATCH:
                 # playback: exclude-self server mix -> sink; the played
                 # signal is also the AEC far-end reference
@@ -280,7 +326,7 @@ def main(args) -> int:
                              capture_fps=args.fps, reconnect=not args.no_reconnect,
                              encrypt=args.encrypt, password=args.password,
                              use_ws=args.ws, audio_source=audio_source,
-                             audio_sink=audio_sink)
+                             audio_sink=audio_sink, want_h265=args.h265)
     try:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:

@@ -138,6 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="WAV file as the audio capture source; implies --audio")
     c.add_argument("--audio-out", default=None,
                    help="write received mix to this raw-f32 file (default: speaker/null)")
+    c.add_argument("--h265", action="store_true",
+                   help="H.265 uplink when ffmpeg + server support allow (else raw RGB)")
     from asciichat_tpu.apps import client as client_mod
 
     c.set_defaults(fn=client_mod.main)

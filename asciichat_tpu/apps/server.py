@@ -61,6 +61,7 @@ class ClientState:
         self.last_seen = time.monotonic()
         self.filter_name = "none"
         self.pending_first: tuple[int, bytes] | None = None
+        self.h265 = None  # per-client decoder ctx (session/h265/server.c:14-25)
 
     @property
     def size_key(self):
@@ -150,6 +151,8 @@ class AsciiChatServer:
             log.warning("client %d bad data: %s", cid, e)
         finally:
             self.clients.pop(cid, None)
+            if state.h265 is not None:
+                state.h265.close()
             log.info("client %d disconnected", cid)
             await self._broadcast_state()
 
@@ -191,6 +194,27 @@ class AsciiChatServer:
                 frame = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
                 c.video.commit(frame)
                 c.streaming = True
+            elif ptype == P.IMAGE_FRAME_H265:
+                # per-client decode context, lazily opened on the first AU
+                # (src/session/h265/server.c:14-25); dims ride the header
+                au, w, h, fmt = pkt.unpack_image_frame(payload)
+                if w > MAX_UPLOAD_W or h > MAX_UPLOAD_H:
+                    raise ValueError(f"bad h265 frame dims {w}x{h}")
+                from asciichat_tpu.runtime import codecs
+
+                if c.h265 is None or (c.h265.width, c.h265.height) != (w, h):
+                    if c.h265 is not None:
+                        c.h265.close()
+                    try:
+                        c.h265 = codecs.H265Decoder(w, h)
+                    except codecs.CodecUnavailable as e:
+                        # we never advertised h265; tell the client to fall back
+                        await c.transport.send(P.ERROR_MESSAGE,
+                                               proto.pack_error(3, str(e)))
+                        continue
+                for frame in c.h265.decode(au):
+                    c.video.commit(frame)
+                c.streaming = True
             elif ptype == P.AUDIO_BATCH:
                 body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
                 c.audio.write(np.frombuffer(body, "<f4")[:total])
@@ -217,10 +241,15 @@ class AsciiChatServer:
         (src/server state broadcast, packet.h:5008)."""
         import json
 
+        from asciichat_tpu.runtime.codecs import probe_video_codecs
+
         payload = json.dumps({
             "clients": len(self.clients),
             "streaming": sum(1 for c in self.clients.values() if c.streaming),
             "max_clients": MAX_CLIENTS,
+            # codec negotiation: clients only send IMAGE_FRAME_H265 after the
+            # server advertises a decoder (capability-gated fallback to raw)
+            "codecs": probe_video_codecs(),
         }).encode()
         await self._broadcast(pkt.PacketType.SERVER_STATE, payload)
 

@@ -226,6 +226,7 @@ AUDIO_BATCH_HDR = struct.Struct(">IIII")  # batch_count, total_samples, rate, ch
 PIXEL_FORMAT_RGB24 = 0
 PIXEL_FORMAT_RGBA32 = 1
 PIXEL_FORMAT_BGR24 = 2
+PIXEL_FORMAT_HEVC = 3  # IMAGE_FRAME_H265 payload: one Annex-B access unit
 
 
 def pack_ascii_frame(

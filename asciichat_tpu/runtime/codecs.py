@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import shutil
 import subprocess
+import threading
 
 import numpy as np
 
@@ -74,31 +75,141 @@ def best_audio_codec(prefer_opus: bool = True):
     return RawFloatAudioCodec()
 
 
+def _split_access_units(buf: bytearray) -> list[bytes]:
+    """Split an Annex-B HEVC byte stream on Access Unit Delimiter NALs
+    (type 35; the encoder runs with aud=1 so every AU starts with one).
+    Complete AUs are removed from `buf`; a partial tail stays."""
+    positions = []
+    i = 0
+    while True:
+        j = buf.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        nal_start = j + 3
+        if nal_start >= len(buf):
+            break
+        nal_type = (buf[nal_start] >> 1) & 0x3F
+        if nal_type == 35:  # AUD
+            # include a preceding zero byte (4-byte start code form)
+            start = j - 1 if j > 0 and buf[j - 1] == 0 else j
+            positions.append(start)
+        i = j + 3
+    if len(positions) < 2:
+        return []
+    aus = [bytes(buf[positions[k] : positions[k + 1]])
+           for k in range(len(positions) - 1)]
+    del buf[: positions[-1]]
+    return aus
+
+
 class H265Encoder:
-    """H.265 seat via the ffmpeg CLI (encoder probe analog, encoder.c:67-84)."""
+    """Streaming H.265 encoder via the ffmpeg CLI (lib/video/h265/encoder.c
+    analog: hardware probe + lazy open; here the probe is the ffmpeg binary).
+
+    Low-latency x265 (tune zerolatency: no lookahead/reordering, one AU out
+    per frame in) with aud=1 + repeat-headers=1 so each AU is self-framing
+    and keyframe AUs are self-contained for mid-stream join."""
 
     name = "h265"
 
-    def __init__(self, width: int, height: int, fps: int = 30, crf: int = 28):
+    def __init__(self, width: int, height: int, fps: int = 30, crf: int = 28,
+                 keyint: int = 30):
         if not shutil.which("ffmpeg"):
             raise CodecUnavailable("h265 unavailable: no ffmpeg on PATH")
+        self.width, self.height = width, height
         self._proc = subprocess.Popen(
             ["ffmpeg", "-v", "error", "-f", "rawvideo", "-pix_fmt", "rgb24",
              "-s", f"{width}x{height}", "-r", str(fps), "-i", "-",
-             "-c:v", "libx265", "-crf", str(crf), "-f", "hevc", "-"],
+             "-c:v", "libx265", "-preset", "ultrafast", "-tune", "zerolatency",
+             "-x265-params", f"crf={crf}:keyint={keyint}:aud=1:repeat-headers=1",
+             "-f", "hevc", "-"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
         )
+        self._buf = bytearray()
+        self._lock = threading.Lock()
+        self._reader = threading.Thread(target=self._drain, daemon=True)
+        self._reader.start()
 
-    def encode_frame(self, frame: np.ndarray) -> None:
-        self._proc.stdin.write(frame.astype(np.uint8).tobytes())
+    def _drain(self) -> None:
+        while True:
+            chunk = self._proc.stdout.read(4096)
+            if not chunk:
+                return
+            with self._lock:
+                self._buf += chunk
 
-    def finish(self) -> bytes:
-        out, _ = self._proc.communicate()
-        return out
+    def encode(self, frame: np.ndarray) -> list[bytes]:
+        """Feed one RGB24 frame; -> the complete encoded AUs available so far
+        (zerolatency: normally one per call after the first)."""
+        self._proc.stdin.write(np.ascontiguousarray(frame, np.uint8).tobytes())
+        self._proc.stdin.flush()
+        with self._lock:
+            return _split_access_units(self._buf)
+
+    def close(self) -> None:
+        try:
+            self._proc.stdin.close()
+            self._proc.wait(timeout=5)
+        except Exception:
+            self._proc.kill()
+
+
+class H265Decoder:
+    """Streaming H.265 decoder (src/session/h265/server.c:14-25 keeps one
+    per client on the server; this is that per-client context)."""
+
+    name = "h265"
+
+    def __init__(self, width: int, height: int):
+        if not shutil.which("ffmpeg"):
+            raise CodecUnavailable("h265 unavailable: no ffmpeg on PATH")
+        self.width, self.height = width, height
+        self._frame_bytes = width * height * 3
+        self._proc = subprocess.Popen(
+            ["ffmpeg", "-v", "error", "-f", "hevc", "-i", "-",
+             "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        self._buf = bytearray()
+        self._lock = threading.Lock()
+        self._reader = threading.Thread(target=self._drain, daemon=True)
+        self._reader.start()
+
+    def _drain(self) -> None:
+        while True:
+            chunk = self._proc.stdout.read(self._frame_bytes)
+            if not chunk:
+                return
+            with self._lock:
+                self._buf += chunk
+
+    def decode(self, au: bytes) -> list[np.ndarray]:
+        """Feed one encoded AU; -> decoded RGB24 frames available so far."""
+        self._proc.stdin.write(au)
+        self._proc.stdin.flush()
+        frames = []
+        with self._lock:
+            while len(self._buf) >= self._frame_bytes:
+                raw = bytes(self._buf[: self._frame_bytes])
+                del self._buf[: self._frame_bytes]
+                frames.append(
+                    np.frombuffer(raw, np.uint8).reshape(self.height, self.width, 3)
+                )
+        return frames
+
+    def close(self) -> None:
+        try:
+            self._proc.stdin.close()
+            self._proc.wait(timeout=5)
+        except Exception:
+            self._proc.kill()
 
 
 def probe_video_codecs() -> list[str]:
-    """VIDEO_CODEC_CAP_* capability probe for CLIENT_CAPABILITIES."""
+    """VIDEO_CODEC_CAP_* capability probe for CLIENT_CAPABILITIES /
+    SERVER_STATE codec negotiation."""
     codecs = ["raw_rgb24"]
     if shutil.which("ffmpeg"):
         codecs.append("h265")
