@@ -58,6 +58,7 @@ class AsciiChatClient:
         audio_source=None,
         audio_sink=None,
         want_h265: bool = False,
+        audio_gain: float = 1.0,
     ):
         self.host = host
         self.port = port
@@ -76,6 +77,7 @@ class AsciiChatClient:
         # highpass, gate) before leaving as AUDIO_BATCH.
         self.audio_source = audio_source
         self.audio_sink = audio_sink
+        self.audio_gain = audio_gain  # capture gain applied before send
         self.audio_pipeline = None
         if audio_source is not None:
             from asciichat_tpu.ops.audio import ClientAudioPipeline
@@ -156,6 +158,8 @@ class AsciiChatClient:
             processed = await loop.run_in_executor(
                 None, self.audio_pipeline.process, frame
             )
+            if self.audio_gain != 1.0:
+                processed = np.clip(processed * self.audio_gain, -1.0, 1.0)
             payload = pkt.pack_audio_batch(
                 np.asarray(processed, "<f4").tobytes(), n, 1
             )
@@ -308,6 +312,8 @@ def main(args) -> int:
     )
     w, h = term.terminal_size(args.width, args.height)
     wire = proto.WireCapabilities(caps=caps, width=w, height=h)
+    if args.no_compress:
+        wire.capabilities_mask |= 0x1  # cannot-decompress bit (webclient parity)
     source = None
     if not args.no_media:
         source = open_source(test_pattern=args.test_pattern, file=args.file,
@@ -326,7 +332,8 @@ def main(args) -> int:
                              capture_fps=args.fps, reconnect=not args.no_reconnect,
                              encrypt=args.encrypt, password=args.password,
                              use_ws=args.ws, audio_source=audio_source,
-                             audio_sink=audio_sink, want_h265=args.h265)
+                             audio_sink=audio_sink, want_h265=args.h265,
+                             audio_gain=args.audio_gain)
     try:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:

@@ -14,43 +14,7 @@ import sys
 
 from asciichat_tpu.render.types import ColorLevel, RenderMode
 from asciichat_tpu.utils import logsys
-
-
-def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--width", type=int, default=None, help="output width in chars")
-    p.add_argument("--height", type=int, default=None, help="output height in chars")
-    p.add_argument("--palette", default="standard",
-                   help="palette name (standard/blocks/digital/minimal/cool) or custom chars")
-    p.add_argument("--render-mode", type=int, default=RenderMode.FOREGROUND,
-                   choices=[0, 1, 2], help="0=foreground 1=background 2=half-block")
-    def _color_mode(s: str) -> ColorLevel:
-        try:
-            return ColorLevel[s.upper()]
-        except KeyError:
-            raise argparse.ArgumentTypeError(
-                f"invalid color mode {s!r} (choose from "
-                f"{', '.join(c.name for c in ColorLevel)})"
-            ) from None
-
-    p.add_argument("--color-mode", type=_color_mode, default=None,
-                   help="override color detection: NONE/COLOR_16/COLOR_256/TRUECOLOR")
-    p.add_argument("--color-filter", default="none", help="monochromatic tint filter")
-    p.add_argument("--stretch", action="store_true", help="ignore aspect ratio")
-    p.add_argument("--fps", type=float, default=30.0)
-    p.add_argument("--show-fps", action="store_true")
-    p.add_argument("--log-file", default=None)
-    p.add_argument("--log-level", default="INFO")
-    p.add_argument("--grep", default=None, help="regex filter applied to log messages")
-    p.add_argument("--log-json", action="store_true")
-    p.add_argument("--config", default=None, help="TOML config file")
-    p.add_argument("--preset", default=None, help="named preset from the config file")
-
-
-def _add_media(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--test-pattern", action="store_true", help="synthetic webcam")
-    p.add_argument("--file", default=None, help="media file (image, or video via ffmpeg)")
-    p.add_argument("--loop", action="store_true", help="loop file playback")
-    p.add_argument("--flip-x", action="store_true")
+from asciichat_tpu.utils.options import Mode, apply_to_parser, default_registry
 
 
 def _resolve_palette(name: str) -> str:
@@ -78,7 +42,7 @@ def cmd_mirror(args) -> int:
     session = MirrorSession(
         source, caps, w, h, _resolve_palette(args.palette),
         fps_limit=args.fps, color_filter=args.color_filter,
-        flip_x=args.flip_x, stretch=args.stretch, show_fps=args.show_fps,
+        flip_x=args.flip_x, flip_y=args.flip_y, stretch=args.stretch, show_fps=args.show_fps,
         matrix=args.matrix,
     )
     if args.snapshot:
@@ -89,82 +53,39 @@ def cmd_mirror(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """The per-mode argparse surfaces are GENERATED from the options
+    registry (utils/options.default_registry — lib/options/builder/ analog),
+    so CLI flags, TOML keys, help, and completions share one source of
+    truth; tests assert the registry<->parser bijection per mode."""
     ap = argparse.ArgumentParser(prog="asciichat-tpu",
                                  description="TPU-native terminal video chat")
     sub = ap.add_subparsers(dest="mode", required=True)
+    reg = default_registry()
 
     m = sub.add_parser("mirror", help="local webcam->ASCII loop, no network")
-    _add_common(m)
-    _add_media(m)
-    m.add_argument("--snapshot", action="store_true", help="render one frame and exit")
-    m.add_argument("--max-frames", type=int, default=None)
-    m.add_argument("--matrix", action="store_true", help="digital rain overlay")
-    m.add_argument("--render-file", default=None,
-                   help="render to a video file (.y4m, or any format via ffmpeg)")
+    apply_to_parser(reg, m, Mode.MIRROR)
     m.set_defaults(fn=cmd_mirror)
 
     s = sub.add_parser("server", help="multi-client compositing server")
-    _add_common(s)
-    s.add_argument("--host", default="0.0.0.0")
-    s.add_argument("--port", type=int, default=27224)
-    s.add_argument("--compress", type=int, default=1, help="zstd level 1-9")
-    s.add_argument("--password", default=None, help="require password auth")
-    s.add_argument("--ws-port", type=int, default=None,
-                   help="also listen for WebSocket clients on this port")
-    s.add_argument("--mdns", action="store_true", help="announce via mDNS on the LAN")
-    s.add_argument("--inspect-port", type=int, default=None,
-                   help="live-process inspector HTTP port (query-server analog)")
+    apply_to_parser(reg, s, Mode.SERVER)
     from asciichat_tpu.apps import server as server_mod
 
     s.set_defaults(fn=server_mod.main)
 
     c = sub.add_parser("client", help="connect to a server")
-    _add_common(c)
-    _add_media(c)
-    c.add_argument("address")
-    c.add_argument("--port", type=int, default=27224)
-    c.add_argument("--no-media", action="store_true", help="view-only")
-    c.add_argument("--ws", action="store_true", help="connect over WebSocket")
-    c.add_argument("--encrypt", action="store_true",
-                   help="X25519 + XSalsa20-Poly1305 encrypted session")
-    c.add_argument("--password", default=None, help="password for auth")
-    c.add_argument("--no-reconnect", action="store_true")
-    c.add_argument("--max-frames", type=int, default=None)
-    c.add_argument("--audio", action="store_true",
-                   help="send/receive audio (mic via arecord, else 440Hz tone)")
-    c.add_argument("--tone-hz", type=float, default=None,
-                   help="synthetic tone capture frequency (0 = silence); implies --audio")
-    c.add_argument("--audio-wav", default=None,
-                   help="WAV file as the audio capture source; implies --audio")
-    c.add_argument("--audio-out", default=None,
-                   help="write received mix to this raw-f32 file (default: speaker/null)")
-    c.add_argument("--h265", action="store_true",
-                   help="H.265 uplink when ffmpeg + server support allow (else raw RGB)")
+    apply_to_parser(reg, c, Mode.CLIENT)
     from asciichat_tpu.apps import client as client_mod
 
     c.set_defaults(fn=client_mod.main)
 
     d = sub.add_parser("discovery-service", help="ACDS rendezvous server")
-    _add_common(d)
-    d.add_argument("--host", default="0.0.0.0")
-    d.add_argument("--port", type=int, default=27225)
-    d.add_argument("--db", default=":memory:", help="SQLite session database path")
+    apply_to_parser(reg, d, Mode.ACDS, default_overrides={"port": 27225})
     from asciichat_tpu.apps import acds as acds_mod
 
     d.set_defaults(fn=acds_mod.main)
 
     dc = sub.add_parser("discovery", help="P2P session via discovery service")
-    _add_common(dc)
-    dc.add_argument("--acds", default="127.0.0.1", help="discovery service address")
-    dc.add_argument("--acds-port", type=int, default=27225)
-    dc.add_argument("--join", default=None, help="session string to join (else create)")
-    dc.add_argument("--port", type=int, default=27224, help="port to host on when creating")
-    dc.add_argument("--advertise", default="127.0.0.1", help="address to advertise as host")
-    dc.add_argument("--max-frames", type=int, default=None)
-    dc.add_argument("--ring-interval", type=float, default=None,
-                    help="ring-consensus collection interval in seconds (default 60)")
-    dc.add_argument("--view", action="store_true",
-                    help="when creating, also view the session locally")
+    apply_to_parser(reg, dc, Mode.DISCOVERY)
     from asciichat_tpu.apps import discovery as discovery_mod
 
     dc.set_defaults(fn=discovery_mod.main)

@@ -34,6 +34,7 @@ class MirrorSession:
         fps_limit: float = 60.0,
         color_filter: str = "none",
         flip_x: bool = False,
+        flip_y: bool = False,
         stretch: bool = False,
         show_fps: bool = False,
         matrix: bool = False,
@@ -46,6 +47,7 @@ class MirrorSession:
         self.fps_limit = fps_limit
         self.color_filter = color_filter
         self.flip_x = flip_x
+        self.flip_y = flip_y
         self.stretch = stretch
         self.show_fps = show_fps
         self.matrix = matrix
@@ -91,6 +93,8 @@ class MirrorSession:
 
         if self.flip_x:
             frame = frame[:, ::-1]
+        if self.flip_y:
+            frame = frame[::-1]
         if self.matrix:
             import jax.numpy as jnp
 

@@ -42,6 +42,9 @@ class OptionDescriptor:
     choices: tuple | None = None
     validator: Callable[[Any], bool] | None = None
     short: str | None = None
+    # argparse-surface metadata (builder API analog, lib/options/builder/):
+    cli_type: Callable[[str], Any] | None = None  # CLI string converter
+    positional: bool = False  # bare argument instead of --flag
 
     def validate(self, value: Any) -> Any:
         if self.type is bool and isinstance(value, str):
@@ -166,7 +169,35 @@ class OptionsStore:
 
 
 # ---------------------------------------------------------------------------
-# Generators (help / completions), from the registry single source of truth.
+# Generators (argparse surface / help / completions), from the registry
+# single source of truth (lib/options/builder/builder.c analog: the CLI is
+# GENERATED from descriptors so flags, TOML keys, completions and help
+# cannot drift).
+
+
+def apply_to_parser(registry: OptionsRegistry, parser, mode: Mode,
+                    default_overrides: dict[str, Any] | None = None) -> None:
+    """Add every descriptor applicable to `mode` to an argparse parser.
+    `default_overrides` adjusts per-mode defaults (e.g. the ACDS listen port)
+    without forking the descriptor."""
+    overrides = default_overrides or {}
+    for d in registry.descriptors(mode=mode):
+        default = overrides.get(d.name, d.default)
+        dest = d.name.replace("-", "_")
+        if d.positional:
+            parser.add_argument(dest, help=d.help)
+        elif d.type is bool:
+            parser.add_argument(f"--{d.name}", action="store_true",
+                                default=bool(default), help=d.help)
+        else:
+            kw: dict[str, Any] = {
+                "type": d.cli_type or d.type,
+                "default": default,
+                "help": d.help,
+            }
+            if d.choices and d.cli_type is None:
+                kw["choices"] = list(d.choices)
+            parser.add_argument(f"--{d.name}", **kw)
 
 
 def generate_help(registry: OptionsRegistry, mode: Mode) -> str:
@@ -206,51 +237,136 @@ def generate_completions(registry: OptionsRegistry, shell: str, prog: str = "asc
 # The framework's registry (domains mirror lib/options/registry/*.c).
 
 
+def _parse_color_mode(s: str):
+    """CLI converter: 'auto' -> None (detect); accepts both the friendly
+    forms (none/16/256/truecolor) and the enum names (NONE/COLOR_16/...)."""
+    from asciichat_tpu.render.types import ColorLevel
+
+    low = s.lower()
+    if low == "auto":
+        return None
+    alias = {"none": "NONE", "16": "COLOR_16", "256": "COLOR_256",
+             "truecolor": "TRUECOLOR"}
+    name = alias.get(low, s.upper())
+    try:
+        return ColorLevel[name]
+    except KeyError:
+        import argparse
+
+        raise argparse.ArgumentTypeError(
+            f"invalid color mode {s!r} (auto/none/16/256/truecolor)"
+        ) from None
+
+
 def default_registry() -> OptionsRegistry:
+    """THE option surface: every CLI flag of every mode is declared here and
+    the argparse parsers are generated from it (apply_to_parser), so flags,
+    TOML keys, completions, and help cannot drift
+    (tests/test_subsystems.py asserts the bijection per mode)."""
     r = OptionsRegistry()
     add = r.add
+    MC = Mode.MIRROR | Mode.CLIENT
     # display
     add("width", "display", int, 0, "output width in characters (0=auto)")
     add("height", "display", int, 0, "output height in characters (0=auto)")
-    add("palette", "display", str, "standard", "glyph palette name or custom chars")
+    add("palette", "display", str, "standard",
+        "palette name (standard/blocks/digital/minimal/cool) or custom chars")
     add("render-mode", "display", int, 0, "0=foreground 1=background 2=half-block",
         choices=(0, 1, 2))
-    add("color-mode", "display", str, "auto", "color depth override",
-        choices=("auto", "none", "16", "256", "truecolor"))
+    add("color-mode", "display", str, "auto",
+        "color depth override (auto/none/16/256/truecolor)",
+        choices=("auto", "none", "16", "256", "truecolor"),
+        cli_type=_parse_color_mode)
     add("color-filter", "display", str, "none", "monochromatic tint filter")
     add("stretch", "display", bool, False, "ignore aspect ratio")
     add("show-fps", "display", bool, False, "FPS overlay")
-    add("matrix", "display", bool, False, "digital rain overlay",
-        modes=Mode.MIRROR | Mode.CLIENT)
-    add("flip-x", "display", bool, False, "mirror horizontally")
-    add("flip-y", "display", bool, False, "mirror vertically")
+    add("matrix", "display", bool, False, "digital rain overlay", modes=Mode.MIRROR)
+    add("flip-x", "display", bool, False, "mirror horizontally", modes=MC)
+    add("flip-y", "display", bool, False, "mirror vertically", modes=MC)
+    add("snapshot", "display", bool, False, "render one frame and exit",
+        modes=Mode.MIRROR)
+    add("render-file", "display", str, None,
+        "render to a video file (.y4m, or any format via ffmpeg)",
+        modes=Mode.MIRROR)
     # media
-    add("test-pattern", "media", bool, False, "synthetic webcam source",
-        modes=Mode.MIRROR | Mode.CLIENT | Mode.DISCOVERY)
-    add("file", "media", str, "", "media file source", modes=Mode.MIRROR | Mode.CLIENT)
-    add("loop", "media", bool, False, "loop file playback", modes=Mode.MIRROR | Mode.CLIENT)
+    add("test-pattern", "media", bool, False, "synthetic webcam source", modes=MC)
+    add("file", "media", str, None, "media file (image, or video via ffmpeg)",
+        modes=MC)
+    add("loop", "media", bool, False, "loop file playback", modes=MC)
     add("fps", "media", float, 30.0, "capture rate cap",
         validator=lambda v: 0 < v <= 144)
+    add("max-frames", "media", int, None, "stop after N frames",
+        modes=MC | Mode.DISCOVERY)
     # network
+    add("address", "network", str, None, "server address", modes=Mode.CLIENT,
+        positional=True)
     add("port", "network", int, 27224, "TCP port",
+        modes=Mode.SERVER | Mode.CLIENT | Mode.ACDS | Mode.DISCOVERY,
         validator=lambda v: 0 < v < 65536)
-    add("host", "network", str, "0.0.0.0", "bind address", modes=Mode.SERVER | Mode.ACDS)
-    add("compress", "network", int, 1, "zstd level", validator=lambda v: 1 <= v <= 9)
-    add("no-compress", "network", bool, False, "disable compression")
+    add("host", "network", str, "0.0.0.0", "bind address",
+        modes=Mode.SERVER | Mode.ACDS)
+    add("compress", "network", int, 1, "zstd level 1-9", modes=Mode.SERVER,
+        validator=lambda v: 1 <= v <= 9)
+    add("no-compress", "network", bool, False,
+        "advertise no-decompression (frames arrive uncompressed)",
+        modes=Mode.CLIENT)
     add("no-reconnect", "network", bool, False, "disable auto-reconnect",
-        modes=Mode.CLIENT | Mode.DISCOVERY)
+        modes=Mode.CLIENT)
+    add("ws", "network", bool, False, "connect over WebSocket", modes=Mode.CLIENT)
+    add("ws-port", "network", int, None,
+        "also listen for WebSocket clients on this port", modes=Mode.SERVER)
+    add("no-media", "network", bool, False, "view-only client", modes=Mode.CLIENT)
+    add("mdns", "network", bool, False, "announce via mDNS on the LAN",
+        modes=Mode.SERVER)
+    add("inspect-port", "network", int, None,
+        "live-process inspector HTTP port (query-server analog)",
+        modes=Mode.SERVER)
+    add("h265", "network", bool, False,
+        "H.265 uplink when ffmpeg + server support allow (else raw RGB)",
+        modes=Mode.CLIENT)
     # security
-    add("encrypt", "security", bool, False, "encrypted session",
-        modes=Mode.CLIENT | Mode.DISCOVERY)
-    add("password", "security", str, "", "session password")
+    add("encrypt", "security", bool, False,
+        "X25519 + XSalsa20-Poly1305 encrypted session", modes=Mode.CLIENT)
+    add("password", "security", str, None, "session password (Argon2id auth)",
+        modes=Mode.SERVER | Mode.CLIENT)
     # audio
-    add("audio", "audio", bool, False, "enable audio")
-    add("audio-gain", "audio", float, 1.0, "base mixer gain",
-        validator=lambda v: 0 <= v <= 4)
+    add("audio", "audio", bool, False,
+        "send/receive audio (mic via arecord, else 440Hz tone)",
+        modes=Mode.CLIENT)
+    add("tone-hz", "audio", float, None,
+        "synthetic tone capture frequency (0 = silence); implies --audio",
+        modes=Mode.CLIENT)
+    add("audio-wav", "audio", str, None,
+        "WAV file as the audio capture source; implies --audio",
+        modes=Mode.CLIENT)
+    add("audio-out", "audio", str, None,
+        "write received mix to this raw-f32 file (default: speaker/null)",
+        modes=Mode.CLIENT)
+    add("audio-gain", "audio", float, 1.0, "capture gain applied before send",
+        modes=Mode.CLIENT, validator=lambda v: 0 <= v <= 4)
+    # discovery
+    add("acds", "discovery", str, "127.0.0.1", "discovery service address",
+        modes=Mode.DISCOVERY)
+    add("acds-port", "discovery", int, 27225, "discovery service port",
+        modes=Mode.DISCOVERY)
+    add("join", "discovery", str, None,
+        "session string to join (else create)", modes=Mode.DISCOVERY)
+    add("advertise", "discovery", str, "127.0.0.1",
+        "address to advertise as host", modes=Mode.DISCOVERY)
+    add("ring-interval", "discovery", float, None,
+        "ring-consensus collection interval in seconds (default 60)",
+        modes=Mode.DISCOVERY)
+    add("view", "discovery", bool, False,
+        "when creating, also view the session locally", modes=Mode.DISCOVERY)
+    add("db", "discovery", str, ":memory:", "SQLite session database path",
+        modes=Mode.ACDS)
+    # config
+    add("config", "config", str, None, "TOML config file")
+    add("preset", "config", str, None, "named preset from the config file")
     # logging
     add("log-level", "log", str, "INFO", "log verbosity",
         choices=("DEV", "DEBUG", "INFO", "WARNING", "ERROR"))
-    add("log-file", "log", str, "", "log file path (3MB rotation)")
-    add("grep", "log", str, "", "regex filter on log messages")
+    add("log-file", "log", str, None, "log file path (3MB rotation)")
+    add("grep", "log", str, None, "regex filter applied to log messages")
     add("log-json", "log", bool, False, "JSON log sink")
     return r

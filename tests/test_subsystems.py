@@ -246,3 +246,49 @@ def test_framefd_truncation_and_nested_lifecycle():
     lc.init_once("nested-outer", lambda: lc.init_once("nested-inner",
                                                       lambda: order.append("in")))
     assert order == ["in"]  # reentrant lock: no self-deadlock
+
+
+def test_cli_surface_generated_from_registry():
+    """Single-source guarantee: for every mode, the argparse option surface
+    and the registry's descriptor set are IDENTICAL (both directions), so
+    flags, TOML keys, completions, and help cannot drift
+    (lib/options/builder/ + registry single source of truth)."""
+    from asciichat_tpu.apps.main import build_parser
+    from asciichat_tpu.utils.options import Mode, default_registry
+
+    reg = default_registry()
+    ap = build_parser()
+    sub = next(a for a in ap._actions
+               if isinstance(a, __import__("argparse")._SubParsersAction))
+    mode_map = {"mirror": Mode.MIRROR, "server": Mode.SERVER,
+                "client": Mode.CLIENT, "discovery-service": Mode.ACDS,
+                "discovery": Mode.DISCOVERY}
+    for cmd, mode in mode_map.items():
+        parser = sub.choices[cmd]
+        cli = set()
+        for action in parser._actions:
+            if action.dest in ("help", "fn", "mode"):
+                continue
+            if action.option_strings:
+                cli.add(action.option_strings[-1].lstrip("-"))
+            else:
+                cli.add(action.dest.replace("_", "-"))
+        registry = {d.name for d in reg.descriptors(mode=mode)}
+        assert cli == registry, (
+            f"{cmd}: CLI-only={sorted(cli - registry)}, "
+            f"registry-only={sorted(registry - cli)}"
+        )
+
+
+def test_cli_registry_defaults_agree():
+    """Parsed defaults match registry defaults (modulo documented per-mode
+    overrides like the ACDS port)."""
+    from asciichat_tpu.apps.main import build_parser
+    from asciichat_tpu.utils.options import default_registry
+
+    reg = default_registry()
+    args = build_parser().parse_args(["server"])
+    for name in ("port", "compress", "log-level", "width", "palette"):
+        assert getattr(args, name.replace("-", "_")) == reg[name].default
+    acds_args = build_parser().parse_args(["discovery-service"])
+    assert acds_args.port == 27225  # documented per-mode override
