@@ -18,6 +18,7 @@ from asciichat_tpu.net import packet as pkt
 from asciichat_tpu.net import protocol as proto
 from asciichat_tpu.net.crypto import CryptoContext
 from asciichat_tpu.net.handshake import SecureChannel, client_handshake
+from asciichat_tpu.models.session import DisplaySink, FrameTransform, ReconnectPolicy
 from asciichat_tpu.net.transport import Transport, connect_tcp
 from asciichat_tpu.runtime.framesource import FrameSource
 from asciichat_tpu.utils import term
@@ -28,19 +29,6 @@ log = get_logger("client")
 CAPTURE_FPS_CAP = 144  # src/client/capture.c:33
 MAX_UPLOAD_W, MAX_UPLOAD_H = 800, 600  # capture.c:41-44
 KEEPALIVE_INTERVAL = 5.0
-RECONNECT_BACKOFF = (0.5, 1.0, 2.0, 5.0)
-
-
-def _fit_upload(frame: np.ndarray) -> np.ndarray:
-    """Downscale to the <=800x600 upload cap (capture.c:41-44)."""
-    h, w = frame.shape[:2]
-    if w <= MAX_UPLOAD_W and h <= MAX_UPLOAD_H:
-        return frame
-    from asciichat_tpu.render.oracle import resize_image
-    from asciichat_tpu.utils.aspect import fit_dimensions_pixel
-
-    nw, nh = fit_dimensions_pixel(w, h, MAX_UPLOAD_W, MAX_UPLOAD_H)
-    return resize_image(frame, nw, nh)
 
 
 class AsciiChatClient:
@@ -55,6 +43,9 @@ class AsciiChatClient:
         encrypt: bool = False,
         password: str | None = None,
         use_ws: bool = False,
+        flip_x: bool = False,
+        flip_y: bool = False,
+        show_fps: bool = False,
         audio_source=None,
         audio_sink=None,
         want_h265: bool = False,
@@ -69,7 +60,16 @@ class AsciiChatClient:
         self.encrypt = encrypt
         self.password = password
         self.use_ws = use_ws
-        self.writer = term.FrameWriter()
+        # shared session framework (models/session.py, src/common/session/):
+        # capture transforms + display + reconnect policy are the same
+        # implementations the mirror and discovery modes use
+        self.transform = FrameTransform(flip_x=flip_x, flip_y=flip_y,
+                                        max_upload=(MAX_UPLOAD_W, MAX_UPLOAD_H))
+        self.display = DisplaySink(show_fps=show_fps)
+        if wire_caps is not None:
+            self.display.set_meta(wire_caps.caps.renderer_key(),
+                                  (wire_caps.width, wire_caps.height))
+        self.reconnect_policy = ReconnectPolicy(enabled=reconnect)
         self.frames_received = 0
         self.frames_sent = 0
         # Audio duplex (src/client/audio.c:276 capture, :531 playback):
@@ -105,7 +105,7 @@ class AsciiChatClient:
             frame = await loop.run_in_executor(None, self.source.read)
             if frame is None:
                 break
-            frame = _fit_upload(np.asarray(frame))
+            frame = self.transform(frame)
             if self.h265_active:
                 self._send_h265(t, frame)
             else:
@@ -182,12 +182,12 @@ class AsciiChatClient:
             ptype, payload = await t.recv()
             if ptype == P.ASCII_FRAME:
                 frame, _w, _h, _flags = pkt.unpack_ascii_frame(payload)
-                self.writer.write_frame(frame)
+                self.display.write_frame(frame)
                 self.frames_received += 1
                 if max_frames and self.frames_received >= max_frames:
                     self._stop.set()
             elif ptype == P.CLEAR_CONSOLE:
-                self.writer._first = True
+                self.display.reset()
             elif ptype == P.PONG:
                 pass
             elif ptype == P.SERVER_STATE:
@@ -216,8 +216,7 @@ class AsciiChatClient:
                     self.audio_pipeline.add_far(mix)
             elif ptype == P.TEXT_MESSAGE:
                 # chat line below the frame (client text chat)
-                self.writer.stream.write(b"\x1b[0m\r\n> " + payload[:200] + b"\r\n")
-                self.writer.stream.flush()
+                self.display.chat_line(payload)
             elif ptype == P.ERROR_MESSAGE:
                 code, msg = proto.unpack_error(payload)
                 log.error("server error %d: %s", code, msg)
@@ -277,23 +276,22 @@ class AsciiChatClient:
             await t.close()
 
     async def run(self, max_frames: int | None = None) -> None:
-        self.writer.setup()
+        self.display.setup()
         try:
-            backoff = iter(RECONNECT_BACKOFF)
             while not self._stop.is_set():
                 try:
                     await self._session(max_frames)
-                    backoff = iter(RECONNECT_BACKOFF)
+                    self.reconnect_policy.reset()
                     if not self.reconnect:
                         return
                 except (ConnectionError, asyncio.IncompleteReadError, OSError) as e:
                     if not self.reconnect:
                         raise
-                    delay = next(backoff, RECONNECT_BACKOFF[-1])
+                    delay = self.reconnect_policy.next_delay()
                     log.warning("connection lost (%s); reconnecting in %.1fs", e, delay)
                     await asyncio.sleep(delay)
         finally:
-            self.writer.teardown()
+            self.display.teardown()
             for dev in (self.audio_source, self.audio_sink):
                 if dev is not None:
                     try:
@@ -333,7 +331,8 @@ def main(args) -> int:
                              encrypt=args.encrypt, password=args.password,
                              use_ws=args.ws, audio_source=audio_source,
                              audio_sink=audio_sink, want_h265=args.h265,
-                             audio_gain=args.audio_gain)
+                             audio_gain=args.audio_gain, flip_x=args.flip_x,
+                             flip_y=args.flip_y, show_fps=args.show_fps)
     try:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:

@@ -292,3 +292,58 @@ def test_cli_registry_defaults_agree():
         assert getattr(args, name.replace("-", "_")) == reg[name].default
     acds_args = build_parser().parse_args(["discovery-service"])
     assert acds_args.port == 27225  # documented per-mode override
+
+
+def test_shared_session_framework():
+    """models/session.py (src/common/session/ analog): the ONE
+    implementation of capture transforms / display / reconnect / pacing
+    shared by mirror, client, and discovery."""
+    import numpy as np
+
+    from asciichat_tpu.models.session import (
+        DisplaySink, FrameTransform, Pacer, ReconnectPolicy,
+    )
+
+    # transforms: flips compose, upload fit caps dimensions
+    t = FrameTransform(flip_x=True, flip_y=True, max_upload=(100, 80))
+    frame = np.arange(200 * 160 * 3, dtype=np.uint8).reshape(160, 200, 3)
+    out = t(frame)
+    assert out.shape[0] <= 80 and out.shape[1] <= 100
+    t2 = FrameTransform(flip_x=True)
+    small = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(t2(small), small[:, ::-1])
+
+    # reconnect: backoff then clamp, reset restarts
+    rp = ReconnectPolicy()
+    delays = [rp.next_delay() for _ in range(6)]
+    assert delays == [0.5, 1.0, 2.0, 5.0, 5.0, 5.0]
+    rp.reset()
+    assert rp.next_delay() == 0.5
+
+    # pacer: drops frames above the cap
+    p = Pacer(fps=1000.0)
+    assert not p.should_drop(10.0)
+    assert p.should_drop(10.0001)
+    assert not p.should_drop(10.01)
+
+    # display: overlays + chat to an in-memory stream
+    import io
+
+    buf = io.BytesIO()
+    d = DisplaySink(stream=buf, show_fps=True)
+    d.set_meta("truecolor_fg", (40, 12))
+    d.write_frame(b"FRAME")
+    d.chat_line(b"hello")
+    data = buf.getvalue()
+    assert b"FRAME" in data and b"> hello" in data
+    assert d.frames_written == 1
+
+    # both mirror and client are built on these exact classes
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.models.mirror import MirrorSession
+
+    assert MirrorSession.__init__.__module__ == "asciichat_tpu.models.mirror"
+    c = AsciiChatClient("127.0.0.1", 1)
+    assert isinstance(c.transform, FrameTransform)
+    assert isinstance(c.display, DisplaySink)
+    assert isinstance(c.reconnect_policy, ReconnectPolicy)
