@@ -47,17 +47,37 @@ async def _read_http_headers(reader: asyncio.StreamReader) -> tuple[str, dict[st
 
 
 class WebSocketConnection:
-    """Framed RFC 6455 connection (post-handshake)."""
+    """Framed RFC 6455 connection (post-handshake), with optional
+    permessage-deflate (RFC 7692) when both ends negotiated it — the
+    reference's libwebsockets transport negotiates the same extension
+    (lib/network/websocket/transport.c). Compression uses one shared sliding
+    context per direction (context takeover), RSV1 marks compressed
+    messages, and only data messages >= 64 B are compressed."""
+
+    DEFLATE_MIN_SIZE = 64
 
     def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter,
-                 is_client: bool):
+                 is_client: bool, deflate: bool = False):
         self.reader = reader
         self.writer = writer
         self.is_client = is_client  # clients mask, servers don't
         self.closed = False
+        self.deflate = deflate
+        if deflate:
+            import zlib
+
+            self._tx = zlib.compressobj(wbits=-15)
+            self._rx = zlib.decompressobj(wbits=-15)
+            self._z_sync = zlib.Z_SYNC_FLUSH
 
     async def send_message(self, data: bytes, opcode: int = OP_BINARY) -> None:
-        fin_op = 0x80 | opcode
+        rsv1 = 0
+        if (self.deflate and opcode in (OP_TEXT, OP_BINARY)
+                and len(data) >= self.DEFLATE_MIN_SIZE):
+            out = self._tx.compress(data) + self._tx.flush(self._z_sync)
+            data = out[:-4] if out.endswith(b"\x00\x00\xff\xff") else out
+            rsv1 = 0x40
+        fin_op = 0x80 | rsv1 | opcode
         n = len(data)
         mask_bit = 0x80 if self.is_client else 0
         if n < 126:
@@ -78,6 +98,7 @@ class WebSocketConnection:
         """-> (opcode, payload), reassembling fragmented messages."""
         message = bytearray()
         message_op = None
+        compressed = False
         while True:
             b1, b2 = struct.unpack(">BB", await self.reader.readexactly(2))
             fin = b1 & 0x80
@@ -107,10 +128,21 @@ class WebSocketConnection:
             if opcode in (OP_TEXT, OP_BINARY):
                 message_op = opcode
                 message = bytearray(payload)
+                compressed = bool(b1 & 0x40)  # RSV1 on the FIRST frame
+                if compressed and not self.deflate:
+                    raise ValueError("compressed frame without negotiated deflate")
             elif opcode == OP_CONT:
                 message += payload
             if fin:
-                return message_op or OP_BINARY, bytes(message)
+                data = bytes(message)
+                if compressed:
+                    raw = self._rx.decompress(
+                        data + b"\x00\x00\xff\xff", MAX_MESSAGE_SIZE + 1
+                    )
+                    if len(raw) > MAX_MESSAGE_SIZE:
+                        raise ValueError("decompressed websocket message too large")
+                    data = raw
+                return message_op or OP_BINARY, data
 
     async def close(self) -> None:
         if not self.closed:
@@ -179,21 +211,27 @@ class WebSocketTransport:
         await self.ws.close()
 
 
-async def connect_ws(host: str, port: int, path: str = "/") -> WebSocketTransport:
+async def connect_ws(host: str, port: int, path: str = "/",
+                     deflate: bool = True) -> WebSocketTransport:
     reader, writer = await asyncio.open_connection(host, port)
     key = base64.b64encode(os.urandom(16)).decode()
+    ext = "Sec-WebSocket-Extensions: permessage-deflate\r\n" if deflate else ""
     writer.write(
         (
             f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
             "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n{ext}\r\n"
         ).encode()
     )
     await writer.drain()
     status, headers = await _read_http_headers(reader)
     if "101" not in status or headers.get("sec-websocket-accept") != _accept_key(key):
         raise ConnectionError(f"websocket handshake failed: {status}")
-    t = WebSocketTransport(WebSocketConnection(reader, writer, is_client=True))
+    negotiated = deflate and "permessage-deflate" in headers.get(
+        "sec-websocket-extensions", "")
+    t = WebSocketTransport(
+        WebSocketConnection(reader, writer, is_client=True, deflate=negotiated)
+    )
     t.start_sender()
     return t
 
@@ -220,17 +258,30 @@ async def serve_ws(handler, host: str, port: int,
                 await writer.drain()
                 writer.close()
                 return
+            # permessage-deflate (RFC 7692): accept with default parameters
+            # (shared context, 15-bit windows) when offered — browsers offer
+            # it by default, so ASCII frames to web clients compress even
+            # though those clients set the no-zstd capability bit
+            offered = headers.get("sec-websocket-extensions", "")
+            deflate = any(
+                part.split(";")[0].strip() == "permessage-deflate"
+                for part in offered.split(",")
+            )
+            ext = ("Sec-WebSocket-Extensions: permessage-deflate\r\n"
+                   if deflate else "")
             writer.write(
                 (
                     "HTTP/1.1 101 Switching Protocols\r\n"
                     "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-                    f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+                    f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n{ext}\r\n"
                 ).encode()
             )
             await writer.drain()
         except (asyncio.IncompleteReadError, ConnectionError):
             return
-        t = WebSocketTransport(WebSocketConnection(reader, writer, is_client=False))
+        t = WebSocketTransport(
+            WebSocketConnection(reader, writer, is_client=False, deflate=deflate)
+        )
         t.start_sender()
         try:
             await handler(t)

@@ -176,3 +176,53 @@ def test_server_clamps_client_dims():
         assert c.wire_caps.height <= MAX_TERM_H
 
     asyncio.run(asyncio.wait_for(run(), 10))
+
+
+def test_websocket_permessage_deflate():
+    """RFC 7692 negotiation + shared-context compression both ways; large
+    compressible payloads shrink on the wire (counted via a tap), and a
+    non-offering client stays uncompressed."""
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.websocket import connect_ws, serve_ws
+
+    async def run():
+        got = []
+
+        negotiated = []
+
+        async def handler(t):
+            negotiated.append(t.ws.deflate)
+            for _ in range(2 if t.ws.deflate else 1):
+                ptype, payload = await t.recv()
+                got.append(payload)
+                await t.send(pkt.PacketType.ASCII_FRAME, payload)
+            await asyncio.sleep(0.2)
+
+        server = await serve_ws(handler, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_ws("127.0.0.1", port)
+        assert t.ws.deflate  # negotiated client-side
+        body = b"\x1b[38;2;1;2;3mX" * 5000  # highly compressible ANSI-ish
+        # tap the raw socket write size
+        sent_sizes = []
+        orig_write = t.ws.writer.write
+        t.ws.writer.write = lambda b: (sent_sizes.append(len(b)), orig_write(b))
+        for _ in range(2):
+            await t.send(pkt.PacketType.ASCII_FRAME, body)
+            ptype, payload = await t.recv()
+            assert payload == body  # roundtrip exact through both contexts
+        assert got == [body, body]
+        assert max(sent_sizes) < len(body) // 4, sent_sizes  # actually compressed
+        await t.close()
+
+        # client that doesn't offer: plain frames, still interoperates
+        t2 = await connect_ws("127.0.0.1", port, deflate=False)
+        assert not t2.ws.deflate
+        await t2.send(pkt.PacketType.ASCII_FRAME, body)
+        ptype, payload = await t2.recv()
+        assert payload == body
+        await t2.close()
+        server.close()
+        assert negotiated == [True, False]
+
+    asyncio.run(asyncio.wait_for(run(), 30))
