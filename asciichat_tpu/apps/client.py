@@ -275,7 +275,23 @@ class AsciiChatClient:
         finally:
             await t.close()
 
+    def _on_key(self, key: str) -> None:
+        """Live client keybindings (keyboard_handler.c analog): quit, help
+        overlay, fps overlay, horizontal flip of the uplink."""
+        if key in ("q", "\x03"):
+            self._stop.set()
+        elif key == "?":
+            self.display.show_help = not self.display.show_help
+        elif key == "s":
+            self.display.show_fps = not self.display.show_fps
+        elif key == "f":
+            self.transform.flip_x = not self.transform.flip_x
+
     async def run(self, max_frames: int | None = None) -> None:
+        from asciichat_tpu.utils.keyboard import KeyboardReader
+
+        keyboard = KeyboardReader(self._on_key)
+        keyboard.start()
         self.display.setup()
         try:
             while not self._stop.is_set():
@@ -291,6 +307,7 @@ class AsciiChatClient:
                     log.warning("connection lost (%s); reconnecting in %.1fs", e, delay)
                     await asyncio.sleep(delay)
         finally:
+            keyboard.stop()
             self.display.teardown()
             for dev in (self.audio_source, self.audio_sink):
                 if dev is not None:

@@ -74,7 +74,9 @@ class AsciiChatServer:
     def __init__(self, host: str = "0.0.0.0", port: int = 27224,
                  palette: str = pal.DEFAULT_PALETTE, compression_level: int = 1,
                  password: str | None = None, ws_port: int | None = None,
-                 mdns: bool = False, inspect_port: int | None = None):
+                 mdns: bool = False, inspect_port: int | None = None,
+                 status_screen: bool = False):
+        self.status_screen = status_screen
         self.host = host
         self.port = port
         self.ws_port = ws_port
@@ -485,20 +487,57 @@ class AsciiChatServer:
             actual = insp.start()
             log.info("inspector on http://127.0.0.1:%d", actual)
         tick = asyncio.get_running_loop().create_task(self._tick_loop())
+        status_task = None
+        if self.status_screen:
+            status_task = asyncio.get_running_loop().create_task(self._status_loop())
         try:
             await self._server.serve_forever()
         finally:
             tick.cancel()
+            if status_task:
+                status_task.cancel()
             if ws_server:
                 ws_server.close()
             if announcer:
                 announcer.stop()
 
+    async def _status_loop(self) -> None:
+        """Status screen with live log feed on the server's own terminal
+        (lib/ui/status.c ui_status_display at the display rate)."""
+        import shutil as _shutil
+
+        from asciichat_tpu.utils import term as term_mod
+        from asciichat_tpu.utils.ui import StatusScreen
+
+        size = _shutil.get_terminal_size(fallback=(80, 24))
+        screen = StatusScreen(
+            "server",
+            lambda: {
+                "listen": f"{self.host}:{self.port}"
+                          + (f" ws:{self.ws_port}" if self.ws_port else ""),
+                "clients": f"{len(self.clients)}/{MAX_CLIENTS}",
+                "tick": f"{self.ticks} ({'device' if self._device_tick else 'host'})",
+                "stats": self.stats.report(len(self.clients)),
+            },
+            width=size.columns, height=size.lines - 1,
+        )
+        writer = term_mod.FrameWriter()
+        writer.setup()
+        try:
+            while True:
+                writer.write_frame(screen.render())
+                await asyncio.sleep(0.25)
+        finally:
+            writer.teardown()
+
 
 def main(args) -> int:
+    import sys as _sys
+
     server = AsciiChatServer(args.host, args.port, compression_level=args.compress,
                              password=args.password, ws_port=args.ws_port,
-                             mdns=args.mdns, inspect_port=args.inspect_port)
+                             mdns=args.mdns, inspect_port=args.inspect_port,
+                             status_screen=args.status and _sys.stdout.isatty())
     try:
         asyncio.run(server.run())
     except KeyboardInterrupt:

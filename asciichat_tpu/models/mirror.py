@@ -129,6 +129,14 @@ class MirrorSession:
         keyboard = KeyboardReader(self._on_key)
         keyboard.start()
         self.display.setup()
+        if self.display.writer.is_tty:
+            # animated banner reveal before the stream (lib/ui/splash.c)
+            from asciichat_tpu.utils import ui
+
+            for frame in ui.splash_frames(self.width):
+                self.display.writer.write_frame(frame)
+                time.sleep(0.04)
+            self.display.reset()
         rendered = 0
         try:
             while not self._stop.is_set():

@@ -321,6 +321,9 @@ def default_registry() -> OptionsRegistry:
     add("inspect-port", "network", int, None,
         "live-process inspector HTTP port (query-server analog)",
         modes=Mode.SERVER)
+    add("status", "display", bool, False,
+        "status screen with live log feed on this terminal",
+        modes=Mode.SERVER)
     add("h265", "network", bool, False,
         "H.265 uplink when ffmpeg + server support allow (else raw RGB)",
         modes=Mode.CLIENT)

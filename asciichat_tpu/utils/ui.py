@@ -20,6 +20,7 @@ KEY_HELP = [
     ("f", "flip horizontally"),
     ("m", "toggle matrix rain"),
     ("c", "cycle color filter"),
+    ("s", "toggle fps overlay"),
     ("?", "toggle this help"),
 ]
 
@@ -70,3 +71,107 @@ class Stats:
         return (f"uptime={up:.0f}s clients={num_clients} (peak {self.clients_peak}) "
                 f"rendered={self.frames_rendered} ({fps:.1f}/s) "
                 f"sent={self.frames_sent} bytes={self.bytes_sent}")
+
+
+class StatusScreen:
+    """Server status screen with a live log feed (lib/ui/status.c +
+    terminal_screen.c): a boxed header (mode, listen address, session
+    string, uptime, client count, stats) above the newest ring-log lines,
+    re-rendered at the display rate. `render()` returns one full frame of
+    bytes; the caller owns the write cadence (server status loop)."""
+
+    def __init__(self, mode_name: str, get_status, width: int = 80,
+                 height: int = 24, grep: str | None = None):
+        self.mode_name = mode_name
+        self.get_status = get_status  # -> dict of header fields
+        self.width = width
+        self.height = height
+        self.grep = grep
+        self.start = time.monotonic()
+
+    def _header_lines(self) -> list[str]:
+        st = self.get_status() or {}
+        up = time.monotonic() - self.start
+        lines = [f"ascii-chat {self.mode_name} — up {int(up) // 60}m{int(up) % 60:02d}s"]
+        for key, value in st.items():
+            lines.append(f"{key}: {value}")
+        return lines
+
+    def render(self) -> bytes:
+        from asciichat_tpu.utils.logsys import ring_log
+
+        w = self.width
+        out = []
+        bar = "+" + "-" * (w - 2) + "+"
+        out.append(bar)
+        for ln in self._header_lines():
+            out.append("| " + ln[: w - 4].ljust(w - 4) + " |")
+        out.append(bar)
+        # live log feed fills the remaining rows (status.c log feed)
+        remaining = self.height - len(out)
+        entries = (ring_log.search(self.grep, remaining) if self.grep
+                   else ring_log.tail(remaining))
+        for created, level, name, msg in entries[-remaining:]:
+            ts = time.strftime("%H:%M:%S", time.localtime(created))
+            out.append(f"{ts} {level[:3]} {name}: {msg}"[:w])
+        while len(out) < self.height:
+            out.append("")
+        return "\n".join(out[: self.height]).encode()
+
+
+def multi_pane(panes: list[bytes], width: int, height: int) -> bytes:
+    """Compose multiple ASCII panes with |/_/+ separators — the ASCII-space
+    grid (render/asciigrid.create_grid, ascii.c:602) as a UI primitive."""
+    from asciichat_tpu.render.asciigrid import create_grid
+
+    return create_grid(panes, width, height)
+
+
+# ---------------------------------------------------------------------------
+# Update banner (lib/ui/update_banner.c): compares the running version with
+# the latest release and renders a one-line notice. The network check is
+# OPT-IN (ASCIICHAT_UPDATE_CHECK=1) and fails silently — this environment has
+# zero egress, and an update check must never block or break startup.
+
+__version__ = "0.2.0"
+
+
+def parse_version(v: str) -> tuple[int, ...]:
+    import re
+
+    return tuple(int(x) for x in re.findall(r"\d+", v)[:3]) or (0,)
+
+
+def update_banner(current: str, latest: str | None) -> bytes | None:
+    """-> banner bytes when `latest` is newer, else None (update_banner.c
+    render rule)."""
+    if not latest or parse_version(latest) <= parse_version(current):
+        return None
+    return (f"\x1b[33m*** update available: {latest} "
+            f"(running {current}) ***\x1b[0m").encode()
+
+
+def check_for_update(fetch=None) -> bytes | None:
+    """Gated update check: returns a banner or None. `fetch` is injectable
+    for tests; the default only fires with ASCIICHAT_UPDATE_CHECK=1."""
+    import json
+    import os
+
+    if fetch is None:
+        if os.environ.get("ASCIICHAT_UPDATE_CHECK") != "1":
+            return None
+
+        def fetch():
+            import urllib.request
+
+            with urllib.request.urlopen(
+                "https://api.github.com/repos/zfogg/ascii-chat/releases/latest",
+                timeout=3,
+            ) as r:
+                return json.loads(r.read()).get("tag_name", "")
+
+    try:
+        latest = fetch()
+    except Exception:
+        return None  # zero egress / offline: silently no banner
+    return update_banner(__version__, latest)

@@ -84,3 +84,63 @@ def test_composite_max_nine_sources():
     plan = C.plan_composite(sizes, 200, 60)
     # only sources 0..8 appear in the maps (stream.c:687)
     assert plan.client_idx.max() == 8
+
+
+def test_ascii_grid_single_source_centered():
+    """ascii_create_grid single-source path (ascii.c:610-706): space canvas,
+    newline-terminated rows, centered both ways using ANSI-aware widths."""
+    from asciichat_tpu.render import asciigrid as ag
+
+    out = ag.create_grid([b"ab\ncd"], 6, 4)
+    rows = out.split(b"\n")[:-1]
+    assert rows == [b"      ", b"  ab  ", b"  cd  ", b"      "]
+
+    # ANSI sequences are zero-width for centering/truncation math
+    colored = b"\x1b[38;2;1;2;3mab\x1b[0m"
+    assert ag.ansi_visual_width(colored) == 2
+    assert ag.ansi_truncate_to_visual_width(colored, len(colored), 1) == len(
+        b"\x1b[38;2;1;2;3ma")
+    # ...and a line whose BYTE length exceeds the remaining canvas is
+    # dropped, exactly like the reference's bounds check (ascii.c:694-696) —
+    # grids are built from mono frames in practice (host.c:696 converts
+    # with color=false)
+    out = ag.create_grid([colored + b"\ncd"], 6, 2)
+    rows = out.split(b"\n")[:-1]
+    assert rows[0] == b"      "
+
+
+def test_ascii_grid_two_sources_separators():
+    """Multi-source grid: |/_/+ separators, per-cell truncation, horizontal
+    layout for 2 sources on a wide terminal (ascii.c:744-752 weighting)."""
+    from asciichat_tpu.render import asciigrid as ag
+
+    a = b"\n".join([b"A" * 20] * 10)
+    b_ = b"\n".join([b"B" * 20] * 10)
+    width, height = 41, 10  # 2 cols of 20 + 1 separator column
+    out = ag.create_grid([a, b_], width, height)
+    rows = out.split(b"\n")[:-1]
+    assert len(rows) == height and all(len(r) == width for r in rows)
+    assert rows[0] == b"A" * 20 + b"|" + b"B" * 20
+
+    # 4 sources on a square-ish canvas -> 2x2 with a + corner
+    srcs = [b"\n".join([ch * 12] * 4) for ch in (b"1", b"2", b"3", b"4")]
+    out = ag.create_grid(srcs, 25, 9)
+    rows = out.split(b"\n")[:-1]
+    assert rows[0][:12] == b"1" * 12 and rows[0][12:13] == b"|"
+    assert rows[4][:12] == b"_" * 12 and rows[4][12:13] == b"+"
+    assert rows[5][13:25] == b"4" * 12
+
+    # cells too small -> first source unchanged (ascii.c:779-792)
+    tiny = ag.create_grid([b"xy", b"zw"], 12, 3)
+    assert tiny == b"xy"
+
+
+def test_ascii_grid_layout_scoring_matches_reference_rules():
+    """Grid-shape scoring (ascii.c:714-772): 2 sources go horizontal on wide
+    terminals and vertical on tall ones; >50%-empty layouts are skipped."""
+    from asciichat_tpu.render import asciigrid as ag
+
+    assert ag._grid_shape(2, 200, 24) == (2, 1)   # wide -> side by side
+    assert ag._grid_shape(2, 24, 60) == (1, 2)    # tall -> stacked
+    assert ag._grid_shape(4, 100, 40) == (2, 2)   # square bonus
+    assert ag._grid_shape(3, 100, 40)[0] * ag._grid_shape(3, 100, 40)[1] >= 3

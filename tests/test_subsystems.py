@@ -347,3 +347,41 @@ def test_shared_session_framework():
     assert isinstance(c.transform, FrameTransform)
     assert isinstance(c.display, DisplaySink)
     assert isinstance(c.reconnect_policy, ReconnectPolicy)
+
+
+def test_status_screen_and_update_banner():
+    """UI chrome: status screen header + live ring-log feed (lib/ui/status.c),
+    multi-pane ASCII grid, update banner version rules
+    (lib/ui/update_banner.c) with the network check gated off."""
+    from asciichat_tpu.utils import logsys, ui
+
+    logsys.configure(level="INFO")
+    # the framework's logger namespace is "asciichat.*" (get_logger)
+    logsys.get_logger("statustest").info("feed line one")
+    logsys.get_logger("statustest").warning("feed line two")
+    screen = ui.StatusScreen("server", lambda: {"clients": "3/32"},
+                             width=60, height=12)
+    out = screen.render().decode()
+    lines = out.split("\n")
+    assert len(lines) == 12
+    assert "ascii-chat server" in lines[1]
+    assert "clients: 3/32" in out
+    assert "feed line two" in out  # live log feed
+    grepped = ui.StatusScreen("server", lambda: {}, width=60, height=12,
+                              grep="line two").render().decode()
+    assert "feed line two" in grepped and "feed line one" not in grepped
+
+    panes = ui.multi_pane([b"\n".join([b"A" * 12] * 4),
+                           b"\n".join([b"B" * 12] * 4)], 25, 4)
+    assert b"A" * 12 + b"|" + b"B" * 12 in panes
+
+    assert ui.parse_version("v1.2.3") == (1, 2, 3)
+    assert ui.update_banner("0.2.0", "0.2.0") is None
+    assert b"update available" in ui.update_banner("0.2.0", "1.0.0")
+    assert ui.check_for_update(fetch=lambda: "v0.0.1") is None
+    assert ui.check_for_update() is None  # gated off by default (no egress)
+
+    def boom():
+        raise OSError("no network")
+
+    assert ui.check_for_update(fetch=boom) is None  # fails silently
