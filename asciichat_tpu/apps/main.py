@@ -30,7 +30,9 @@ def cmd_mirror(args) -> int:
 
     caps = term.detect_capabilities(RenderMode(args.render_mode), args.color_mode)
     w, h = term.terminal_size(args.width, args.height)
-    source = open_source(test_pattern=args.test_pattern, file=args.file, loop=args.loop)
+    # offline rendering decodes flat out; live playback is PTS-paced
+    source = open_source(test_pattern=args.test_pattern, file=args.file,
+                         loop=args.loop, pace=not args.render_file)
     if args.render_file:
         from asciichat_tpu.models.renderfile import render_to_file
 

@@ -71,22 +71,47 @@ class ImageFileSource(FrameSource):
 
 
 class FFmpegFileSource(FrameSource):
-    """Video decode by piping rgb24 from the ffmpeg CLI (gated on PATH)."""
+    """Video decode by piping rgb24 from the ffmpeg CLI (gated on PATH).
+    Probes native fps so playback can be PTS-paced (PacedSource); wrap in
+    PrefetchSource for the decode-ahead thread — open_source does both,
+    matching the reference decoder's prefetch + pacing
+    (lib/media/ffmpeg_decoder.c:276 prefetch thread, :316 PTS pacing)."""
 
-    def __init__(self, path: str, loop: bool = False):
+    def __init__(self, path: str, loop: bool = False, input_obj=None):
         if not shutil.which("ffmpeg") or not shutil.which("ffprobe"):
             raise RuntimeError("ffmpeg/ffprobe not available on PATH")
-        probe = subprocess.run(
-            ["ffprobe", "-v", "error", "-select_streams", "v:0",
-             "-show_entries", "stream=width,height", "-of", "csv=p=0", path],
-            capture_output=True, text=True, check=True,
-        )
-        self.width, self.height = (int(v) for v in probe.stdout.strip().split(","))
+        probe_target = path
+        stdin = None
+        if input_obj is not None:
+            # memory/pipe input (ffmpeg_decoder.c:160-207 custom AVIO):
+            # seekable objects are probed from the start then rewound
+            if not (hasattr(input_obj, "seekable") and input_obj.seekable()):
+                raise RuntimeError("pipe input requires a seekable file object")
+            probe_target = "pipe:0"
+        probe_cmd = [
+            "ffprobe", "-v", "error", "-select_streams", "v:0",
+            "-show_entries", "stream=width,height,r_frame_rate",
+            "-of", "csv=p=0", probe_target,
+        ]
+        if input_obj is not None:
+            input_obj.seek(0)
+            probe = subprocess.run(probe_cmd, capture_output=True, text=True,
+                                   check=True, stdin=input_obj)
+            input_obj.seek(0)
+            stdin = input_obj
+        else:
+            probe = subprocess.run(probe_cmd, capture_output=True, text=True,
+                                   check=True)
+        w, h, rate = probe.stdout.strip().split(",")
+        self.width, self.height = int(w), int(h)
+        num, _, den = rate.partition("/")
+        self.fps = (float(num) / float(den or 1)) or 30.0
         cmd = ["ffmpeg", "-v", "error"]
         if loop:
             cmd += ["-stream_loop", "-1"]
-        cmd += ["-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
-        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        cmd += ["-i", "pipe:0" if input_obj is not None else path,
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stdin=stdin)
         self._frame_bytes = self.width * self.height * 3
 
     def read(self) -> np.ndarray | None:
@@ -97,6 +122,87 @@ class FFmpegFileSource(FrameSource):
 
     def close(self) -> None:
         self._proc.kill()
+
+
+class PrefetchSource(FrameSource):
+    """Decode-ahead: a background thread keeps a bounded queue of decoded
+    frames so read() never stalls on the decoder (the reference decoder's
+    prefetch thread, ffmpeg_decoder.c:276)."""
+
+    def __init__(self, inner: FrameSource, depth: int = 4):
+        import queue
+        import threading
+
+        self.inner = inner
+        self.width, self.height = inner.width, inner.height
+        self.fps = getattr(inner, "fps", 30.0)
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self) -> None:
+        while not self._stop.is_set():
+            try:
+                frame = self.inner.read()
+            except Exception:
+                frame = None
+            while not self._stop.is_set():
+                try:
+                    self._q.put(frame, timeout=0.2)
+                    break
+                except Exception:
+                    continue
+            if frame is None:
+                return
+
+    def read(self) -> np.ndarray | None:
+        if self._stop.is_set():
+            return None
+        return self._q.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        # unblock a blocked producer
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self.inner.close()
+
+
+class PacedSource(FrameSource):
+    """PTS pacing: frame i is released no earlier than t0 + i/fps, so file
+    playback runs at the stream's native rate instead of decode speed
+    (ffmpeg_decoder.c:316 pacing). Falling behind re-anchors rather than
+    bursting (no catch-up flood)."""
+
+    def __init__(self, inner: FrameSource, fps: float | None = None):
+        self.inner = inner
+        self.width, self.height = inner.width, inner.height
+        self.fps = fps or getattr(inner, "fps", 30.0)
+        self._t0: float | None = None
+        self._idx = 0
+
+    def read(self) -> np.ndarray | None:
+        frame = self.inner.read()
+        if frame is None:
+            return None
+        now = time.monotonic()
+        if self._t0 is None:
+            self._t0 = now
+        due = self._t0 + self._idx / self.fps
+        if due > now:
+            time.sleep(due - now)
+        elif now - due > 1.0 / self.fps * 4:
+            # far behind (slow consumer): re-anchor the clock
+            self._t0 = now - self._idx / self.fps
+        self._idx += 1
+        return frame
+
+    def close(self) -> None:
+        self.inner.close()
 
 
 class StdinSource(FrameSource):
@@ -140,7 +246,17 @@ def open_source(
     loop: bool = False,
     width: int = 640,
     height: int = 480,
+    pace: bool = True,
 ) -> FrameSource:
+    """pace=True (live playback) wraps video decode in prefetch + PTS pacing;
+    pace=False (offline rendering, e.g. --render-file) decodes flat out."""
+
+    def _video(path, input_obj=None):
+        src = FFmpegFileSource(path, loop=loop, input_obj=input_obj)
+        if pace:
+            return PacedSource(PrefetchSource(src))
+        return src
+
     if stdin_size:
         return StdinSource(*stdin_size)
     if file:
@@ -155,10 +271,10 @@ def open_source(
                 )
                 if resolved.returncode == 0 and resolved.stdout.strip():
                     file = resolved.stdout.strip().split("\n")[0]
-            return FFmpegFileSource(file, loop=loop)
+            return _video(file)
         if lower.endswith((".png", ".jpg", ".jpeg", ".bmp", ".gif", ".webp")):
             return ImageFileSource(file)
-        return FFmpegFileSource(file, loop=loop)
+        return _video(file)
     if not test_pattern:
         # default capture device: webcam when present, else the synthetic
         # pattern (MEDIA_SOURCE_TEST fallback, webcam.c:21-27)

@@ -385,3 +385,65 @@ def test_status_screen_and_update_banner():
         raise OSError("no network")
 
     assert ui.check_for_update(fetch=boom) is None  # fails silently
+
+
+def test_prefetch_and_pts_pacing():
+    """Decoder fidelity (ffmpeg_decoder.c:276 prefetch, :316 pacing): the
+    prefetch thread decodes ahead into a bounded queue; PTS pacing holds
+    playback at the stream's native rate and re-anchors instead of bursting
+    when the consumer falls behind."""
+    import time
+
+    import numpy as np
+
+    from asciichat_tpu.runtime.framesource import PacedSource, PrefetchSource
+
+    class CountingSource:
+        width, height, fps = 4, 2, 50.0
+
+        def __init__(self, n):
+            self.n = n
+            self.reads = 0
+            self.closed = False
+
+        def read(self):
+            if self.reads >= self.n:
+                return None
+            self.reads += 1
+            return np.full((2, 4, 3), self.reads, np.uint8)
+
+        def close(self):
+            self.closed = True
+
+    # prefetch decodes ahead without being read
+    inner = CountingSource(100)
+    pf = PrefetchSource(inner, depth=4)
+    time.sleep(0.2)
+    assert 4 <= inner.reads <= 6  # queue-bounded decode-ahead, not a flood
+    first = pf.read()
+    assert first is not None and first[0, 0, 0] == 1  # order preserved
+    pf.close()
+    assert inner.closed
+
+    # end-of-stream propagates through the queue
+    pf2 = PrefetchSource(CountingSource(2), depth=4)
+    assert pf2.read() is not None and pf2.read() is not None
+    assert pf2.read() is None
+    pf2.close()
+
+    # pacing: 10 frames at 50 fps must take ~9/50 s, not decode speed
+    paced = PacedSource(CountingSource(10), fps=50.0)
+    t0 = time.monotonic()
+    frames = [paced.read() for _ in range(10)]
+    dt = time.monotonic() - t0
+    assert all(f is not None for f in frames)
+    assert dt >= 9 / 50.0 * 0.9, f"played at decode speed ({dt:.3f}s)"
+
+    # slow consumer: the clock re-anchors, no burst of late frames
+    paced2 = PacedSource(CountingSource(10), fps=50.0)
+    paced2.read()
+    time.sleep(0.5)  # fall far behind
+    t0 = time.monotonic()
+    paced2.read()
+    paced2.read()
+    assert time.monotonic() - t0 >= 0.015  # second frame still paced
