@@ -50,6 +50,7 @@ class AsciiChatClient:
         audio_sink=None,
         want_h265: bool = False,
         audio_gain: float = 1.0,
+        ssh_identity=None,
     ):
         self.host = host
         self.port = port
@@ -59,6 +60,7 @@ class AsciiChatClient:
         self.reconnect = reconnect
         self.encrypt = encrypt
         self.password = password
+        self.ssh_identity = ssh_identity  # sshauth.SshIdentity | None
         self.use_ws = use_ws
         # shared session framework (models/session.py, src/common/session/):
         # capture transforms + display + reconnect policy are the same
@@ -236,7 +238,8 @@ class AsciiChatClient:
                 ctx = CryptoContext()
                 if self.password:
                     ctx.set_password(self.password)
-                if await client_handshake(raw, ctx, self.password):
+                if await client_handshake(raw, ctx, self.password,
+                                          ssh_identity=self.ssh_identity):
                     t = SecureChannel(raw, ctx, initiator=True)
                     log.info("encryption established (X25519 + XSalsa20-Poly1305)")
             await t.send(pkt.PacketType.PROTOCOL_VERSION, b"\x01")
@@ -343,9 +346,17 @@ def main(args) -> int:
             mic=args.audio and args.tone_hz is None and not args.audio_wav,
         )
         audio_sink = open_audio_sink(args.audio_out)
+    ssh_identity = None
+    if args.ssh_key or args.ssh_agent:
+        from asciichat_tpu.net import sshauth
+
+        ssh_identity = (sshauth.SshIdentity.from_private_key_file(args.ssh_key)
+                        if args.ssh_key else sshauth.SshIdentity.from_agent())
+        args.encrypt = True  # key auth requires the encrypted handshake
     client = AsciiChatClient(args.address, args.port, source, wire,
                              capture_fps=args.fps, reconnect=not args.no_reconnect,
                              encrypt=args.encrypt, password=args.password,
+                             ssh_identity=ssh_identity,
                              use_ws=args.ws, audio_source=audio_source,
                              audio_sink=audio_sink, want_h265=args.h265,
                              audio_gain=args.audio_gain, flip_x=args.flip_x,

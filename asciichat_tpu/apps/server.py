@@ -75,8 +75,9 @@ class AsciiChatServer:
                  palette: str = pal.DEFAULT_PALETTE, compression_level: int = 1,
                  password: str | None = None, ws_port: int | None = None,
                  mdns: bool = False, inspect_port: int | None = None,
-                 status_screen: bool = False):
+                 status_screen: bool = False, allowed_keys=None):
         self.status_screen = status_screen
+        self.allowed_keys = allowed_keys  # sshauth.AuthorizedKeys | None
         self.host = host
         self.port = port
         self.ws_port = ws_port
@@ -116,11 +117,13 @@ class AsciiChatServer:
         chan = t
         try:
             first = await t.recv()
-            # A password-protected server requires the FULL handshake: both
-            # non-crypto first packets AND an explicit CRYPTO_NO_ENCRYPTION
-            # opt-out are rejected (lib/crypto/handshake/server.c:177-189 —
-            # the reference refuses plaintext downgrade when auth is required).
-            if self.password and (
+            # A server requiring auth (password or SSH keys) requires the
+            # FULL handshake: both non-crypto first packets AND an explicit
+            # CRYPTO_NO_ENCRYPTION opt-out are rejected
+            # (lib/crypto/handshake/server.c:177-189 — no plaintext downgrade
+            # when auth is required).
+            auth_required = bool(self.password) or self.allowed_keys is not None
+            if auth_required and (
                 not (1000 <= first[0] <= 1199)
                 or first[0] == pkt.PacketType.CRYPTO_NO_ENCRYPTION
             ):
@@ -132,7 +135,8 @@ class AsciiChatServer:
                 if self.password:
                     ctx.set_password(self.password)
                 if await server_handshake(t, ctx, first,
-                                          require_auth=self.password is not None):
+                                          require_auth=auth_required,
+                                          allowed_keys=self.allowed_keys):
                     chan = SecureChannel(t, ctx, initiator=False)
                 first = None
         except (HandshakeError, asyncio.IncompleteReadError, ValueError) as e:
@@ -534,10 +538,17 @@ class AsciiChatServer:
 def main(args) -> int:
     import sys as _sys
 
+    allowed = None
+    if args.allowed_keys:
+        from asciichat_tpu.net.sshauth import AuthorizedKeys
+
+        allowed = AuthorizedKeys.load(args.allowed_keys)
+        log.info("SSH client auth required (%d allowed key(s))", len(allowed))
     server = AsciiChatServer(args.host, args.port, compression_level=args.compress,
                              password=args.password, ws_port=args.ws_port,
                              mdns=args.mdns, inspect_port=args.inspect_port,
-                             status_screen=args.status and _sys.stdout.isatty())
+                             status_screen=args.status and _sys.stdout.isatty(),
+                             allowed_keys=allowed)
     try:
         asyncio.run(server.run())
     except KeyboardInterrupt:

@@ -28,6 +28,7 @@ from asciichat_tpu.net.transport import Transport
 # Algorithm ids (packet.h:1064-1068)
 KEX_ALGO_X25519 = 0x01
 AUTH_ALGO_NONE = 0x00
+AUTH_ALGO_ED25519 = 0x02  # SSH identity auth (lib/crypto/ssh/)
 CIPHER_ALGO_XSALSA20_POLY1305 = 0x01
 
 CAPABILITIES_STRUCT = struct.Struct(">BBB")  # kex, auth, cipher bitmasks
@@ -51,16 +52,19 @@ class HandshakeError(ValueError):
 
 async def client_handshake(
     t: Transport, ctx: CryptoContext, password: str | None = None,
-    encrypt: bool = True,
+    encrypt: bool = True, ssh_identity=None,
 ) -> bool:
-    """Run the client side; returns True when encryption is active."""
+    """Run the client side; returns True when encryption is active.
+    `ssh_identity` (net/sshauth.SshIdentity) answers the challenge with an
+    Ed25519 SSH signature instead of the password HMAC."""
     P = pkt.PacketType
     if not encrypt:
         await t.send(P.CRYPTO_NO_ENCRYPTION)
         return False
+    auth_algo = AUTH_ALGO_ED25519 if ssh_identity is not None else AUTH_ALGO_NONE
     await t.send(
         P.CRYPTO_CAPABILITIES,
-        CAPABILITIES_STRUCT.pack(KEX_ALGO_X25519, AUTH_ALGO_NONE,
+        CAPABILITIES_STRUCT.pack(KEX_ALGO_X25519, auth_algo,
                                  CIPHER_ALGO_XSALSA20_POLY1305),
     )
     ptype, payload = await t.recv()
@@ -74,10 +78,18 @@ async def client_handshake(
 
     ptype, payload = await t.recv()
     if ptype == P.CRYPTO_AUTH_CHALLENGE:
-        if password:
-            ctx.set_password(password)
-        # HMAC keyed by the shared secret (crypto.c:1068)
-        await t.send(P.CRYPTO_AUTH_RESPONSE, ctx.answer_challenge(payload[:32]))
+        if ssh_identity is not None:
+            from asciichat_tpu.net import sshauth
+
+            resp = sshauth.make_auth_response(
+                ssh_identity, payload[:32], ctx.shared_key
+            )
+            await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
+        else:
+            if password:
+                ctx.set_password(password)
+            # HMAC keyed by the shared secret (crypto.c:1068)
+            await t.send(P.CRYPTO_AUTH_RESPONSE, ctx.answer_challenge(payload[:32]))
         ptype, payload = await t.recv()
     if ptype == P.CRYPTO_AUTH_FAILED:
         raise HandshakeError("authentication failed")
@@ -89,11 +101,15 @@ async def client_handshake(
 
 async def server_handshake(
     t: Transport, ctx: CryptoContext, first_packet: tuple[int, bytes],
-    require_auth: bool = False,
+    require_auth: bool = False, allowed_keys=None,
 ) -> bool:
-    """Run the server side starting from the client's first crypto packet."""
+    """Run the server side starting from the client's first crypto packet.
+    `allowed_keys` (net/sshauth.AuthorizedKeys) enables SSH-identity auth:
+    the challenge answer must be an Ed25519 signature by a whitelisted key
+    (handshake/server.c:331 client_whitelist)."""
     P = pkt.PacketType
     ptype, payload = first_packet
+    require_auth = require_auth or allowed_keys is not None
     if ptype == P.CRYPTO_NO_ENCRYPTION:
         if require_auth:
             # No plaintext downgrade when authentication is required
@@ -104,6 +120,7 @@ async def server_handshake(
         ptype, payload = await t.recv()
     if ptype != P.CRYPTO_CAPABILITIES:
         raise HandshakeError(f"expected CRYPTO_CAPABILITIES, got {ptype}")
+    client_auth_algo = payload[1] if len(payload) >= 2 else AUTH_ALGO_NONE
     await t.send(P.CRYPTO_PARAMETERS, pack_parameters(require_auth))
     await t.send(P.CRYPTO_KEY_EXCHANGE_INIT, ctx.public_key)
     ptype, payload = await t.recv()
@@ -115,7 +132,18 @@ async def server_handshake(
         challenge = ctx.make_challenge()
         await t.send(P.CRYPTO_AUTH_CHALLENGE, challenge)
         ptype, payload = await t.recv()
-        if ptype != P.CRYPTO_AUTH_RESPONSE or not ctx.verify_challenge_answer(payload[:32]):
+        ok = False
+        if ptype == P.CRYPTO_AUTH_RESPONSE:
+            if (allowed_keys is not None
+                    and client_auth_algo == AUTH_ALGO_ED25519):
+                from asciichat_tpu.net import sshauth
+
+                ok = sshauth.verify_auth_response(
+                    payload, challenge, ctx.shared_key, allowed_keys
+                )
+            elif ctx.password_key is not None:
+                ok = ctx.verify_challenge_answer(payload[:32])
+        if not ok:
             await t.send(P.CRYPTO_AUTH_FAILED, b"authentication failed")
             raise HandshakeError("client failed authentication")
     await t.send(P.CRYPTO_HANDSHAKE_COMPLETE)

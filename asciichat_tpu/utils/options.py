@@ -332,6 +332,15 @@ def default_registry() -> OptionsRegistry:
         "X25519 + XSalsa20-Poly1305 encrypted session", modes=Mode.CLIENT)
     add("password", "security", str, None, "session password (Argon2id auth)",
         modes=Mode.SERVER | Mode.CLIENT)
+    add("allowed-keys", "security", str, None,
+        "authorized_keys file: require SSH-key client auth (ed25519)",
+        modes=Mode.SERVER)
+    add("ssh-key", "security", str, None,
+        "OpenSSH private key file for client auth; implies --encrypt",
+        modes=Mode.CLIENT)
+    add("ssh-agent", "security", bool, False,
+        "authenticate with the first ed25519 identity from ssh-agent; "
+        "implies --encrypt", modes=Mode.CLIENT)
     # audio
     add("audio", "audio", bool, False,
         "send/receive audio (mic via arecord, else 440Hz tone)",

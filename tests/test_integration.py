@@ -452,3 +452,48 @@ def test_client_audio_duplex_exclude_self(tmp_path):
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_ssh_key_auth_end_to_end(tmp_path):
+    """server --allowed-keys + client --ssh-key over real processes: the
+    whitelisted key gets frames through the encrypted session, an unlisted
+    key is refused (lib/crypto/ssh + handshake client_whitelist)."""
+    from cryptography.hazmat.primitives.asymmetric.ed25519 import Ed25519PrivateKey
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding, NoEncryption, PrivateFormat, PublicFormat,
+    )
+
+    good = Ed25519PrivateKey.generate()
+    evil = Ed25519PrivateKey.generate()
+    (tmp_path / "authorized_keys").write_text(
+        good.public_key().public_bytes(Encoding.OpenSSH, PublicFormat.OpenSSH).decode()
+        + " tester\n")
+    for name, key in (("good", good), ("evil", evil)):
+        (tmp_path / name).write_bytes(key.private_bytes(
+            Encoding.PEM, PrivateFormat.OpenSSH, NoEncryption()))
+
+    port = PORT + 14
+    srv = _spawn("server", "--port", str(port),
+                 "--allowed-keys", str(tmp_path / "authorized_keys"),
+                 "--log-level", "WARNING")
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        ok = _spawn("client", "127.0.0.1", "--port", str(port), "--test-pattern",
+                    "--ssh-key", str(tmp_path / "good"), "--width", "40",
+                    "--height", "10", "--color-mode", "NONE", "--max-frames", "3",
+                    "--no-reconnect", "--log-level", "INFO")
+        out, err = ok.communicate(timeout=180)
+        assert ok.returncode == 0, err.decode()[-2000:]
+        assert b"encryption established" in err
+        assert len(out) > 100  # frames arrived
+
+        bad = _spawn("client", "127.0.0.1", "--port", str(port), "--test-pattern",
+                     "--ssh-key", str(tmp_path / "evil"), "--max-frames", "2",
+                     "--no-reconnect", "--log-level", "WARNING")
+        out, err = bad.communicate(timeout=180)
+        assert bad.returncode != 0 or b"\x1b[" not in out
+        assert srv.poll() is None  # server survives the failed auth
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
