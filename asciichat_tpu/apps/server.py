@@ -488,6 +488,9 @@ class AsciiChatServer:
                 "stats": self.stats.report(len(self.clients)),
             })
             insp.register("logs", lambda: ring_log.tail(100))
+            from asciichat_tpu.utils import syncdebug
+
+            insp.register("sync", syncdebug.dump_state)
             actual = insp.start()
             log.info("inspector on http://127.0.0.1:%d", actual)
         tick = asyncio.get_running_loop().create_task(self._tick_loop())

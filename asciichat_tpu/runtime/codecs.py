@@ -19,6 +19,8 @@ import threading
 
 import numpy as np
 
+from asciichat_tpu.utils.syncdebug import NamedLock
+
 OPUS_FRAME_SAMPLES = 960  # 20 ms @ 48 kHz (src/server/render.c:57)
 
 
@@ -127,7 +129,7 @@ class H265Encoder:
             stderr=subprocess.DEVNULL,
         )
         self._buf = bytearray()
-        self._lock = threading.Lock()
+        self._lock = NamedLock("codec.h265.encoder")
         self._reader = threading.Thread(target=self._drain, daemon=True)
         self._reader.start()
 
@@ -148,6 +150,7 @@ class H265Encoder:
             return _split_access_units(self._buf)
 
     def close(self) -> None:
+        self._lock.unregister()
         try:
             self._proc.stdin.close()
             self._proc.wait(timeout=5)
@@ -173,7 +176,7 @@ class H265Decoder:
             stderr=subprocess.DEVNULL,
         )
         self._buf = bytearray()
-        self._lock = threading.Lock()
+        self._lock = NamedLock("codec.h265.decoder")
         self._reader = threading.Thread(target=self._drain, daemon=True)
         self._reader.start()
 
@@ -200,6 +203,7 @@ class H265Decoder:
         return frames
 
     def close(self) -> None:
+        self._lock.unregister()
         try:
             self._proc.stdin.close()
             self._proc.wait(timeout=5)

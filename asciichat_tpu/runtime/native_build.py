@@ -18,6 +18,12 @@ from pathlib import Path
 NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 BUILD_DIR = NATIVE_DIR / "build"
 
+from asciichat_tpu.utils.syncdebug import NamedLock
+
+# two threads loading the same library concurrently would compile it twice
+# (and one could dlopen a half-written .so) — tracked in the sync registry
+_build_lock = NamedLock("native_build.compile")
+
 
 def _compile(src: Path, out: Path, extra_flags: tuple[str, ...] = ()) -> None:
     BUILD_DIR.mkdir(parents=True, exist_ok=True)
@@ -47,8 +53,9 @@ def load_library(name: str) -> ctypes.CDLL:
     """Load native/<name>.cpp as a shared library, compiling if stale."""
     src = NATIVE_DIR / f"{name}.cpp"
     out = BUILD_DIR / f"lib{name}{sysconfig.get_config_var('SHLIB_SUFFIX') or '.so'}"
-    if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
-        _compile(src, out)
+    with _build_lock:
+        if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
+            _compile(src, out)
     return ctypes.CDLL(str(out))
 
 

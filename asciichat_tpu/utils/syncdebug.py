@@ -1,0 +1,158 @@
+"""Synchronization debugging: named-lock registry + state dump + lock-order
+cycle detection.
+
+Counterpart of lib/debug/{named,mutex,sync}.c: every tracked lock has a
+NAME, its current holder / hold time / acquisition + contention counters are
+inspectable at runtime (dump_state feeds the inspector's /state/sync
+endpoint, the analog of debug_sync_print_state), and the lock-ORDER graph is
+recorded so inconsistent acquisition orders (the classic AB/BA deadlock
+precursor) are detectable in tests and soaks — the reference's sync
+debugging is compiled into debug builds; here tracking is always on and
+costs two monotonic() calls per acquisition.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+_registry: dict[str, "NamedLock"] = {}
+_registry_lock = threading.Lock()
+# lock-order graph: edges (held_name -> acquired_name) observed at runtime
+_order_edges: set[tuple[str, str]] = set()
+_held = threading.local()  # per-thread stack of held lock names
+
+
+class NamedLock:
+    """A named, instrumented threading.Lock (debug/mutex.c mutex_t analog)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._lock = threading.Lock()
+        self.acquisitions = 0
+        self.contentions = 0  # acquisitions that had to wait
+        self.total_hold_s = 0.0
+        self.max_hold_s = 0.0
+        self.holder: str | None = None
+        self.acquired_at: float | None = None
+        with _registry_lock:
+            if name in _registry:
+                # per-instance locks (per-client codec contexts etc.) get a
+                # disambiguating suffix; unregister() drops them on close
+                i = 2
+                while f"{name}#{i}" in _registry:
+                    i += 1
+                name = self.name = f"{name}#{i}"
+            _registry[name] = self
+
+    def unregister(self) -> None:
+        """Drop from the registry (call on owner close; debug/named.c
+        unregister analog)."""
+        with _registry_lock:
+            _registry.pop(self.name, None)
+
+    def acquire(self, timeout: float = -1) -> bool:
+        stack = getattr(_held, "names", None)
+        if stack is None:
+            stack = _held.names = []
+        # record ordering edges BEFORE blocking (the would-be deadlock is
+        # exactly the case where we never return from acquire)
+        for held_name in stack:
+            _order_edges.add((held_name, self.name))
+        got = self._lock.acquire(blocking=False)
+        if not got:
+            self.contentions += 1
+            got = self._lock.acquire(timeout=timeout)
+            if not got:
+                return False
+        self.acquisitions += 1
+        self.holder = threading.current_thread().name
+        self.acquired_at = time.monotonic()
+        stack.append(self.name)
+        return True
+
+    def release(self) -> None:
+        now = time.monotonic()
+        if self.acquired_at is not None:
+            held = now - self.acquired_at
+            self.total_hold_s += held
+            self.max_hold_s = max(self.max_hold_s, held)
+        self.holder = None
+        self.acquired_at = None
+        stack = getattr(_held, "names", None)
+        if stack and self.name in stack:
+            stack.remove(self.name)
+        self._lock.release()
+
+    def __enter__(self) -> "NamedLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+    def snapshot(self) -> dict:
+        at = self.acquired_at
+        return {
+            "holder": self.holder,
+            "held_for_ms": round((time.monotonic() - at) * 1e3, 3) if at else None,
+            "acquisitions": self.acquisitions,
+            "contentions": self.contentions,
+            "total_hold_ms": round(self.total_hold_s * 1e3, 3),
+            "max_hold_ms": round(self.max_hold_s * 1e3, 3),
+        }
+
+
+def dump_state() -> dict:
+    """All tracked locks + the observed ordering edges
+    (debug_sync_print_state analog; inspector /state/sync)."""
+    with _registry_lock:
+        locks = {name: lk.snapshot() for name, lk in _registry.items()}
+    return {
+        "locks": locks,
+        "order_edges": sorted(_order_edges),
+        "order_cycles": find_order_cycles(),
+    }
+
+
+def find_order_cycles() -> list[list[str]]:
+    """Cycles in the observed lock-order graph: each is a potential deadlock
+    (two threads acquiring the same pair of locks in opposite orders)."""
+    graph: dict[str, set[str]] = {}
+    for a, b in _order_edges:
+        graph.setdefault(a, set()).add(b)
+    cycles: list[list[str]] = []
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color: dict[str, int] = {}
+    path: list[str] = []
+
+    def visit(node: str) -> None:
+        color[node] = GRAY
+        path.append(node)
+        for nxt in graph.get(node, ()):  # noqa: B020
+            c = color.get(nxt, WHITE)
+            if c == GRAY:
+                cycles.append(path[path.index(nxt):] + [nxt])
+            elif c == WHITE:
+                visit(nxt)
+        path.pop()
+        color[node] = BLACK
+
+    for node in list(graph):
+        if color.get(node, WHITE) == WHITE:
+            visit(node)
+    return cycles
+
+
+def assert_no_order_cycles() -> None:
+    """Test/soak gate: fail when any inconsistent lock order was observed."""
+    cycles = find_order_cycles()
+    if cycles:
+        raise AssertionError(f"lock-order cycles detected: {cycles}")
+
+
+def reset() -> None:
+    """Clear the registry + order graph (test isolation)."""
+    with _registry_lock:
+        _registry.clear()
+    _order_edges.clear()

@@ -447,3 +447,89 @@ def test_prefetch_and_pts_pacing():
     paced2.read()
     paced2.read()
     assert time.monotonic() - t0 >= 0.015  # second frame still paced
+
+
+def test_syncdebug_registry_and_order_cycles():
+    """Named-lock registry (lib/debug/{named,mutex,sync}.c analog): holder/
+    hold-time/contention tracking under a real threading stress, and
+    lock-order cycle detection flagging an AB/BA deadlock precursor."""
+    import threading
+    import time as time_mod
+
+    from asciichat_tpu.utils import syncdebug as sd
+
+    sd.reset()
+    try:
+        a = sd.NamedLock("test.a")
+        b = sd.NamedLock("test.b")
+        a2 = sd.NamedLock("test.a")  # duplicate name -> suffixed
+        assert a2.name == "test.a#2"
+        a2.unregister()
+
+        # threading stress: N threads hammer one lock; counters line up
+        counter = [0]
+
+        def worker():
+            for _ in range(200):
+                with a:
+                    counter[0] += 1
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert counter[0] == 800
+        assert a.acquisitions == 800
+        assert a.holder is None  # all released
+        state = sd.dump_state()
+        assert state["locks"]["test.a"]["acquisitions"] == 800
+        assert state["order_cycles"] == []
+
+        # holder + hold time visible while held
+        with a:
+            snap = sd.dump_state()["locks"]["test.a"]
+            assert snap["holder"] is not None
+            assert snap["held_for_ms"] is not None
+
+        # AB in one thread, BA in another -> order cycle detected
+        with a:
+            with b:
+                pass
+
+        def ba():
+            with b:
+                with a:
+                    pass
+
+        t = threading.Thread(target=ba)
+        t.start()
+        t.join()
+        cycles = sd.find_order_cycles()
+        assert cycles, "AB/BA order not flagged"
+        import pytest
+
+        with pytest.raises(AssertionError):
+            sd.assert_no_order_cycles()
+
+        # contention is counted when a waiter blocks
+        held = threading.Event()
+        release = threading.Event()
+
+        def holder_thread():
+            with b:
+                held.set()
+                release.wait(5)
+
+        t = threading.Thread(target=holder_thread)
+        t.start()
+        held.wait(5)
+        t2 = threading.Thread(target=lambda: b.acquire(timeout=5) and b.release())
+        t2.start()
+        time_mod.sleep(0.05)
+        release.set()
+        t.join()
+        t2.join()
+        assert b.contentions >= 1
+    finally:
+        sd.reset()
