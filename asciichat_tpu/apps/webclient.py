@@ -25,9 +25,15 @@ INDEX_HTML = r"""<!DOCTYPE html>
   <b>asciichat-tpu</b>
   <span id="status">connecting…</span>
   <button id="cam">share camera</button>
+  <button id="aud">enable audio</button>
   <span id="fps"></span>
 </div>
 <div id="frame"></div>
+<div id="chat" style="margin:8px; max-height:8em; overflow-y:auto; color:#9c9"></div>
+<div id="chatbar" style="padding:6px 8px; background:#111">
+  <input id="msg" placeholder="chat message…" style="background:#222;color:#ccc;border:1px solid #444;width:60%">
+  <button id="send">send</button>
+</div>
 <script>
 "use strict";
 // ---- ACIP framing (net/packet.py wire format) ----
@@ -157,7 +163,86 @@ ws.onmessage = (ev) => {
     frames++;
     const dt = (performance.now() - t0) / 1000;
     if (dt > 1) { fpsEl.textContent = ` ${(frames/dt).toFixed(1)} fps`; frames = 0; t0 = performance.now(); }
+  } else if (type === 4000) {  // AUDIO_BATCH: exclude-self mix -> WebAudio
+    playAudioBatch(payload);
+  } else if (type === 2002) {  // TEXT_MESSAGE -> chat feed
+    const line = document.createElement("div");
+    line.textContent = "> " + dec.decode(payload.subarray(0, 500));
+    const chat = document.getElementById("chat");
+    chat.appendChild(line);
+    while (chat.childNodes.length > 50) chat.removeChild(chat.firstChild);
+    chat.scrollTop = chat.scrollHeight;
   }
+};
+// ---- text chat (TEXT_MESSAGE 2002, relayed by the server) ----
+const msgEl = document.getElementById("msg");
+function sendChat() {
+  if (!msgEl.value || ws.readyState !== 1) return;
+  ws.send(packPacket(2002, new TextEncoder().encode(msgEl.value.slice(0, 500))));
+  msgEl.value = "";
+}
+document.getElementById("send").onclick = sendChat;
+msgEl.addEventListener("keydown", (e) => { if (e.key === "Enter") sendChat(); });
+// ---- live resize -> SIZE_MESSAGE (SIGWINCH analog) ----
+let resizeTimer = null;
+window.addEventListener("resize", () => {
+  clearTimeout(resizeTimer);
+  resizeTimer = setTimeout(() => {
+    if (ws.readyState !== 1) return;
+    const cols = Math.floor(window.innerWidth / 7.2);
+    const rows = Math.floor((window.innerHeight - 80) / 12);
+    const sz = new Uint8Array(4);
+    new DataView(sz.buffer).setUint16(0, cols);
+    new DataView(sz.buffer).setUint16(2, rows);
+    ws.send(packPacket(2000, sz));
+  }, 250);
+});
+// ---- WebAudio playback + mic uplink (src/client/audio.c in the browser) ----
+let audioCtx = null, playCursor = 0;
+function playAudioBatch(payload) {
+  if (!audioCtx) return;  // needs the user-gesture opt-in
+  const dv = new DataView(payload.buffer, payload.byteOffset, payload.byteLength);
+  const total = dv.getUint32(4), rate = dv.getUint32(8) || 48000;
+  const samples = new Float32Array(total);
+  for (let i = 0; i < total; i++) samples[i] = dv.getFloat32(16 + i * 4, true);
+  const buf = audioCtx.createBuffer(1, total, rate);
+  buf.copyToChannel(samples, 0);
+  const src = audioCtx.createBufferSource();
+  src.buffer = buf;
+  src.connect(audioCtx.destination);
+  // schedule back-to-back: keep a small jitter cushion of 50ms
+  playCursor = Math.max(playCursor, audioCtx.currentTime + 0.05);
+  src.start(playCursor);
+  playCursor += total / rate;
+}
+document.getElementById("aud").onclick = async () => {
+  audioCtx = new (window.AudioContext || window.webkitAudioContext)({sampleRate: 48000});
+  document.getElementById("aud").disabled = true;
+  try {  // mic capture -> AUDIO_BATCH (f32le mono 48k, 10ms frames)
+    const stream = await navigator.mediaDevices.getUserMedia({audio: true});
+    const src = audioCtx.createMediaStreamSource(stream);
+    const proc = audioCtx.createScriptProcessor(512, 1, 1);
+    let pending = new Float32Array(0);
+    proc.onaudioprocess = (e) => {
+      const inp = e.inputBuffer.getChannelData(0);
+      const merged = new Float32Array(pending.length + inp.length);
+      merged.set(pending); merged.set(inp, pending.length);
+      let at = 0;
+      while (merged.length - at >= 480) {
+        const hdr = new ArrayBuffer(16);
+        const hv = new DataView(hdr);
+        hv.setUint32(0, 1); hv.setUint32(4, 480); hv.setUint32(8, 48000); hv.setUint32(12, 1);
+        const body = new Uint8Array(16 + 480 * 4);
+        body.set(new Uint8Array(hdr));
+        const bv = new DataView(body.buffer);
+        for (let i = 0; i < 480; i++) bv.setFloat32(16 + i * 4, merged[at + i], true);
+        if (ws.readyState === 1) ws.send(packPacket(4000, body));
+        at += 480;
+      }
+      pending = merged.subarray(at);
+    };
+    src.connect(proc); proc.connect(audioCtx.destination);
+  } catch (e) { /* no mic: playback-only */ }
 };
 // camera upload (IMAGE_FRAME, RGB24)
 document.getElementById("cam").onclick = async () => {

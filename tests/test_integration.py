@@ -497,3 +497,93 @@ def test_ssh_key_auth_end_to_end(tmp_path):
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_webclient_duplex_protocol():
+    """The browser page's full protocol surface exercised as the page's JS
+    would over the ws port: caps + no-compress bit, ASCII frames down, chat
+    both ways (TEXT_MESSAGE relay), AUDIO_BATCH duplex (mic up -> exclude-
+    self mix down), live SIZE_MESSAGE resize."""
+    import asyncio
+
+    import numpy as np
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import connect_tcp
+
+    port = PORT + 16
+    ws_port = PORT + 17
+    srv = _spawn("server", "--port", str(port), "--ws-port", str(ws_port),
+                 "--log-level", "WARNING")
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+
+        async def run():
+            from asciichat_tpu.net.websocket import connect_ws
+            from asciichat_tpu.render.types import (
+                ColorLevel, RenderMode, TerminalCapabilities,
+            )
+
+            # feeder client over TCP supplies video + a tone
+            feeder = await connect_tcp("127.0.0.1", port)
+            caps = proto.WireCapabilities(
+                caps=TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND),
+                width=40, height=10)
+            await feeder.send(pkt.PacketType.CLIENT_CAPABILITIES, caps.pack())
+            frame = np.full((48, 64, 3), 200, np.uint8)
+            await feeder.send(pkt.PacketType.IMAGE_FRAME,
+                              pkt.pack_image_frame(frame.tobytes(), 64, 48))
+            tone = (0.2 * np.sin(2 * np.pi * 440 * np.arange(480) / 48000)
+                    ).astype("<f4")
+
+            # browser-like ws client
+            web = await connect_ws("127.0.0.1", ws_port)
+            wcaps = proto.WireCapabilities(
+                caps=TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK),
+                width=60, height=20, capabilities_mask=1)
+            await web.send(pkt.PacketType.CLIENT_CAPABILITIES, wcaps.pack())
+            await web.send(pkt.PacketType.SIZE_MESSAGE, proto.pack_size(50, 16))
+            await web.send(pkt.PacketType.TEXT_MESSAGE, b"hi from browser")
+            got = {"frame": False, "audio": False}
+            feeder_chat = None
+
+            async def pump_feeder():
+                nonlocal feeder_chat
+                for _ in range(400):
+                    await feeder.send(
+                        pkt.PacketType.AUDIO_BATCH,
+                        pkt.pack_audio_batch(tone.tobytes(), 480, 1))
+                    try:
+                        ptype, payload = await asyncio.wait_for(feeder.recv(), 0.02)
+                        if ptype == pkt.PacketType.TEXT_MESSAGE:
+                            feeder_chat = payload
+                    except asyncio.TimeoutError:
+                        pass
+                    if feeder_chat and got["frame"] and got["audio"]:
+                        return
+
+            async def pump_web():
+                while not (got["frame"] and got["audio"]):
+                    ptype, payload = await web.recv()
+                    if ptype == pkt.PacketType.ASCII_FRAME:
+                        body, w, h, flags = pkt.unpack_ascii_frame(payload)
+                        assert not flags & pkt.FRAME_FLAG_IS_COMPRESSED
+                        got["frame"] = True
+                    elif ptype == pkt.PacketType.AUDIO_BATCH:
+                        body, _bc, total, rate, _ch = pkt.unpack_audio_batch(payload)
+                        mix = np.frombuffer(body, "<f4")[:total]
+                        if np.sqrt((mix ** 2).mean()) > 0.02:
+                            got["audio"] = True  # feeder's tone reached the browser
+
+            await asyncio.wait_for(
+                asyncio.gather(pump_feeder(), pump_web()), 30)
+            assert feeder_chat == b"hi from browser"  # chat relayed
+            await web.close()
+            await feeder.close()
+
+        asyncio.run(run())
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
