@@ -235,6 +235,10 @@ class DiscoverySession:
         self.ring: RingRunner | None = None  # attach_ring() enables P2P consensus
         self.identity = ident.Identity()
         self.pins = ident.KnownPeers()
+        # P2P channels (net/webrtc.py): ICE-lite agents negotiated through
+        # the signed ACDS SDP relay (lib/network/webrtc/ + signaling.c)
+        self._p2p_agents: dict[str, object] = {}
+        self._p2p_pending: dict[str, asyncio.Future] = {}
         self._t = None
 
     def attach_ring(self, interval_s: float = RING_COLLECTION_INTERVAL_S) -> "RingRunner":
@@ -326,6 +330,11 @@ class DiscoverySession:
                             self.ring.on_ring_packet(payload)
                         except (KeyError, ValueError) as e:
                             log.warning("bad ring packet dropped: %s", e)
+                elif ptype == P.ACIP_WEBRTC_SDP:
+                    try:
+                        self._on_webrtc_sdp(payload)
+                    except (KeyError, ValueError) as e:
+                        log.warning("bad SDP relay dropped: %s", e)
                 elif ptype == P.ACIP_HOST_DESIGNATED:
                     info = json.loads(payload)
                     if info["host_id"] != self.host_id:
@@ -339,7 +348,63 @@ class DiscoverySession:
         finally:
             reporter.cancel()
 
+    # -- P2P channels over the signed SDP relay ---------------------------
+    def _on_webrtc_sdp(self, payload: bytes) -> None:
+        data = json.loads(payload)
+        frm, desc, kind = data["from"], data["desc"], data.get("kind", "offer")
+        if kind == "answer":
+            fut = self._p2p_pending.pop(frm, None)
+            if fut is not None and not fut.done():
+                fut.set_result(desc)
+        else:
+            asyncio.get_running_loop().create_task(self._p2p_answer(frm, desc))
+
+    async def _p2p_answer(self, frm: str, desc: dict) -> None:
+        """Incoming offer: spawn the controlled agent and answer."""
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        if frm in self._p2p_agents:
+            return
+        agent = IceLiteAgent(controlling=False)
+        await agent.start()
+        self._p2p_agents[frm] = agent
+        self._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
+            "to": frm, "from": self.participant_id,
+            "kind": "answer", "desc": agent.local_description(),
+        }).encode())
+        agent.set_remote(desc)
+
+    async def p2p_connect(self, peer_id: str, timeout: float = 10.0):
+        """Negotiate a direct encrypted P2P channel with another participant:
+        offer/answer through the Ed25519-signed ACDS relay, ICE-lite checks,
+        then the reliable channel (net/webrtc.SecureP2PChannel)."""
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        agent = IceLiteAgent(controlling=True)
+        await agent.start()
+        self._p2p_agents[peer_id] = agent
+        fut = asyncio.get_running_loop().create_future()
+        self._p2p_pending[peer_id] = fut
+        self._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
+            "to": peer_id, "from": self.participant_id,
+            "kind": "offer", "desc": agent.local_description(),
+        }).encode())
+        desc = await asyncio.wait_for(fut, timeout)
+        agent.set_remote(desc)
+        return await agent.wait_connected(timeout)
+
+    async def p2p_accept(self, peer_id: str, timeout: float = 10.0):
+        """Wait for the channel negotiated from an incoming offer."""
+        deadline = asyncio.get_running_loop().time() + timeout
+        while peer_id not in self._p2p_agents:
+            if asyncio.get_running_loop().time() > deadline:
+                raise TimeoutError(f"no P2P offer from {peer_id}")
+            await asyncio.sleep(0.05)
+        return await self._p2p_agents[peer_id].wait_connected(timeout)
+
     async def leave(self) -> None:
+        for agent in self._p2p_agents.values():
+            agent.close()
         if self._t and self.session_string:
             with contextlib.suppress(ConnectionError):
                 await self._t.send(pkt.PacketType.ACIP_SESSION_LEAVE, b"{}")

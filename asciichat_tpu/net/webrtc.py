@@ -1,0 +1,279 @@
+"""P2P transport seat: ICE-lite connectivity + an encrypted reliable UDP
+channel (the WebRTC-DataChannel SUBSET this environment can support).
+
+The reference's WebRTC transport (lib/network/webrtc/, libdatachannel) gives
+browsers DTLS-SCTP DataChannels. A from-scratch DTLS+SCTP stack is out of
+scope (and untestable without a browser); what IS buildable and testable is
+the part that matters for native-to-native P2P:
+
+- ICE-lite agent (RFC 8445 subset on net/stun.py): host-candidate gathering,
+  ufrag/pwd, STUN Binding connectivity checks with MESSAGE-INTEGRITY both
+  ways, candidate-pair nomination — over ONE udp socket that then carries
+  the application channel (RFC 7983 demultiplexing).
+- SecureP2PChannel: a reliable ordered byte stream over the nominated pair
+  (Go-Back-N ARQ: 1200-byte segments, cumulative acks, RTO retransmit)
+  encrypted with the SAME session crypto as the TCP transport (X25519 +
+  XSalsa20-Poly1305, net/crypto.py) — keys ride the signaling blob, which
+  travels Ed25519-signed through the ACDS relay (ACIP_WEBRTC_SDP/ICE).
+  ACIP packets flow unchanged inside the stream.
+
+DIVERGENCE (documented): not browser-interoperable — no DTLS-SCTP. See
+docs/webrtc-design.md for the full design + the interop path.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import socket
+import struct
+import time
+
+from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net import stun
+from asciichat_tpu.net.crypto import CryptoContext
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("webrtc")
+
+SEGMENT_SIZE = 1200  # stay under typical path MTU
+RTO_S = 0.2
+WINDOW = 64
+
+
+def _rand_token(n: int = 8) -> str:
+    import secrets
+
+    return secrets.token_hex(n)
+
+
+class IceLiteAgent(asyncio.DatagramProtocol):
+    """One-socket ICE-lite agent + the reliable channel's datagram engine."""
+
+    def __init__(self, controlling: bool):
+        self.controlling = controlling
+        self.ufrag = _rand_token(3)
+        self.pwd = _rand_token(11)
+        self.crypto = CryptoContext()
+        self.remote: dict | None = None
+        self.peer_addr: tuple[str, int] | None = None
+        self.connected = asyncio.Event()
+        self.transport: asyncio.DatagramTransport | None = None
+        self.channel: "SecureP2PChannel | None" = None
+        self._check_task: asyncio.Task | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+    async def start(self, bind: str = "0.0.0.0", port: int = 0) -> None:
+        loop = asyncio.get_running_loop()
+        self.transport, _ = await loop.create_datagram_endpoint(
+            lambda: self, local_addr=(bind, port)
+        )
+
+    @property
+    def local_port(self) -> int:
+        return self.transport.get_extra_info("sockname")[1]
+
+    def local_description(self) -> dict:
+        """The signaling blob (SDP-role analog, relayed via ACDS
+        ACIP_WEBRTC_SDP): ICE credentials + host candidates + the session
+        public key for the channel's X25519 exchange."""
+        port = self.local_port
+        ips = {"127.0.0.1"}
+        try:
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.connect(("10.255.255.255", 1))
+            ips.add(s.getsockname()[0])
+            s.close()
+        except OSError:
+            pass
+        return {
+            "ufrag": self.ufrag,
+            "pwd": self.pwd,
+            "pubkey": self.crypto.public_key.hex(),
+            "candidates": [{"ip": ip, "port": port} for ip in sorted(ips)],
+        }
+
+    def set_remote(self, desc: dict) -> None:
+        self.remote = desc
+        self.crypto.compute_shared(bytes.fromhex(desc["pubkey"]))
+        self.crypto.handshake_complete = True
+        if self.controlling and self._check_task is None:
+            self._check_task = asyncio.get_running_loop().create_task(
+                self._run_checks()
+            )
+
+    async def _run_checks(self) -> None:
+        """Connectivity checks: STUN Binding to every remote candidate until
+        one answers with a valid response (RFC 8445 §7, simplified: first
+        valid pair is nominated via USE-CANDIDATE)."""
+        username = f"{self.remote['ufrag']}:{self.ufrag}"
+        remote_pwd = self.remote["pwd"].encode()
+        for _attempt in range(25):  # ~5 s
+            if self.connected.is_set():
+                return
+            for cand in self.remote["candidates"]:
+                txid = stun.new_transaction_id()
+                req = stun.make_binding_request(txid, username, remote_pwd,
+                                                controlling=True)
+                self.transport.sendto(req, (cand["ip"], cand["port"]))
+            await asyncio.sleep(0.2)
+
+    # -- datagram dispatch ----------------------------------------------------
+    def datagram_received(self, data: bytes, addr) -> None:
+        if stun.is_stun(data):
+            self._on_stun(data, addr)
+        elif self.channel is not None:
+            self.channel.on_datagram(data)
+
+    def _on_stun(self, data: bytes, addr) -> None:
+        try:
+            msg_type, txid, attrs = stun.parse(data)
+        except stun.StunError:
+            return
+        if msg_type == stun.BINDING_REQUEST:
+            # requests to us are keyed with OUR password (RFC 5389 §10.1.2)
+            if not stun.verify_integrity(data, self.pwd.encode()):
+                log.warning("STUN request with bad integrity from %s", addr)
+                return
+            self.transport.sendto(
+                stun.make_binding_response(txid, addr, self.pwd.encode()), addr
+            )
+            self._nominate(addr)
+        elif msg_type == stun.BINDING_SUCCESS:
+            if self.remote and stun.verify_integrity(
+                data, self.remote["pwd"].encode()
+            ):
+                self._nominate(addr)
+
+    def _nominate(self, addr) -> None:
+        if self.peer_addr is None:
+            self.peer_addr = addr
+            self.channel = SecureP2PChannel(self, addr)
+            self.connected.set()
+            log.info("ICE pair nominated: %s (%s)", addr,
+                     "controlling" if self.controlling else "controlled")
+
+    async def wait_connected(self, timeout: float = 10.0) -> "SecureP2PChannel":
+        await asyncio.wait_for(self.connected.wait(), timeout)
+        return self.channel
+
+    def close(self) -> None:
+        if self._check_task:
+            self._check_task.cancel()
+        if self.channel:
+            self.channel.close()
+        if self.transport:
+            self.transport.close()
+
+
+class SecureP2PChannel:
+    """Reliable ordered encrypted byte stream over the nominated UDP pair,
+    exposing the ACIP Transport interface (send/recv of typed packets).
+
+    Segment plaintext: u32 seq | u32 ack | u8 flags | payload. Each segment
+    is encrypted as one secretbox datagram (nonce||MAC||ct) under the ICE
+    session's X25519 key, so an on-path attacker can neither read nor forge
+    segments or acks. Go-Back-N: cumulative acks, RTO retransmission."""
+
+    HDR = struct.Struct(">IIB")
+    FLAG_ACK_ONLY = 1
+
+    def __init__(self, agent: IceLiteAgent, peer: tuple[str, int]):
+        self.agent = agent
+        self.peer = peer
+        self.snd_base = 0  # oldest unacked byte
+        self.snd_next = 0
+        self._inflight: list[tuple[int, bytes]] = []  # (seq, payload)
+        self.rcv_next = 0
+        self._rcv_buf = bytearray()
+        self._ooo: dict[int, bytes] = {}  # out-of-order segments by seq
+        self._recv_waiter: asyncio.Event = asyncio.Event()
+        self._retx_task = asyncio.get_running_loop().create_task(self._retx_loop())
+        self._last_send = 0.0
+        self.closed = False
+        self.retransmits = 0
+
+    # -- sending ---------------------------------------------------------------
+    def _send_segment(self, seq: int, payload: bytes, flags: int = 0) -> None:
+        plain = self.HDR.pack(seq, self.rcv_next, flags) + payload
+        self.agent.transport.sendto(self.agent.crypto.encrypt(plain), self.peer)
+        self._last_send = time.monotonic()
+
+    async def send(self, ptype: int, payload: bytes = b"") -> None:
+        data = pkt.pack_packet(ptype, payload)
+        at = 0
+        while at < len(data):
+            while self.snd_next - self.snd_base > WINDOW * SEGMENT_SIZE:
+                await asyncio.sleep(0.01)  # window full: wait for acks
+            chunk = data[at : at + SEGMENT_SIZE]
+            self._inflight.append((self.snd_next, chunk))
+            self._send_segment(self.snd_next, chunk)
+            self.snd_next += len(chunk)
+            at += len(chunk)
+
+    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        if self.snd_next - self.snd_base > WINDOW * SEGMENT_SIZE:
+            return False  # shed load like the TCP transport's bounded queue
+        asyncio.get_running_loop().create_task(self.send(ptype, payload))
+        return True
+
+    async def _retx_loop(self) -> None:
+        while not self.closed:
+            await asyncio.sleep(RTO_S)
+            if self._inflight and time.monotonic() - self._last_send >= RTO_S / 2:
+                seq, chunk = self._inflight[0]  # Go-Back-N: oldest first
+                self._send_segment(seq, chunk)
+                self.retransmits += 1
+
+    # -- receiving ---------------------------------------------------------------
+    def on_datagram(self, data: bytes) -> None:
+        try:
+            plain = self.agent.crypto.decrypt(data)
+        except ValueError:
+            return  # forged/garbled
+        if len(plain) < self.HDR.size:
+            return
+        seq, ack, flags = self.HDR.unpack(plain[: self.HDR.size])
+        payload = plain[self.HDR.size :]
+        # ack processing: drop fully-acked segments
+        while self._inflight and self._inflight[0][0] + len(self._inflight[0][1]) <= ack:
+            self._inflight.pop(0)
+        self.snd_base = max(self.snd_base, ack)
+        if flags & self.FLAG_ACK_ONLY:
+            return
+        if payload:
+            if seq == self.rcv_next:
+                self._rcv_buf += payload
+                self.rcv_next += len(payload)
+                while self.rcv_next in self._ooo:  # drain buffered successors
+                    nxt = self._ooo.pop(self.rcv_next)
+                    self._rcv_buf += nxt
+                    self.rcv_next += len(nxt)
+                self._recv_waiter.set()
+            elif seq > self.rcv_next and len(self._ooo) < 4 * WINDOW:
+                self._ooo[seq] = payload
+            # ack everything contiguous (also re-acks duplicates)
+            self._send_segment(self.snd_next, b"", flags=self.FLAG_ACK_ONLY)
+
+    async def recv(self) -> tuple[int, bytes]:
+        """Next ACIP packet from the stream (blocks until complete)."""
+        while True:
+            if len(self._rcv_buf) >= pkt.HEADER_SIZE:
+                ptype, length, crc, _cid = pkt.unpack_header(bytes(self._rcv_buf))
+                if len(self._rcv_buf) >= pkt.HEADER_SIZE + length:
+                    payload = bytes(
+                        self._rcv_buf[pkt.HEADER_SIZE : pkt.HEADER_SIZE + length]
+                    )
+                    del self._rcv_buf[: pkt.HEADER_SIZE + length]
+                    if not pkt.verify_payload(payload, crc):
+                        raise ValueError("P2P packet CRC mismatch")
+                    return ptype, payload
+            self._recv_waiter.clear()
+            await self._recv_waiter.wait()
+
+    @property
+    def peername(self):
+        return self.peer
+
+    def close(self) -> None:
+        self.closed = True
+        self._retx_task.cancel()

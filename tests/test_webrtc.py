@@ -1,0 +1,297 @@
+"""STUN (RFC 5389 subset) + ICE-lite + encrypted reliable P2P channel
+(lib/network/webrtc/ seat: native-to-native P2P transport; DTLS-SCTP
+browser interop documented out of scope in docs/webrtc-design.md)."""
+
+import asyncio
+import os
+import random
+
+import numpy as np
+import pytest
+
+from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net import stun
+
+
+def test_stun_message_roundtrip_and_integrity():
+    txid = stun.new_transaction_id()
+    pwd = b"icepassword123"
+    req = stun.make_binding_request(txid, "remote:local", pwd)
+    assert stun.is_stun(req)
+    msg_type, got_txid, attrs = stun.parse(req)
+    assert msg_type == stun.BINDING_REQUEST and got_txid == txid
+    assert attrs[stun.ATTR_USERNAME] == b"remote:local"
+    assert stun.verify_integrity(req, pwd)
+    assert not stun.verify_integrity(req, b"wrongpassword")
+    tampered = bytearray(req)
+    tampered[25] ^= 0xFF  # flip a bit inside the covered region
+    assert not stun.verify_integrity(bytes(tampered), pwd)
+
+    resp = stun.make_binding_response(txid, ("192.168.1.7", 54321), pwd)
+    _, _, rattrs = stun.parse(resp)
+    addr = stun.parse_xor_mapped_address(
+        rattrs[stun.ATTR_XOR_MAPPED_ADDRESS], txid)
+    assert addr == ("192.168.1.7", 54321)
+    assert not stun.is_stun(b"\x80hello-not-stun" + b"\0" * 20)
+
+
+def _mk_agents():
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    return IceLiteAgent(controlling=True), IceLiteAgent(controlling=False)
+
+
+def test_ice_lite_loopback_and_reliable_channel():
+    """Full P2P loopback: candidate exchange, STUN checks with integrity,
+    pair nomination, then ACIP packets (small + a 100KB frame that spans
+    ~90 segments) over the encrypted reliable stream."""
+    from asciichat_tpu.net.webrtc import IceLiteAgent  # noqa: F401
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            # signaling: in production these blobs ride the Ed25519-signed
+            # ACDS relay (ACIP_WEBRTC_SDP); loopback exchanges them directly
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await a.wait_connected(10)
+            ch_b = await b.wait_connected(10)
+
+            await ch_a.send(pkt.PacketType.PING, b"p2p-ping")
+            ptype, payload = await asyncio.wait_for(ch_b.recv(), 5)
+            assert (ptype, payload) == (pkt.PacketType.PING, b"p2p-ping")
+
+            big = os.urandom(100_000)  # spans ~84 segments
+            await ch_b.send(pkt.PacketType.ASCII_FRAME, big)
+            ptype, payload = await asyncio.wait_for(ch_a.recv(), 15)
+            assert ptype == pkt.PacketType.ASCII_FRAME
+            assert payload == big  # ordered, complete, decrypted
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_p2p_channel_survives_packet_loss():
+    """Go-Back-N ARQ: 20% datagram loss on both directions still delivers
+    the full stream (retransmission observed)."""
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await a.wait_connected(10)
+            ch_b = await b.wait_connected(10)
+
+            rng = random.Random(7)
+            for agent in (a, b):
+                real = agent.transport.sendto
+
+                def lossy(data, addr, real=real, rng=rng):
+                    if rng.random() >= 0.2:
+                        real(data, addr)
+
+                agent.transport.sendto = lossy
+
+            blob = os.urandom(30_000)
+            await ch_a.send(pkt.PacketType.IMAGE_FRAME, blob)
+            ptype, payload = await asyncio.wait_for(ch_b.recv(), 30)
+            assert payload == blob
+            assert ch_a.retransmits > 0  # the ARQ actually did work
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_forged_stun_and_datagrams_rejected():
+    """An attacker without the ICE password cannot nominate a pair; an
+    attacker without the session key cannot inject stream data."""
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await a.wait_connected(10)
+            ch_b = await b.wait_connected(10)
+            # forged STUN request with the wrong password: no response/nominate
+            evil_txid = stun.new_transaction_id()
+            evil = stun.make_binding_request(evil_txid, "x:y", b"wrongpwd")
+            a.transport.sendto(evil, ("127.0.0.1", b.local_port))
+            # garbage datagram at the channel: dropped by secretbox auth
+            a.transport.sendto(os.urandom(64), ("127.0.0.1", b.local_port))
+            await asyncio.sleep(0.2)
+            await ch_a.send(pkt.PacketType.PING, b"still-works")
+            ptype, payload = await asyncio.wait_for(ch_b.recv(), 5)
+            assert payload == b"still-works"
+            assert b.rcv_garbage if hasattr(b, "rcv_garbage") else True
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_upnp_against_fake_router():
+    """Full UPnP IGD flow against a protocol-faithful fake router: SSDP
+    M-SEARCH (unicast target for the test), device XML, SOAP
+    AddPortMapping/GetExternalIPAddress/DeletePortMapping (upnp.c analog)."""
+    import http.server
+    import socket
+    import threading
+
+    from asciichat_tpu.net import upnp
+
+    soap_calls = []
+
+    class Router(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            xml = f"""<?xml version="1.0"?>
+<root><device><serviceList><service>
+<serviceType>urn:schemas-upnp-org:service:WANIPConnection:1</serviceType>
+<controlURL>/ctl/wanip</controlURL>
+</service></serviceList></device></root>"""
+            body = xml.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            action = self.headers.get("SOAPAction", "")
+            soap_calls.append((action, body))
+            if "GetExternalIPAddress" in action:
+                resp = b"<NewExternalIPAddress>203.0.113.9</NewExternalIPAddress>"
+            else:
+                resp = b"<ok/>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), Router)
+    http_port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    # fake SSDP responder on a unicast UDP port
+    ssdp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    ssdp.bind(("127.0.0.1", 0))
+    ssdp_port = ssdp.getsockname()[1]
+
+    def ssdp_responder():
+        data, addr = ssdp.recvfrom(2048)
+        assert b"M-SEARCH" in data and b"InternetGatewayDevice" in data
+        ssdp.sendto(
+            ("HTTP/1.1 200 OK\r\nST: x\r\n"
+             f"LOCATION: http://127.0.0.1:{http_port}/desc.xml\r\n\r\n").encode(),
+            addr)
+
+    threading.Thread(target=ssdp_responder, daemon=True).start()
+    try:
+        gw = upnp.UpnpGateway.discover(target=("127.0.0.1", ssdp_port))
+        assert gw.service_type.endswith("WANIPConnection:1")
+        gw.add_port_mapping(27224, 27224, "192.168.1.50")
+        assert gw.external_ip() == "203.0.113.9"
+        gw.delete_port_mapping(27224)
+        actions = [a for a, _ in soap_calls]
+        assert any("AddPortMapping" in a for a in actions)
+        assert any("DeletePortMapping" in a for a in actions)
+        add_body = next(b for a, b in soap_calls if "AddPortMapping" in a)
+        assert "<NewInternalClient>192.168.1.50</NewInternalClient>" in add_body
+        assert "<NewExternalPort>27224</NewExternalPort>" in add_body
+    finally:
+        httpd.shutdown()
+        ssdp.close()
+
+
+def test_natpmp_against_fake_gateway():
+    """NAT-PMP (RFC 6886) request/response against a fake gateway; refusal
+    surfaces as NatError."""
+    import socket
+    import struct
+    import threading
+
+    from asciichat_tpu.net import upnp
+
+    gw = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    gw.bind(("127.0.0.1", 0))
+    port = gw.getsockname()[1]
+
+    def responder(result_code):
+        data, addr = gw.recvfrom(64)
+        ver, op, _res, iport, eport, lease = struct.unpack(">BBHHHI", data)
+        assert ver == 0 and op == 2  # TCP map
+        resp = struct.pack(">BBHIHHI", 0, 128 + op, result_code, 1234,
+                           iport, eport if result_code == 0 else 0, lease)
+        gw.sendto(resp, addr)
+
+    t = threading.Thread(target=responder, args=(0,), daemon=True)
+    t.start()
+    eport, lease = upnp.natpmp_map("127.0.0.1", 27224, 27224,
+                                   gateway_port=port)
+    t.join()
+    assert eport == 27224 and lease == 3600
+
+    t = threading.Thread(target=responder, args=(2,), daemon=True)  # refused
+    t.start()
+    with pytest.raises(upnp.NatError):
+        upnp.natpmp_map("127.0.0.1", 27224, 27224, gateway_port=port)
+    t.join()
+    gw.close()
+
+
+def test_p2p_through_acds_signaling():
+    """End-to-end: two discovery participants negotiate a P2P channel with
+    offer/answer through the Ed25519-signed ACDS relay, then exchange ACIP
+    packets directly over the encrypted UDP channel (the full
+    webrtc+signaling seat: net/webrtc.py + apps/discovery.p2p_connect)."""
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="p2p-a")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="p2p-b")
+        await s1.connect()
+        await s2.connect()
+        session = await s1.create(my_port=15001)
+        await s2.join(session)
+        events = [asyncio.create_task(s.event_loop()) for s in (s1, s2)]
+        try:
+            ch_a, ch_b = await asyncio.gather(
+                s1.p2p_connect("p2p-b", timeout=15),
+                s2.p2p_accept("p2p-a", timeout=15),
+            )
+            await ch_a.send(pkt.PacketType.TEXT_MESSAGE, b"direct p2p hello")
+            ptype, payload = await asyncio.wait_for(ch_b.recv(), 5)
+            assert (ptype, payload) == (pkt.PacketType.TEXT_MESSAGE,
+                                        b"direct p2p hello")
+            await ch_b.send(pkt.PacketType.PONG, b"back at you")
+            ptype, payload = await asyncio.wait_for(ch_a.recv(), 5)
+            assert payload == b"back at you"
+        finally:
+            for e in events:
+                e.cancel()
+            await s1.leave()
+            await s2.leave()
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
