@@ -2,13 +2,14 @@
 
 The reference rasters its terminal output through libvterm + FreeType into
 pixels and encodes via libav (lib/media/render/renderer.c:28,
-lib/media/ffmpeg_encoder.c). TPU-native reformulation: the renderer's cell
-records are converted BACK to pixels on-device — one fused kernel colors each
-cell from its fg/bg record (half-block cells render their true top/bottom
-colors; glyph cells approximate ink coverage from the luminance ramp) — and
-frames stream to a Y4M (YCbCr 4:4:4, BT.601 full-range) file that any player
-or ffmpeg (when present) can consume. Glyph-accurate font rasterization is a
-documented divergence (no FreeType here).
+lib/media/ffmpeg_encoder.c). TPU-native reformulation: a GLYPH ATLAS is
+rasterized once on the host (PIL's built-in bitmap font — the FreeType-role
+dependency this environment has), and per frame ONE fused device kernel
+gathers each cell's glyph bitmap from the atlas and colors it with the
+cell's fg record — real character shapes, batched on the VPU, no per-cell
+host loops. Half-block cells render their true top/bottom colors (the '▀'
+raster IS two color blocks). Frames stream to Y4M (YCbCr 4:4:4, BT.601
+full-range) or any container via the ffmpeg CLI when present.
 """
 
 from __future__ import annotations
@@ -22,13 +23,68 @@ import jax.numpy as jnp
 import numpy as np
 
 from asciichat_tpu.ops import cells as cells_mod
+from asciichat_tpu.render import palette as pal
 from asciichat_tpu.render.pipeline import AsciiRenderer, plan_render
 from asciichat_tpu.render.types import TerminalCapabilities
 
 
+@functools.lru_cache(maxsize=1)
+def glyph_atlas() -> tuple[np.ndarray, int, int]:
+    """-> (atlas uint8 [96, gh, gw] ink coverage for ASCII 32..127, gh, gw).
+    Rasterized once with PIL's built-in bitmap font (the FreeType analog)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    # cell size: the widest/tallest glyph in the printable range
+    gw = gh = 0
+    for code in range(32, 128):
+        box = font.getbbox(chr(code))
+        gw = max(gw, box[2])
+        gh = max(gh, box[3])
+    atlas = np.zeros((96, gh, gw), np.uint8)
+    for code in range(32, 128):
+        img = Image.new("L", (gw, gh), 0)
+        ImageDraw.Draw(img).text((0, 0), chr(code), fill=255, font=font)
+        atlas[code - 32] = np.asarray(img, np.uint8)
+    return atlas, gh, gw
+
+
+@jax.jit
+def raster_glyphs(fg: jax.Array, glyph_idx: jax.Array, atlas: jax.Array) -> jax.Array:
+    """fg uint8 [B,H,W,3] + glyph_idx int32 [B,H,W] (atlas rows) ->
+    uint8 [B, H*gh, W*gw, 3]: each cell is its glyph's ink coverage times the
+    cell color on black, the terminal-on-black appearance the reference's
+    FreeType raster produces."""
+    bitmaps = jnp.take(atlas, glyph_idx, axis=0)  # [B,H,W,gh,gw]
+    px = (fg.astype(jnp.int32)[:, :, :, None, None, :]
+          * bitmaps.astype(jnp.int32)[..., None]) // 255
+    b, h, w, gh, gw, _ = px.shape
+    return (px.transpose(0, 1, 3, 2, 4, 5)
+              .reshape(b, h * gh, w * gw, 3).astype(jnp.uint8))
+
+
+def _glyph_index_tables(palette: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-palette host tables mapping records to atlas rows:
+    luma_to_atlas[256] (truecolor: glyph by luminance) and
+    key_to_atlas[64] (mono: glyph by palette run key)."""
+    def to_atlas(entry: bytes) -> int:
+        ch = entry[1] if entry[0] >= 1 else 0x20  # first byte of the glyph
+        return (ch - 32) if 32 <= ch < 128 else 95  # non-ASCII -> block-ish DEL
+
+    luma_tab = pal.luminance_glyph_table(palette)
+    mono_tab = pal.mono_glyph_table(palette)
+    luma_to_atlas = np.array([to_atlas(bytes(luma_tab[i])) for i in range(256)],
+                             np.int32)
+    key_to_atlas = np.array([to_atlas(bytes(mono_tab[i])) for i in range(64)],
+                            np.int32)
+    return luma_to_atlas, key_to_atlas
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "scale"))
 def cells_to_pixels(records: dict, mode: str, scale: int = 8) -> jax.Array:
-    """Cell records -> uint8 RGB frames [B, rows*scale, cols*scale(/1), 3]."""
+    """Block-color fallback: cell records -> uint8 RGB frames (used for
+    half-block modes, where the block IS the glyph, and when glyph
+    rasterization is disabled)."""
     if mode == "halfblock_truecolor":
         top, bot = records["top"].astype(jnp.uint8), records["bot"].astype(jnp.uint8)
         px = jnp.stack([top, bot], axis=2)  # [B, R, 2, W, 3]
@@ -48,6 +104,26 @@ def cells_to_pixels(records: dict, mode: str, scale: int = 8) -> jax.Array:
     px = jnp.repeat(jnp.repeat(px, scale // 2 if mode.startswith("halfblock") else scale,
                                axis=-3), scale, axis=-2)
     return px
+
+
+def records_to_pixels(records: dict, mode: str, palette: str,
+                      scale: int = 8) -> jax.Array:
+    """Glyph-accurate raster for glyph modes (atlas gather on device);
+    block colors for half-block modes."""
+    if mode in ("truecolor_fg", "mono"):
+        atlas_np, _gh, _gw = glyph_atlas()
+        luma_to_atlas, key_to_atlas = _glyph_index_tables(palette)
+        atlas = jnp.asarray(atlas_np)
+        if mode == "truecolor_fg":
+            gidx = jnp.take(jnp.asarray(luma_to_atlas),
+                            records["luma"].astype(jnp.int32))
+            fg = records["rgb"].astype(jnp.uint8)
+        else:
+            gidx = jnp.take(jnp.asarray(key_to_atlas),
+                            records["key"].astype(jnp.int32))
+            fg = jnp.full((*records["key"].shape, 3), 204, jnp.uint8)  # grey text
+        return raster_glyphs(fg, gidx, atlas)
+    return cells_to_pixels(records, mode, scale)
 
 
 @jax.jit
@@ -106,7 +182,7 @@ def render_to_file(
         frame = np.asarray(frame)
         plan = plan_render(frame.shape[1], frame.shape[0], width, height, caps)
         records = renderer.cells_for_plan(jnp.asarray(frame[None]), plan)
-        px = cells_to_pixels(records, plan.mode, scale)
+        px = records_to_pixels(records, plan.mode, palette, scale)
         ycbcr = np.asarray(rgb_to_ycbcr444(px))[0]
         if writer is None:
             writer = Y4MWriter(y4m_path, ycbcr.shape[1], ycbcr.shape[0], fps)

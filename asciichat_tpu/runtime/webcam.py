@@ -44,10 +44,38 @@ def fourcc(a: str) -> int:
 V4L2_PIX_FMT_RGB24 = fourcc("RGB3")
 V4L2_PIX_FMT_BGR24 = fourcc("BGR3")
 V4L2_PIX_FMT_YUYV = fourcc("YUYV")
+V4L2_PIX_FMT_NV12 = fourcc("NV12")
+V4L2_PIX_FMT_MJPEG = fourcc("MJPG")
 
 
 class WebcamUnavailable(RuntimeError):
     pass
+
+
+def nv12_to_rgb(buf: bytes, width: int, height: int) -> np.ndarray:
+    """NV12 (Y plane + interleaved half-res UV) -> RGB24, BT.601 integer math
+    matching yuyv_to_rgb (webcam_v4l2.c NV12 path analog)."""
+    n = width * height
+    y = np.frombuffer(buf, np.uint8, n).reshape(height, width).astype(np.int32)
+    uv = np.frombuffer(buf, np.uint8, n // 2, n).reshape(height // 2, width // 2, 2)
+    u = np.repeat(np.repeat(uv[..., 0], 2, 0), 2, 1).astype(np.int32) - 128
+    v = np.repeat(np.repeat(uv[..., 1], 2, 0), 2, 1).astype(np.int32) - 128
+    c = y - 16
+    r = np.clip((298 * c + 409 * v + 128) >> 8, 0, 255)
+    g = np.clip((298 * c - 100 * u - 208 * v + 128) >> 8, 0, 255)
+    b = np.clip((298 * c + 516 * u + 128) >> 8, 0, 255)
+    return np.stack([r, g, b], -1).astype(np.uint8)
+
+
+def mjpeg_to_rgb(buf: bytes) -> np.ndarray:
+    """MJPEG frame -> RGB24 via PIL's JPEG decoder (the libjpeg role the
+    reference fills natively)."""
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"),
+                      np.uint8)
 
 
 def yuyv_to_rgb(buf: bytes, width: int, height: int) -> np.ndarray:
@@ -99,7 +127,8 @@ class V4L2Webcam:
         return w, h, got_fmt
 
     def _setup(self, num_buffers: int) -> None:
-        for pf in (V4L2_PIX_FMT_RGB24, V4L2_PIX_FMT_BGR24, V4L2_PIX_FMT_YUYV):
+        for pf in (V4L2_PIX_FMT_RGB24, V4L2_PIX_FMT_BGR24, V4L2_PIX_FMT_YUYV,
+                   V4L2_PIX_FMT_NV12, V4L2_PIX_FMT_MJPEG):
             try:
                 w, h, got = self._set_format(pf)
                 if got == pf:
@@ -108,7 +137,8 @@ class V4L2Webcam:
             except OSError:
                 continue
         else:
-            raise WebcamUnavailable("no supported pixel format (RGB24/BGR24/YUYV)")
+            raise WebcamUnavailable(
+                "no supported pixel format (RGB24/BGR24/YUYV/NV12/MJPEG)")
 
         req = bytearray(struct.pack("<LLL", num_buffers, V4L2_BUF_TYPE_VIDEO_CAPTURE,
                                     V4L2_MEMORY_MMAP).ljust(20, b"\0"))
@@ -142,6 +172,10 @@ class V4L2Webcam:
         raw = self.buffers[index][: used or len(self.buffers[index])]
         if self.pixfmt == V4L2_PIX_FMT_YUYV:
             frame = yuyv_to_rgb(raw, self.width, self.height)
+        elif self.pixfmt == V4L2_PIX_FMT_NV12:
+            frame = nv12_to_rgb(raw, self.width, self.height)
+        elif self.pixfmt == V4L2_PIX_FMT_MJPEG:
+            frame = mjpeg_to_rgb(raw)
         else:
             frame = np.frombuffer(raw, np.uint8)[: self.width * self.height * 3]
             frame = frame.reshape(self.height, self.width, 3)

@@ -533,3 +533,81 @@ def test_syncdebug_registry_and_order_cycles():
         assert b.contentions >= 1
     finally:
         sd.reset()
+
+
+def test_renderfile_glyph_raster(tmp_path):
+    """render-file draws REAL glyph shapes (atlas gather on device — the
+    FreeType-role raster, renderer.c:28 analog): dark cells are empty, bright
+    cells carry the dense glyph's ink; the Y4M stream is well-formed."""
+    import numpy as np
+
+    from asciichat_tpu.models.renderfile import (
+        glyph_atlas, records_to_pixels, render_to_file,
+    )
+    from asciichat_tpu.render import palette as pal
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.runtime.framesource import TestPatternSource
+
+    import jax.numpy as jnp
+
+    atlas, gh, gw = glyph_atlas()
+    assert atlas.shape[0] == 96
+    assert atlas[0].sum() == 0  # space has no ink
+    assert atlas[ord("M") - 32].sum() > 0
+
+    recs = {"rgb": jnp.full((1, 2, 3, 3), 200, jnp.uint8),
+            "luma": jnp.array([[[0, 128, 255]] * 2], jnp.uint8)}
+    px = np.asarray(records_to_pixels(recs, "truecolor_fg", pal.DEFAULT_PALETTE))
+    assert px.shape == (1, 2 * gh, 3 * gw, 3)
+    assert px[0, :gh, :gw].sum() == 0          # luma 0 -> space -> black
+    assert px[0, :gh, 2 * gw: 3 * gw].sum() > 0  # luma 255 -> dense glyph
+
+    # end-to-end: a few frames to Y4M through the glyph path
+    out = str(tmp_path / "clip.y4m")
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    n = render_to_file(TestPatternSource(64, 48), out, caps, 20, 8,
+                       pal.DEFAULT_PALETTE, max_frames=3)
+    assert n == 3
+    data = open(out, "rb").read()
+    assert data.startswith(b"YUV4MPEG2 W" + str(20 * gw).encode())
+    assert data.count(b"FRAME\n") == 3
+
+
+def test_webcam_format_conversions():
+    """NV12 and MJPEG conversion paths (webcam_v4l2.c format matrix) with
+    synthetic buffers — no camera hardware needed."""
+    import io
+
+    import numpy as np
+
+    from asciichat_tpu.runtime.webcam import mjpeg_to_rgb, nv12_to_rgb, yuyv_to_rgb
+
+    # NV12: uniform grey (Y=128, U=V=128) -> mid grey RGB
+    w, h = 8, 4
+    buf = bytes([128] * (w * h)) + bytes([128] * (w * h // 2))
+    rgb = nv12_to_rgb(buf, w, h)
+    assert rgb.shape == (h, w, 3)
+    assert np.all(np.abs(rgb.astype(int) - 130) < 4)  # 298*(128-16)>>8 ≈ 130
+
+    # NV12 red: Y=81 U=90 V=240 (BT.601 red)
+    buf = bytes([81] * (w * h)) + bytes([90, 240] * (w * h // 4))
+    rgb = nv12_to_rgb(buf, w, h)
+    assert rgb[..., 0].mean() > 220 and rgb[..., 1].mean() < 40
+
+    # MJPEG: roundtrip through PIL's encoder
+    from PIL import Image
+
+    src = np.zeros((16, 16, 3), np.uint8)
+    src[:, :8] = (255, 0, 0)
+    bio = io.BytesIO()
+    Image.fromarray(src).save(bio, "JPEG", quality=95)
+    out = mjpeg_to_rgb(bio.getvalue())
+    assert out.shape == (16, 16, 3)
+    assert out[0, 0, 0] > 200 and out[0, 15, 0] < 80
+
+    # YUYV still exact on grey
+    yuyv = bytes([128, 128] * (w * h))
+    grey = yuyv_to_rgb(yuyv, w, h)
+    assert grey.shape == (h, w, 3)
