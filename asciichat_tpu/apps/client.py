@@ -51,6 +51,7 @@ class AsciiChatClient:
         want_h265: bool = False,
         audio_gain: float = 1.0,
         ssh_identity=None,
+        use_opus: bool = False,
     ):
         self.host = host
         self.port = port
@@ -81,6 +82,18 @@ class AsciiChatClient:
         self.audio_sink = audio_sink
         self.audio_gain = audio_gain  # capture gain applied before send
         self.audio_pipeline = None
+        # Opus codec (real libopus via ctypes, lib/audio/opus.c analog):
+        # requested with use_opus; both directions run one context each
+        self.opus_enc = self.opus_dec = None
+        if use_opus:
+            from asciichat_tpu.runtime import codecs
+
+            try:
+                self.opus_enc = codecs.OpusCodec()
+                self.opus_dec = codecs.OpusCodec()
+                self.wire_caps.codec_audio = 1
+            except codecs.CodecUnavailable as e:
+                log.warning("opus requested but unavailable (%s); raw PCM", e)
         if audio_source is not None:
             from asciichat_tpu.ops.audio import ClientAudioPipeline
 
@@ -162,10 +175,16 @@ class AsciiChatClient:
             )
             if self.audio_gain != 1.0:
                 processed = np.clip(processed * self.audio_gain, -1.0, 1.0)
-            payload = pkt.pack_audio_batch(
-                np.asarray(processed, "<f4").tobytes(), n, 1
-            )
-            t.send_nowait(pkt.PacketType.AUDIO_BATCH, payload)
+            if self.opus_enc is not None:
+                payload = pkt.pack_audio_batch(
+                    self.opus_enc.encode(np.asarray(processed, np.float32)), n, 1
+                )
+                t.send_nowait(pkt.PacketType.AUDIO_OPUS_BATCH, payload)
+            else:
+                payload = pkt.pack_audio_batch(
+                    np.asarray(processed, "<f4").tobytes(), n, 1
+                )
+                t.send_nowait(pkt.PacketType.AUDIO_BATCH, payload)
             self.audio_frames_sent += 1
             await asyncio.sleep(max(0.0, interval - (loop.time() - t0)))
 
@@ -205,6 +224,18 @@ class AsciiChatClient:
                     if "h265" in codecs_adv:
                         self.h265_active = True
                         log.info("server supports h265: switching uplink")
+            elif ptype == P.AUDIO_OPUS_BATCH:
+                if self.opus_dec is not None:
+                    body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
+                    try:
+                        mix = self.opus_dec.decode(body)[:total]
+                    except ValueError:
+                        continue
+                    self.audio_frames_received += 1
+                    if self.audio_sink is not None:
+                        self.audio_sink.write(mix)
+                    if self.audio_pipeline is not None:
+                        self.audio_pipeline.add_far(mix)
             elif ptype == P.AUDIO_BATCH:
                 # playback: exclude-self server mix -> sink; the played
                 # signal is also the AEC far-end reference
@@ -360,7 +391,8 @@ def main(args) -> int:
                              use_ws=args.ws, audio_source=audio_source,
                              audio_sink=audio_sink, want_h265=args.h265,
                              audio_gain=args.audio_gain, flip_x=args.flip_x,
-                             flip_y=args.flip_y, show_fps=args.show_fps)
+                             flip_y=args.flip_y, show_fps=args.show_fps,
+                             use_opus=args.opus)
     try:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:

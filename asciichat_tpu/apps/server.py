@@ -62,6 +62,7 @@ class ClientState:
         self.filter_name = "none"
         self.pending_first: tuple[int, bytes] | None = None
         self.h265 = None  # per-client decoder ctx (session/h265/server.c:14-25)
+        self.opus = None  # per-client Opus ctx (render.c:57 per-client codec)
 
     @property
     def size_key(self):
@@ -233,9 +234,21 @@ class AsciiChatServer:
                 log.info("remote[%d]: %s", c.id,
                          payload[:500].decode(errors="replace"))
             elif ptype == P.AUDIO_OPUS_BATCH:
-                # Opus is a gated codec seat (runtime/codecs.py); without a
-                # libopus binding the batch is acknowledged but not mixed
-                pass
+                # per-client Opus decode into the same mixer ring
+                # (render.c:57 per-client codec contexts)
+                from asciichat_tpu.runtime import codecs
+
+                body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
+                if c.opus is None:
+                    try:
+                        c.opus = codecs.OpusCodec()
+                    except codecs.CodecUnavailable:
+                        c.opus = False  # no libopus: acknowledged, not mixed
+                if c.opus:
+                    try:
+                        c.audio.write(c.opus.decode(body)[:total])
+                    except ValueError as e:
+                        log.warning("client %d bad opus packet: %s", c.id, e)
             elif ptype == P.CLIENT_LEAVE:
                 return
             elif ptype == P.TEXT_MESSAGE:
@@ -422,11 +435,20 @@ class AsciiChatServer:
         )
         mixes = np.asarray(mixes)
         for i, c in enumerate(snapshot):
-            if c.has_caps:
-                payload = pkt.pack_audio_batch(
-                    mixes[i].astype("<f4").tobytes(), n, 1
-                )
-                c.transport.send_nowait(pkt.PacketType.AUDIO_BATCH, payload)
+            if not c.has_caps:
+                continue
+            if c.wire_caps.codec_audio == 1 and c.opus:
+                # opus client: encode its personalized mix with ITS context
+                try:
+                    payload = pkt.pack_audio_batch(c.opus.encode(mixes[i]), n, 1)
+                    c.transport.send_nowait(pkt.PacketType.AUDIO_OPUS_BATCH, payload)
+                    continue
+                except ValueError:
+                    pass  # fall through to raw
+            payload = pkt.pack_audio_batch(
+                mixes[i].astype("<f4").tobytes(), n, 1
+            )
+            c.transport.send_nowait(pkt.PacketType.AUDIO_BATCH, payload)
 
     # ------------------------------------------------------------------
 

@@ -1,14 +1,15 @@
-"""Audio/video codec abstraction: Opus and H.265 seats, gated on availability.
+"""Audio/video codecs on the system libraries — both REAL here.
 
 Parity mapping:
-- Opus wrapper (lib/audio/opus.c:19-143): encode/decode float PCM in 20 ms
-  (960-sample) batches with bitrate/DTX control. No libopus binding exists in
-  this environment, so the default codec is RAW_FLOAT (the reference also
-  ships raw PCM AUDIO_BATCH as the non-Opus path); the OpusCodec seat raises
-  a clear CodecUnavailable and activates automatically if `opuslib` appears.
-- H.265 (lib/video/h265/{encoder,decoder}.c, PACKET_TYPE_IMAGE_FRAME_H265):
-  hardware-encoder probing + lazy open in the reference; here the seat probes
-  the ffmpeg CLI (libx265) and pipes raw frames through it when present.
+- Opus (lib/audio/opus.c:19-143): ctypes straight on libopus.so (10 ms
+  float frames at the audio-tick cadence, VOIP application, bitrate/DTX
+  ctl). RawFloatAudioCodec remains the negotiated fallback (the reference
+  also ships raw PCM AUDIO_BATCH as the non-Opus path).
+- H.265 (lib/video/h265/{encoder,decoder}.c): the primary path is a native
+  C++ shim on the system libavcodec/libswscale (native/avshim.cpp — the
+  same linkage model the reference uses); the ffmpeg CLI pipe remains a
+  fallback. Both paths expose the same AU-list interface; CodecUnavailable
+  gates environments with neither.
 """
 
 from __future__ import annotations
@@ -40,32 +41,83 @@ class RawFloatAudioCodec:
         return np.frombuffer(data, "<f4")
 
 
+def _load_libopus():
+    import ctypes
+
+    for name in ("libopus.so.0", "libopus.so", "libopus.0.dylib"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    else:
+        raise CodecUnavailable("opus unavailable: no libopus on this system")
+    c = ctypes
+    lib.opus_encoder_create.restype = c.c_void_p
+    lib.opus_encoder_create.argtypes = [c.c_int, c.c_int, c.c_int,
+                                        c.POINTER(c.c_int)]
+    lib.opus_decoder_create.restype = c.c_void_p
+    lib.opus_decoder_create.argtypes = [c.c_int, c.c_int, c.POINTER(c.c_int)]
+    lib.opus_encode_float.restype = c.c_int
+    lib.opus_encode_float.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                      c.c_int, c.c_char_p, c.c_int]
+    lib.opus_decode_float.restype = c.c_int
+    lib.opus_decode_float.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
+                                      c.POINTER(c.c_float), c.c_int, c.c_int]
+    return lib
+
+
 class OpusCodec:
-    """Opus seat (lib/audio/opus.c analog); requires an opus binding."""
+    """Opus via ctypes straight on libopus (lib/audio/opus.c:19-143 analog:
+    48 kHz mono float frames, VOIP application, bitrate + DTX ctl)."""
 
     name = "opus"
+    APPLICATION_VOIP = 2048
+    SET_BITRATE = 4002  # OPUS_SET_BITRATE_REQUEST
+    SET_DTX = 4016  # OPUS_SET_DTX_REQUEST
 
-    def __init__(self, bitrate: int = 32_000, dtx: bool = True):
-        try:
-            import opuslib  # noqa: F401
-        except ImportError as e:
-            raise CodecUnavailable(
-                "opus unavailable: no libopus binding in this environment; "
-                "using raw_float PCM (the reference's non-Opus path)"
-            ) from e
-        import opuslib
+    def __init__(self, bitrate: int = 32_000, dtx: bool = True,
+                 frame_samples: int = 480):
+        import ctypes
 
-        self._enc = opuslib.Encoder(48000, 1, opuslib.APPLICATION_VOIP)
-        self._enc.bitrate = bitrate
-        self._dec = opuslib.Decoder(48000, 1)
+        self._c = ctypes
+        self._lib = _load_libopus()
+        self.frame_samples = frame_samples  # 10 ms (the AUDIO tick cadence)
+        err = ctypes.c_int(0)
+        self._enc = self._lib.opus_encoder_create(
+            48000, 1, self.APPLICATION_VOIP, ctypes.byref(err))
+        if err.value != 0 or not self._enc:
+            raise CodecUnavailable(f"opus encoder create failed ({err.value})")
+        self._dec = self._lib.opus_decoder_create(48000, 1, ctypes.byref(err))
+        if err.value != 0 or not self._dec:
+            raise CodecUnavailable(f"opus decoder create failed ({err.value})")
+        # varargs ctl: declare per call
+        self._lib.opus_encoder_ctl(ctypes.c_void_p(self._enc),
+                                   self.SET_BITRATE, ctypes.c_int(bitrate))
+        self._lib.opus_encoder_ctl(ctypes.c_void_p(self._enc),
+                                   self.SET_DTX, ctypes.c_int(1 if dtx else 0))
 
     def encode(self, samples: np.ndarray) -> bytes:
-        pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
-        return self._enc.encode(pcm, OPUS_FRAME_SAMPLES)
+        pcm = np.ascontiguousarray(samples, np.float32)
+        if len(pcm) != self.frame_samples:
+            raise ValueError(f"opus frame must be {self.frame_samples} samples")
+        out = self._c.create_string_buffer(4000)
+        n = self._lib.opus_encode_float(
+            self._enc, pcm.ctypes.data_as(self._c.POINTER(self._c.c_float)),
+            self.frame_samples, out, 4000)
+        if n < 0:
+            raise ValueError(f"opus_encode_float failed ({n})")
+        return out.raw[:n]
 
     def decode(self, data: bytes) -> np.ndarray:
-        pcm = self._dec.decode(data, OPUS_FRAME_SAMPLES)
-        return np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+        pcm = np.empty(self.frame_samples, np.float32)
+        n = self._lib.opus_decode_float(
+            self._dec, data, len(data),
+            pcm.ctypes.data_as(self._c.POINTER(self._c.c_float)),
+            self.frame_samples, 0)
+        if n < 0:
+            raise ValueError(f"opus_decode_float failed ({n})")
+        return pcm[:n]
 
 
 def best_audio_codec(prefer_opus: bool = True):
@@ -104,9 +156,118 @@ def _split_access_units(buf: bytearray) -> list[bytes]:
     return aus
 
 
-class H265Encoder:
-    """Streaming H.265 encoder via the ffmpeg CLI (lib/video/h265/encoder.c
-    analog: hardware probe + lazy open; here the probe is the ffmpeg binary).
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _avshim():
+    """Native libavcodec shim (native/avshim.cpp): the primary H.265 path,
+    matching the reference's direct libav* linkage
+    (lib/video/h265/{encoder,decoder}.c)."""
+    import ctypes
+
+    from asciichat_tpu.runtime.native_build import load_library
+
+    try:
+        lib = load_library("avshim")
+    except (OSError, Exception) as e:  # compile or dlopen failure
+        raise CodecUnavailable(f"libavcodec shim unavailable: {e}") from None
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+    lib.ac_h265_enc_open.restype = c.c_void_p
+    lib.ac_h265_enc_open.argtypes = [c.c_int] * 5
+    lib.ac_h265_enc_frame.restype = c.c_long
+    lib.ac_h265_enc_frame.argtypes = [c.c_void_p, c.c_char_p, u8p, c.c_long]
+    lib.ac_h265_enc_close.argtypes = [c.c_void_p]
+    lib.ac_h265_dec_open.restype = c.c_void_p
+    lib.ac_h265_dec_open.argtypes = [c.c_int, c.c_int]
+    lib.ac_h265_dec_packet.restype = c.c_long
+    lib.ac_h265_dec_packet.argtypes = [c.c_void_p, c.c_char_p, c.c_long,
+                                       u8p, c.c_long]
+    lib.ac_h265_dec_close.argtypes = [c.c_void_p]
+    return lib
+
+
+class NativeH265Encoder:
+    """H.265 encode on the system libavcodec via native/avshim.cpp —
+    the encoder.c analog. One RGB24 frame in -> zero or more Annex-B
+    packets out (low-latency x265: no reordering)."""
+
+    name = "h265"
+
+    def __init__(self, width: int, height: int, fps: int = 30, crf: int = 28,
+                 keyint: int = 30):
+        import ctypes
+
+        self._c = ctypes
+        self._lib = _avshim()
+        self.width, self.height = width, height
+        self._h = self._lib.ac_h265_enc_open(width, height, fps, crf, keyint)
+        if not self._h:
+            raise CodecUnavailable("libavcodec has no HEVC encoder")
+        self._out = (ctypes.c_uint8 * (width * height * 3 + 65536))()
+
+    def encode(self, frame: np.ndarray) -> list[bytes]:
+        import struct
+
+        raw = np.ascontiguousarray(frame, np.uint8).tobytes()
+        n = self._lib.ac_h265_enc_frame(self._h, raw, self._out, len(self._out))
+        if n < 0:
+            raise ValueError("h265 encode failed")
+        buf = bytes(self._out[:n])
+        pkts, at = [], 0
+        while at + 4 <= len(buf):
+            (plen,) = struct.unpack("<I", buf[at : at + 4])
+            pkts.append(buf[at + 4 : at + 4 + plen])
+            at += 4 + plen
+        return pkts
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ac_h265_enc_close(self._h)
+            self._h = None
+
+
+class NativeH265Decoder:
+    """Per-client H.265 decode context on libavcodec
+    (src/session/h265/server.c:14-25 analog)."""
+
+    name = "h265"
+
+    def __init__(self, width: int, height: int):
+        import ctypes
+
+        self._c = ctypes
+        self._lib = _avshim()
+        self.width, self.height = width, height
+        self._h = self._lib.ac_h265_dec_open(width, height)
+        if not self._h:
+            raise CodecUnavailable("libavcodec has no HEVC decoder")
+        self._frame_bytes = width * height * 3
+        self._out = (ctypes.c_uint8 * (self._frame_bytes * 8))()
+
+    def decode(self, au: bytes) -> list[np.ndarray]:
+        n = self._lib.ac_h265_dec_packet(self._h, au, len(au), self._out,
+                                         len(self._out))
+        if n < 0:
+            raise ValueError("h265 decode failed")
+        fb = self._frame_bytes
+        raw = bytes(self._out[: n * fb])
+        return [
+            np.frombuffer(raw, np.uint8, fb, i * fb).reshape(
+                self.height, self.width, 3)
+            for i in range(n)
+        ]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ac_h265_dec_close(self._h)
+            self._h = None
+
+
+class FFmpegH265Encoder:
+    """Streaming H.265 encoder via the ffmpeg CLI (fallback when the
+    libavcodec shim can't build; same AU interface).
 
     Low-latency x265 (tune zerolatency: no lookahead/reordering, one AU out
     per frame in) with aud=1 + repeat-headers=1 so each AU is self-framing
@@ -158,9 +319,8 @@ class H265Encoder:
             self._proc.kill()
 
 
-class H265Decoder:
-    """Streaming H.265 decoder (src/session/h265/server.c:14-25 keeps one
-    per client on the server; this is that per-client context)."""
+class FFmpegH265Decoder:
+    """Streaming H.265 decoder via the ffmpeg CLI (fallback path)."""
 
     name = "h265"
 
@@ -211,10 +371,31 @@ class H265Decoder:
             self._proc.kill()
 
 
+def H265Encoder(width: int, height: int, fps: int = 30, crf: int = 28,
+                keyint: int = 30):
+    """Factory: native libavcodec shim first (the reference's own linkage
+    model), ffmpeg CLI fallback; CodecUnavailable when neither exists."""
+    try:
+        return NativeH265Encoder(width, height, fps, crf, keyint)
+    except CodecUnavailable:
+        return FFmpegH265Encoder(width, height, fps, crf, keyint)
+
+
+def H265Decoder(width: int, height: int):
+    try:
+        return NativeH265Decoder(width, height)
+    except CodecUnavailable:
+        return FFmpegH265Decoder(width, height)
+
+
 def probe_video_codecs() -> list[str]:
     """VIDEO_CODEC_CAP_* capability probe for CLIENT_CAPABILITIES /
     SERVER_STATE codec negotiation."""
     codecs = ["raw_rgb24"]
-    if shutil.which("ffmpeg"):
+    try:
+        _avshim()
         codecs.append("h265")
+    except CodecUnavailable:
+        if shutil.which("ffmpeg"):
+            codecs.append("h265")
     return codecs

@@ -34,10 +34,10 @@ def _compile(src: Path, out: Path, extra_flags: tuple[str, ...] = ()) -> None:
         "-shared",
         "-fPIC",
         "-pthread",
-        *extra_flags,
         "-o",
         str(out),
         str(src),
+        *extra_flags,  # -l libs must FOLLOW the source for the linker
     ]
     # -march=native when the toolchain supports it; fall back silently.
     native_cmd = cmd[:1] + ["-march=native"] + cmd[1:]
@@ -49,13 +49,19 @@ def _compile(src: Path, out: Path, extra_flags: tuple[str, ...] = ()) -> None:
     subprocess.run(cmd, check=True, capture_output=True)
 
 
+# per-library extra compile/link flags (system libraries some shims bind)
+LIB_FLAGS: dict[str, tuple[str, ...]] = {
+    "avshim": ("-lavcodec", "-lavutil", "-lswscale"),
+}
+
+
 def load_library(name: str) -> ctypes.CDLL:
     """Load native/<name>.cpp as a shared library, compiling if stale."""
     src = NATIVE_DIR / f"{name}.cpp"
     out = BUILD_DIR / f"lib{name}{sysconfig.get_config_var('SHLIB_SUFFIX') or '.so'}"
     with _build_lock:
         if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
-            _compile(src, out)
+            _compile(src, out, extra_flags=LIB_FLAGS.get(name, ()))
     return ctypes.CDLL(str(out))
 
 

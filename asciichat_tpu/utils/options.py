@@ -356,6 +356,9 @@ def default_registry() -> OptionsRegistry:
         modes=Mode.CLIENT)
     add("audio-gain", "audio", float, 1.0, "capture gain applied before send",
         modes=Mode.CLIENT, validator=lambda v: 0 <= v <= 4)
+    add("opus", "audio", bool, False,
+        "Opus-compress audio (libopus via ctypes; raw PCM fallback)",
+        modes=Mode.CLIENT)
     # discovery
     add("acds", "discovery", str, "127.0.0.1", "discovery service address",
         modes=Mode.DISCOVERY)

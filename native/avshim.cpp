@@ -1,0 +1,176 @@
+// H.265 encode/decode via the system libavcodec (FFmpeg 5.x API) — the
+// native counterpart of lib/video/h265/{encoder,decoder}.c, which link
+// libav* the same way. Exposes a minimal C API for ctypes: one RGB24 frame
+// in -> encoded packet(s) out (low-latency x265), and packets in -> RGB24
+// frames out (per-client server decode context, session/h265/server.c).
+//
+// Build: g++ -O3 -shared -fPIC -o libavshim.so avshim.cpp \
+//            -lavcodec -lavutil -lswscale
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+namespace {
+
+struct Enc {
+  AVCodecContext* ctx;
+  AVFrame* frame;
+  AVPacket* pkt;
+  SwsContext* sws;
+  int64_t pts;
+};
+
+struct Dec {
+  AVCodecContext* ctx;
+  AVFrame* frame;
+  AVPacket* pkt;
+  SwsContext* sws;
+  int w, h;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ac_h265_enc_open(int w, int h, int fps, int crf, int keyint) {
+  const AVCodec* codec = avcodec_find_encoder_by_name("libx265");
+  if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_HEVC);
+  if (!codec) return nullptr;
+  Enc* e = new Enc{};
+  e->ctx = avcodec_alloc_context3(codec);
+  e->ctx->width = w;
+  e->ctx->height = h;
+  e->ctx->time_base = AVRational{1, fps > 0 ? fps : 30};
+  e->ctx->framerate = AVRational{fps > 0 ? fps : 30, 1};
+  e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->ctx->gop_size = keyint;
+  e->ctx->max_b_frames = 0;  // zero-latency: no reordering
+  char params[160];
+  snprintf(params, sizeof(params),
+           "crf=%d:keyint=%d:repeat-headers=1:log-level=none", crf, keyint);
+  av_opt_set(e->ctx->priv_data, "preset", "ultrafast", 0);
+  av_opt_set(e->ctx->priv_data, "tune", "zerolatency", 0);
+  av_opt_set(e->ctx->priv_data, "x265-params", params, 0);
+  av_log_set_level(AV_LOG_QUIET);
+  if (avcodec_open2(e->ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&e->ctx);
+    delete e;
+    return nullptr;
+  }
+  e->frame = av_frame_alloc();
+  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->width = w;
+  e->frame->height = h;
+  av_frame_get_buffer(e->frame, 0);
+  e->pkt = av_packet_alloc();
+  e->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                          SWS_POINT, nullptr, nullptr, nullptr);
+  e->pts = 0;
+  return e;
+}
+
+// Feed one RGB24 frame; drained packets are concatenated into out as
+// u32le length-prefixed records. Returns total bytes written, or -1.
+long ac_h265_enc_frame(void* h, const uint8_t* rgb, uint8_t* out, long cap) {
+  Enc* e = (Enc*)h;
+  const uint8_t* src[1] = {rgb};
+  int stride[1] = {e->ctx->width * 3};
+  av_frame_make_writable(e->frame);
+  sws_scale(e->sws, src, stride, 0, e->ctx->height, e->frame->data,
+            e->frame->linesize);
+  e->frame->pts = e->pts++;
+  if (avcodec_send_frame(e->ctx, e->frame) < 0) return -1;
+  long at = 0;
+  while (true) {
+    int rc = avcodec_receive_packet(e->ctx, e->pkt);
+    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
+    if (rc < 0) return -1;
+    if (at + 4 + e->pkt->size <= cap) {
+      uint32_t n = (uint32_t)e->pkt->size;
+      memcpy(out + at, &n, 4);
+      memcpy(out + at + 4, e->pkt->data, e->pkt->size);
+      at += 4 + e->pkt->size;
+    }
+    av_packet_unref(e->pkt);
+  }
+  return at;
+}
+
+void ac_h265_enc_close(void* h) {
+  Enc* e = (Enc*)h;
+  if (!e) return;
+  avcodec_free_context(&e->ctx);
+  av_frame_free(&e->frame);
+  av_packet_free(&e->pkt);
+  sws_freeContext(e->sws);
+  delete e;
+}
+
+void* ac_h265_dec_open(int w, int h) {
+  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_HEVC);
+  if (!codec) return nullptr;
+  Dec* d = new Dec{};
+  d->ctx = avcodec_alloc_context3(codec);
+  if (avcodec_open2(d->ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&d->ctx);
+    delete d;
+    return nullptr;
+  }
+  d->frame = av_frame_alloc();
+  d->pkt = av_packet_alloc();
+  d->sws = nullptr;
+  d->w = w;
+  d->h = h;
+  return d;
+}
+
+// Feed one encoded packet; decoded frames are written back-to-back as
+// RGB24 (w*h*3 each, scaled to the declared dims). Returns frame count, -1.
+long ac_h265_dec_packet(void* h, const uint8_t* data, long len, uint8_t* out,
+                        long cap) {
+  Dec* d = (Dec*)h;
+  av_packet_unref(d->pkt);
+  if (av_new_packet(d->pkt, (int)len) < 0) return -1;
+  memcpy(d->pkt->data, data, len);
+  if (avcodec_send_packet(d->ctx, d->pkt) < 0) return -1;
+  long frames = 0;
+  long frame_bytes = (long)d->w * d->h * 3;
+  while (true) {
+    int rc = avcodec_receive_frame(d->ctx, d->frame);
+    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
+    if (rc < 0) return -1;
+    if ((frames + 1) * frame_bytes > cap) break;
+    if (!d->sws) {
+      d->sws = sws_getContext(d->frame->width, d->frame->height,
+                              (AVPixelFormat)d->frame->format, d->w, d->h,
+                              AV_PIX_FMT_RGB24, SWS_POINT, nullptr, nullptr,
+                              nullptr);
+    }
+    uint8_t* dst[1] = {out + frames * frame_bytes};
+    int dst_stride[1] = {d->w * 3};
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->frame->height,
+              dst, dst_stride);
+    frames++;
+  }
+  return frames;
+}
+
+void ac_h265_dec_close(void* h) {
+  Dec* d = (Dec*)h;
+  if (!d) return;
+  avcodec_free_context(&d->ctx);
+  av_frame_free(&d->frame);
+  av_packet_free(&d->pkt);
+  if (d->sws) sws_freeContext(d->sws);
+  delete d;
+}
+
+}  // extern "C"

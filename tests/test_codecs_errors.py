@@ -8,29 +8,40 @@ from asciichat_tpu.utils import errors
 
 
 def test_raw_float_codec_roundtrip():
-    c = codecs.best_audio_codec()
+    c = codecs.RawFloatAudioCodec()
     samples = np.random.default_rng(0).normal(0, 0.3, 960).astype(np.float32)
-    out = c.decode(c.encode(samples))
-    if c.name == "raw_float":
-        np.testing.assert_array_equal(out, samples)
-    else:  # opus is lossy
-        assert out.shape == samples.shape
+    np.testing.assert_array_equal(c.decode(c.encode(samples)), samples)
 
 
-def test_opus_gated():
+def test_best_audio_codec_prefers_opus_when_present():
+    c = codecs.best_audio_codec()
     try:
         codecs.OpusCodec()
+        assert c.name == "opus"
     except codecs.CodecUnavailable as e:
-        assert "raw_float" in str(e)
+        assert c.name == "raw_float"
+        assert "libopus" in str(e)
 
 
-def test_h265_gated():
-    import shutil
-
-    if shutil.which("ffmpeg"):
-        pytest.skip("ffmpeg present; seat active")
-    with pytest.raises(codecs.CodecUnavailable):
-        codecs.H265Encoder(64, 48)
+def test_h265_real_roundtrip():
+    """REAL H.265 through the native libavcodec shim (or the ffmpeg CLI
+    fallback): encode a color pattern, decode it back, colors survive."""
+    try:
+        enc = codecs.H265Encoder(64, 48)
+        dec = codecs.H265Decoder(64, 48)
+    except codecs.CodecUnavailable:
+        pytest.skip("no libavcodec shim and no ffmpeg")
+    decoded = []
+    for i in range(8):
+        f = np.full((48, 64, 3), i * 25, np.uint8)
+        f[:, :32] = (0, 255, 0)
+        for au in enc.encode(f):
+            decoded += dec.decode(au)
+    assert len(decoded) >= 6  # low-latency: at most a frame or two buffered
+    assert decoded[0][:, :32, 1].mean() > 200  # green half preserved
+    assert decoded[0][:, 32:, 1].mean() < 80
+    enc.close()
+    dec.close()
 
 
 def test_probe_video_codecs():
@@ -153,3 +164,25 @@ def test_h265_protocol_wiring_loopback(monkeypatch):
         return client
 
     asyncio.run(asyncio.wait_for(run(), 90))
+
+
+def test_opus_codec_real_libopus():
+    """Real libopus via ctypes (lib/audio/opus.c analog): 10ms float frames,
+    ~45x compression, tone survives the roundtrip."""
+    try:
+        c_enc = codecs.OpusCodec()
+        c_dec = codecs.OpusCodec()
+    except codecs.CodecUnavailable:
+        pytest.skip("no libopus on this system")
+    t = np.arange(480) / 48000
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    outs = []
+    for _ in range(20):
+        enc = c_enc.encode(tone)
+        assert len(enc) < 480  # actually compressed
+        outs.append(c_dec.decode(enc))
+    steady = np.concatenate(outs[5:])
+    rms = float(np.sqrt((steady ** 2).mean()))
+    assert abs(rms - 0.212) < 0.05  # tone level preserved
+    with pytest.raises(ValueError):
+        c_enc.encode(tone[:100])  # wrong frame size

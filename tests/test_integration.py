@@ -587,3 +587,84 @@ def test_webclient_duplex_protocol():
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_opus_audio_duplex(tmp_path):
+    """Opus end-to-end: two clients with --opus exchange audio; the server
+    decodes per-client Opus uplinks, mixes, and re-encodes each client's
+    personalized mix with that client's context (render.c:57 analog)."""
+    from asciichat_tpu.runtime import codecs as codecs_mod
+
+    try:
+        codecs_mod.OpusCodec()
+    except codecs_mod.CodecUnavailable:
+        import pytest
+
+        pytest.skip("no libopus")
+    import signal
+
+    port = PORT + 18
+    srv = _spawn("server", "--port", str(port), "--log-level", "WARNING")
+    time.sleep(4)
+    fa, fb = str(tmp_path / "a.f32"), str(tmp_path / "b.f32")
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        a = _spawn("client", "127.0.0.1", "--port", str(port), "--no-media",
+                   "--tone-hz", "440", "--opus", "--audio-out", fa,
+                   "--no-reconnect", "--log-level", "WARNING")
+        b = _spawn("client", "127.0.0.1", "--port", str(port), "--no-media",
+                   "--tone-hz", "0", "--opus", "--audio-out", fb,
+                   "--no-reconnect", "--log-level", "WARNING")
+        time.sleep(14)
+        for p in (a, b):
+            p.send_signal(signal.SIGINT)
+        for p in (a, b):
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        vb = np.fromfile(fb, "<f4")
+        va = np.fromfile(fa, "<f4") if len(np.fromfile(fa, "<f4")) else np.zeros(1)
+        assert len(vb) >= 4800, f"B received only {len(vb)} opus samples"
+        vbs = vb[len(vb) // 2:]
+        rms_b = float(np.sqrt(np.mean(vbs * vbs)))
+        rms_a = float(np.sqrt(np.mean(va * va)))
+        assert rms_b > 0.02, f"B does not hear A's opus tone (rms={rms_b})"
+        assert rms_a < rms_b * 0.25, (rms_a, rms_b)
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
+
+
+def test_h265_uplink_end_to_end_real_codec():
+    """REAL H.265 uplink over real processes: client --h265 negotiates via
+    SERVER_STATE, encodes with the native libavcodec shim, the server's
+    per-client decode ctx feeds the render pipeline, ASCII frames return."""
+    from asciichat_tpu.runtime import codecs as codecs_mod
+
+    try:
+        codecs_mod.H265Encoder(64, 48).close()
+    except codecs_mod.CodecUnavailable:
+        import pytest
+
+        pytest.skip("no H.265 codec available")
+    port, insp = PORT + 20, PORT + 21
+    srv = _spawn("server", "--port", str(port), "--inspect-port", str(insp),
+                 "--log-level", "WARNING")
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        client = _spawn(
+            "client", "127.0.0.1", "--port", str(port), "--test-pattern",
+            "--h265", "--width", "40", "--height", "12", "--color-mode",
+            "TRUECOLOR", "--max-frames", "8", "--no-reconnect",
+            "--log-level", "INFO",
+        )
+        out, err = client.communicate(timeout=180)
+        assert client.returncode == 0, err.decode()[-2000:]
+        assert b"server supports h265" in err  # negotiation happened
+        assert b"\x1b[" in out  # frames rendered from DECODED h265 uploads
+        assert srv.poll() is None
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
