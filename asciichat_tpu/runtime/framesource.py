@@ -70,6 +70,70 @@ class ImageFileSource(FrameSource):
         return self._frame
 
 
+class NativeVideoFileSource(FrameSource):
+    """Video decode on the system libavformat/libavcodec (native/avshim.cpp
+    media path) — the primary --file video source, matching the reference's
+    direct libav linkage (lib/media/ffmpeg_decoder.c). Any container
+    libavformat demuxes; frames come back RGB24 at native size + fps."""
+
+    def __init__(self, path: str, loop: bool = False):
+        import ctypes
+
+        from asciichat_tpu.runtime import codecs
+
+        try:
+            self._lib = codecs._avshim()
+        except codecs.CodecUnavailable as e:
+            raise RuntimeError(str(e)) from None
+        c = ctypes
+        if not hasattr(self._lib, "_media_decl"):
+            self._lib.ac_media_open.restype = c.c_void_p
+            self._lib.ac_media_open.argtypes = [c.c_char_p]
+            self._lib.ac_media_width.restype = c.c_int
+            self._lib.ac_media_width.argtypes = [c.c_void_p]
+            self._lib.ac_media_height.restype = c.c_int
+            self._lib.ac_media_height.argtypes = [c.c_void_p]
+            self._lib.ac_media_fps.restype = c.c_double
+            self._lib.ac_media_fps.argtypes = [c.c_void_p]
+            self._lib.ac_media_read_frame.restype = c.c_int
+            self._lib.ac_media_read_frame.argtypes = [
+                c.c_void_p, c.POINTER(c.c_uint8)]
+            self._lib.ac_media_rewind.restype = c.c_int
+            self._lib.ac_media_rewind.argtypes = [c.c_void_p]
+            self._lib.ac_media_close.argtypes = [c.c_void_p]
+            self._lib._media_decl = True
+        self._path = path
+        self._h = self._lib.ac_media_open(path.encode())
+        if not self._h:
+            raise RuntimeError(f"libavformat cannot open {path!r}")
+        self.width = self._lib.ac_media_width(self._h)
+        self.height = self._lib.ac_media_height(self._h)
+        self.fps = self._lib.ac_media_fps(self._h) or 30.0
+        self.loop = loop
+        self._buf = np.empty(self.height * self.width * 3, np.uint8)
+        self._c = c
+
+    def read(self) -> np.ndarray | None:
+        ptr = self._buf.ctypes.data_as(self._c.POINTER(self._c.c_uint8))
+        rc = self._lib.ac_media_read_frame(self._h, ptr)
+        if rc <= 0 and rc == 0 and self.loop:
+            # rewind via seek; raw streams without an index need a reopen
+            if self._lib.ac_media_rewind(self._h) != 0:
+                self._lib.ac_media_close(self._h)
+                self._h = self._lib.ac_media_open(self._path.encode())
+                if not self._h:
+                    return None
+            rc = self._lib.ac_media_read_frame(self._h, ptr)
+        if rc <= 0:
+            return None
+        return self._buf.reshape(self.height, self.width, 3).copy()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ac_media_close(self._h)
+            self._h = None
+
+
 class FFmpegFileSource(FrameSource):
     """Video decode by piping rgb24 from the ffmpeg CLI (gated on PATH).
     Probes native fps so playback can be PTS-paced (PacedSource); wrap in
@@ -252,7 +316,13 @@ def open_source(
     pace=False (offline rendering, e.g. --render-file) decodes flat out."""
 
     def _video(path, input_obj=None):
-        src = FFmpegFileSource(path, loop=loop, input_obj=input_obj)
+        if input_obj is None:
+            try:
+                src = NativeVideoFileSource(path, loop=loop)
+            except RuntimeError:
+                src = FFmpegFileSource(path, loop=loop)
+        else:
+            src = FFmpegFileSource(path, loop=loop, input_obj=input_obj)
         if pace:
             return PacedSource(PrefetchSource(src))
         return src

@@ -51,7 +51,7 @@ def _compile(src: Path, out: Path, extra_flags: tuple[str, ...] = ()) -> None:
 
 # per-library extra compile/link flags (system libraries some shims bind)
 LIB_FLAGS: dict[str, tuple[str, ...]] = {
-    "avshim": ("-lavcodec", "-lavutil", "-lswscale"),
+    "avshim": ("-lavcodec", "-lavformat", "-lavutil", "-lswscale"),
 }
 
 

@@ -174,3 +174,122 @@ void ac_h265_dec_close(void* h) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Media file demux+decode (lib/media/ffmpeg_decoder.c analog): any container
+// libavformat knows -> RGB24 frames, with native fps reported for pacing.
+
+extern "C" {
+#include <libavformat/avformat.h>
+}
+
+namespace {
+
+struct Media {
+  AVFormatContext* fmt;
+  AVCodecContext* dec;
+  AVFrame* frame;
+  AVPacket* pkt;
+  SwsContext* sws;
+  int stream;
+  int w, h;
+  double fps;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ac_media_open(const char* path) {
+  av_log_set_level(AV_LOG_QUIET);
+  Media* m = new Media{};
+  if (avformat_open_input(&m->fmt, path, nullptr, nullptr) < 0) {
+    delete m;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(m->fmt, nullptr) < 0) goto fail;
+  m->stream = av_find_best_stream(m->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (m->stream < 0) goto fail;
+  {
+    AVStream* st = m->fmt->streams[m->stream];
+    const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!codec) goto fail;
+    m->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(m->dec, st->codecpar);
+    if (avcodec_open2(m->dec, codec, nullptr) < 0) goto fail;
+    m->w = m->dec->width;
+    m->h = m->dec->height;
+    AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+    m->fps = r.den ? (double)r.num / r.den : 30.0;
+    m->frame = av_frame_alloc();
+    m->pkt = av_packet_alloc();
+    m->sws = nullptr;
+  }
+  return m;
+fail:
+  if (m->dec) avcodec_free_context(&m->dec);
+  avformat_close_input(&m->fmt);
+  delete m;
+  return nullptr;
+}
+
+int ac_media_width(void* h) { return ((Media*)h)->w; }
+int ac_media_height(void* h) { return ((Media*)h)->h; }
+double ac_media_fps(void* h) { return ((Media*)h)->fps; }
+
+// -> 1 frame written (w*h*3 RGB24), 0 end-of-stream, -1 error
+int ac_media_read_frame(void* h, uint8_t* out) {
+  Media* m = (Media*)h;
+  while (true) {
+    int rc = avcodec_receive_frame(m->dec, m->frame);
+    if (rc == 0) {
+      if (!m->sws) {
+        m->sws = sws_getContext(m->frame->width, m->frame->height,
+                                (AVPixelFormat)m->frame->format, m->w, m->h,
+                                AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                                nullptr, nullptr);
+      }
+      uint8_t* dst[1] = {out};
+      int stride[1] = {m->w * 3};
+      sws_scale(m->sws, m->frame->data, m->frame->linesize, 0,
+                m->frame->height, dst, stride);
+      return 1;
+    }
+    if (rc != AVERROR(EAGAIN) && rc != AVERROR_EOF) return -1;
+    if (rc == AVERROR_EOF) return 0;
+    // need more input
+    while (true) {
+      int prc = av_read_frame(m->fmt, m->pkt);
+      if (prc < 0) {
+        avcodec_send_packet(m->dec, nullptr);  // flush
+        break;
+      }
+      if (m->pkt->stream_index == m->stream) {
+        avcodec_send_packet(m->dec, m->pkt);
+        av_packet_unref(m->pkt);
+        break;
+      }
+      av_packet_unref(m->pkt);
+    }
+  }
+}
+
+int ac_media_rewind(void* h) {
+  Media* m = (Media*)h;
+  if (av_seek_frame(m->fmt, m->stream, 0, AVSEEK_FLAG_BACKWARD) < 0) return -1;
+  avcodec_flush_buffers(m->dec);
+  return 0;
+}
+
+void ac_media_close(void* h) {
+  Media* m = (Media*)h;
+  if (!m) return;
+  if (m->dec) avcodec_free_context(&m->dec);
+  if (m->fmt) avformat_close_input(&m->fmt);
+  if (m->frame) av_frame_free(&m->frame);
+  if (m->pkt) av_packet_free(&m->pkt);
+  if (m->sws) sws_freeContext(m->sws);
+  delete m;
+}
+
+}  // extern "C"

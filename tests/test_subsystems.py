@@ -611,3 +611,53 @@ def test_webcam_format_conversions():
     yuyv = bytes([128, 128] * (w * h))
     grey = yuyv_to_rgb(yuyv, w, h)
     assert grey.shape == (h, w, 3)
+
+
+def test_native_video_file_source():
+    """Full native media loop with NO ffmpeg CLI: our libavcodec encoder
+    writes a raw .hevc stream, libavformat demuxes + decodes it back
+    (lib/media/ffmpeg_decoder.c linkage model), loop mode reopens raw
+    streams that can't seek."""
+    import numpy as np
+    import pytest
+
+    from asciichat_tpu.runtime import codecs
+
+    try:
+        enc = codecs.H265Encoder(64, 48, keyint=5)
+    except codecs.CodecUnavailable:
+        pytest.skip("no native codec")
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".hevc")
+    with open(path, "wb") as f:
+        for i in range(12):
+            fr = np.full((48, 64, 3), i * 20, np.uint8)
+            fr[:, :32] = (255, 0, 0)
+            for au in enc.encode(fr):
+                f.write(au)
+    enc.close()
+
+    from asciichat_tpu.runtime.framesource import NativeVideoFileSource, open_source
+
+    src = NativeVideoFileSource(path)
+    assert (src.width, src.height) == (64, 48)
+    frames = []
+    while True:
+        fr = src.read()
+        if fr is None:
+            break
+        frames.append(fr)
+    src.close()
+    assert len(frames) == 12
+    assert frames[0][:, :32, 0].mean() > 200  # red half preserved
+
+    looped = NativeVideoFileSource(path, loop=True)
+    for _ in range(20):
+        assert looped.read() is not None  # wraps past EOF
+    looped.close()
+
+    # open_source prefers the native path for video files (unpaced here)
+    s = open_source(file=path, pace=False)
+    assert isinstance(s, NativeVideoFileSource)
+    s.close()
