@@ -137,6 +137,45 @@ def rgb_to_ycbcr444(rgb: jax.Array) -> jax.Array:
     return jnp.stack([y, cb, cr], axis=-1).astype(jnp.uint8)
 
 
+class NativeRecorder:
+    """Container recording on the system libavformat/libavcodec
+    (lib/media/ffmpeg_encoder.c analog): RGB frames -> H.265 in any
+    container the extension names (.mp4/.mkv/...)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: int = 30,
+                 crf: int = 28):
+        import ctypes
+
+        from asciichat_tpu.runtime import codecs
+
+        self._lib = codecs._avshim()  # raises CodecUnavailable when absent
+        c = ctypes
+        if not hasattr(self._lib, "_rec_decl"):
+            self._lib.ac_rec_open.restype = c.c_void_p
+            self._lib.ac_rec_open.argtypes = [c.c_char_p] + [c.c_int] * 4
+            self._lib.ac_rec_frame.restype = c.c_int
+            self._lib.ac_rec_frame.argtypes = [c.c_void_p, c.c_char_p]
+            self._lib.ac_rec_close.restype = c.c_int
+            self._lib.ac_rec_close.argtypes = [c.c_void_p]
+            self._lib._rec_decl = True
+        self._h = self._lib.ac_rec_open(path.encode(), width, height, fps, crf)
+        if not self._h:
+            from asciichat_tpu.runtime.codecs import CodecUnavailable
+
+            raise CodecUnavailable(f"cannot open recorder for {path!r}")
+
+    def write_rgb(self, frame: np.ndarray) -> None:
+        if self._lib.ac_rec_frame(
+            self._h, np.ascontiguousarray(frame, np.uint8).tobytes()
+        ) != 0:
+            raise RuntimeError("recorder encode/mux failed")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ac_rec_close(self._h)
+            self._h = None
+
+
 class Y4MWriter:
     """Minimal YUV4MPEG2 writer, C444 colorspace."""
 
@@ -168,9 +207,12 @@ def render_to_file(
     fps: int = 30,
     scale: int = 8,
 ) -> int:
-    """Offline render loop: source frames -> cell records -> pixel frames ->
-    Y4M (transcoded via ffmpeg when out_path isn't .y4m and ffmpeg exists)."""
+    """Offline render loop: source frames -> cell records -> glyph-rastered
+    pixel frames -> Y4M, or any container via the native libavformat
+    recorder (.mp4/.mkv/...; ffmpeg-CLI transcode as the last fallback)."""
     renderer = AsciiRenderer(palette)
+    use_native = not out_path.endswith(".y4m")
+    recorder = None
     y4m_path = out_path if out_path.endswith(".y4m") else out_path + ".y4m"
 
     writer = None
@@ -183,14 +225,30 @@ def render_to_file(
         plan = plan_render(frame.shape[1], frame.shape[0], width, height, caps)
         records = renderer.cells_for_plan(jnp.asarray(frame[None]), plan)
         px = records_to_pixels(records, plan.mode, palette, scale)
+        if use_native and writer is None:
+            if recorder is None:
+                from asciichat_tpu.runtime.codecs import CodecUnavailable
+
+                try:
+                    recorder = NativeRecorder(out_path, px.shape[2], px.shape[1],
+                                              fps)
+                except CodecUnavailable:
+                    use_native = False
+            if recorder is not None:
+                np_px = np.asarray(px)[0]
+                recorder.write_rgb(np_px)
+                rendered += 1
+                continue
         ycbcr = np.asarray(rgb_to_ycbcr444(px))[0]
         if writer is None:
             writer = Y4MWriter(y4m_path, ycbcr.shape[1], ycbcr.shape[0], fps)
         writer.write(ycbcr)
         rendered += 1
+    if recorder:
+        recorder.close()
     if writer:
         writer.close()
-    if out_path != y4m_path and shutil.which("ffmpeg"):
+    if writer and out_path != y4m_path and shutil.which("ffmpeg"):
         subprocess.run(["ffmpeg", "-y", "-v", "error", "-i", y4m_path, out_path],
                        check=True)
     return rendered

@@ -34,6 +34,8 @@ struct Dec {
   AVPacket* pkt;
   SwsContext* sws;
   int w, h;
+  uint8_t* rgb[4];      // av_image_alloc'd, aligned+padded for sws SIMD
+  int rgb_stride[4];
 };
 
 }  // namespace
@@ -129,6 +131,11 @@ void* ac_h265_dec_open(int w, int h) {
   d->sws = nullptr;
   d->w = w;
   d->h = h;
+  if (av_image_alloc(d->rgb, d->rgb_stride, w, h, AV_PIX_FMT_RGB24, 32) < 0) {
+    avcodec_free_context(&d->ctx);
+    delete d;
+    return nullptr;
+  }
   return d;
 }
 
@@ -154,10 +161,12 @@ long ac_h265_dec_packet(void* h, const uint8_t* data, long len, uint8_t* out,
                               AV_PIX_FMT_RGB24, SWS_POINT, nullptr, nullptr,
                               nullptr);
     }
-    uint8_t* dst[1] = {out + frames * frame_bytes};
-    int dst_stride[1] = {d->w * 3};
     sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->frame->height,
-              dst, dst_stride);
+              d->rgb, d->rgb_stride);
+    uint8_t* dst = out + frames * frame_bytes;
+    for (int y = 0; y < d->h; ++y)
+      memcpy(dst + (long)y * d->w * 3, d->rgb[0] + (long)y * d->rgb_stride[0],
+             (size_t)d->w * 3);
     frames++;
   }
   return frames;
@@ -170,6 +179,7 @@ void ac_h265_dec_close(void* h) {
   av_frame_free(&d->frame);
   av_packet_free(&d->pkt);
   if (d->sws) sws_freeContext(d->sws);
+  av_freep(&d->rgb[0]);
   delete d;
 }
 
@@ -194,6 +204,8 @@ struct Media {
   int stream;
   int w, h;
   double fps;
+  uint8_t* rgb[4];
+  int rgb_stride[4];
 };
 
 }  // namespace
@@ -224,6 +236,9 @@ void* ac_media_open(const char* path) {
     m->frame = av_frame_alloc();
     m->pkt = av_packet_alloc();
     m->sws = nullptr;
+    if (av_image_alloc(m->rgb, m->rgb_stride, m->w, m->h, AV_PIX_FMT_RGB24,
+                       32) < 0)
+      goto fail;
   }
   return m;
 fail:
@@ -249,10 +264,11 @@ int ac_media_read_frame(void* h, uint8_t* out) {
                                 AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                                 nullptr, nullptr);
       }
-      uint8_t* dst[1] = {out};
-      int stride[1] = {m->w * 3};
       sws_scale(m->sws, m->frame->data, m->frame->linesize, 0,
-                m->frame->height, dst, stride);
+                m->frame->height, m->rgb, m->rgb_stride);
+      for (int y = 0; y < m->h; ++y)
+        memcpy(out + (long)y * m->w * 3, m->rgb[0] + (long)y * m->rgb_stride[0],
+               (size_t)m->w * 3);
       return 1;
     }
     if (rc != AVERROR(EAGAIN) && rc != AVERROR_EOF) return -1;
@@ -289,7 +305,123 @@ void ac_media_close(void* h) {
   if (m->frame) av_frame_free(&m->frame);
   if (m->pkt) av_packet_free(&m->pkt);
   if (m->sws) sws_freeContext(m->sws);
+  av_freep(&m->rgb[0]);
   delete m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Container recorder (lib/media/ffmpeg_encoder.c analog): encoder + muxer in
+// one handle so --render-file can write real containers (.mp4/.mkv/...)
+// without the ffmpeg CLI. GLOBAL_HEADER extradata flows into codecpar the
+// way the mp4/mkv muxers require.
+
+namespace {
+
+struct Rec {
+  AVFormatContext* fmt;
+  AVCodecContext* enc;
+  AVStream* st;
+  AVFrame* frame;
+  AVPacket* pkt;
+  SwsContext* sws;
+  int64_t pts;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ac_rec_open(const char* path, int w, int h, int fps, int crf) {
+  av_log_set_level(AV_LOG_QUIET);
+  Rec* r = new Rec{};
+  if (avformat_alloc_output_context2(&r->fmt, nullptr, nullptr, path) < 0 ||
+      !r->fmt) {
+    delete r;
+    return nullptr;
+  }
+  const AVCodec* codec = avcodec_find_encoder_by_name("libx265");
+  if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_HEVC);
+  if (!codec) goto fail;
+  r->enc = avcodec_alloc_context3(codec);
+  r->enc->width = w;
+  r->enc->height = h;
+  r->enc->time_base = AVRational{1, fps > 0 ? fps : 30};
+  r->enc->framerate = AVRational{fps > 0 ? fps : 30, 1};
+  r->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  r->enc->max_b_frames = 0;
+  {
+    char params[160];
+    snprintf(params, sizeof(params), "crf=%d:log-level=none", crf);
+    av_opt_set(r->enc->priv_data, "preset", "ultrafast", 0);
+    av_opt_set(r->enc->priv_data, "x265-params", params, 0);
+  }
+  if (r->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    r->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(r->enc, codec, nullptr) < 0) goto fail;
+  r->st = avformat_new_stream(r->fmt, codec);
+  if (!r->st) goto fail;
+  avcodec_parameters_from_context(r->st->codecpar, r->enc);
+  r->st->time_base = r->enc->time_base;
+  if (!(r->fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&r->fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+    goto fail;
+  if (avformat_write_header(r->fmt, nullptr) < 0) goto fail;
+  r->frame = av_frame_alloc();
+  r->frame->format = AV_PIX_FMT_YUV420P;
+  r->frame->width = w;
+  r->frame->height = h;
+  av_frame_get_buffer(r->frame, 0);
+  r->pkt = av_packet_alloc();
+  r->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                          SWS_POINT, nullptr, nullptr, nullptr);
+  r->pts = 0;
+  return r;
+fail:
+  if (r->enc) avcodec_free_context(&r->enc);
+  if (r->fmt) avformat_free_context(r->fmt);
+  delete r;
+  return nullptr;
+}
+
+static int rec_drain(Rec* r) {
+  while (true) {
+    int rc = avcodec_receive_packet(r->enc, r->pkt);
+    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+    if (rc < 0) return -1;
+    av_packet_rescale_ts(r->pkt, r->enc->time_base, r->st->time_base);
+    r->pkt->stream_index = r->st->index;
+    if (av_interleaved_write_frame(r->fmt, r->pkt) < 0) return -1;
+  }
+}
+
+int ac_rec_frame(void* h, const uint8_t* rgb) {
+  Rec* r = (Rec*)h;
+  const uint8_t* src[1] = {rgb};
+  int stride[1] = {r->enc->width * 3};
+  av_frame_make_writable(r->frame);
+  sws_scale(r->sws, src, stride, 0, r->enc->height, r->frame->data,
+            r->frame->linesize);
+  r->frame->pts = r->pts++;
+  if (avcodec_send_frame(r->enc, r->frame) < 0) return -1;
+  return rec_drain(r);
+}
+
+int ac_rec_close(void* h) {
+  Rec* r = (Rec*)h;
+  if (!r) return -1;
+  avcodec_send_frame(r->enc, nullptr);  // flush
+  int rc = rec_drain(r);
+  av_write_trailer(r->fmt);
+  if (!(r->fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&r->fmt->pb);
+  avcodec_free_context(&r->enc);
+  avformat_free_context(r->fmt);
+  av_frame_free(&r->frame);
+  av_packet_free(&r->pkt);
+  sws_freeContext(r->sws);
+  delete r;
+  return rc;
 }
 
 }  // extern "C"

@@ -661,3 +661,39 @@ def test_native_video_file_source():
     s = open_source(file=path, pace=False)
     assert isinstance(s, NativeVideoFileSource)
     s.close()
+
+
+def test_native_container_recorder(tmp_path):
+    """render-file to a REAL mp4 with no ffmpeg CLI: the libavformat
+    recorder (ffmpeg_encoder.c analog) muxes our H.265; the native media
+    source reads it back frame-exact in count."""
+    import os
+
+    import pytest
+
+    from asciichat_tpu.models.renderfile import render_to_file
+    from asciichat_tpu.render import palette as pal
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.runtime import codecs
+    from asciichat_tpu.runtime.framesource import (
+        NativeVideoFileSource, TestPatternSource,
+    )
+
+    try:
+        codecs._avshim()
+    except codecs.CodecUnavailable:
+        pytest.skip("no libavcodec shim")
+    out = str(tmp_path / "clip.mp4")
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    n = render_to_file(TestPatternSource(64, 48), out, caps, 20, 8,
+                       pal.DEFAULT_PALETTE, max_frames=5)
+    assert n == 5
+    assert os.path.getsize(out) > 1000
+    src = NativeVideoFileSource(out)
+    k = 0
+    while src.read() is not None:
+        k += 1
+    src.close()
+    assert k == 5
