@@ -36,9 +36,16 @@ def cmd_mirror(args) -> int:
     if args.render_file:
         from asciichat_tpu.models.renderfile import render_to_file
 
+        audio_source = None
+        if args.tone_hz is not None or args.audio_wav:
+            from asciichat_tpu.runtime.audiodev import open_audio_source
+
+            audio_source = open_audio_source(tone_hz=args.tone_hz,
+                                             wav=args.audio_wav)
         n = render_to_file(source, args.render_file, caps, w, h,
                            _resolve_palette(args.palette),
-                           max_frames=args.max_frames or 300, fps=int(args.fps))
+                           max_frames=args.max_frames or 300, fps=int(args.fps),
+                           audio_source=audio_source)
         print(f"rendered {n} frames to {args.render_file}")
         return 0
     session = MirrorSession(

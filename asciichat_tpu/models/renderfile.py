@@ -143,22 +143,27 @@ class NativeRecorder:
     container the extension names (.mp4/.mkv/...)."""
 
     def __init__(self, path: str, width: int, height: int, fps: int = 30,
-                 crf: int = 28):
+                 crf: int = 28, audio_rate: int = 0):
         import ctypes
 
         from asciichat_tpu.runtime import codecs
 
         self._lib = codecs._avshim()  # raises CodecUnavailable when absent
         c = ctypes
+        self._ct = c
         if not hasattr(self._lib, "_rec_decl"):
             self._lib.ac_rec_open.restype = c.c_void_p
-            self._lib.ac_rec_open.argtypes = [c.c_char_p] + [c.c_int] * 4
+            self._lib.ac_rec_open.argtypes = [c.c_char_p] + [c.c_int] * 5
             self._lib.ac_rec_frame.restype = c.c_int
             self._lib.ac_rec_frame.argtypes = [c.c_void_p, c.c_char_p]
+            self._lib.ac_rec_audio.restype = c.c_int
+            self._lib.ac_rec_audio.argtypes = [c.c_void_p,
+                                               c.POINTER(c.c_float), c.c_long]
             self._lib.ac_rec_close.restype = c.c_int
             self._lib.ac_rec_close.argtypes = [c.c_void_p]
             self._lib._rec_decl = True
-        self._h = self._lib.ac_rec_open(path.encode(), width, height, fps, crf)
+        self._h = self._lib.ac_rec_open(path.encode(), width, height, fps,
+                                        crf, audio_rate)
         if not self._h:
             from asciichat_tpu.runtime.codecs import CodecUnavailable
 
@@ -169,6 +174,16 @@ class NativeRecorder:
             self._h, np.ascontiguousarray(frame, np.uint8).tobytes()
         ) != 0:
             raise RuntimeError("recorder encode/mux failed")
+
+    def write_audio(self, samples: np.ndarray) -> None:
+        """Mono float samples onto the AAC track (ffmpeg_encoder.c audio
+        mux role)."""
+        buf = np.ascontiguousarray(samples, np.float32)
+        if self._lib.ac_rec_audio(
+            self._h, buf.ctypes.data_as(self._ct.POINTER(self._ct.c_float)),
+            len(buf),
+        ) != 0:
+            raise RuntimeError("audio encode/mux failed")
 
     def close(self) -> None:
         if self._h:
@@ -206,6 +221,8 @@ def render_to_file(
     max_frames: int = 300,
     fps: int = 30,
     scale: int = 8,
+    audio_source=None,
+    audio_rate: int = 48_000,
 ) -> int:
     """Offline render loop: source frames -> cell records -> glyph-rastered
     pixel frames -> Y4M, or any container via the native libavformat
@@ -230,13 +247,16 @@ def render_to_file(
                 from asciichat_tpu.runtime.codecs import CodecUnavailable
 
                 try:
-                    recorder = NativeRecorder(out_path, px.shape[2], px.shape[1],
-                                              fps)
+                    recorder = NativeRecorder(
+                        out_path, px.shape[2], px.shape[1], fps,
+                        audio_rate=audio_rate if audio_source else 0)
                 except CodecUnavailable:
                     use_native = False
             if recorder is not None:
                 np_px = np.asarray(px)[0]
                 recorder.write_rgb(np_px)
+                if audio_source is not None:
+                    recorder.write_audio(audio_source.read(audio_rate // fps))
                 rendered += 1
                 continue
         ycbcr = np.asarray(rgb_to_ycbcr444(px))[0]

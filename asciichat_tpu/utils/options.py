@@ -346,11 +346,13 @@ def default_registry() -> OptionsRegistry:
         "send/receive audio (mic via arecord, else 440Hz tone)",
         modes=Mode.CLIENT)
     add("tone-hz", "audio", float, None,
-        "synthetic tone capture frequency (0 = silence); implies --audio",
-        modes=Mode.CLIENT)
+        "synthetic tone capture frequency (0 = silence); implies --audio "
+        "(mirror: muxed into --render-file)",
+        modes=Mode.MIRROR | Mode.CLIENT)
     add("audio-wav", "audio", str, None,
-        "WAV file as the audio capture source; implies --audio",
-        modes=Mode.CLIENT)
+        "WAV file as the audio capture source; implies --audio "
+        "(mirror: muxed into --render-file)",
+        modes=Mode.MIRROR | Mode.CLIENT)
     add("audio-out", "audio", str, None,
         "write received mix to this raw-f32 file (default: speaker/null)",
         modes=Mode.CLIENT)

@@ -327,13 +327,22 @@ struct Rec {
   AVPacket* pkt;
   SwsContext* sws;
   int64_t pts;
+  // optional audio track (AAC), fed as float mono samples
+  AVCodecContext* aenc;
+  AVStream* ast;
+  AVFrame* aframe;
+  float* abuf;
+  int abuf_len;   // samples buffered toward one AAC frame
+  int aframe_size;
+  int64_t apts;
 };
 
 }  // namespace
 
 extern "C" {
 
-void* ac_rec_open(const char* path, int w, int h, int fps, int crf) {
+void* ac_rec_open(const char* path, int w, int h, int fps, int crf,
+                  int audio_rate) {
   av_log_set_level(AV_LOG_QUIET);
   Rec* r = new Rec{};
   if (avformat_alloc_output_context2(&r->fmt, nullptr, nullptr, path) < 0 ||
@@ -367,6 +376,35 @@ void* ac_rec_open(const char* path, int w, int h, int fps, int crf) {
   if (!(r->fmt->oformat->flags & AVFMT_NOFILE) &&
       avio_open(&r->fmt->pb, path, AVIO_FLAG_WRITE) < 0)
     goto fail;
+  if (audio_rate > 0) {
+    const AVCodec* ac = avcodec_find_encoder(AV_CODEC_ID_AAC);
+    if (ac) {
+      r->aenc = avcodec_alloc_context3(ac);
+      r->aenc->sample_rate = audio_rate;
+      av_channel_layout_default(&r->aenc->ch_layout, 1);
+      r->aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;  // mono planar == packed
+      r->aenc->bit_rate = 96000;
+      r->aenc->time_base = AVRational{1, audio_rate};
+      if (r->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        r->aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+      if (avcodec_open2(r->aenc, ac, nullptr) == 0) {
+        r->ast = avformat_new_stream(r->fmt, ac);
+        avcodec_parameters_from_context(r->ast->codecpar, r->aenc);
+        r->ast->time_base = r->aenc->time_base;
+        r->aframe_size = r->aenc->frame_size > 0 ? r->aenc->frame_size : 1024;
+        r->aframe = av_frame_alloc();
+        r->aframe->format = AV_SAMPLE_FMT_FLTP;
+        r->aframe->nb_samples = r->aframe_size;
+        av_channel_layout_default(&r->aframe->ch_layout, 1);
+        av_frame_get_buffer(r->aframe, 0);
+        r->abuf = (float*)av_malloc(sizeof(float) * r->aframe_size);
+        r->abuf_len = 0;
+        r->apts = 0;
+      } else {
+        avcodec_free_context(&r->aenc);
+      }
+    }
+  }
   if (avformat_write_header(r->fmt, nullptr) < 0) goto fail;
   r->frame = av_frame_alloc();
   r->frame->format = AV_PIX_FMT_YUV420P;
@@ -385,15 +423,41 @@ fail:
   return nullptr;
 }
 
-static int rec_drain(Rec* r) {
+static int rec_drain_ctx(Rec* r, AVCodecContext* ctx, AVStream* st) {
   while (true) {
-    int rc = avcodec_receive_packet(r->enc, r->pkt);
+    int rc = avcodec_receive_packet(ctx, r->pkt);
     if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
     if (rc < 0) return -1;
-    av_packet_rescale_ts(r->pkt, r->enc->time_base, r->st->time_base);
-    r->pkt->stream_index = r->st->index;
+    av_packet_rescale_ts(r->pkt, ctx->time_base, st->time_base);
+    r->pkt->stream_index = st->index;
     if (av_interleaved_write_frame(r->fmt, r->pkt) < 0) return -1;
   }
+}
+
+static int rec_drain(Rec* r) { return rec_drain_ctx(r, r->enc, r->st); }
+
+// feed mono float samples; buffers into encoder-sized AAC frames
+int ac_rec_audio(void* h, const float* samples, long n) {
+  Rec* r = (Rec*)h;
+  if (!r->aenc) return -1;
+  long at = 0;
+  while (at < n) {
+    long take = r->aframe_size - r->abuf_len;
+    if (take > n - at) take = n - at;
+    memcpy(r->abuf + r->abuf_len, samples + at, sizeof(float) * take);
+    r->abuf_len += (int)take;
+    at += take;
+    if (r->abuf_len == r->aframe_size) {
+      av_frame_make_writable(r->aframe);
+      memcpy(r->aframe->data[0], r->abuf, sizeof(float) * r->aframe_size);
+      r->aframe->pts = r->apts;
+      r->apts += r->aframe_size;
+      if (avcodec_send_frame(r->aenc, r->aframe) < 0) return -1;
+      if (rec_drain_ctx(r, r->aenc, r->ast) < 0) return -1;
+      r->abuf_len = 0;
+    }
+  }
+  return 0;
 }
 
 int ac_rec_frame(void* h, const uint8_t* rgb) {
@@ -411,8 +475,15 @@ int ac_rec_frame(void* h, const uint8_t* rgb) {
 int ac_rec_close(void* h) {
   Rec* r = (Rec*)h;
   if (!r) return -1;
-  avcodec_send_frame(r->enc, nullptr);  // flush
+  avcodec_send_frame(r->enc, nullptr);  // flush video
   int rc = rec_drain(r);
+  if (r->aenc) {
+    avcodec_send_frame(r->aenc, nullptr);  // flush audio
+    rec_drain_ctx(r, r->aenc, r->ast);
+    avcodec_free_context(&r->aenc);
+    av_frame_free(&r->aframe);
+    av_freep(&r->abuf);
+  }
   av_write_trailer(r->fmt);
   if (!(r->fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&r->fmt->pb);
   avcodec_free_context(&r->enc);

@@ -697,3 +697,39 @@ def test_native_container_recorder(tmp_path):
         k += 1
     src.close()
     assert k == 5
+
+
+def test_render_file_with_audio_mux(tmp_path):
+    """--render-file with an audio source muxes an AAC track next to the
+    H.265 video (ffmpeg_encoder.c audio mux role) — verified by reading the
+    container back and checking both streams exist."""
+    import os
+
+    import pytest
+
+    from asciichat_tpu.models.renderfile import render_to_file
+    from asciichat_tpu.render import palette as pal
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.runtime import codecs
+    from asciichat_tpu.runtime.audiodev import ToneSource
+    from asciichat_tpu.runtime.framesource import TestPatternSource
+
+    try:
+        codecs._avshim()
+    except codecs.CodecUnavailable:
+        pytest.skip("no libavcodec shim")
+    out = str(tmp_path / "av.mp4")
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    n = render_to_file(TestPatternSource(64, 48), out, caps, 20, 8,
+                       pal.DEFAULT_PALETTE, max_frames=10, fps=30,
+                       audio_source=ToneSource(440.0, 0.3))
+    assert n == 10
+    silent = str(tmp_path / "v.mp4")
+    render_to_file(TestPatternSource(64, 48), silent, caps, 20, 8,
+                   pal.DEFAULT_PALETTE, max_frames=10, fps=30)
+    # the AV file carries the extra AAC track
+    assert os.path.getsize(out) > os.path.getsize(silent) + 1000
+    data = open(out, "rb").read()
+    assert b"mp4a" in data  # AAC sample entry present in the moov box
