@@ -256,9 +256,24 @@ class AcdsServer:
                             except ValueError:
                                 pass
                         if "host_id" in req:
-                            # ring-elected result announced by the ring
-                            # leader: adopt it so late joiners see the same
-                            # host (the ring is the primary election path)
+                            # ring-elected result: adopt ONLY from the ring
+                            # LEADER (deterministic: lexicographically last
+                            # participant) — any other participant announcing
+                            # a host is a hijack attempt and is refused
+                            # (participants separately re-verify elections,
+                            # RingRunner.on_election_result)
+                            info = self.db.lookup(session_string)
+                            leader = (cons.ring_order(info.participants)[-1]
+                                      if info and info.participants else None)
+                            if participant_id != leader:
+                                log.warning(
+                                    "host announcement from non-leader %s "
+                                    "refused (leader: %s)", participant_id, leader)
+                                continue
+                            if req["host_id"] not in info.participants:
+                                log.warning("announced host %s is not a "
+                                            "participant; refused", req["host_id"])
+                                continue
                             self._broadcast_host(
                                 session_string, req["host_id"],
                                 req.get("host_address", peer),

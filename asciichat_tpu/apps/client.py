@@ -252,8 +252,18 @@ class AsciiChatClient:
                 self.display.chat_line(payload)
             elif ptype == P.ERROR_MESSAGE:
                 code, msg = proto.unpack_error(payload)
-                log.error("server error %d: %s", code, msg)
-                self._stop.set()
+                if code == 3 and self.h265_active:
+                    # server cannot decode our H.265 uplink: fall back to
+                    # raw RGB instead of dying (capability mismatch is
+                    # recoverable; the session continues)
+                    log.warning("server refused h265 (%s); raw RGB fallback", msg)
+                    self.h265_active = False
+                    if self._h265_enc is not None:
+                        self._h265_enc.close()
+                        self._h265_enc = None
+                else:
+                    log.error("server error %d: %s", code, msg)
+                    self._stop.set()
 
     async def _session(self, max_frames: int | None) -> None:
         if self.use_ws:
@@ -343,7 +353,8 @@ class AsciiChatClient:
         finally:
             keyboard.stop()
             self.display.teardown()
-            for dev in (self.audio_source, self.audio_sink):
+            for dev in (self.audio_source, self.audio_sink, self.opus_enc,
+                        self.opus_dec, self._h265_enc):
                 if dev is not None:
                     try:
                         dev.close()

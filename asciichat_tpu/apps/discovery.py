@@ -360,11 +360,17 @@ class DiscoverySession:
             asyncio.get_running_loop().create_task(self._p2p_answer(frm, desc))
 
     async def _p2p_answer(self, frm: str, desc: dict) -> None:
-        """Incoming offer: spawn the controlled agent and answer."""
+        """Incoming offer: spawn the controlled agent and answer. A fresh
+        offer from a peer whose previous negotiation never connected
+        replaces the stale agent (retries must be able to succeed)."""
         from asciichat_tpu.net.webrtc import IceLiteAgent
 
-        if frm in self._p2p_agents:
-            return
+        stale = self._p2p_agents.get(frm)
+        if stale is not None:
+            if stale.connected.is_set():
+                return  # live channel exists; ignore duplicate offers
+            stale.close()
+            del self._p2p_agents[frm]
         agent = IceLiteAgent(controlling=False)
         await agent.start()
         self._p2p_agents[frm] = agent
@@ -389,9 +395,17 @@ class DiscoverySession:
             "to": peer_id, "from": self.participant_id,
             "kind": "offer", "desc": agent.local_description(),
         }).encode())
-        desc = await asyncio.wait_for(fut, timeout)
-        agent.set_remote(desc)
-        return await agent.wait_connected(timeout)
+        try:
+            desc = await asyncio.wait_for(fut, timeout)
+            agent.set_remote(desc)
+            return await agent.wait_connected(timeout)
+        except (asyncio.TimeoutError, TimeoutError):
+            # clean up so a retry starts fresh (stale agents also hold the
+            # UDP socket open)
+            self._p2p_pending.pop(peer_id, None)
+            self._p2p_agents.pop(peer_id, None)
+            agent.close()
+            raise
 
     async def p2p_accept(self, peer_id: str, timeout: float = 10.0):
         """Wait for the channel negotiated from an incoming offer."""

@@ -45,6 +45,7 @@ MAX_UPLOAD_W, MAX_UPLOAD_H = 800, 600  # client capture cap (capture.c:41-44)
 # can't force giant composites / per-shape jit recompiles (reference clamps
 # dims server-side, e.g. handlers.c:254).
 MAX_TERM_W, MAX_TERM_H = 1024, 512
+MIN_TERM_W, MIN_TERM_H = 4, 2  # degenerate dims break render planning
 VIDEO_TICK = 1 / 60  # server render cadence (render.c:41)
 AUDIO_TICK = 480 / 48000  # 10 ms audio tick (render.c:42)
 
@@ -103,6 +104,8 @@ class AsciiChatServer:
         self._device_tick = _os.environ.get("ASCIICHAT_TICK", "device") != "host"
         self._group_cache: dict[tuple, object] = {}
         self._stack_pool: np.ndarray | None = None  # per-tick source stack
+        self._device_failures = 0
+        self._device_retry_at = 0.0
         self.tick_compute_count = 0
 
     # ------------------------------------------------------------------
@@ -161,6 +164,8 @@ class AsciiChatServer:
             self.clients.pop(cid, None)
             if state.h265 is not None:
                 state.h265.close()
+            if state.opus:
+                state.opus.close()
             log.info("client %d disconnected", cid)
             await self._broadcast_state()
 
@@ -177,8 +182,8 @@ class AsciiChatServer:
                 await c.transport.send(P.PROTOCOL_VERSION, payload)
             elif ptype == P.CLIENT_CAPABILITIES:
                 c.wire_caps = proto.WireCapabilities.unpack(payload)
-                c.wire_caps.width = min(c.wire_caps.width, MAX_TERM_W)
-                c.wire_caps.height = min(c.wire_caps.height, MAX_TERM_H)
+                c.wire_caps.width = min(max(c.wire_caps.width, MIN_TERM_W), MAX_TERM_W)
+                c.wire_caps.height = min(max(c.wire_caps.height, MIN_TERM_H), MAX_TERM_H)
                 c.filter_name = (
                     filters.FILTER_NAMES[c.wire_caps.color_filter]
                     if c.wire_caps.color_filter < len(filters.FILTER_NAMES)
@@ -189,8 +194,8 @@ class AsciiChatServer:
                 await self._broadcast_state()
             elif ptype == P.SIZE_MESSAGE:
                 w, h = proto.unpack_size(payload)
-                c.wire_caps.width = min(w, MAX_TERM_W)
-                c.wire_caps.height = min(h, MAX_TERM_H)
+                c.wire_caps.width = min(max(w, MIN_TERM_W), MAX_TERM_W)
+                c.wire_caps.height = min(max(h, MIN_TERM_H), MAX_TERM_H)
             elif ptype == P.STREAM_START:
                 c.streaming = True
             elif ptype == P.STREAM_STOP:
@@ -310,14 +315,22 @@ class AsciiChatServer:
         for i, (_, f) in enumerate(sources):
             stack[i, : f.shape[0], : f.shape[1]] = f
 
-        if self._device_tick:
+        if self._device_tick and time.monotonic() >= self._device_retry_at:
             try:
                 self._render_tick_device(receivers, sizes, stack)
                 self.ticks += 1
+                self._device_failures = 0
                 return
             except Exception:
-                log.exception("device render tick failed; using host fallback")
-                self._device_tick = False
+                # fall back for a while, then retry: a transient device error
+                # or one degenerate client must not downgrade the server
+                # forever (device path resumes after the backoff)
+                self._device_failures += 1
+                backoff = min(60.0, 2.0 * self._device_failures)
+                self._device_retry_at = time.monotonic() + backoff
+                log.exception("device render tick failed (%d consecutive); "
+                              "host fallback for %.0fs", self._device_failures,
+                              backoff)
         self._render_tick_host(receivers, sizes, stack)
         self.ticks += 1
 
@@ -487,6 +500,11 @@ class AsciiChatServer:
             await asyncio.sleep(max(0.0, min(next_video, next_audio) - loop.time()))
 
     async def run(self) -> None:
+        # warm the codec probe in an executor: its first call may compile
+        # native/avshim.cpp (seconds) and must never block the event loop
+        from asciichat_tpu.runtime.codecs import probe_video_codecs
+
+        await asyncio.get_running_loop().run_in_executor(None, probe_video_codecs)
         self._server = await serve_tcp(self._handle_conn, self.host, self.port)
         log.info("listening on %s:%d (tcp)", self.host, self.port)
         ws_server = None

@@ -179,39 +179,54 @@ class SecureChannel:
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
         if self.initiator and self.ctx.needs_rekey() and not self.ctx.rekey.in_progress:
-            await self.t.send(pkt.PacketType.CRYPTO_REKEY_REQUEST, self.ctx.start_rekey())
+            # rekey messages travel INSIDE the encrypted channel: an on-path
+            # attacker without the current session key can neither inject a
+            # request nor read the response's ephemeral key (a plaintext
+            # exchange would let an active attacker swap in a DH pair it
+            # knows and take over the session)
+            await self.t.send(
+                pkt.PacketType.ENCRYPTED,
+                self._wrap(pkt.PacketType.CRYPTO_REKEY_REQUEST, self.ctx.start_rekey()),
+            )
         await self.t.send(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
         return self.t.send_nowait(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
 
     async def recv(self) -> tuple[int, bytes]:
+        P = pkt.PacketType
         while True:
             ptype, payload = await self.t.recv()
-            P = pkt.PacketType
             if ptype == P.ENCRYPTED:
-                return self._unwrap(payload)
-            if ptype == P.CRYPTO_REKEY_REQUEST:
-                # Plaintext and unauthenticated: respond, but hold the new
-                # key PENDING until the peer proves possession (a packet
-                # decrypting under it — normally the REKEY_COMPLETE proof).
-                # Rate-limited so injected requests can't churn the session.
-                if len(payload) < 32 or not self.ctx.allow_incoming_rekey():
+                inner_type, inner = self._unwrap(payload)
+                if inner_type == P.CRYPTO_REKEY_REQUEST:
+                    # authenticated (it decrypted under the session key):
+                    # respond in-channel, hold the new key PENDING until the
+                    # peer proves possession (the REKEY_COMPLETE proof or an
+                    # overtaking data packet). Rate-limited regardless.
+                    if len(inner) < 32 or not self.ctx.allow_incoming_rekey():
+                        continue
+                    resp = self.ctx.respond_rekey(inner[:32])
+                    await self.t.send(
+                        P.ENCRYPTED, self._wrap(P.CRYPTO_REKEY_RESPONSE, resp)
+                    )
                     continue
-                await self.t.send(
-                    P.CRYPTO_REKEY_RESPONSE, self.ctx.respond_rekey(payload[:32])
-                )
-                continue
-            if ptype == P.CRYPTO_REKEY_RESPONSE:
-                try:
-                    self.ctx.finish_rekey(payload[:32])
-                except ValueError:
-                    continue  # unsolicited rekey response: ignore, don't die
-                # Proof-of-possession: a marker encrypted under the NEW key;
-                # the responder commits only once this decrypts (crypto.c:1225).
-                await self.t.send(
-                    P.CRYPTO_REKEY_COMPLETE, self.ctx.encrypt(b"REKEY-OK")
-                )
+                if inner_type == P.CRYPTO_REKEY_RESPONSE:
+                    try:
+                        self.ctx.finish_rekey(inner[:32])
+                    except ValueError:
+                        continue  # unsolicited response: ignore, don't die
+                    # Proof-of-possession: a marker encrypted under the NEW
+                    # key; the responder commits only once this decrypts
+                    # (crypto.c:1225).
+                    await self.t.send(
+                        P.CRYPTO_REKEY_COMPLETE, self.ctx.encrypt(b"REKEY-OK")
+                    )
+                    continue
+                return inner_type, inner
+            if ptype in (P.CRYPTO_REKEY_REQUEST, P.CRYPTO_REKEY_RESPONSE):
+                # PLAINTEXT rekey messages are exactly the injection vector
+                # the in-channel exchange closes: drop them.
                 continue
             if ptype == P.CRYPTO_REKEY_COMPLETE:
                 try:

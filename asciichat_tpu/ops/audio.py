@@ -402,22 +402,30 @@ class ClientAudioPipeline:
         self.gate_env = jnp.zeros((), jnp.float32)
         self.gate_open = jnp.zeros((), bool)
         self._far = np.zeros(0, np.float32)
+        # add_far runs on the receive (event-loop) thread while process runs
+        # in the capture executor: unguarded, the consume's two reads race
+        # the append and duplicate far-end samples (AEC misalignment)
+        import threading as _threading
+
+        self._far_lock = _threading.Lock()
 
     def add_far(self, buf: np.ndarray) -> None:
         """Feed received playback audio as the AEC far-end reference; bounded
         to 1 s so a stalled playback path cannot grow it without limit."""
-        self._far = np.concatenate(
-            [self._far, np.asarray(buf, np.float32).ravel()]
-        )[-SAMPLE_RATE:]
+        with self._far_lock:
+            self._far = np.concatenate(
+                [self._far, np.asarray(buf, np.float32).ravel()]
+            )[-SAMPLE_RATE:]
 
     def process(self, mic: np.ndarray) -> np.ndarray:
         n = len(mic)
         x = jnp.asarray(mic, jnp.float32)
         if self.aec is not None:
-            if len(self._far) >= n:
-                far, self._far = self._far[:n], self._far[n:]
-            else:
-                far = np.zeros(n, np.float32)
+            with self._far_lock:
+                if len(self._far) >= n:
+                    far, self._far = self._far[:n], self._far[n:]
+                else:
+                    far = np.zeros(n, np.float32)
             x = self.aec.process(x, far)
         x, self.hp_in, self.hp_out = highpass(x, self.hp_in, self.hp_out, self.hp_alpha)
         x, self.gate_env, self.gate_open = noise_gate(

@@ -62,18 +62,61 @@ class SilenceSource:
         pass
 
 
+def _parse_float_wav(path: str) -> tuple[int, int, int, bytes]:
+    """Minimal RIFF parse for WAVE_FORMAT_IEEE_FLOAT (format 3) files the
+    stdlib wave module refuses. -> (rate, channels, sample_width, data)."""
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        if f.read(4) != b"RIFF":
+            raise ValueError("not a RIFF file")
+        f.read(4)
+        if f.read(4) != b"WAVE":
+            raise ValueError("not a WAVE file")
+        rate = ch = width = None
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], _struct.unpack("<I", hdr[4:])[0]
+            body = f.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt, ch, rate, _br, _ba, bits = _struct.unpack("<HHIIHH", body[:16])
+                if fmt not in (1, 3):  # PCM or IEEE float
+                    raise ValueError(f"unsupported WAV format {fmt}")
+                width = bits // 8
+            elif cid == b"data":
+                data = body
+        if rate is None or data is None:
+            raise ValueError("missing fmt/data chunks")
+        return rate, ch, width, data
+
+
 class WavFileSource:
-    """Loops a WAV file as the capture source (any PCM16/PCM32/float WAV;
-    resampled to 48 kHz mono with the same linear resampler the DSP stack
-    uses, ops/audio.resample_linear semantics)."""
+    """Loops a WAV file as the capture source (PCM16/PCM32 via the stdlib
+    wave module, IEEE-float32 via a direct RIFF parse; resampled to 48 kHz
+    mono)."""
 
     def __init__(self, path: str, loop: bool = True):
-        with wave.open(path, "rb") as w:
-            rate = w.getframerate()
-            ch = w.getnchannels()
-            width = w.getsampwidth()
-            raw = w.readframes(w.getnframes())
-        if width == 2:
+        is_float = False
+        try:
+            with wave.open(path, "rb") as w:
+                rate = w.getframerate()
+                ch = w.getnchannels()
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except wave.Error as e:
+            # Python's wave module rejects IEEE-float WAVs (format 3, the
+            # default for f32 exports); parse the RIFF chunks directly
+            try:
+                rate, ch, width, raw = _parse_float_wav(path)
+                is_float = True
+            except Exception:
+                raise AudioSourceUnavailable(f"cannot read WAV {path!r}: {e}") from None
+        if is_float and width == 4:
+            data = np.frombuffer(raw, "<f4").astype(np.float32)
+        elif width == 2:
             data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
         elif width == 4:
             data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0

@@ -64,6 +64,8 @@ def _load_libopus():
     lib.opus_decode_float.restype = c.c_int
     lib.opus_decode_float.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
                                       c.POINTER(c.c_float), c.c_int, c.c_int]
+    lib.opus_encoder_destroy.argtypes = [c.c_void_p]
+    lib.opus_decoder_destroy.argtypes = [c.c_void_p]
     return lib
 
 
@@ -118,6 +120,22 @@ class OpusCodec:
         if n < 0:
             raise ValueError(f"opus_decode_float failed ({n})")
         return pcm[:n]
+
+    def close(self) -> None:
+        """Free the native contexts (~45 KB invisible to gc; the server
+        churns one pair per opus client session)."""
+        if self._enc:
+            self._lib.opus_encoder_destroy(self._enc)
+            self._enc = None
+        if self._dec:
+            self._lib.opus_decoder_destroy(self._dec)
+            self._dec = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def best_audio_codec(prefer_opus: bool = True):
@@ -388,9 +406,12 @@ def H265Decoder(width: int, height: int):
         return FFmpegH265Decoder(width, height)
 
 
+@functools.lru_cache(maxsize=1)
 def probe_video_codecs() -> list[str]:
     """VIDEO_CODEC_CAP_* capability probe for CLIENT_CAPABILITIES /
-    SERVER_STATE codec negotiation."""
+    SERVER_STATE codec negotiation. Cached: the first call may COMPILE the
+    native shim (seconds) — callers on latency-sensitive paths should warm
+    it via an executor (the server does at startup)."""
     codecs = ["raw_rgb24"]
     try:
         _avshim()

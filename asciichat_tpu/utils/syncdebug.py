@@ -56,9 +56,12 @@ class NamedLock:
         if stack is None:
             stack = _held.names = []
         # record ordering edges BEFORE blocking (the would-be deadlock is
-        # exactly the case where we never return from acquire)
-        for held_name in stack:
-            _order_edges.add((held_name, self.name))
+        # exactly the case where we never return from acquire); guarded so
+        # dump_state's iteration never races the add
+        if stack:
+            with _registry_lock:
+                for held_name in stack:
+                    _order_edges.add((held_name, self.name))
         got = self._lock.acquire(blocking=False)
         if not got:
             self.contentions += 1
@@ -108,9 +111,10 @@ def dump_state() -> dict:
     (debug_sync_print_state analog; inspector /state/sync)."""
     with _registry_lock:
         locks = {name: lk.snapshot() for name, lk in _registry.items()}
+        edges = sorted(_order_edges)
     return {
         "locks": locks,
-        "order_edges": sorted(_order_edges),
+        "order_edges": edges,
         "order_cycles": find_order_cycles(),
     }
 
@@ -119,7 +123,9 @@ def find_order_cycles() -> list[list[str]]:
     """Cycles in the observed lock-order graph: each is a potential deadlock
     (two threads acquiring the same pair of locks in opposite orders)."""
     graph: dict[str, set[str]] = {}
-    for a, b in _order_edges:
+    with _registry_lock:
+        edges = list(_order_edges)
+    for a, b in edges:
         graph.setdefault(a, set()).add(b)
     cycles: list[list[str]] = []
     WHITE, GRAY, BLACK = 0, 1, 2
@@ -155,4 +161,4 @@ def reset() -> None:
     """Clear the registry + order graph (test isolation)."""
     with _registry_lock:
         _registry.clear()
-    _order_edges.clear()
+        _order_edges.clear()

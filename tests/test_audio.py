@@ -274,3 +274,31 @@ def test_client_audio_pipeline_aec_converges():
     outs = [p2.process(tone[i : i + 480]) for i in range(0, 4800, 480)]
     steady = np.concatenate(outs[5:])
     assert np.sqrt((steady ** 2).mean()) > 0.1  # gate open, tone passes
+
+
+def test_float32_wav_source(tmp_path):
+    """IEEE-float WAVs (format 3 — stdlib wave rejects them) load via the
+    direct RIFF parse; a corrupt file raises AudioSourceUnavailable."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from asciichat_tpu.runtime import audiodev as ad
+
+    sig = (0.25 * np.sin(2 * np.pi * 440 * np.arange(4800) / 48000)).astype("<f4")
+    data = sig.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    path = tmp_path / "f32.wav"
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    src = ad.WavFileSource(str(path))
+    out = src.read(4800)
+    assert abs(float(np.sqrt((out ** 2).mean())) - 0.1767) < 0.01
+
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"garbage-not-a-wav")
+    with pytest.raises(ad.AudioSourceUnavailable):
+        ad.WavFileSource(str(bad))

@@ -347,3 +347,58 @@ def test_password_kdf_is_argon2id_with_reference_params():
     want = C.argon2id(b"hunter2", b"ascii-chat-password-salt-v1"[:16],
                       t=2, m_kib=65536, parallelism=1)
     assert a.password_key == want
+
+
+def test_plaintext_rekey_injection_ignored_by_channel():
+    """Review finding (r2): rekey messages must travel INSIDE the encrypted
+    channel. A plaintext CRYPTO_REKEY_REQUEST injected by an on-path
+    attacker is dropped — no REKEY_RESPONSE leaks the ephemeral key and the
+    session key is untouched — while legitimate in-channel rekeys work."""
+    import asyncio
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.handshake import SecureChannel, client_handshake, server_handshake
+    from asciichat_tpu.net.transport import Transport, connect_tcp
+
+    async def run():
+        results = {}
+
+        async def on_server(t: Transport):
+            ctx = C.CryptoContext(packet_threshold=4)
+            first = await t.recv()
+            assert await server_handshake(t, ctx, first)
+            chan = SecureChannel(t, ctx, initiator=False)
+            for _ in range(12):
+                ptype, payload = await chan.recv()
+                await chan.send(pkt.PacketType.PONG, payload)
+            results["server_key"] = ctx.shared_key
+            results["server_rekeys"] = ctx.rekey.count
+
+        server = await asyncio.start_server(
+            lambda r, w: on_server(Transport(r, w)), "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        ctx = C.CryptoContext(packet_threshold=4)
+        assert await client_handshake(t, ctx)
+        chan = SecureChannel(t, ctx, initiator=True)
+
+        # attacker injects a PLAINTEXT rekey request with a key it knows
+        attacker = C.CryptoContext()
+        await t.send(pkt.PacketType.CRYPTO_REKEY_REQUEST, attacker.public_key)
+
+        for i in range(12):
+            await chan.send(pkt.PacketType.PING, b"x%d" % i)
+            ptype, payload = await chan.recv()
+            assert ptype == pkt.PacketType.PONG
+        await asyncio.sleep(0.1)
+        await chan.close()
+        server.close()
+        # the legitimate in-channel rekey still fired past the threshold...
+        assert results["server_rekeys"] >= 1
+        # ...and the attacker cannot know the session key: it differs from
+        # any DH the attacker could compute from on-wire plaintext (the
+        # responder never answered the plaintext request)
+        assert results["server_key"] == ctx.shared_key
+        return results
+
+    asyncio.run(asyncio.wait_for(run(), 30))

@@ -335,3 +335,60 @@ def test_signed_acds_rejects_forgery_and_imposters():
             srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_acds_refuses_host_announcement_from_non_leader():
+    """Review finding (r2): only the ring LEADER's host announcement is
+    adopted; any other participant announcing itself as host is refused and
+    an announced host must be a session participant."""
+    import asyncio
+    import json
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        # ids chosen so "p-evil" is NOT the lexicographic leader ("p-zzz" is)
+        s_evil = DiscoverySession("127.0.0.1", port, participant_id="p-evil")
+        s_lead = DiscoverySession("127.0.0.1", port, participant_id="p-zzz")
+        await s_evil.connect()
+        await s_lead.connect()
+        session = await s_evil.create(my_port=15001, my_address="10.0.0.1")
+        await s_lead.join(session, "10.0.0.2", 15002)
+
+        # evil (non-leader) announces itself at an attacker address
+        await s_evil._t.send(pkt.PacketType.ACIP_HOST_ANNOUNCEMENT, json.dumps({
+            "session_string": session, "host_id": "p-evil",
+            "host_address": "6.6.6.6", "host_port": 666,
+        }).encode())
+        await asyncio.sleep(0.3)
+        info = acds.db.lookup(session)
+        assert info.host_address != "6.6.6.6"  # refused
+
+        # the leader announcing a NON-participant is also refused
+        await s_lead._t.send(pkt.PacketType.ACIP_HOST_ANNOUNCEMENT, json.dumps({
+            "session_string": session, "host_id": "outsider",
+            "host_address": "6.6.6.7", "host_port": 667,
+        }).encode())
+        await asyncio.sleep(0.3)
+        info = acds.db.lookup(session)
+        assert info.host_id != "outsider"
+
+        # the leader announcing a real participant IS adopted
+        await s_lead._t.send(pkt.PacketType.ACIP_HOST_ANNOUNCEMENT, json.dumps({
+            "session_string": session, "host_id": "p-zzz",
+            "host_address": "10.0.0.2", "host_port": 15002,
+        }).encode())
+        await asyncio.sleep(0.3)
+        info = acds.db.lookup(session)
+        assert info.host_id == "p-zzz"
+        await s_evil.leave()
+        await s_lead.leave()
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
