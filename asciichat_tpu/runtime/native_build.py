@@ -49,10 +49,24 @@ def _compile(src: Path, out: Path, extra_flags: tuple[str, ...] = ()) -> None:
     subprocess.run(cmd, check=True, capture_output=True)
 
 
+def _python_embed_flags() -> tuple[str, ...]:
+    """Compile/link flags for embedding this interpreter (the C-API shim)."""
+    inc = sysconfig.get_paths()["include"]
+    libdir = sysconfig.get_config_var("LIBDIR") or ""
+    ldver = sysconfig.get_config_var("LDVERSION") or sysconfig.get_config_var("VERSION")
+    return (f"-I{inc}", f"-L{libdir}", f"-lpython{ldver}", "-ldl", "-lm")
+
+
 # per-library extra compile/link flags (system libraries some shims bind)
 LIB_FLAGS: dict[str, tuple[str, ...]] = {
     "avshim": ("-lavcodec", "-lavformat", "-lavutil", "-lswscale"),
 }
+
+
+def _lib_flags(name: str) -> tuple[str, ...]:
+    if name == "capi":
+        return _python_embed_flags()
+    return LIB_FLAGS.get(name, ())
 
 
 def load_library(name: str) -> ctypes.CDLL:
@@ -61,7 +75,7 @@ def load_library(name: str) -> ctypes.CDLL:
     out = BUILD_DIR / f"lib{name}{sysconfig.get_config_var('SHLIB_SUFFIX') or '.so'}"
     with _build_lock:
         if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
-            _compile(src, out, extra_flags=LIB_FLAGS.get(name, ()))
+            _compile(src, out, extra_flags=_lib_flags(name))
     return ctypes.CDLL(str(out))
 
 

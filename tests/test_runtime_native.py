@@ -117,3 +117,76 @@ def test_device_frame_stager():
     np.testing.assert_array_equal(np.asarray(got), b)
     np.testing.assert_array_equal(np.asarray(stager.latest()), c)
     stager.flush()
+
+
+def test_c_api_shim_byte_exact(tmp_path):
+    """The libasciichat-compatible C API (native/capi.cpp, the BASELINE
+    'thin FFI shim' deliverable): a REAL C program links the shim, converts
+    a frame, and its output is byte-identical to the Python oracle."""
+    import shutil as shutil_mod
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pytest
+
+    if not shutil_mod.which("gcc"):
+        pytest.skip("no C compiler")
+    from asciichat_tpu.runtime.native_build import BUILD_DIR, load_library
+
+    load_library("capi")  # compiles native/capi.cpp with embed flags
+    so = next(BUILD_DIR.glob("libcapi*"), None)
+    assert so is not None
+
+    c_src = tmp_path / "drive.c"
+    c_src.write_text(r"""
+#include <stdio.h>
+#include <stdint.h>
+#include <stdlib.h>
+extern int asciichat_init(void);
+extern char* asciichat_convert(const uint8_t*, int, int, int, int, int, int,
+                               const char*, int, size_t*);
+extern void asciichat_free(char*);
+int main(void) {
+  if (asciichat_init() != 0) return 1;
+  int w = 64, h = 48;
+  uint8_t* rgb = malloc((size_t)w * h * 3);
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      rgb[(y * w + x) * 3 + 0] = (uint8_t)(x * 255 / (w - 1));
+      rgb[(y * w + x) * 3 + 1] = (uint8_t)(y * 255 / (h - 1));
+      rgb[(y * w + x) * 3 + 2] = (uint8_t)((x + y) % 256);
+    }
+  size_t n = 0;
+  char* frame = asciichat_convert(rgb, w, h, 40, 10, 0, 0, "standard", 1, &n);
+  if (!frame) return 2;
+  fwrite(frame, 1, n, stdout);
+  asciichat_free(frame);
+  return 0;
+}
+""")
+    exe = tmp_path / "drive"
+    subprocess.run(
+        ["gcc", "-o", str(exe), str(c_src), str(so),
+         f"-Wl,-rpath,{BUILD_DIR}"],
+        check=True, capture_output=True,
+    )
+    import os
+
+    env = {**os.environ, "ASCIICHAT_JAX_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(BUILD_DIR.parent.parent)}
+    out = subprocess.run([str(exe)], capture_output=True, env=env, timeout=180)
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+
+    from asciichat_tpu.render import oracle
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    frame = np.stack([(xx * 255 // 63), (yy * 255 // 47), (xx + yy) % 256],
+                     -1).astype(np.uint8)
+    caps = TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND)
+    want = oracle.ascii_convert_with_capabilities(frame, 40, 10, caps,
+                                                  stretch=True)
+    assert out.stdout == want  # byte-identical through the C ABI
