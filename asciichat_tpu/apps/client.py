@@ -51,6 +51,7 @@ class AsciiChatClient:
         want_h265: bool = False,
         audio_gain: float = 1.0,
         ssh_identity=None,
+        gpg_identity=None,
         use_opus: bool = False,
     ):
         self.host = host
@@ -62,6 +63,7 @@ class AsciiChatClient:
         self.encrypt = encrypt
         self.password = password
         self.ssh_identity = ssh_identity  # sshauth.SshIdentity | None
+        self.gpg_identity = gpg_identity  # gpgauth.GpgIdentity | None
         self.use_ws = use_ws
         # shared session framework (models/session.py, src/common/session/):
         # capture transforms + display + reconnect policy are the same
@@ -280,7 +282,8 @@ class AsciiChatClient:
                 if self.password:
                     ctx.set_password(self.password)
                 if await client_handshake(raw, ctx, self.password,
-                                          ssh_identity=self.ssh_identity):
+                                          ssh_identity=self.ssh_identity,
+                                          gpg_identity=self.gpg_identity):
                     t = SecureChannel(raw, ctx, initiator=True)
                     log.info("encryption established (X25519 + XSalsa20-Poly1305)")
             await t.send(pkt.PacketType.PROTOCOL_VERSION, b"\x01")
@@ -395,10 +398,18 @@ def main(args) -> int:
         ssh_identity = (sshauth.SshIdentity.from_private_key_file(args.ssh_key)
                         if args.ssh_key else sshauth.SshIdentity.from_agent())
         args.encrypt = True  # key auth requires the encrypted handshake
+    gpg_identity = None
+    if args.gpg_key:
+        from asciichat_tpu.net.gpgauth import GpgIdentity
+
+        gpg_identity = GpgIdentity(args.gpg_key if args.gpg_key != "default"
+                                   else None)
+        args.encrypt = True
     client = AsciiChatClient(args.address, args.port, source, wire,
                              capture_fps=args.fps, reconnect=not args.no_reconnect,
                              encrypt=args.encrypt, password=args.password,
                              ssh_identity=ssh_identity,
+                             gpg_identity=gpg_identity,
                              use_ws=args.ws, audio_source=audio_source,
                              audio_sink=audio_sink, want_h265=args.h265,
                              audio_gain=args.audio_gain, flip_x=args.flip_x,

@@ -77,9 +77,11 @@ class AsciiChatServer:
                  palette: str = pal.DEFAULT_PALETTE, compression_level: int = 1,
                  password: str | None = None, ws_port: int | None = None,
                  mdns: bool = False, inspect_port: int | None = None,
-                 status_screen: bool = False, allowed_keys=None):
+                 status_screen: bool = False, allowed_keys=None,
+                 gpg_keyring=None):
         self.status_screen = status_screen
         self.allowed_keys = allowed_keys  # sshauth.AuthorizedKeys | None
+        self.gpg_keyring = gpg_keyring  # gpgauth.GpgKeyring | None
         self.host = host
         self.port = port
         self.ws_port = ws_port
@@ -127,7 +129,8 @@ class AsciiChatServer:
             # CRYPTO_NO_ENCRYPTION opt-out are rejected
             # (lib/crypto/handshake/server.c:177-189 — no plaintext downgrade
             # when auth is required).
-            auth_required = bool(self.password) or self.allowed_keys is not None
+            auth_required = (bool(self.password) or self.allowed_keys is not None
+                             or self.gpg_keyring is not None)
             if auth_required and (
                 not (1000 <= first[0] <= 1199)
                 or first[0] == pkt.PacketType.CRYPTO_NO_ENCRYPTION
@@ -141,7 +144,8 @@ class AsciiChatServer:
                     ctx.set_password(self.password)
                 if await server_handshake(t, ctx, first,
                                           require_auth=auth_required,
-                                          allowed_keys=self.allowed_keys):
+                                          allowed_keys=self.allowed_keys,
+                                          gpg_keyring=self.gpg_keyring):
                     chan = SecureChannel(t, ctx, initiator=False)
                 first = None
         except (HandshakeError, asyncio.IncompleteReadError, ValueError) as e:
@@ -596,11 +600,17 @@ def main(args) -> int:
 
         allowed = AuthorizedKeys.load(args.allowed_keys)
         log.info("SSH client auth required (%d allowed key(s))", len(allowed))
+    gpg_keyring = None
+    if args.gpg_keyring:
+        from asciichat_tpu.net.gpgauth import GpgKeyring
+
+        gpg_keyring = GpgKeyring(args.gpg_keyring)
+        log.info("GPG client auth required (keyring %s)", args.gpg_keyring)
     server = AsciiChatServer(args.host, args.port, compression_level=args.compress,
                              password=args.password, ws_port=args.ws_port,
                              mdns=args.mdns, inspect_port=args.inspect_port,
                              status_screen=args.status and _sys.stdout.isatty(),
-                             allowed_keys=allowed)
+                             allowed_keys=allowed, gpg_keyring=gpg_keyring)
     try:
         asyncio.run(server.run())
     except KeyboardInterrupt:

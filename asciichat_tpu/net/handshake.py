@@ -29,6 +29,7 @@ from asciichat_tpu.net.transport import Transport
 KEX_ALGO_X25519 = 0x01
 AUTH_ALGO_NONE = 0x00
 AUTH_ALGO_ED25519 = 0x02  # SSH identity auth (lib/crypto/ssh/)
+AUTH_ALGO_GPG = 0x03  # OpenPGP identity auth (lib/crypto/gpg)
 CIPHER_ALGO_XSALSA20_POLY1305 = 0x01
 
 CAPABILITIES_STRUCT = struct.Struct(">BBB")  # kex, auth, cipher bitmasks
@@ -52,16 +53,19 @@ class HandshakeError(ValueError):
 
 async def client_handshake(
     t: Transport, ctx: CryptoContext, password: str | None = None,
-    encrypt: bool = True, ssh_identity=None,
+    encrypt: bool = True, ssh_identity=None, gpg_identity=None,
 ) -> bool:
     """Run the client side; returns True when encryption is active.
-    `ssh_identity` (net/sshauth.SshIdentity) answers the challenge with an
-    Ed25519 SSH signature instead of the password HMAC."""
+    `ssh_identity` (net/sshauth.SshIdentity) or `gpg_identity`
+    (net/gpgauth.GpgIdentity) answer the challenge with a signature over
+    challenge||shared_key instead of the password HMAC."""
     P = pkt.PacketType
     if not encrypt:
         await t.send(P.CRYPTO_NO_ENCRYPTION)
         return False
-    auth_algo = AUTH_ALGO_ED25519 if ssh_identity is not None else AUTH_ALGO_NONE
+    auth_algo = (AUTH_ALGO_ED25519 if ssh_identity is not None
+                 else AUTH_ALGO_GPG if gpg_identity is not None
+                 else AUTH_ALGO_NONE)
     await t.send(
         P.CRYPTO_CAPABILITIES,
         CAPABILITIES_STRUCT.pack(KEX_ALGO_X25519, auth_algo,
@@ -85,6 +89,13 @@ async def client_handshake(
                 ssh_identity, payload[:32], ctx.shared_key
             )
             await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
+        elif gpg_identity is not None:
+            from asciichat_tpu.net import gpgauth
+
+            resp = gpgauth.make_auth_response(
+                gpg_identity, payload[:32], ctx.shared_key
+            )
+            await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
         else:
             if password:
                 ctx.set_password(password)
@@ -101,7 +112,7 @@ async def client_handshake(
 
 async def server_handshake(
     t: Transport, ctx: CryptoContext, first_packet: tuple[int, bytes],
-    require_auth: bool = False, allowed_keys=None,
+    require_auth: bool = False, allowed_keys=None, gpg_keyring=None,
 ) -> bool:
     """Run the server side starting from the client's first crypto packet.
     `allowed_keys` (net/sshauth.AuthorizedKeys) enables SSH-identity auth:
@@ -109,7 +120,7 @@ async def server_handshake(
     (handshake/server.c:331 client_whitelist)."""
     P = pkt.PacketType
     ptype, payload = first_packet
-    require_auth = require_auth or allowed_keys is not None
+    require_auth = require_auth or allowed_keys is not None or gpg_keyring is not None
     if ptype == P.CRYPTO_NO_ENCRYPTION:
         if require_auth:
             # No plaintext downgrade when authentication is required
@@ -140,6 +151,13 @@ async def server_handshake(
 
                 ok = sshauth.verify_auth_response(
                     payload, challenge, ctx.shared_key, allowed_keys
+                )
+            elif (gpg_keyring is not None
+                    and client_auth_algo == AUTH_ALGO_GPG):
+                from asciichat_tpu.net import gpgauth
+
+                ok = gpgauth.verify_auth_response(
+                    payload, challenge, ctx.shared_key, gpg_keyring
                 )
             elif ctx.password_key is not None:
                 ok = ctx.verify_challenge_answer(payload[:32])

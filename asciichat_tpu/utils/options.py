@@ -341,6 +341,11 @@ def default_registry() -> OptionsRegistry:
     add("ssh-agent", "security", bool, False,
         "authenticate with the first ed25519 identity from ssh-agent; "
         "implies --encrypt", modes=Mode.CLIENT)
+    add("gpg-keyring", "security", str, None,
+        "GNUPGHOME of allowed client keys: require GPG auth", modes=Mode.SERVER)
+    add("gpg-key", "security", str, None,
+        "GPG key id/fingerprint to authenticate with ('default' = first "
+        "secret key); implies --encrypt", modes=Mode.CLIENT)
     # audio
     add("audio", "audio", bool, False,
         "send/receive audio (mic via arecord, else 440Hz tone)",
