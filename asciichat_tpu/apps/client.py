@@ -369,6 +369,21 @@ def main(args) -> int:
     from asciichat_tpu.render.types import RenderMode
     from asciichat_tpu.runtime.framesource import open_source
 
+    if args.address is None and not args.browse:
+        print("client: an address is required (or use --browse)", flush=True)
+        return 2
+    if args.browse:
+        # LAN server browser (lib/ui/mdns.c listing role)
+        from asciichat_tpu.net.mdns import discover
+
+        found = discover(timeout=2.0)
+        if not found:
+            print("no ascii-chat servers announced on this LAN")
+            return 1
+        for svc in found:
+            print(f"{svc.instance}  {svc.address}:{svc.port}  {svc.txt}")
+        return 0
+
     caps = term.detect_capabilities(
         render_mode=RenderMode(args.render_mode),
         color_override=None if args.color_mode is None else args.color_mode,

@@ -185,7 +185,12 @@ def apply_to_parser(registry: OptionsRegistry, parser, mode: Mode,
         default = overrides.get(d.name, d.default)
         dest = d.name.replace("-", "_")
         if d.positional:
-            parser.add_argument(dest, help=d.help)
+            # optional when a default exists (e.g. --browse needs no address)
+            if d.default is not None:
+                parser.add_argument(dest, nargs="?", default=d.default,
+                                    help=d.help)
+            else:
+                parser.add_argument(dest, nargs="?", default=None, help=d.help)
         elif d.type is bool:
             parser.add_argument(f"--{d.name}", action="store_true",
                                 default=bool(default), help=d.help)
@@ -318,6 +323,9 @@ def default_registry() -> OptionsRegistry:
     add("no-media", "network", bool, False, "view-only client", modes=Mode.CLIENT)
     add("mdns", "network", bool, False, "announce via mDNS on the LAN",
         modes=Mode.SERVER)
+    add("browse", "network", bool, False,
+        "list ascii-chat servers announced on the LAN (mDNS) and exit",
+        modes=Mode.CLIENT)
     add("inspect-port", "network", int, None,
         "live-process inspector HTTP port (query-server analog)",
         modes=Mode.SERVER)
