@@ -60,6 +60,8 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         self.transport: asyncio.DatagramTransport | None = None
         self.channel: "SecureP2PChannel | None" = None
         self._check_task: asyncio.Task | None = None
+        self._srflx_waiters: dict[bytes, asyncio.Future] = {}
+        self.srflx_candidate: dict | None = None
 
     # -- lifecycle -----------------------------------------------------------
     async def start(self, bind: str = "0.0.0.0", port: int = 0) -> None:
@@ -71,6 +73,28 @@ class IceLiteAgent(asyncio.DatagramProtocol):
     @property
     def local_port(self) -> int:
         return self.transport.get_extra_info("sockname")[1]
+
+    async def gather_srflx(self, stun_server: tuple[str, int],
+                           timeout: float = 2.0) -> dict | None:
+        """Server-reflexive candidate: one Binding request to a STUN server,
+        XOR-MAPPED-ADDRESS is our public address (RFC 8445 §5.1.1; needed
+        behind NATs UPnP can't open). Returns None when the server doesn't
+        answer (zero-egress environments)."""
+        txid = stun.new_transaction_id()
+        req = stun.build(stun.BINDING_REQUEST, txid, [], password=None)
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        self._srflx_waiters[txid] = fut
+        try:
+            for _ in range(int(timeout / 0.5) + 1):
+                self.transport.sendto(req, stun_server)
+                try:
+                    addr = await asyncio.wait_for(asyncio.shield(fut), 0.5)
+                    return {"ip": addr[0], "port": addr[1], "type": "srflx"}
+                except asyncio.TimeoutError:
+                    continue
+            return None
+        finally:
+            self._srflx_waiters.pop(txid, None)
 
     def local_description(self) -> dict:
         """The signaling blob (SDP-role analog, relayed via ACDS
@@ -85,11 +109,14 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             s.close()
         except OSError:
             pass
+        cands = [{"ip": ip, "port": port} for ip in sorted(ips)]
+        if self.srflx_candidate:
+            cands.append(self.srflx_candidate)
         return {
             "ufrag": self.ufrag,
             "pwd": self.pwd,
             "pubkey": self.crypto.public_key.hex(),
-            "candidates": [{"ip": ip, "port": port} for ip in sorted(ips)],
+            "candidates": cands,
         }
 
     def set_remote(self, desc: dict) -> None:
@@ -139,6 +166,20 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             )
             self._nominate(addr)
         elif msg_type == stun.BINDING_SUCCESS:
+            waiter = self._srflx_waiters.get(txid)
+            if waiter is not None:
+                # answer to our srflx lookup (no ICE credentials on a public
+                # STUN binding): deliver XOR-MAPPED-ADDRESS
+                try:
+                    mapped = stun.parse_xor_mapped_address(
+                        attrs[stun.ATTR_XOR_MAPPED_ADDRESS], txid)
+                except (KeyError, stun.StunError):
+                    return
+                if not waiter.done():
+                    waiter.set_result(mapped)
+                self.srflx_candidate = {"ip": mapped[0], "port": mapped[1],
+                                        "type": "srflx"}
+                return
             if self.remote and stun.verify_integrity(
                 data, self.remote["pwd"].encode()
             ):

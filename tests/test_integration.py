@@ -668,3 +668,82 @@ def test_h265_uplink_end_to_end_real_codec():
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_server_survives_protocol_fuzz_and_churn():
+    """Robustness: random garbage, malformed packets, truncated handshakes,
+    and rapid connect/disconnect churn (the resource-leak hotspot for the
+    per-client codec contexts) must not kill the server, and a well-behaved
+    client must still work afterwards."""
+    import asyncio
+    import random
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import connect_tcp
+
+    port = PORT + 24
+    srv = _spawn("server", "--port", str(port), "--log-level", "ERROR")
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+
+        async def fuzz():
+            rng = random.Random(1234)
+            # 1) raw garbage streams
+            for _ in range(10):
+                r, w = await asyncio.open_connection("127.0.0.1", port)
+                w.write(rng.randbytes(rng.randint(1, 4096)))
+                try:
+                    await w.drain()
+                    w.close()
+                    await w.wait_closed()
+                except (ConnectionError, OSError):
+                    pass
+            # 2) valid headers + malformed payloads for every packet type
+            types = [1, 1000, 1100, 1102, 2000, 2002, 3000, 3001, 3002,
+                     4000, 4001, 5000, 5001, 5005, 6000, 6051]
+            for ptype in types:
+                try:
+                    t = await connect_tcp("127.0.0.1", port)
+                    for _ in range(3):
+                        await t.send(ptype, rng.randbytes(rng.randint(0, 512)))
+                    await t.close()
+                except (ConnectionError, OSError, ValueError):
+                    pass
+            # 3) truncated handshakes
+            for _ in range(5):
+                try:
+                    t = await connect_tcp("127.0.0.1", port)
+                    await t.send(pkt.PacketType.CRYPTO_CAPABILITIES, b"\x01")
+                    await t.close()
+                except (ConnectionError, OSError):
+                    pass
+            # 4) rapid connect/disconnect churn with caps (codec ctx churn)
+            from asciichat_tpu.net import protocol as proto
+
+            for i in range(20):
+                try:
+                    t = await connect_tcp("127.0.0.1", port)
+                    await t.send(pkt.PacketType.CLIENT_CAPABILITIES,
+                                 proto.WireCapabilities().pack())
+                    await t.send(pkt.PacketType.AUDIO_OPUS_BATCH,
+                                 pkt.pack_audio_batch(rng.randbytes(40), 480, 1))
+                    await t.close()
+                except (ConnectionError, OSError):
+                    pass
+
+        asyncio.run(asyncio.wait_for(fuzz(), 60))
+        time.sleep(1)
+        assert srv.poll() is None, "server died under fuzz"
+
+        # a well-behaved client still gets frames
+        client = _spawn("client", "127.0.0.1", "--port", str(port),
+                        "--test-pattern", "--width", "40", "--height", "10",
+                        "--color-mode", "NONE", "--max-frames", "3",
+                        "--no-reconnect", "--log-level", "WARNING")
+        out, err = client.communicate(timeout=180)
+        assert client.returncode == 0, err.decode()[-2000:]
+        assert len(out) > 100
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)

@@ -295,3 +295,48 @@ def test_p2p_through_acds_signaling():
             srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_srflx_gathering_against_stun_server():
+    """Server-reflexive candidate gathering (RFC 8445 §5.1.1) against an
+    in-process STUN server built on the same net/stun.py messages."""
+
+    async def run():
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        # in-process STUN server on UDP
+        class StunServer(asyncio.DatagramProtocol):
+            def connection_made(self, transport):
+                self.transport = transport
+
+            def datagram_received(self, data, addr):
+                if not stun.is_stun(data):
+                    return
+                _mt, txid, _attrs = stun.parse(data)
+                resp = stun.build(
+                    stun.BINDING_SUCCESS, txid,
+                    [(stun.ATTR_XOR_MAPPED_ADDRESS,
+                      stun.xor_mapped_address(("203.0.113.5", 61000), txid))],
+                )
+                self.transport.sendto(resp, addr)
+
+        loop = asyncio.get_running_loop()
+        st_transport, _ = await loop.create_datagram_endpoint(
+            StunServer, local_addr=("127.0.0.1", 0))
+        st_port = st_transport.get_extra_info("sockname")[1]
+
+        agent = IceLiteAgent(controlling=True)
+        await agent.start("127.0.0.1")
+        try:
+            cand = await agent.gather_srflx(("127.0.0.1", st_port), timeout=3)
+            assert cand == {"ip": "203.0.113.5", "port": 61000, "type": "srflx"}
+            assert any(c.get("type") == "srflx"
+                       for c in agent.local_description()["candidates"])
+            # non-answering server -> None, not an exception
+            dead = await agent.gather_srflx(("127.0.0.1", 1), timeout=0.6)
+            assert dead is None
+        finally:
+            agent.close()
+            st_transport.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
