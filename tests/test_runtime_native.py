@@ -190,3 +190,32 @@ int main(void) {
     want = oracle.ascii_convert_with_capabilities(frame, 40, 10, caps,
                                                   stretch=True)
     assert out.stdout == want  # byte-identical through the C ABI
+
+
+def test_native_code_under_sanitizers():
+    """ASan/UBSan build of the native pieces (the reference's sanitizer CI
+    analog, tests/CMakeLists.txt sanitizer configs): all 10 emitter modes
+    over random records with the EXACT production stride formulas, Argon2id,
+    secretbox roundtrips, CRC — any overflow/UAF/UB aborts."""
+    import shutil as shutil_mod
+    import subprocess
+
+    import pytest
+
+    if not shutil_mod.which("g++"):
+        pytest.skip("no g++")
+    from asciichat_tpu.runtime.native_build import BUILD_DIR, NATIVE_DIR
+
+    exe = BUILD_DIR / "sanitize_harness"
+    src = NATIVE_DIR / "sanitize_harness.cpp"
+    if not exe.exists() or exe.stat().st_mtime < max(
+        p.stat().st_mtime for p in NATIVE_DIR.glob("*.cpp")
+    ):
+        subprocess.run(
+            ["g++", "-O1", "-g", "-fsanitize=address,undefined",
+             "-fno-sanitize-recover=all", "-pthread", "-o", str(exe), str(src)],
+            check=True, capture_output=True, timeout=300,
+        )
+    out = subprocess.run([str(exe)], capture_output=True, timeout=300)
+    assert out.returncode == 0, (out.stdout + out.stderr).decode()[-3000:]
+    assert b"sanitize harness OK" in out.stdout
