@@ -148,8 +148,17 @@ def build_parser() -> argparse.ArgumentParser:
         return 0
 
     comp = sub.add_parser("completions", help="generate shell completions")
-    comp.add_argument("shell", choices=["bash", "zsh", "fish"])
+    comp.add_argument("shell", choices=["bash", "zsh", "fish", "pwsh"])
     comp.set_defaults(fn=cmd_completions, log_level="WARNING")
+
+    def cmd_manpage(a) -> int:
+        from asciichat_tpu.utils.options import default_registry, generate_manpage
+
+        print(generate_manpage(default_registry()))
+        return 0
+
+    man = sub.add_parser("manpage", help="generate the troff man page")
+    man.set_defaults(fn=cmd_manpage, log_level="WARNING")
 
     return ap
 

@@ -131,3 +131,79 @@ class RateLimited:
             self._last[key] = now
             return True
         return False
+
+
+class MmapRingLog:
+    """Crash-persistent mmap-backed ring log (lib/log/mmap.c:34-44 analog):
+    records survive process death because the OS flushes the mapping; the
+    panic path and post-mortem tooling read them back without the process.
+
+    Layout: 16-byte header (magic u32, capacity u32, write_off u64) followed
+    by capacity bytes of newline-separated records, wrapped."""
+
+    MAGIC = 0xA5C11106
+    HDR = 16
+
+    def __init__(self, path: str, capacity: int = 256 * 1024):
+        import mmap as mmap_mod
+        import os as os_mod
+        import struct as struct_mod
+
+        self._struct = struct_mod
+        size = self.HDR + capacity
+        new = not os_mod.path.exists(path) or os_mod.path.getsize(path) != size
+        self._f = open(path, "w+b" if new else "r+b")
+        if new:
+            self._f.truncate(size)
+        self._mm = mmap_mod.mmap(self._f.fileno(), size)
+        magic, cap, _off = struct_mod.unpack_from("<IIQ", self._mm, 0)
+        if magic != self.MAGIC or cap != capacity:
+            struct_mod.pack_into("<IIQ", self._mm, 0, self.MAGIC, capacity, 0)
+            self._mm[self.HDR:] = b"\0" * capacity
+        self.capacity = capacity
+
+    def append(self, line: str) -> None:
+        data = (line.rstrip("\n") + "\n").encode(errors="replace")
+        if len(data) > self.capacity:
+            data = data[-self.capacity:]
+        _, _, off = self._struct.unpack_from("<IIQ", self._mm, 0)
+        for b in data:
+            self._mm[self.HDR + (off % self.capacity)] = b
+            off += 1
+        self._struct.pack_into("<IIQ", self._mm, 0, self.MAGIC, self.capacity, off)
+
+    def tail(self, max_bytes: int = 65536) -> list[str]:
+        """Most recent records (readable even from a different process after
+        a crash — open the same path)."""
+        _, cap, off = self._struct.unpack_from("<IIQ", self._mm, 0)
+        n = min(off, cap, max_bytes)
+        out = bytearray()
+        for i in range(off - n, off):
+            out.append(self._mm[self.HDR + (i % cap)])
+        text = out.decode(errors="replace")
+        lines = [ln for ln in text.split("\n") if ln]
+        if off > cap and lines:
+            lines = lines[1:]  # first record may be a wrapped partial
+        return lines
+
+    def close(self) -> None:
+        self._mm.flush()
+        self._mm.close()
+        self._f.close()
+
+
+class MmapLogHandler(logging.Handler):
+    """Bridge: logging records into an MmapRingLog."""
+
+    def __init__(self, path: str, capacity: int = 256 * 1024):
+        super().__init__()
+        self.ring = MmapRingLog(path, capacity)
+
+    def emit(self, record):
+        try:
+            self.ring.append(
+                f"{record.created:.3f} {record.levelname} "
+                f"{record.name}: {record.getMessage()}"
+            )
+        except Exception:
+            pass

@@ -235,7 +235,51 @@ def generate_completions(registry: OptionsRegistry, shell: str, prog: str = "asc
             f"complete -c {prog} -l {d.name} -d '{d.help}'"
             for d in sorted(registry.descriptors(), key=lambda x: x.name)
         )
+    if shell == "pwsh":
+        words = ", ".join(f"'--{d.name}'" for d in
+                         sorted(registry.descriptors(), key=lambda x: x.name))
+        return (
+            f"Register-ArgumentCompleter -Native -CommandName {prog} "
+            "-ScriptBlock {\n"
+            "  param($wordToComplete, $commandAst, $cursorPosition)\n"
+            f"  @({words}) | Where-Object {{ $_ -like \"$wordToComplete*\" }} |\n"
+            "    ForEach-Object { [System.Management.Automation.CompletionResult]::new($_) }\n"
+            "}\n"
+        )
     raise ValueError(f"unknown shell {shell!r}")
+
+
+def generate_manpage(registry: OptionsRegistry, prog: str = "asciichat-tpu") -> str:
+    """troff man page from the registry (the reference's manpage generator
+    role, lib/options/ generators)."""
+    import time as _time
+
+    out = [
+        f'.TH {prog.upper()} 1 "{_time.strftime("%Y-%m-%d")}" "{prog}" '
+        '"User Commands"',
+        ".SH NAME",
+        f"{prog} \\- TPU-native terminal video chat",
+        ".SH SYNOPSIS",
+        f".B {prog}",
+        ".I mode",
+        "[\\fIOPTIONS\\fR]",
+        ".SH MODES",
+        "mirror, server, client, discovery-service, discovery, bench, "
+        "strings, completions",
+        ".SH OPTIONS",
+    ]
+    domains: dict[str, list[OptionDescriptor]] = {}
+    for d in registry.descriptors():
+        domains.setdefault(d.domain, []).append(d)
+    for dom in sorted(domains):
+        out.append(f".SS {dom}")
+        for d in sorted(domains[dom], key=lambda x: x.name):
+            out.append(".TP")
+            arg = "" if d.type is bool else f" \\fI{d.type.__name__.upper()}\\fR"
+            out.append(f"\\fB--{d.name}\\fR{arg}")
+            extra = f" (default: {d.default})" if d.default not in (None, False) else ""
+            out.append(d.help.replace("-", "\\-") + extra)
+    return "\n".join(out) + "\n"
 
 
 # ---------------------------------------------------------------------------

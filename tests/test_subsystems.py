@@ -733,3 +733,33 @@ def test_render_file_with_audio_mux(tmp_path):
     assert os.path.getsize(out) > os.path.getsize(silent) + 1000
     data = open(out, "rb").read()
     assert b"mp4a" in data  # AAC sample entry present in the moov box
+
+
+def test_mmap_ring_log_and_doc_generators(tmp_path):
+    """mmap-backed crash-persistent log (lib/log/mmap.c analog) + pwsh
+    completions + troff manpage generator (lib/options generators)."""
+    from asciichat_tpu.utils.logsys import MmapRingLog
+    from asciichat_tpu.utils.options import (
+        default_registry, generate_completions, generate_manpage,
+    )
+
+    path = str(tmp_path / "crash.log")
+    ring = MmapRingLog(path, capacity=256)
+    for i in range(30):
+        ring.append(f"record {i}")
+    tail = ring.tail()
+    assert tail[-1] == "record 29"
+    assert len(tail) < 30  # older records wrapped away in 256 bytes
+    ring.close()
+    # post-mortem: a NEW handle on the same file still reads the records
+    # (the crash-survival property)
+    again = MmapRingLog(path, capacity=256)
+    assert again.tail()[-1] == "record 29"
+    again.close()
+
+    reg = default_registry()
+    ps = generate_completions(reg, "pwsh")
+    assert "Register-ArgumentCompleter" in ps and "'--port'," in ps
+    man = generate_manpage(reg)
+    assert man.startswith(".TH ASCIICHAT-TPU 1")
+    assert "\\fB--port\\fR" in man and ".SS network" in man
