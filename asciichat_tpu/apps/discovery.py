@@ -239,6 +239,9 @@ class DiscoverySession:
         # the signed ACDS SDP relay (lib/network/webrtc/ + signaling.c)
         self._p2p_agents: dict[str, object] = {}
         self._p2p_pending: dict[str, asyncio.Future] = {}
+        # optional STUN server for server-reflexive candidates ("host:port";
+        # lets P2P work behind NATs UPnP can't open)
+        self.stun_server: tuple[str, int] | None = None
         self._t = None
 
     def attach_ring(self, interval_s: float = RING_COLLECTION_INTERVAL_S) -> "RingRunner":
@@ -374,6 +377,8 @@ class DiscoverySession:
         agent = IceLiteAgent(controlling=False)
         await agent.start()
         self._p2p_agents[frm] = agent
+        if self.stun_server:
+            await agent.gather_srflx(self.stun_server)
         self._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
             "to": frm, "from": self.participant_id,
             "kind": "answer", "desc": agent.local_description(),
@@ -388,6 +393,8 @@ class DiscoverySession:
 
         agent = IceLiteAgent(controlling=True)
         await agent.start()
+        if self.stun_server:
+            await agent.gather_srflx(self.stun_server)
         self._p2p_agents[peer_id] = agent
         fut = asyncio.get_running_loop().create_future()
         self._p2p_pending[peer_id] = fut
@@ -478,6 +485,9 @@ async def run_discovery(args) -> int:
     from asciichat_tpu.runtime.framesource import open_source
 
     sess = DiscoverySession(args.acds, args.acds_port)
+    if getattr(args, "stun", None):
+        host_part, _, port_part = args.stun.rpartition(":")
+        sess.stun_server = (host_part or args.stun, int(port_part or 3478))
     ring = sess.attach_ring(getattr(args, "ring_interval", None)
                             or RING_COLLECTION_INTERVAL_S)
     await sess.connect()

@@ -187,8 +187,11 @@ class NativeRecorder:
 
     def close(self) -> None:
         if self._h:
-            self._lib.ac_rec_close(self._h)
+            rc = self._lib.ac_rec_close(self._h)
             self._h = None
+            if rc != 0:
+                raise RuntimeError("recorder flush/trailer failed "
+                                   "(container may be truncated)")
 
 
 class Y4MWriter:
@@ -234,40 +237,44 @@ def render_to_file(
 
     writer = None
     rendered = 0
-    for _ in range(max_frames):
-        frame = source.read()
-        if frame is None:
-            break
-        frame = np.asarray(frame)
-        plan = plan_render(frame.shape[1], frame.shape[0], width, height, caps)
-        records = renderer.cells_for_plan(jnp.asarray(frame[None]), plan)
-        px = records_to_pixels(records, plan.mode, palette, scale)
-        if use_native and writer is None:
-            if recorder is None:
-                from asciichat_tpu.runtime.codecs import CodecUnavailable
+    try:
+        for _ in range(max_frames):
+            frame = source.read()
+            if frame is None:
+                break
+            frame = np.asarray(frame)
+            plan = plan_render(frame.shape[1], frame.shape[0], width, height, caps)
+            records = renderer.cells_for_plan(jnp.asarray(frame[None]), plan)
+            px = records_to_pixels(records, plan.mode, palette, scale)
+            if use_native and writer is None:
+                if recorder is None:
+                    from asciichat_tpu.runtime.codecs import CodecUnavailable
 
-                try:
-                    recorder = NativeRecorder(
-                        out_path, px.shape[2], px.shape[1], fps,
-                        audio_rate=audio_rate if audio_source else 0)
-                except CodecUnavailable:
-                    use_native = False
-            if recorder is not None:
-                np_px = np.asarray(px)[0]
-                recorder.write_rgb(np_px)
-                if audio_source is not None:
-                    recorder.write_audio(audio_source.read(audio_rate // fps))
-                rendered += 1
-                continue
-        ycbcr = np.asarray(rgb_to_ycbcr444(px))[0]
-        if writer is None:
-            writer = Y4MWriter(y4m_path, ycbcr.shape[1], ycbcr.shape[0], fps)
-        writer.write(ycbcr)
-        rendered += 1
-    if recorder:
-        recorder.close()
-    if writer:
-        writer.close()
+                    try:
+                        recorder = NativeRecorder(
+                            out_path, px.shape[2], px.shape[1], fps,
+                            audio_rate=audio_rate if audio_source else 0)
+                    except CodecUnavailable:
+                        use_native = False
+                if recorder is not None:
+                    np_px = np.asarray(px)[0]
+                    recorder.write_rgb(np_px)
+                    if audio_source is not None:
+                        recorder.write_audio(audio_source.read(audio_rate // fps))
+                    rendered += 1
+                    continue
+            ycbcr = np.asarray(rgb_to_ycbcr444(px))[0]
+            if writer is None:
+                writer = Y4MWriter(y4m_path, ycbcr.shape[1], ycbcr.shape[0], fps)
+            writer.write(ycbcr)
+            rendered += 1
+    finally:
+        # always flush + write trailers: a mid-render error must not leak
+        # the native contexts or leave an unplayable container behind
+        if recorder:
+            recorder.close()
+        if writer:
+            writer.close()
     if writer and out_path != y4m_path and shutil.which("ffmpeg"):
         subprocess.run(["ffmpeg", "-y", "-v", "error", "-i", y4m_path, out_path],
                        check=True)

@@ -32,9 +32,14 @@ def _gpg(args: list[str], gnupghome: str | None = None,
     env = dict(os.environ)
     if gnupghome:
         env["GNUPGHOME"] = gnupghome
-    return subprocess.run(["gpg", "--batch", "--yes", *args],
-                          input=input_bytes, capture_output=True, env=env,
-                          timeout=30)
+    try:
+        return subprocess.run(["gpg", "--batch", "--yes", *args],
+                              input=input_bytes, capture_output=True, env=env,
+                              timeout=30)
+    except subprocess.TimeoutExpired:
+        # a wedged gpg-agent must surface as an auth failure, not an
+        # unhandled exception killing the connection task
+        raise GpgAuthError("gpg timed out (wedged agent?)") from None
 
 
 class GpgIdentity:
@@ -56,10 +61,15 @@ class GpgIdentity:
         raise GpgAuthError(f"no secret GPG key found ({key or 'default'})")
 
     def sign(self, data: bytes) -> bytes:
-        """Detached binary signature over `data` (gpg --detach-sign)."""
-        out = _gpg(["--pinentry-mode", "loopback", "--passphrase", "",
-                    "--local-user", self.fingerprint, "--detach-sign",
-                    "--output", "-"], self.gnupghome, input_bytes=data)
+        """Detached binary signature over `data` (gpg --detach-sign).
+        Plain invocation first so gpg-agent/smartcard pinentry works;
+        loopback-with-empty-passphrase only as the headless fallback."""
+        base = ["--local-user", self.fingerprint, "--detach-sign",
+                "--output", "-"]
+        out = _gpg(base, self.gnupghome, input_bytes=data)
+        if out.returncode != 0 or not out.stdout:
+            out = _gpg(["--pinentry-mode", "loopback", "--passphrase", "",
+                        *base], self.gnupghome, input_bytes=data)
         if out.returncode != 0 or not out.stdout:
             raise GpgAuthError(f"gpg signing failed: {out.stderr.decode()[-300:]}")
         return out.stdout

@@ -90,10 +90,13 @@ async def client_handshake(
             )
             await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
         elif gpg_identity is not None:
+            import asyncio as _asyncio
+
             from asciichat_tpu.net import gpgauth
 
-            resp = gpgauth.make_auth_response(
-                gpg_identity, payload[:32], ctx.shared_key
+            resp = await _asyncio.get_running_loop().run_in_executor(
+                None, gpgauth.make_auth_response,
+                gpg_identity, payload[:32], ctx.shared_key,
             )
             await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
         else:
@@ -154,10 +157,14 @@ async def server_handshake(
                 )
             elif (gpg_keyring is not None
                     and client_auth_algo == AUTH_ALGO_GPG):
+                import asyncio as _asyncio
+
                 from asciichat_tpu.net import gpgauth
 
-                ok = gpgauth.verify_auth_response(
-                    payload, challenge, ctx.shared_key, gpg_keyring
+                # gpg is a subprocess: never block the event loop on it
+                ok = await _asyncio.get_running_loop().run_in_executor(
+                    None, gpgauth.verify_auth_response,
+                    payload, challenge, ctx.shared_key, gpg_keyring,
                 )
             elif ctx.password_key is not None:
                 ok = ctx.verify_challenge_answer(payload[:32])

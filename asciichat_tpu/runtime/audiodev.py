@@ -62,9 +62,10 @@ class SilenceSource:
         pass
 
 
-def _parse_float_wav(path: str) -> tuple[int, int, int, bytes]:
-    """Minimal RIFF parse for WAVE_FORMAT_IEEE_FLOAT (format 3) files the
-    stdlib wave module refuses. -> (rate, channels, sample_width, data)."""
+def _parse_float_wav(path: str) -> tuple[int, int, int, int, bytes]:
+    """Minimal RIFF parse for WAV files the stdlib wave module refuses
+    (IEEE float, unusual chunk order). -> (fmt_tag, rate, channels,
+    sample_width, data); fmt_tag 1 = integer PCM, 3 = IEEE float."""
     import struct as _struct
 
     with open(path, "rb") as f:
@@ -74,6 +75,7 @@ def _parse_float_wav(path: str) -> tuple[int, int, int, bytes]:
         if f.read(4) != b"WAVE":
             raise ValueError("not a WAVE file")
         rate = ch = width = None
+        fmt = None
         data = None
         while True:
             hdr = f.read(8)
@@ -90,7 +92,7 @@ def _parse_float_wav(path: str) -> tuple[int, int, int, bytes]:
                 data = body
         if rate is None or data is None:
             raise ValueError("missing fmt/data chunks")
-        return rate, ch, width, data
+        return fmt, rate, ch, width, data
 
 
 class WavFileSource:
@@ -110,8 +112,8 @@ class WavFileSource:
             # Python's wave module rejects IEEE-float WAVs (format 3, the
             # default for f32 exports); parse the RIFF chunks directly
             try:
-                rate, ch, width, raw = _parse_float_wav(path)
-                is_float = True
+                fmt_tag, rate, ch, width, raw = _parse_float_wav(path)
+                is_float = fmt_tag == 3  # fmt 1 = integer PCM, decode as such
             except Exception:
                 raise AudioSourceUnavailable(f"cannot read WAV {path!r}: {e}") from None
         if is_float and width == 4:

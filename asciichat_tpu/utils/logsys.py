@@ -167,9 +167,12 @@ class MmapRingLog:
         if len(data) > self.capacity:
             data = data[-self.capacity:]
         _, _, off = self._struct.unpack_from("<IIQ", self._mm, 0)
-        for b in data:
-            self._mm[self.HDR + (off % self.capacity)] = b
-            off += 1
+        start = off % self.capacity
+        first = min(len(data), self.capacity - start)
+        self._mm[self.HDR + start : self.HDR + start + first] = data[:first]
+        if first < len(data):  # wrap: at most two slice writes
+            self._mm[self.HDR : self.HDR + len(data) - first] = data[first:]
+        off += len(data)
         self._struct.pack_into("<IIQ", self._mm, 0, self.MAGIC, self.capacity, off)
 
     def tail(self, max_bytes: int = 65536) -> list[str]:
@@ -177,9 +180,11 @@ class MmapRingLog:
         a crash — open the same path)."""
         _, cap, off = self._struct.unpack_from("<IIQ", self._mm, 0)
         n = min(off, cap, max_bytes)
-        out = bytearray()
-        for i in range(off - n, off):
-            out.append(self._mm[self.HDR + (i % cap)])
+        start = (off - n) % cap
+        first = min(n, cap - start)
+        out = bytes(self._mm[self.HDR + start : self.HDR + start + first])
+        if first < n:
+            out += bytes(self._mm[self.HDR : self.HDR + n - first])
         text = out.decode(errors="replace")
         lines = [ln for ln in text.split("\n") if ln]
         if off > cap and lines:

@@ -185,12 +185,8 @@ def apply_to_parser(registry: OptionsRegistry, parser, mode: Mode,
         default = overrides.get(d.name, d.default)
         dest = d.name.replace("-", "_")
         if d.positional:
-            # optional when a default exists (e.g. --browse needs no address)
-            if d.default is not None:
-                parser.add_argument(dest, nargs="?", default=d.default,
-                                    help=d.help)
-            else:
-                parser.add_argument(dest, nargs="?", default=None, help=d.help)
+            # optional (e.g. --browse needs no address); callers validate
+            parser.add_argument(dest, nargs="?", default=default, help=d.help)
         elif d.type is bool:
             parser.add_argument(f"--{d.name}", action="store_true",
                                 default=bool(default), help=d.help)
@@ -427,6 +423,9 @@ def default_registry() -> OptionsRegistry:
         "session string to join (else create)", modes=Mode.DISCOVERY)
     add("advertise", "discovery", str, "127.0.0.1",
         "address to advertise as host", modes=Mode.DISCOVERY)
+    add("stun", "discovery", str, None,
+        "STUN server (host:port) for server-reflexive P2P candidates",
+        modes=Mode.DISCOVERY)
     add("ring-interval", "discovery", float, None,
         "ring-consensus collection interval in seconds (default 60)",
         modes=Mode.DISCOVERY)

@@ -478,6 +478,18 @@ int ac_rec_close(void* h) {
   avcodec_send_frame(r->enc, nullptr);  // flush video
   int rc = rec_drain(r);
   if (r->aenc) {
+    if (r->abuf_len > 0) {
+      // encode the buffered remainder as a short final frame — dropping it
+      // truncates up to ~21 ms of audio at the end of every recording
+      av_frame_make_writable(r->aframe);
+      r->aframe->nb_samples = r->abuf_len;
+      memcpy(r->aframe->data[0], r->abuf, sizeof(float) * r->abuf_len);
+      r->aframe->pts = r->apts;
+      r->apts += r->abuf_len;
+      if (avcodec_send_frame(r->aenc, r->aframe) == 0)
+        rec_drain_ctx(r, r->aenc, r->ast);
+      r->abuf_len = 0;
+    }
     avcodec_send_frame(r->aenc, nullptr);  // flush audio
     rec_drain_ctx(r, r->aenc, r->ast);
     avcodec_free_context(&r->aenc);

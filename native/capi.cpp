@@ -45,26 +45,35 @@ def convert(buf, src_w, src_h, out_w, out_h, color_level, render_mode, palette, 
 int ensure_init() {
   std::lock_guard<std::mutex> lk(g_mu);
   if (g_inited) return 0;
+  bool we_initialized = false;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+    we_initialized = true;
   }
   PyGILState_STATE gil = PyGILState_Ensure();
   PyObject* mod = PyModule_New("asciichat_capi_entry");
   PyObject* globals = PyModule_GetDict(mod);
   PyDict_SetItemString(globals, "__builtins__", PyEval_GetBuiltins());
   PyObject* res = PyRun_String(BOOTSTRAP, Py_file_input, globals, globals);
+  int rc = 0;
   if (!res) {
     PyErr_Print();
-    PyGILState_Release(gil);
-    return -1;
+    rc = -1;
+  } else {
+    Py_DECREF(res);
+    g_convert = PyDict_GetItemString(globals, "convert");
+    Py_XINCREF(g_convert);
+    if (!g_convert) rc = -1;
   }
-  Py_DECREF(res);
-  g_convert = PyDict_GetItemString(globals, "convert");
-  Py_XINCREF(g_convert);
   PyGILState_Release(gil);
-  if (!g_convert) return -1;
-  g_inited = true;
-  return 0;
+  if (we_initialized) {
+    // RELEASE the GIL held by the initializing thread: without this, any
+    // OTHER thread's PyGILState_Ensure blocks forever and a multithreaded
+    // C client deadlocks on its first convert call from a second thread.
+    PyEval_SaveThread();
+  }
+  if (rc == 0) g_inited = true;
+  return rc;
 }
 
 }  // namespace
