@@ -258,8 +258,17 @@ def test_browser_page_and_no_compress_bit():
     time.sleep(4)
     assert srv.poll() is None, srv.stderr.read().decode()[-1500:]
     try:
-        with urllib.request.urlopen(f"http://127.0.0.1:{port_ws}/", timeout=10) as r:
-            page = r.read()
+        page = None
+        for attempt in range(10):  # ws listener may lag the jax import
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port_ws}/", timeout=10
+                ) as r:
+                    page = r.read()
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                time.sleep(1)
+        assert page is not None, "ws port never came up"
         assert b"<title>asciichat-tpu</title>" in page
         assert b"capsPayload" in page and b"ansiToHtml" in page
 
