@@ -340,6 +340,8 @@ def default_registry() -> OptionsRegistry:
     add("loop", "media", bool, False, "loop file playback", modes=MC)
     add("fps", "media", float, 30.0, "capture rate cap",
         validator=lambda v: 0 < v <= 144)
+    add("stdin-size", "media", str, None,
+        "read raw RGB24 frames from stdin at WxH (e.g. 640x480)", modes=MC)
     add("max-frames", "media", int, None, "stop after N frames",
         modes=MC | Mode.DISCOVERY)
     # network
