@@ -109,3 +109,29 @@ def test_mono_rep_in_output():
     cache = pal.get_palette_cache(pal.DEFAULT_PALETTE)
     glyph = cache.mono_glyphs()[cache.char_index_ramp[lum >> 2]]
     assert out == glyph + b"\x1b[19b"
+
+
+def test_ordered_dither_matches_reference_formula():
+    """Bayer ordered dithering (neon/common.c:369-397): strength 0 is the
+    production no-op; strength>0 matches a scalar reimplementation of the
+    NEON integer math (saturating add of (bayer[(pos+ch)&15]*s)>>4)."""
+    import numpy as np
+
+    from asciichat_tpu.ops.pixel import ordered_dither
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    assert np.array_equal(np.asarray(ordered_dither(rgb, 0)), rgb)
+
+    bayer = [0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5]
+    for s in (1, 8, 255):
+        got = np.asarray(ordered_dither(rgb, s))
+        want = rgb.astype(np.int64).copy()
+        h, w, _ = rgb.shape
+        for y in range(h):
+            for x in range(w):
+                p = y * w + x
+                for c in range(3):
+                    want[y, x, c] += (bayer[(p + c) & 15] * s) >> 4
+        want = np.clip(want, 0, 255).astype(np.uint8)
+        assert np.array_equal(got, want), s
