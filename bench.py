@@ -219,13 +219,16 @@ def bench_server_tick() -> float:
 
     st = tick.mixer_state
     int(ticks_k(frames, audio, st, 8)[0])  # compile
-    t0 = time.perf_counter()
-    int(ticks_k(frames, audio, st, 8)[0])
-    t1 = time.perf_counter()
     int(ticks_k(frames, audio, st, 40)[0])
-    t2 = time.perf_counter()
-    per_tick = ((t2 - t1) - (t1 - t0)) / 32
-    return 1.0 / per_tick
+    best = float("inf")
+    for _ in range(3):  # best-of-reps: host dispatch jitter on this vCPU
+        t0 = time.perf_counter()
+        int(ticks_k(frames, audio, st, 8)[0])
+        t1 = time.perf_counter()
+        int(ticks_k(frames, audio, st, 40)[0])
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / 32)
+    return 1.0 / best
 
 
 if __name__ == "__main__":

@@ -763,3 +763,40 @@ def test_mmap_ring_log_and_doc_generators(tmp_path):
     man = generate_manpage(reg)
     assert man.startswith(".TH ASCIICHAT-TPU 1")
     assert "\\fB--port\\fR" in man and ".SS network" in man
+
+
+def test_session_keybindings():
+    """Live keybindings mutate the shared transform/display (session
+    keyboard_handler.c analog) for both mirror and client."""
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.models.mirror import MirrorSession
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.runtime.framesource import TestPatternSource
+
+    m = MirrorSession(TestPatternSource(32, 24),
+                      TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND),
+                      20, 8, "   .:-=+*#%@")
+    assert not m.flip_x and not m.matrix
+    m._on_key("f")
+    m._on_key("m")
+    m._on_key("c")
+    assert m.flip_x and m.matrix and m.color_filter == "green"
+    m._on_key("?")
+    assert m.display.show_help
+    m._on_key("q")
+    assert m._stop.is_set()
+
+    import asyncio
+
+    async def drive_client():
+        c = AsciiChatClient("127.0.0.1", 1)
+        c._on_key("f")
+        c._on_key("s")
+        c._on_key("?")
+        assert c.transform.flip_x and c.display.show_fps and c.display.show_help
+        c._on_key("q")
+        assert c._stop.is_set()
+
+    asyncio.run(drive_client())
