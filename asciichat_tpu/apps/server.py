@@ -360,35 +360,51 @@ class AsciiChatServer:
         now = time.monotonic()
         for key, members in groups.items():
             wc0 = members[0].wire_caps
-            filter_names = [m.filter_name for m in members]
-            cache_key = (sizes, key, len(members))
+            # identical receivers (same filter within the same geometry
+            # group) share ONE rendered frame — the device batch covers the
+            # UNIQUE filters, the fan-out is host-side byte reuse (the
+            # reference's per-client render cache, stream.c rendered-once
+            # semantics)
+            unique_filters: list[str] = []
+            member_slot: list[int] = []
+            for m in members:
+                if m.filter_name not in unique_filters:
+                    unique_filters.append(m.filter_name)
+                member_slot.append(unique_filters.index(m.filter_name))
+            cache_key = (sizes, key, len(unique_filters))
             grp = self._group_cache.get(cache_key)
             if grp is None:
                 if len(self._group_cache) > 64:
                     self._group_cache.clear()
                 grp = RenderGroup(
                     list(sizes), wc0.width, wc0.height, wc0.caps,
-                    filter_names, wc0.palette_custom or self.palette,
+                    unique_filters, wc0.palette_custom or self.palette,
                 )
                 self._group_cache[cache_key] = grp
-            elif grp.filter_names != filter_names:
-                grp.set_filters(filter_names)
+            elif grp.filter_names != unique_filters:
+                grp.set_filters(unique_filters)
             records = grp.step(frames_dev, now)
             host = cells_ops.records_to_numpy(records)
             views = emitter.emit_frames(
                 host, grp.render.mode, grp.palette,
                 pad_w=grp.render.pad_w, pad_h=grp.render.pad_h, copy=False,
             )
+            # per-slot packing cache: compress once per unique rendered frame
+            packed: dict[tuple[int, bool], bytes] = {}
             for i, c in enumerate(members):
                 no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
-                payload = pkt.pack_ascii_frame(
-                    bytes(views[i]), c.wire_caps.width, c.wire_caps.height,
-                    compress=not no_compress, level=self.compression_level,
-                )
+                pk = (member_slot[i], no_compress)
+                payload = packed.get(pk)
+                if payload is None:
+                    payload = packed[pk] = pkt.pack_ascii_frame(
+                        bytes(views[member_slot[i]]), c.wire_caps.width,
+                        c.wire_caps.height, compress=not no_compress,
+                        level=self.compression_level,
+                    )
                 if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
                     self.stats.frames_sent += 1
                     self.stats.bytes_sent += len(payload)
-            self.stats.frames_rendered += len(members)
+            self.stats.frames_rendered += len(unique_filters)
             self.tick_compute_count += 1
 
     def _render_tick_host(self, receivers, sizes, stack) -> None:
