@@ -43,7 +43,9 @@ class SignedAcdsChannel:
         self.identity = identity
         self.pins = pins
         P = pkt.PacketType
-        self._relayed = {P.ACIP_RING_COLLECT, P.ACIP_WEBRTC_SDP, P.ACIP_WEBRTC_ICE}
+        self._relayed = {P.ACIP_RING_COLLECT, P.ACIP_WEBRTC_SDP,
+                         P.ACIP_WEBRTC_ICE, P.ACIP_SETTINGS_SYNC,
+                         P.ACIP_SETTINGS_ACK}
         self.dropped = 0
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
@@ -242,6 +244,13 @@ class DiscoverySession:
         # optional STUN server for server-reflexive candidates ("host:port";
         # lets P2P work behind NATs UPnP can't open)
         self.stun_server: tuple[str, int] | None = None
+        # session settings sync (src/common/session/settings.c): the HOST
+        # broadcasts versioned display settings; participants apply newer
+        # versions and ack
+        self.settings: dict = {}
+        self.settings_version = 0
+        self.settings_acks = 0
+        self.on_settings = None  # callback(settings dict)
         self._t = None
 
     def attach_ring(self, interval_s: float = RING_COLLECTION_INTERVAL_S) -> "RingRunner":
@@ -338,6 +347,13 @@ class DiscoverySession:
                         self._on_webrtc_sdp(payload)
                     except (KeyError, ValueError) as e:
                         log.warning("bad SDP relay dropped: %s", e)
+                elif ptype == P.ACIP_SETTINGS_SYNC:
+                    try:
+                        self._on_settings_sync(payload)
+                    except (KeyError, ValueError) as e:
+                        log.warning("bad settings sync dropped: %s", e)
+                elif ptype == P.ACIP_SETTINGS_ACK:
+                    self.settings_acks += 1
                 elif ptype == P.ACIP_HOST_DESIGNATED:
                     info = json.loads(payload)
                     if info["host_id"] != self.host_id:
@@ -350,6 +366,42 @@ class DiscoverySession:
                             self.on_host_changed(self.host_address, self.host_port)
         finally:
             reporter.cancel()
+
+    # -- session settings sync (settings.c; versioned, host-authoritative) --
+    def broadcast_settings(self, settings: dict) -> int:
+        """Host: push display settings to every participant (version =
+        wall-clock seconds for ordering, settings.c:175)."""
+        import time as _time
+
+        self.settings = dict(settings)
+        self.settings_version = max(int(_time.time()), self.settings_version + 1)
+        n = 0
+        for pid in self.participants:
+            if pid == self.participant_id:
+                continue
+            self._t.send_nowait(pkt.PacketType.ACIP_SETTINGS_SYNC, json.dumps({
+                "to": pid, "from": self.participant_id,
+                "version": self.settings_version, "settings": self.settings,
+            }).encode())
+            n += 1
+        return n
+
+    def _on_settings_sync(self, payload: bytes) -> None:
+        data = json.loads(payload)
+        frm, version = data["from"], int(data["version"])
+        if frm != self.host_id:
+            log.warning("settings sync from non-host %s ignored", frm)
+            return
+        if version <= self.settings_version:
+            return  # stale (settings_needs_update, settings.c:219)
+        self.settings = dict(data.get("settings") or {})
+        self.settings_version = version
+        log.info("session settings v%d applied from host", version)
+        if self.on_settings:
+            self.on_settings(self.settings)
+        self._t.send_nowait(pkt.PacketType.ACIP_SETTINGS_ACK, json.dumps({
+            "to": frm, "from": self.participant_id, "version": version,
+        }).encode())
 
     # -- P2P channels over the signed SDP relay ---------------------------
     def _on_webrtc_sdp(self, payload: bytes) -> None:
