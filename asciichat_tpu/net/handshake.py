@@ -102,8 +102,29 @@ async def client_handshake(
         else:
             if password:
                 ctx.set_password(password)
-            # HMAC keyed by the shared secret (crypto.c:1068)
-            await t.send(P.CRYPTO_AUTH_RESPONSE, ctx.answer_challenge(payload[:32]))
+            # HMAC keyed by the shared secret (crypto.c:1068), PLUS a client
+            # challenge for MUTUAL authentication: the server must prove it
+            # also knows the password (handshake/client.c:840-865 — a fake
+            # server silently accepting the client is a MITM signature)
+            client_challenge = ctx.make_challenge()
+            await t.send(P.CRYPTO_AUTH_RESPONSE,
+                         ctx.answer_challenge(payload[:32]) + client_challenge)
+            ptype, payload = await t.recv()
+            if ptype == P.CRYPTO_SERVER_AUTH_RESP:
+                if not ctx.verify_challenge_answer(payload[:32]):
+                    raise HandshakeError(
+                        "server authentication failed — possible MITM "
+                        "(handshake/client.c:856)")
+                ptype, payload = await t.recv()
+            elif ptype not in (P.CRYPTO_AUTH_FAILED,):
+                raise HandshakeError(
+                    "server skipped mutual authentication — possible MITM")
+            if ptype == P.CRYPTO_AUTH_FAILED:
+                raise HandshakeError("authentication failed")
+            if ptype != P.CRYPTO_HANDSHAKE_COMPLETE:
+                raise HandshakeError(f"expected HANDSHAKE_COMPLETE, got {ptype}")
+            ctx.handshake_complete = True
+            return True
         ptype, payload = await t.recv()
     if ptype == P.CRYPTO_AUTH_FAILED:
         raise HandshakeError("authentication failed")
@@ -171,6 +192,12 @@ async def server_handshake(
         if not ok:
             await t.send(P.CRYPTO_AUTH_FAILED, b"authentication failed")
             raise HandshakeError("client failed authentication")
+        if (ctx.password_key is not None and len(payload) >= 64
+                and client_auth_algo == AUTH_ALGO_NONE):
+            # MUTUAL auth: answer the client's challenge so a fake server
+            # can't silently accept (handshake/server.c:613-628)
+            await t.send(P.CRYPTO_SERVER_AUTH_RESP,
+                         ctx.answer_challenge(payload[32:64]))
     await t.send(P.CRYPTO_HANDSHAKE_COMPLETE)
     ctx.handshake_complete = True
     return True

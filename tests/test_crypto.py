@@ -402,3 +402,58 @@ def test_plaintext_rekey_injection_ignored_by_channel():
         return results
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_mutual_auth_detects_fake_server():
+    """Mutual authentication (CRYPTO_SERVER_AUTH_RESP,
+    handshake/{client.c:840,server.c:613}): a fake server that does not know
+    the password cannot silently accept a password client — the client
+    requires the server's HMAC over ITS challenge and aborts otherwise."""
+    import asyncio
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.handshake import (
+        HandshakeError, client_handshake, server_handshake,
+    )
+    from asciichat_tpu.net.transport import Transport, connect_tcp
+
+    async def run():
+        # 1) legit password server: mutual auth succeeds
+        async def legit(t: Transport):
+            ctx = C.CryptoContext()
+            ctx.set_password("s3cret")
+            first = await t.recv()
+            await server_handshake(t, ctx, first, require_auth=True)
+
+        server = await asyncio.start_server(
+            lambda r, w: legit(Transport(r, w)), "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        assert await client_handshake(t, C.CryptoContext(), password="s3cret")
+        await t.close()
+        server.close()
+
+        # 2) FAKE server: accepts anything without proving the password
+        async def fake(t: Transport):
+            P = pkt.PacketType
+            await t.recv()  # capabilities
+            ctx = C.CryptoContext()
+            from asciichat_tpu.net.handshake import pack_parameters
+
+            await t.send(P.CRYPTO_PARAMETERS, pack_parameters(True))
+            await t.send(P.CRYPTO_KEY_EXCHANGE_INIT, ctx.public_key)
+            await t.recv()  # client pubkey
+            await t.send(P.CRYPTO_AUTH_CHALLENGE, b"\x00" * 32)
+            await t.recv()  # client's HMAC (fake server can't verify it)
+            await t.send(P.CRYPTO_HANDSHAKE_COMPLETE)  # silent accept
+
+        server = await asyncio.start_server(
+            lambda r, w: fake(Transport(r, w)), "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        with pytest.raises(HandshakeError, match="MITM|mutual"):
+            await client_handshake(t, C.CryptoContext(), password="s3cret")
+        await t.close()
+        server.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
