@@ -60,7 +60,7 @@ class PacketType(enum.IntEnum):
     CRYPTO_REKEY_COMPLETE = 1203
     # messages (2000s)
     SIZE_MESSAGE = 2000
-    AUDIO_MESSAGE = 2001
+    AUDIO_MESSAGE = 2001  # vestigial in the reference too: validated in packet.c:173 but no handler exists anywhere
     TEXT_MESSAGE = 2002
     ERROR_MESSAGE = 2003
     REMOTE_LOG = 2004
