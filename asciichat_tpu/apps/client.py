@@ -394,12 +394,8 @@ def main(args) -> int:
         wire.capabilities_mask |= 0x1  # cannot-decompress bit (webclient parity)
     source = None
     if not args.no_media:
-        stdin_size = None
-        if args.stdin_size:
-            w_s, _, h_s = args.stdin_size.lower().partition("x")
-            stdin_size = (int(w_s), int(h_s))
         source = open_source(test_pattern=args.test_pattern, file=args.file,
-                             loop=args.loop, stdin_size=stdin_size)
+                             loop=args.loop, stdin_size=args.stdin_size)
     audio_source = audio_sink = None
     want_audio = args.audio or args.tone_hz is not None or args.audio_wav
     if want_audio:

@@ -250,6 +250,7 @@ class DiscoverySession:
         self.settings: dict = {}
         self.settings_version = 0
         self.settings_acks = 0
+        self._settings_acked: set[str] = set()
         self.on_settings = None  # callback(settings dict)
         self._t = None
 
@@ -326,7 +327,14 @@ class DiscoverySession:
                 ptype, payload = await self._t.recv()
                 if ptype == P.ACIP_PARTICIPANT_LIST:
                     info = json.loads(payload)
+                    prev = set(self.participants)
                     self.participants = info["participants"]
+                    # host-authoritative settings reach LATE JOINERS too
+                    if (self.settings and self.host_id == self.participant_id):
+                        newcomers = [p for p in self.participants
+                                     if p not in prev and p != self.participant_id]
+                        if newcomers:
+                            self._push_settings(newcomers)
                     # pin fellow participants' identity keys (ACDS-signed
                     # list) so relayed ring/SDP messages verify end-to-end
                     for pid, hexkey in (info.get("pubkeys") or {}).items():
@@ -353,7 +361,14 @@ class DiscoverySession:
                     except (KeyError, ValueError) as e:
                         log.warning("bad settings sync dropped: %s", e)
                 elif ptype == P.ACIP_SETTINGS_ACK:
-                    self.settings_acks += 1
+                    ack = json.loads(payload)
+                    # count each sender once, current version only (a stale
+                    # or duplicate ack must not inflate the counter)
+                    if (int(ack.get("version") or 0) == self.settings_version
+                            and ack.get("from") in self.participants
+                            and ack.get("from") not in self._settings_acked):
+                        self._settings_acked.add(ack["from"])
+                        self.settings_acks = len(self._settings_acked)
                 elif ptype == P.ACIP_HOST_DESIGNATED:
                     info = json.loads(payload)
                     if info["host_id"] != self.host_id:
@@ -375,10 +390,13 @@ class DiscoverySession:
 
         self.settings = dict(settings)
         self.settings_version = max(int(_time.time()), self.settings_version + 1)
+        self._settings_acked = set()  # ack bookkeeping restarts per version
+        return self._push_settings(
+            [p for p in self.participants if p != self.participant_id])
+
+    def _push_settings(self, pids: list[str]) -> int:
         n = 0
-        for pid in self.participants:
-            if pid == self.participant_id:
-                continue
+        for pid in pids:
             self._t.send_nowait(pkt.PacketType.ACIP_SETTINGS_SYNC, json.dumps({
                 "to": pid, "from": self.participant_id,
                 "version": self.settings_version, "settings": self.settings,
@@ -388,10 +406,14 @@ class DiscoverySession:
 
     def _on_settings_sync(self, payload: bytes) -> None:
         data = json.loads(payload)
-        frm, version = data["from"], int(data["version"])
+        frm = data.get("from")
         if frm != self.host_id:
             log.warning("settings sync from non-host %s ignored", frm)
             return
+        try:
+            version = int(data.get("version") or 0)
+        except (TypeError, ValueError):
+            return  # malformed version must not kill the event loop
         if version <= self.settings_version:
             return  # stale (settings_needs_update, settings.c:219)
         self.settings = dict(data.get("settings") or {})

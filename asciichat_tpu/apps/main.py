@@ -30,14 +30,10 @@ def cmd_mirror(args) -> int:
 
     caps = term.detect_capabilities(RenderMode(args.render_mode), args.color_mode)
     w, h = term.terminal_size(args.width, args.height)
-    stdin_size = None
-    if args.stdin_size:
-        w_s, _, h_s = args.stdin_size.lower().partition("x")
-        stdin_size = (int(w_s), int(h_s))
     # offline rendering decodes flat out; live playback is PTS-paced
     source = open_source(test_pattern=args.test_pattern, file=args.file,
                          loop=args.loop, pace=not args.render_file,
-                         stdin_size=stdin_size)
+                         stdin_size=args.stdin_size)
     if args.render_file:
         from asciichat_tpu.models.renderfile import render_to_file
 

@@ -81,6 +81,13 @@ async def client_handshake(
     await t.send(P.CRYPTO_KEY_EXCHANGE_RESP, ctx.public_key)
 
     ptype, payload = await t.recv()
+    has_credentials = (password or ssh_identity is not None
+                       or gpg_identity is not None)
+    if has_credentials and ptype != P.CRYPTO_AUTH_CHALLENGE:
+        # a client holding credentials must be CHALLENGED: a fake server
+        # skipping authentication entirely is the cheapest MITM of all
+        raise HandshakeError(
+            "server skipped authentication despite credentials — possible MITM")
     if ptype == P.CRYPTO_AUTH_CHALLENGE:
         if ssh_identity is not None:
             from asciichat_tpu.net import sshauth
@@ -89,6 +96,7 @@ async def client_handshake(
                 ssh_identity, payload[:32], ctx.shared_key
             )
             await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
+            ptype, payload = await t.recv()
         elif gpg_identity is not None:
             import asyncio as _asyncio
 
@@ -99,6 +107,7 @@ async def client_handshake(
                 gpg_identity, payload[:32], ctx.shared_key,
             )
             await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
+            ptype, payload = await t.recv()
         else:
             if password:
                 ctx.set_password(password)
@@ -116,16 +125,10 @@ async def client_handshake(
                         "server authentication failed — possible MITM "
                         "(handshake/client.c:856)")
                 ptype, payload = await t.recv()
-            elif ptype not in (P.CRYPTO_AUTH_FAILED,):
+            elif ptype != P.CRYPTO_AUTH_FAILED:
                 raise HandshakeError(
                     "server skipped mutual authentication — possible MITM")
-            if ptype == P.CRYPTO_AUTH_FAILED:
-                raise HandshakeError("authentication failed")
-            if ptype != P.CRYPTO_HANDSHAKE_COMPLETE:
-                raise HandshakeError(f"expected HANDSHAKE_COMPLETE, got {ptype}")
-            ctx.handshake_complete = True
-            return True
-        ptype, payload = await t.recv()
+            # falls through to the shared terminal checks below
     if ptype == P.CRYPTO_AUTH_FAILED:
         raise HandshakeError("authentication failed")
     if ptype != P.CRYPTO_HANDSHAKE_COMPLETE:

@@ -151,25 +151,26 @@ def quantize_color_levels(frames: jax.Array, levels: int) -> jax.Array:
 
 
 # Bayer 4x4 matrix flattened the way the reference's NEON path consumes it:
-# a 16-entry table indexed by LINEAR pixel position & 15 (neon/common.c:371,
-# pos = (pixel_offset + i) & 15 — not a 2-D spatial lookup).
-_BAYER16 = jnp.array([0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5],
-                     jnp.int32)
+# a 16-entry table indexed by the ROW-RELATIVE column & 15 (neon/common.c:371
+# with pixel_offset = x from the row loop, neon/color.c) — not a 2-D spatial
+# lookup. Kept as numpy: a module-level device array would initialize the
+# JAX backend at import time (the axon gotcha in CLAUDE.md).
+_BAYER16 = np.array([0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5],
+                    np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("strength",))
 def ordered_dither(rgb: jax.Array, strength: int = 0) -> jax.Array:
     """Ordered (Bayer) dithering before 256-color quantization — the exact
     integer semantics of apply_ordered_dither (neon/common.c:369-397):
-    channel c at linear position p gets saturating += (bayer[(p+c)&15] *
-    strength) >> 4. The PRODUCTION reference calls this with strength=0
-    (disabled "in speed mode", common.c:400-402), so the byte-exact path
-    never applies it; strength>0 reproduces the reference's optional
-    longer-run behavior as one fused VPU op."""
+    channel c at column x gets saturating += (bayer[(x+c)&15] * strength)
+    >> 4, identical for every row. The PRODUCTION reference calls this with
+    strength=0 (disabled "in speed mode", common.c:400-402), so the
+    byte-exact path never applies it; strength>0 reproduces the reference's
+    optional longer-run behavior as one fused VPU op."""
     if strength == 0:
         return rgb
-    h, w = rgb.shape[-3], rgb.shape[-2]
-    pos = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w))[..., None]
-    pos = pos + jnp.arange(3, dtype=jnp.int32)  # per-channel offset 0/1/2
-    dither = (_BAYER16[pos & 15] * strength) >> 4
+    w = rgb.shape[-2]
+    pos = jnp.arange(w, dtype=jnp.int32)[:, None] + jnp.arange(3, dtype=jnp.int32)
+    dither = (jnp.asarray(_BAYER16)[pos & 15] * strength) >> 4  # [W, 3]
     return jnp.clip(rgb.astype(jnp.int32) + dither, 0, 255).astype(jnp.uint8)

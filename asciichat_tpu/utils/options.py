@@ -282,6 +282,21 @@ def generate_manpage(registry: OptionsRegistry, prog: str = "asciichat-tpu") -> 
 # The framework's registry (domains mirror lib/options/registry/*.c).
 
 
+def _parse_wh(s: str) -> tuple[int, int]:
+    """CLI converter for WxH sizes; rejects malformed/degenerate values."""
+    import argparse
+
+    w_s, sep, h_s = s.lower().partition("x")
+    try:
+        w, h = int(w_s), int(h_s)
+    except ValueError:
+        w = h = 0
+    if not sep or w < 1 or h < 1 or w > 8192 or h > 8192:
+        raise argparse.ArgumentTypeError(
+            f"invalid size {s!r} (expected WxH, e.g. 640x480)")
+    return w, h
+
+
 def _parse_color_mode(s: str):
     """CLI converter: 'auto' -> None (detect); accepts both the friendly
     forms (none/16/256/truecolor) and the enum names (NONE/COLOR_16/...)."""
@@ -341,7 +356,8 @@ def default_registry() -> OptionsRegistry:
     add("fps", "media", float, 30.0, "capture rate cap",
         validator=lambda v: 0 < v <= 144)
     add("stdin-size", "media", str, None,
-        "read raw RGB24 frames from stdin at WxH (e.g. 640x480)", modes=MC)
+        "read raw RGB24 frames from stdin at WxH (e.g. 640x480)", modes=MC,
+        cli_type=_parse_wh)
     add("max-frames", "media", int, None, "stop after N frames",
         modes=MC | Mode.DISCOVERY)
     # network

@@ -220,15 +220,19 @@ def bench_server_tick() -> float:
     st = tick.mixer_state
     int(ticks_k(frames, audio, st, 8)[0])  # compile
     int(ticks_k(frames, audio, st, 40)[0])
-    best = float("inf")
-    for _ in range(3):  # best-of-reps: host dispatch jitter on this vCPU
+    # min() each loop length INDEPENDENTLY: min of the differences would
+    # preferentially select a jitter-corrupted pair (inflated baseline ->
+    # tiny or negative delta)
+    best8 = best40 = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
         int(ticks_k(frames, audio, st, 8)[0])
-        t1 = time.perf_counter()
+        best8 = min(best8, time.perf_counter() - t0)
+        t0 = time.perf_counter()
         int(ticks_k(frames, audio, st, 40)[0])
-        t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / 32)
-    return 1.0 / best
+        best40 = min(best40, time.perf_counter() - t0)
+    per_tick = max((best40 - best8) / 32, 1e-9)
+    return 1.0 / per_tick
 
 
 if __name__ == "__main__":

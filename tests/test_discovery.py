@@ -429,19 +429,27 @@ def test_session_settings_sync():
             assert peer.settings == {"palette": "blocks", "color_filter": "green"}
             assert applied and applied[0]["palette"] == "blocks"
 
-            # stale version ignored
-            old_version = peer.settings_version
-            host.settings_version -= 10
-            host.broadcast_settings({"palette": "minimal"})
-            host.settings_version = old_version + 100  # restore monotonic
-            await asyncio.sleep(0.3)
-            # (the replayed broadcast bumped version; verify non-host refusal)
-            peer2_settings_before = dict(peer.settings)
-            peer._t.send_nowait  # peer is not the host: its push is refused
             import json as _json
 
             from asciichat_tpu.net import packet as pkt_mod
 
+            # STALE version ignored: a direct replay with an old version
+            # must not regress the peer's applied settings
+            host._t.send_nowait(pkt_mod.PacketType.ACIP_SETTINGS_SYNC, _json.dumps({
+                "to": "s-peer", "from": "s-host",
+                "version": peer.settings_version - 1,
+                "settings": {"palette": "stale"},
+            }).encode())
+            # MALFORMED version must not kill the peer's event loop
+            host._t.send_nowait(pkt_mod.PacketType.ACIP_SETTINGS_SYNC, _json.dumps({
+                "to": "s-peer", "from": "s-host",
+                "version": None, "settings": {"palette": "boom"},
+            }).encode())
+            await asyncio.sleep(0.3)
+            assert peer.settings["palette"] == "blocks"  # unchanged
+            assert not events[1].done()  # event loop survived
+
+            # non-host push refused
             peer._t.send_nowait(pkt_mod.PacketType.ACIP_SETTINGS_SYNC, _json.dumps({
                 "to": "s-host", "from": "s-peer",
                 "version": 2**31, "settings": {"palette": "evil"},

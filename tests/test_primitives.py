@@ -130,8 +130,9 @@ def test_ordered_dither_matches_reference_formula():
         h, w, _ = rgb.shape
         for y in range(h):
             for x in range(w):
-                p = y * w + x
+                # row-relative column index, identical per row (the NEON row
+                # loop passes x as pixel_offset, neon/color.c)
                 for c in range(3):
-                    want[y, x, c] += (bayer[(p + c) & 15] * s) >> 4
+                    want[y, x, c] += (bayer[(x + c) & 15] * s) >> 4
         want = np.clip(want, 0, 255).astype(np.uint8)
         assert np.array_equal(got, want), s
