@@ -219,3 +219,43 @@ def test_native_code_under_sanitizers():
     out = subprocess.run([str(exe)], capture_output=True, timeout=300)
     assert out.returncode == 0, (out.stdout + out.stderr).decode()[-3000:]
     assert b"sanitize harness OK" in out.stdout
+
+
+def test_avshim_under_sanitizers():
+    """ASan/UBSan harness for the libavcodec shim (encode/decode roundtrip,
+    recorder with audio track, media demux + rewind) — the component where a
+    real sws buffer-overrun lived. Third-party one-time allocations
+    (x265 encoder bookkeeping) are LSan-suppressed; OUR allocations stay
+    leak-checked."""
+    import shutil as shutil_mod
+    import subprocess
+
+    import pytest
+
+    if not shutil_mod.which("g++"):
+        pytest.skip("no g++")
+    from asciichat_tpu.runtime.native_build import BUILD_DIR, NATIVE_DIR
+
+    exe = BUILD_DIR / "sanitize_avshim"
+    src = NATIVE_DIR / "sanitize_avshim.cpp"
+    if not exe.exists() or exe.stat().st_mtime < max(
+        src.stat().st_mtime, (NATIVE_DIR / "avshim.cpp").stat().st_mtime
+    ):
+        try:
+            subprocess.run(
+                ["g++", "-O1", "-g", "-fsanitize=address,undefined",
+                 "-fno-sanitize-recover=all", "-pthread", "-o", str(exe),
+                 str(src), "-lavcodec", "-lavformat", "-lavutil", "-lswscale"],
+                check=True, capture_output=True, timeout=300,
+            )
+        except subprocess.CalledProcessError:
+            pytest.skip("libav dev libraries not linkable here")
+    import os
+
+    env = {**os.environ, "LSAN_OPTIONS":
+           f"suppressions={NATIVE_DIR / 'lsan_suppressions.txt'}"}
+    out = subprocess.run([str(exe)], capture_output=True, timeout=300, env=env)
+    if out.returncode == 77:
+        pytest.skip("no HEVC codec in libavcodec")
+    assert out.returncode == 0, (out.stdout + out.stderr).decode()[-3000:]
+    assert b"sanitize avshim OK" in out.stdout
