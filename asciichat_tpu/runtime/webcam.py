@@ -14,7 +14,6 @@ implemented — this runtime targets Linux hosts.
 
 from __future__ import annotations
 
-import ctypes
 import fcntl
 import mmap
 import os
