@@ -23,7 +23,13 @@ SPACE_AXIS = "space"
 def make_mesh(n_devices: int | None = None, space: int = 1, devices=None) -> Mesh:
     """1D ("clients",) or 2D ("clients", "space") mesh over available devices."""
     if devices is None:
-        devices = jax.devices()
+        try:
+            devices = jax.devices()
+        except Exception:
+            # A broken accelerator backend (e.g. driver/libtpu version drift
+            # behind the axon tunnel) must not take mesh construction down:
+            # the CPU backend always exists.
+            devices = jax.devices("cpu")
         if n_devices and len(devices) < n_devices:
             # Single-chip session (e.g. the axon tunnel): fall back to the
             # virtual CPU device pool for sharding validation.
