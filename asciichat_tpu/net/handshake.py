@@ -90,10 +90,16 @@ async def client_handshake(
             "server skipped authentication despite credentials — possible MITM")
     if ptype == P.CRYPTO_AUTH_CHALLENGE:
         if ssh_identity is not None:
+            import asyncio as _asyncio
+
             from asciichat_tpu.net import sshauth
 
-            resp = sshauth.make_auth_response(
-                ssh_identity, payload[:32], ctx.shared_key
+            # off the event loop: agent-backed identities do blocking UNIX-
+            # socket I/O with a 5 s timeout (SshAgent.sign), which would
+            # stall every other connection during auth
+            resp = await _asyncio.get_running_loop().run_in_executor(
+                None, sshauth.make_auth_response,
+                ssh_identity, payload[:32], ctx.shared_key,
             )
             await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
             ptype, payload = await t.recv()

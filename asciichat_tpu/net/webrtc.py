@@ -229,7 +229,13 @@ class SecureP2PChannel:
         self._ooo: dict[int, bytes] = {}  # out-of-order segments by seq
         self._recv_waiter: asyncio.Event = asyncio.Event()
         self._retx_task = asyncio.get_running_loop().create_task(self._retx_loop())
-        self._last_send = 0.0
+        # Last DATA (re)transmission time. Deliberately excludes ACK-only
+        # segments: in a duplex session the peer's inbound traffic makes us
+        # emit acks every few ms, and if those refreshed this stamp the RTO
+        # check below would never fire and a lost outgoing segment would
+        # never be retransmitted (send() would then block forever on a full
+        # window).
+        self._last_data_send = 0.0
         self.closed = False
         self.retransmits = 0
 
@@ -237,7 +243,8 @@ class SecureP2PChannel:
     def _send_segment(self, seq: int, payload: bytes, flags: int = 0) -> None:
         plain = self.HDR.pack(seq, self.rcv_next, flags) + payload
         self.agent.transport.sendto(self.agent.crypto.encrypt(plain), self.peer)
-        self._last_send = time.monotonic()
+        if not flags & self.FLAG_ACK_ONLY:
+            self._last_data_send = time.monotonic()
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
         data = pkt.pack_packet(ptype, payload)
@@ -260,7 +267,7 @@ class SecureP2PChannel:
     async def _retx_loop(self) -> None:
         while not self.closed:
             await asyncio.sleep(RTO_S)
-            if self._inflight and time.monotonic() - self._last_send >= RTO_S / 2:
+            if self._inflight and time.monotonic() - self._last_data_send >= RTO_S / 2:
                 seq, chunk = self._inflight[0]  # Go-Back-N: oldest first
                 self._send_segment(seq, chunk)
                 self.retransmits += 1

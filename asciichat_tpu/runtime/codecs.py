@@ -85,6 +85,11 @@ class OpusCodec:
         self._c = ctypes
         self._lib = _load_libopus()
         self.frame_samples = frame_samples  # 10 ms (the AUDIO tick cadence)
+        # Serializes encode/decode against close: the server's audio tick
+        # runs encode/decode in an executor thread over a ClientState
+        # snapshot while the event loop handles disconnects; close() must
+        # never free the native context under a concurrent ctypes call.
+        self._lock = threading.Lock()
         err = ctypes.c_int(0)
         self._enc = self._lib.opus_encoder_create(
             48000, 1, self.APPLICATION_VOIP, ctypes.byref(err))
@@ -104,32 +109,41 @@ class OpusCodec:
         if len(pcm) != self.frame_samples:
             raise ValueError(f"opus frame must be {self.frame_samples} samples")
         out = self._c.create_string_buffer(4000)
-        n = self._lib.opus_encode_float(
-            self._enc, pcm.ctypes.data_as(self._c.POINTER(self._c.c_float)),
-            self.frame_samples, out, 4000)
+        with self._lock:
+            if not self._enc:
+                raise ValueError("opus encoder is closed")
+            n = self._lib.opus_encode_float(
+                self._enc,
+                pcm.ctypes.data_as(self._c.POINTER(self._c.c_float)),
+                self.frame_samples, out, 4000)
         if n < 0:
             raise ValueError(f"opus_encode_float failed ({n})")
         return out.raw[:n]
 
     def decode(self, data: bytes) -> np.ndarray:
         pcm = np.empty(self.frame_samples, np.float32)
-        n = self._lib.opus_decode_float(
-            self._dec, data, len(data),
-            pcm.ctypes.data_as(self._c.POINTER(self._c.c_float)),
-            self.frame_samples, 0)
+        with self._lock:
+            if not self._dec:
+                raise ValueError("opus decoder is closed")
+            n = self._lib.opus_decode_float(
+                self._dec, data, len(data),
+                pcm.ctypes.data_as(self._c.POINTER(self._c.c_float)),
+                self.frame_samples, 0)
         if n < 0:
             raise ValueError(f"opus_decode_float failed ({n})")
         return pcm[:n]
 
     def close(self) -> None:
         """Free the native contexts (~45 KB invisible to gc; the server
-        churns one pair per opus client session)."""
-        if self._enc:
-            self._lib.opus_encoder_destroy(self._enc)
-            self._enc = None
-        if self._dec:
-            self._lib.opus_decoder_destroy(self._dec)
-            self._dec = None
+        churns one pair per opus client session). Safe against a concurrent
+        encode/decode on another thread (the audio-tick executor)."""
+        with self._lock:
+            if self._enc:
+                self._lib.opus_encoder_destroy(self._enc)
+                self._enc = None
+            if self._dec:
+                self._lib.opus_decoder_destroy(self._dec)
+                self._dec = None
 
     def __del__(self):
         try:
@@ -196,6 +210,8 @@ def _avshim():
     lib.ac_h265_enc_open.argtypes = [c.c_int] * 5
     lib.ac_h265_enc_frame.restype = c.c_long
     lib.ac_h265_enc_frame.argtypes = [c.c_void_p, c.c_char_p, u8p, c.c_long]
+    lib.ac_h265_enc_drain.restype = c.c_long
+    lib.ac_h265_enc_drain.argtypes = [c.c_void_p, u8p, c.c_long]
     lib.ac_h265_enc_close.argtypes = [c.c_void_p]
     lib.ac_h265_dec_open.restype = c.c_void_p
     lib.ac_h265_dec_open.argtypes = [c.c_int, c.c_int]
@@ -230,9 +246,19 @@ class NativeH265Encoder:
 
         raw = np.ascontiguousarray(frame, np.uint8).tobytes()
         n = self._lib.ac_h265_enc_frame(self._h, raw, self._out, len(self._out))
+        # Overflow protocol: rv <= -2 means the first (-rv - 2) bytes are
+        # valid records and a packet is still pending inside the shim (it is
+        # never dropped — that would corrupt the stream until the next
+        # keyframe). Grow the buffer and drain the remainder.
+        chunks = []
+        while n <= -2:
+            chunks.append(bytes(self._out[: -n - 2]))
+            self._out = (self._c.c_uint8 * (len(self._out) * 2))()
+            n = self._lib.ac_h265_enc_drain(self._h, self._out, len(self._out))
         if n < 0:
             raise ValueError("h265 encode failed")
-        buf = bytes(self._out[:n])
+        chunks.append(bytes(self._out[:n]))
+        buf = b"".join(chunks)
         pkts, at = [], 0
         while at + 4 <= len(buf):
             (plen,) = struct.unpack("<I", buf[at : at + 4])

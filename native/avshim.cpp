@@ -26,6 +26,7 @@ struct Enc {
   AVPacket* pkt;
   SwsContext* sws;
   int64_t pts;
+  bool pending;  // e->pkt holds a drained packet that did not fit the caller's buffer
 };
 
 struct Dec {
@@ -79,8 +80,36 @@ void* ac_h265_enc_open(int w, int h, int fps, int crf, int keyint) {
   return e;
 }
 
+// Drain encoded packets into out as u32le length-prefixed records.
+// Returns bytes written (>= 0) when the encoder is drained. If a packet
+// does not fit the remaining buffer it is KEPT (never silently dropped —
+// a lost mid-GOP packet would corrupt the stream until the next keyframe)
+// and the return value is -(bytes_written + 2): the caller's first
+// (-rv - 2) bytes are valid records, and ac_h265_enc_drain must be called
+// (with a larger buffer) to fetch the rest. -1 is a genuine error.
+static long enc_emit(Enc* e, uint8_t* out, long cap) {
+  long at = 0;
+  while (true) {
+    if (!e->pending) {
+      int rc = avcodec_receive_packet(e->ctx, e->pkt);
+      if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
+      if (rc < 0) return -1;
+      e->pending = true;
+    }
+    if (at + 4 + e->pkt->size > cap) return -(at + 2);
+    uint32_t n = (uint32_t)e->pkt->size;
+    memcpy(out + at, &n, 4);
+    memcpy(out + at + 4, e->pkt->data, e->pkt->size);
+    at += 4 + e->pkt->size;
+    av_packet_unref(e->pkt);
+    e->pending = false;
+  }
+  return at;
+}
+
 // Feed one RGB24 frame; drained packets are concatenated into out as
-// u32le length-prefixed records. Returns total bytes written, or -1.
+// u32le length-prefixed records. Returns total bytes written, -1 on error,
+// or -(written + 2) if a packet did not fit (see enc_emit).
 long ac_h265_enc_frame(void* h, const uint8_t* rgb, uint8_t* out, long cap) {
   Enc* e = (Enc*)h;
   const uint8_t* src[1] = {rgb};
@@ -90,20 +119,12 @@ long ac_h265_enc_frame(void* h, const uint8_t* rgb, uint8_t* out, long cap) {
             e->frame->linesize);
   e->frame->pts = e->pts++;
   if (avcodec_send_frame(e->ctx, e->frame) < 0) return -1;
-  long at = 0;
-  while (true) {
-    int rc = avcodec_receive_packet(e->ctx, e->pkt);
-    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
-    if (rc < 0) return -1;
-    if (at + 4 + e->pkt->size <= cap) {
-      uint32_t n = (uint32_t)e->pkt->size;
-      memcpy(out + at, &n, 4);
-      memcpy(out + at + 4, e->pkt->data, e->pkt->size);
-      at += 4 + e->pkt->size;
-    }
-    av_packet_unref(e->pkt);
-  }
-  return at;
+  return enc_emit(e, out, cap);
+}
+
+// Continue draining after an overflow return from ac_h265_enc_frame.
+long ac_h265_enc_drain(void* h, uint8_t* out, long cap) {
+  return enc_emit((Enc*)h, out, cap);
 }
 
 void ac_h265_enc_close(void* h) {
@@ -155,12 +176,16 @@ long ac_h265_dec_packet(void* h, const uint8_t* data, long len, uint8_t* out,
     if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
     if (rc < 0) return -1;
     if ((frames + 1) * frame_bytes > cap) break;
-    if (!d->sws) {
-      d->sws = sws_getContext(d->frame->width, d->frame->height,
-                              (AVPixelFormat)d->frame->format, d->w, d->h,
-                              AV_PIX_FMT_RGB24, SWS_POINT, nullptr, nullptr,
-                              nullptr);
-    }
+    // Cached context: the bitstream (attacker-controlled on the server's
+    // per-client decode path) may change resolution or pixel format
+    // mid-stream without the header-declared dims changing; feeding such a
+    // frame into a stale SwsContext reads out of bounds. getCachedContext
+    // rebuilds whenever the source geometry/format differs.
+    d->sws = sws_getCachedContext(d->sws, d->frame->width, d->frame->height,
+                                  (AVPixelFormat)d->frame->format, d->w, d->h,
+                                  AV_PIX_FMT_RGB24, SWS_POINT, nullptr,
+                                  nullptr, nullptr);
+    if (!d->sws) return -1;
     sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->frame->height,
               d->rgb, d->rgb_stride);
     uint8_t* dst = out + frames * frame_bytes;
@@ -258,12 +283,12 @@ int ac_media_read_frame(void* h, uint8_t* out) {
   while (true) {
     int rc = avcodec_receive_frame(m->dec, m->frame);
     if (rc == 0) {
-      if (!m->sws) {
-        m->sws = sws_getContext(m->frame->width, m->frame->height,
-                                (AVPixelFormat)m->frame->format, m->w, m->h,
-                                AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
-                                nullptr, nullptr);
-      }
+      // cached: container streams can switch dims/format mid-file too
+      m->sws = sws_getCachedContext(m->sws, m->frame->width, m->frame->height,
+                                    (AVPixelFormat)m->frame->format, m->w,
+                                    m->h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                                    nullptr, nullptr, nullptr);
+      if (!m->sws) return -1;
       sws_scale(m->sws, m->frame->data, m->frame->linesize, 0,
                 m->frame->height, m->rgb, m->rgb_stride);
       for (int y = 0; y < m->h; ++y)

@@ -54,6 +54,50 @@ int main() {
     return 1;
   }
 
+  // --- encoder overflow/drain protocol ------------------------------------
+  // A too-small caller buffer must return -(written+2) with the packet kept
+  // pending (never dropped), and ac_h265_enc_drain must recover the stream
+  // byte-for-byte: the drained records must decode like the normal path.
+  enc = ac_h265_enc_open(W, H, 30, 30, 5);
+  dec = ac_h265_dec_open(W, H);
+  if (!enc || !dec) return 1;
+  {
+    long redecoded = 0;
+    uint8_t tiny[48];
+    for (int i = 0; i < 12; ++i) {
+      for (size_t j = 0; j < (size_t)W * H * 3; ++j) rgb[j] = r255(seed);
+      long n = ac_h265_enc_frame(enc, rgb, tiny, (long)sizeof(tiny));
+      if (n == -1) return 1;
+      long total = n >= 0 ? n : -n - 2;
+      memcpy(out, tiny, total);
+      while (n < -1) {  // pending packet inside the shim: drain into the tail
+        n = ac_h265_enc_drain(enc, out + total, (1 << 20) - total);
+        if (n == -1) return 1;
+        total += n >= 0 ? n : -n - 2;
+      }
+      long at = 0;
+      while (at + 4 <= total) {
+        uint32_t plen;
+        memcpy(&plen, out + at, 4);
+        long fr = ac_h265_dec_packet(dec, out + at + 4, plen, frames_out,
+                                     (long)W * H * 3 * 8);
+        if (fr < 0) return 1;
+        redecoded += fr;
+        at += 4 + plen;
+      }
+      if (at != total) {
+        fprintf(stderr, "drained records misframed (%ld != %ld)\n", at, total);
+        return 1;
+      }
+    }
+    if (redecoded < 8) {
+      fprintf(stderr, "overflow path decoded too few frames (%ld)\n", redecoded);
+      return 1;
+    }
+  }
+  ac_h265_enc_close(enc);
+  ac_h265_dec_close(dec);
+
   // --- recorder with audio -> media demux back ---------------------------
   const char* path = "/tmp/sanitize_avshim.mp4";
   void* rec = ac_rec_open(path, W, H, 30, 30, 48000);

@@ -111,6 +111,61 @@ def test_p2p_channel_survives_packet_loss():
     asyncio.run(asyncio.wait_for(run(), 60))
 
 
+def test_p2p_retransmit_not_starved_by_duplex_acks():
+    """Regression: in a duplex session the receiver of a continuous inbound
+    stream emits ACK-only segments every few ms. Those acks must NOT refresh
+    the retransmission timer, or a lost outgoing DATA segment is never
+    retransmitted and send() blocks forever on a full window (ADVICE r2)."""
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await a.wait_connected(10)
+            ch_b = await b.wait_connected(10)
+
+            # a's outgoing datagrams (data AND acks) are 25% lossy
+            rng = random.Random(11)
+            real = a.transport.sendto
+
+            def lossy(data, addr):
+                if rng.random() >= 0.25:
+                    real(data, addr)
+
+            a.transport.sendto = lossy
+
+            # b floods a with small packets every 10ms (< RTO/2), keeping
+            # a's ack emission continuous for the whole transfer
+            stop = asyncio.Event()
+
+            async def flood():
+                while not stop.is_set():
+                    ch_b.send_nowait(pkt.PacketType.PING, b"tick")
+                    await asyncio.sleep(0.01)
+
+            flood_task = asyncio.create_task(flood())
+            try:
+                blob = os.urandom(30_000)
+                await ch_a.send(pkt.PacketType.IMAGE_FRAME, blob)
+                while True:
+                    ptype, payload = await asyncio.wait_for(ch_b.recv(), 30)
+                    if ptype == pkt.PacketType.IMAGE_FRAME:
+                        break
+                assert payload == blob
+                assert ch_a.retransmits > 0
+            finally:
+                stop.set()
+                flood_task.cancel()
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
 def test_forged_stun_and_datagrams_rejected():
     """An attacker without the ICE password cannot nominate a pair; an
     attacker without the session key cannot inject stream data."""
