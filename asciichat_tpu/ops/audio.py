@@ -326,53 +326,94 @@ def analyze_levels(buf: jax.Array) -> dict[str, jax.Array]:
 # lib/audio/client_pipeline.cpp). TPU-native seat: a per-sample NLMS adaptive
 # filter — the far-end (speaker) signal is filtered by an adaptive estimate
 # of the echo path and subtracted from the near-end (mic) capture; weights
-# update inside a lax.scan. Divergence: AEC3 adds double-talk detection and
-# nonlinear suppression; this seat is plain NLMS (>=10 dB ERLE on a linear
-# echo path, mild distortion during double-talk).
+# update inside a lax.scan — protected by the two AEC3-role controls that
+# keep NLMS stable in conversation:
+#
+# - Geigel double-talk detection (per sample): near-end speech is declared
+#   when |mic| > geigel_t * max(|far| over the filter window). While
+#   declared (plus a hangover tail covering speech decay), ADAPTATION
+#   FREEZES — the filter keeps cancelling with its converged weights but
+#   stops learning, so simultaneous near+far speech cannot drag the echo
+#   model toward cancelling the near-end talker.
+# - Divergence control (per frame, in EchoCanceller.process): if the
+#   residual energy exceeds the mic energy the filter is ADDING energy
+#   (diverged — e.g. an echo-path change while frozen); weights are halved,
+#   which bounds output energy while preserving the echo-path shape for
+#   fast re-convergence.
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "mu"))
+@functools.partial(jax.jit, static_argnames=("taps", "mu", "hangover"))
 def echo_cancel(
     mic: jax.Array,  # [N] near-end capture (speech + echo)
     far: jax.Array,  # [N] far-end reference (what the speaker played)
     weights: jax.Array,  # [taps] carried filter state
     far_tail: jax.Array,  # [taps] last far-end samples from the previous tick
+    hang: jax.Array,  # [] carried double-talk hangover counter (samples)
     taps: int = 256,
     mu: float = 0.5,
+    geigel_t: float = 0.5,
+    hangover: int = 1440,  # 30 ms at 48 kHz: covers near-speech decay tails
 ):
-    """-> (echo-cancelled mic [N], weights, new far_tail). NLMS:
-    w += mu * e * x / (||x||^2 + eps), echo estimate y = w . x."""
+    """-> (echo-cancelled mic [N], weights, far_tail, hang, dt_frac).
+    NLMS w += mu * e * x / (||x||^2 + eps) with Geigel adaptation freeze;
+    dt_frac is the fraction of samples with adaptation frozen (telemetry)."""
     far_hist = jnp.concatenate([far_tail, far])  # [taps + N]
 
-    def step(w, idx):
+    def step(carry, idx):
+        w, hang = carry
         # window ENDS at the current far sample (far_hist[idx+taps] == far[idx])
         # so the filter models echo delays 0..taps-1 — a zero-latency speaker
         # path (loopback tests, software mixers) must be cancellable too
         x = jax.lax.dynamic_slice(far_hist, (idx + 1,), (taps,))
         y = jnp.dot(w, x)
         e = mic[idx] - y
+        # Geigel: |mic| vs the loudest far sample the echo could stem from
+        # (assumes the acoustic path attenuates by >= 1/geigel_t, i.e. 6 dB
+        # at the 0.5 default — the classical tuning)
+        dt = jnp.abs(mic[idx]) > geigel_t * jnp.max(jnp.abs(x))
+        hang = jnp.where(dt, jnp.int32(hangover), jnp.maximum(hang - 1, 0))
+        adapt = (hang == 0).astype(jnp.float32)
         norm = jnp.dot(x, x) + 1e-6
-        w = w + mu * e * x / norm
-        return w, e
+        w = w + (adapt * mu) * e * x / norm
+        return (w, hang), (e, 1.0 - adapt)
 
-    weights, out = jax.lax.scan(step, weights, jnp.arange(mic.shape[0]))
-    return out, weights, far_hist[-taps:]
+    (weights, hang), (out, frozen) = jax.lax.scan(
+        step, (weights, hang), jnp.arange(mic.shape[0]))
+    return out, weights, far_hist[-taps:], hang, jnp.mean(frozen)
 
 
 class EchoCanceller:
-    """Stateful wrapper for per-tick echo cancellation (client pipeline)."""
+    """Stateful wrapper for per-tick echo cancellation (client pipeline):
+    NLMS + Geigel double-talk freeze (in the scan) + frame-level divergence
+    control (here)."""
 
-    def __init__(self, taps: int = 256, mu: float = 0.5):
+    def __init__(self, taps: int = 256, mu: float = 0.5,
+                 geigel_t: float = 0.5, hangover: int = 1440):
         self.taps = taps
         self.mu = mu
+        self.geigel_t = geigel_t
+        self.hangover = hangover
         self.weights = jnp.zeros((taps,), jnp.float32)
         self.far_tail = jnp.zeros((taps,), jnp.float32)
+        self.hang = jnp.zeros((), jnp.int32)
+        self.double_talk_frac = 0.0  # last frame's frozen-sample fraction
+        self.divergence_resets = 0
 
     def process(self, mic, far):
-        out, self.weights, self.far_tail = echo_cancel(
-            jnp.asarray(mic, jnp.float32), jnp.asarray(far, jnp.float32),
-            self.weights, self.far_tail, taps=self.taps, mu=self.mu,
+        mic = jnp.asarray(mic, jnp.float32)
+        out, self.weights, self.far_tail, self.hang, dt_frac = echo_cancel(
+            mic, jnp.asarray(far, jnp.float32),
+            self.weights, self.far_tail, self.hang,
+            taps=self.taps, mu=self.mu, geigel_t=self.geigel_t,
+            hangover=self.hangover,
         )
+        self.double_talk_frac = float(dt_frac)
+        # Divergence control: a healthy canceller REMOVES energy. If the
+        # residual carries substantially more than the mic, the echo model
+        # is wrong (path changed / froze mid-adaptation) — pull it back.
+        if float(jnp.sum(out * out)) > 2.0 * float(jnp.sum(mic * mic)) + 1e-9:
+            self.weights = self.weights * 0.5
+            self.divergence_resets += 1
         return out
 
 

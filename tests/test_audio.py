@@ -248,6 +248,18 @@ def test_audiodev_sources_and_sinks(tmp_path):
     assert not silent.read(480).any()
 
 
+def _echo_of(far: "np.ndarray", delay: int = 8, gain: float = 0.5):
+    """Simulated acoustic echo path: delayed, attenuated two-tap kernel
+    (total gain ~`gain`, i.e. >=6 dB echo return loss — the standard
+    assumption behind the Geigel detector's 0.5 threshold)."""
+    import numpy as np
+
+    kernel = np.zeros(delay + 3, np.float32)
+    kernel[delay] = gain * 0.8
+    kernel[delay + 2] = gain * 0.2
+    return np.convolve(far, kernel)[: len(far)].astype(np.float32)
+
+
 def test_client_audio_pipeline_aec_converges():
     """ClientAudioPipeline (lib/audio/client_pipeline.cpp analog): a mic
     signal that is purely an echo of the far-end reference is attenuated
@@ -258,14 +270,15 @@ def test_client_audio_pipeline_aec_converges():
 
     rng = np.random.default_rng(0)
     far = rng.normal(0, 0.1, 48000).astype(np.float32)
+    echo = _echo_of(far)
     p = ClientAudioPipeline()
     in_rms = out_rms = 0.0
     for i in range(0, 48000, 480):
         chunk = far[i : i + 480]
         p.add_far(chunk)
-        out = p.process(chunk)  # mic == echo of the speaker
+        out = p.process(echo[i : i + 480])  # mic == echo of the speaker
         if i >= 24000:  # after convergence
-            in_rms += float(np.mean(chunk ** 2))
+            in_rms += float(np.mean(echo[i : i + 480] ** 2))
             out_rms += float(np.mean(out ** 2))
     assert out_rms < in_rms / 10  # >10 dB ERLE
 
@@ -274,6 +287,54 @@ def test_client_audio_pipeline_aec_converges():
     outs = [p2.process(tone[i : i + 480]) for i in range(0, 4800, 480)]
     steady = np.concatenate(outs[5:])
     assert np.sqrt((steady ** 2).mean()) > 0.1  # gate open, tone passes
+
+
+def test_aec_double_talk_safe():
+    """AEC3-role double-talk handling (client_pipeline.cpp seat): during
+    simultaneous near+far speech the Geigel detector freezes adaptation, so
+    (a) the near-end talker passes with bounded distortion, and (b) the echo
+    model does not diverge — the far-end-only segment AFTER double talk
+    still achieves >=10 dB ERLE without re-converging from scratch."""
+    import numpy as np
+
+    from asciichat_tpu.ops.audio import EchoCanceller
+
+    rng = np.random.default_rng(1)
+    n_total = 48000 * 2
+    far = rng.normal(0, 0.1, n_total).astype(np.float32)
+    echo = _echo_of(far)
+    t = np.arange(n_total, dtype=np.float32) / 48000.0
+    near = (0.15 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    # phase 1: echo only (converge); phase 2: double talk; phase 3: echo only
+    p1, p2 = 48000, 48000 + 24000
+    mic = echo.copy()
+    mic[p1:p2] += near[p1:p2]
+
+    aec = EchoCanceller()
+    out = np.empty_like(mic)
+    dt_frac_phase2 = []
+    for i in range(0, n_total, 480):
+        out[i : i + 480] = np.asarray(aec.process(mic[i : i + 480],
+                                                  far[i : i + 480]))
+        if p1 <= i < p2:
+            dt_frac_phase2.append(aec.double_talk_frac)
+
+    # detector actually fired during double talk
+    assert np.mean(dt_frac_phase2) > 0.5, np.mean(dt_frac_phase2)
+
+    # (a) near-end preserved: residual vs the near signal during double talk
+    # (skip the first 100 ms of the segment: hangover ramp-in)
+    seg = slice(p1 + 4800, p2)
+    err = out[seg] - near[seg]
+    near_pow = float(np.mean(near[seg] ** 2))
+    distortion = float(np.mean(err ** 2)) / near_pow
+    assert distortion < 0.2, f"near-end distortion {10*np.log10(distortion):.1f} dB"
+
+    # (b) no divergence: ERLE right after double talk ends (first 200 ms of
+    # phase 3 — a diverged filter would need a full re-convergence)
+    seg3 = slice(p2, p2 + 9600)
+    erle = float(np.mean(echo[seg3] ** 2)) / max(float(np.mean(out[seg3] ** 2)), 1e-12)
+    assert erle > 10.0, f"post-double-talk ERLE {10*np.log10(erle):.1f} dB"
 
 
 def test_float32_wav_source(tmp_path):
