@@ -270,6 +270,20 @@ def main(argv=None) -> int:
         grep=getattr(args, "grep", None),
         json_output=getattr(args, "log_json", False),
     )
+
+    # Opt-in update check (update_checker.c + update_banner.c seat): a newer
+    # release prints the banner to stderr before the mode starts so it never
+    # corrupts a frame stream. Strictly --update-check only; all failures
+    # silent (zero-egress environments must not notice).
+    if getattr(args, "update_check", False):
+        from asciichat_tpu.net.update_checker import UpdateChecker
+        from asciichat_tpu.utils import ui
+
+        latest = UpdateChecker().check()
+        banner = ui.update_banner(ui.__version__, latest)
+        if banner:
+            print(banner.decode(), file=sys.stderr)
+
     return args.fn(args)
 
 

@@ -387,6 +387,10 @@ def default_registry() -> OptionsRegistry:
     add("inspect-port", "network", int, None,
         "live-process inspector HTTP port (query-server analog)",
         modes=Mode.SERVER)
+    add("update-check", "network", bool, False,
+        "check for a newer release at startup (GitHub API; 7-day cache; "
+        "never on by default)",
+        modes=Mode.MIRROR | Mode.CLIENT | Mode.SERVER)
     add("status", "display", bool, False,
         "status screen with live log feed on this terminal",
         modes=Mode.SERVER)

@@ -153,22 +153,17 @@ def update_banner(current: str, latest: str | None) -> bytes | None:
 
 def check_for_update(fetch=None) -> bytes | None:
     """Gated update check: returns a banner or None. `fetch` is injectable
-    for tests; the default only fires with ASCIICHAT_UPDATE_CHECK=1."""
-    import json
+    for tests; the default only fires with ASCIICHAT_UPDATE_CHECK=1 and goes
+    through the full cached checker (net/update_checker.py: GitHub API
+    shape, 7-day cache file, semver compare — update_checker.c analog)."""
     import os
 
     if fetch is None:
         if os.environ.get("ASCIICHAT_UPDATE_CHECK") != "1":
             return None
+        from asciichat_tpu.net.update_checker import UpdateChecker
 
-        def fetch():
-            import urllib.request
-
-            with urllib.request.urlopen(
-                "https://api.github.com/repos/zfogg/ascii-chat/releases/latest",
-                timeout=3,
-            ) as r:
-                return json.loads(r.read()).get("tag_name", "")
+        return update_banner(__version__, UpdateChecker().check())
 
     try:
         latest = fetch()

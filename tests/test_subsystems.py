@@ -387,6 +387,105 @@ def test_status_screen_and_update_banner():
     assert ui.check_for_update(fetch=boom) is None  # fails silently
 
 
+def _fake_release_server(tag: str):
+    """GitHub-API-shaped fake release server (same pattern as the fake
+    UPnP/NAT-PMP routers): /repos/zfogg/ascii-chat/releases/latest JSON."""
+    import http.server
+    import json as _json
+    import threading
+
+    hits = []
+
+    class Api(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            hits.append(self.path)
+            if self.path != "/repos/zfogg/ascii-chat/releases/latest":
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = _json.dumps({
+                "tag_name": tag,
+                "target_commitish": "abc123def",
+                "html_url": f"https://github.com/zfogg/ascii-chat/releases/{tag}",
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), Api)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}", hits
+
+
+def test_update_checker_against_fake_release_server(tmp_path):
+    """Full update-checker subsystem (lib/network/update_checker.c analog)
+    against a protocol-faithful fake GitHub API: fetch + semver compare +
+    7-day cache file (3-line format), cache hit avoids the network, stale
+    cache refetches, failures silent."""
+    import time as _time
+
+    from asciichat_tpu.net.update_checker import (UpdateChecker,
+                                                  UpdateCheckResult,
+                                                  version_compare)
+
+    httpd, base, hits = _fake_release_server("v9.9.9")
+    cache = tmp_path / "last_update_check"
+    try:
+        c = UpdateChecker(current_version="0.2.0", api_base=base,
+                          cache_path=cache)
+        assert c.check() == "v9.9.9"
+        assert len(hits) == 1
+        # cache file: timestamp / version / sha (update_checker.c format)
+        lines = cache.read_text().splitlines()
+        assert lines[1] == "v9.9.9" and lines[2] == "abc123def"
+        # fresh cache: second check answers without touching the network
+        assert c.check() == "v9.9.9"
+        assert len(hits) == 1
+        # stale cache (8 days old): refetches
+        c.save_cache(UpdateCheckResult(int(_time.time()) - 8 * 86400,
+                                       "v9.9.9", "abc123def"))
+        assert c.check() == "v9.9.9"
+        assert len(hits) == 2
+        # running the latest version: no banner
+        newer = UpdateChecker(current_version="9.9.9", api_base=base,
+                              cache_path=tmp_path / "c2")
+        assert newer.check() is None
+        # dead server: silent None
+        dead = UpdateChecker(current_version="0.2.0",
+                             api_base="http://127.0.0.1:1",
+                             cache_path=tmp_path / "c3", timeout=0.5)
+        assert dead.check() is None
+    finally:
+        httpd.shutdown()
+
+    assert version_compare("v1.2.3", "1.2.3") == 0
+    assert version_compare("v2.0.0", "v1.9.9") == 1
+    assert version_compare("0.9.1", "0.10.0") == -1
+
+
+def test_update_banner_shown_by_cli(tmp_path, capsys, monkeypatch):
+    """End-to-end: --update-check on a real CLI run surfaces the banner fed
+    by the fake release server (VERDICT r2 item 8 done-criterion)."""
+    from asciichat_tpu.apps.main import main
+
+    httpd, base, _hits = _fake_release_server("v99.0.0")
+    monkeypatch.setenv("ASCIICHAT_UPDATE_URL", base)
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path))
+    try:
+        rc = main(["mirror", "--test-pattern", "--snapshot", "--update-check",
+                   "--width", "24", "--height", "8", "--log-level", "WARNING"])
+    finally:
+        httpd.shutdown()
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "update available: v99.0.0" in err
+
+
 def test_prefetch_and_pts_pacing():
     """Decoder fidelity (ffmpeg_decoder.c:276 prefetch, :316 pacing): the
     prefetch thread decodes ahead into a bounded queue; PTS pacing holds
