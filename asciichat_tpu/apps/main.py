@@ -148,6 +148,20 @@ def build_parser() -> argparse.ArgumentParser:
         print(generate_completions(default_registry(), a.shell))
         return 0
 
+    def cmd_query(a) -> int:
+        """Attach-to-live-PID inspector (ascii-query-server analog)."""
+        from asciichat_tpu.apps import query
+
+        return query.main(a)
+
+    q = sub.add_parser(
+        "query", help="attach to a RUNNING asciichat pid: /proc state + "
+                      "Python stacks (no --inspect-port needed)")
+    q.add_argument("pid", type=int)
+    q.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve the report over HTTP instead of one-shot")
+    q.set_defaults(fn=cmd_query, log_level="WARNING")
+
     comp = sub.add_parser("completions", help="generate shell completions")
     comp.add_argument("shell", choices=["bash", "zsh", "fish", "pwsh"])
     comp.set_defaults(fn=cmd_completions, log_level="WARNING")
@@ -204,21 +218,17 @@ def main(argv=None) -> int:
                 continue  # registry 0 means auto-detect
             setattr(args, attr, value)
 
-    # SIGUSR1 -> thread/stack dump, SIGUSR2 -> gc/memory report (the
-    # reference's sync-state and leak-report signals, src/main.c:323-338)
+    # SIGUSR1 -> all-thread stack dump, SIGUSR2 -> gc/memory report (the
+    # reference's sync-state and leak-report signals, src/main.c:323-338).
+    # SIGUSR1 goes through faulthandler into a well-known per-pid file
+    # (utils/dumps.py): the dump is written at C signal level WITHOUT the
+    # GIL, so `ascii-query` (apps/query.py) can pull Python stacks out of a
+    # fully deadlocked process that was never started with --inspect-port.
     import signal
 
-    def _dump_threads(*_):
-        import sys as _sys
-        import threading
-        import traceback
+    from asciichat_tpu.utils.dumps import install_dump_handlers
 
-        frames = _sys._current_frames()
-        for t in threading.enumerate():
-            print(f"--- thread {t.name} ---", file=_sys.stderr)
-            f = frames.get(t.ident)
-            if f:
-                traceback.print_stack(f, file=_sys.stderr)
+    install_dump_handlers()
 
     def _dump_memory(*_):
         import gc
@@ -228,7 +238,6 @@ def main(argv=None) -> int:
               file=_sys.stderr)
 
     try:
-        signal.signal(signal.SIGUSR1, _dump_threads)
         signal.signal(signal.SIGUSR2, _dump_memory)
     except (ValueError, OSError, AttributeError):
         pass
