@@ -283,8 +283,8 @@ class AcdsServer:
                         else:
                             await self._run_election(session_string)
                 elif ptype in (P.ACIP_WEBRTC_SDP, P.ACIP_WEBRTC_ICE,
-                               P.ACIP_RING_COLLECT, P.ACIP_SETTINGS_SYNC,
-                               P.ACIP_SETTINGS_ACK):
+                               P.ACIP_WEBRTC_RELAY, P.ACIP_RING_COLLECT,
+                               P.ACIP_SETTINGS_SYNC, P.ACIP_SETTINGS_ACK):
                     # relay to target participant (signaling.c:137 pattern);
                     # the ORIGINAL sender-signed envelope travels end-to-end
                     # so the receiver verifies the sender, not the relay

@@ -44,8 +44,8 @@ class SignedAcdsChannel:
         self.pins = pins
         P = pkt.PacketType
         self._relayed = {P.ACIP_RING_COLLECT, P.ACIP_WEBRTC_SDP,
-                         P.ACIP_WEBRTC_ICE, P.ACIP_SETTINGS_SYNC,
-                         P.ACIP_SETTINGS_ACK}
+                         P.ACIP_WEBRTC_ICE, P.ACIP_WEBRTC_RELAY,
+                         P.ACIP_SETTINGS_SYNC, P.ACIP_SETTINGS_ACK}
         self.dropped = 0
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
@@ -241,6 +241,11 @@ class DiscoverySession:
         # the signed ACDS SDP relay (lib/network/webrtc/ + signaling.c)
         self._p2p_agents: dict[str, object] = {}
         self._p2p_pending: dict[str, asyncio.Future] = {}
+        # TURN-role fallback (parallel_connect.c ladder, last rung): when
+        # ICE checks fail, the channel rides ACIP_WEBRTC_RELAY through the
+        # ACDS — still end-to-end encrypted, the relay is blind
+        self._p2p_relay: dict[str, object] = {}
+        self._relay_pending: dict[str, asyncio.Future] = {}
         # optional STUN server for server-reflexive candidates ("host:port";
         # lets P2P work behind NATs UPnP can't open)
         self.stun_server: tuple[str, int] | None = None
@@ -355,6 +360,11 @@ class DiscoverySession:
                         self._on_webrtc_sdp(payload)
                     except (KeyError, ValueError) as e:
                         log.warning("bad SDP relay dropped: %s", e)
+                elif ptype == P.ACIP_WEBRTC_RELAY:
+                    try:
+                        self._on_webrtc_relay(payload)
+                    except (KeyError, ValueError) as e:
+                        log.warning("bad data relay dropped: %s", e)
                 elif ptype == P.ACIP_SETTINGS_SYNC:
                     try:
                         self._on_settings_sync(payload)
@@ -428,13 +438,63 @@ class DiscoverySession:
     # -- P2P channels over the signed SDP relay ---------------------------
     def _on_webrtc_sdp(self, payload: bytes) -> None:
         data = json.loads(payload)
-        frm, desc, kind = data["from"], data["desc"], data.get("kind", "offer")
+        frm, kind = data["from"], data.get("kind", "offer")
         if kind == "answer":
             fut = self._p2p_pending.pop(frm, None)
             if fut is not None and not fut.done():
-                fut.set_result(desc)
+                fut.set_result(data["desc"])
+        elif kind == "relay-req":
+            # peer's ICE checks failed; fall back to the blind TURN-role
+            # relay. Requires a prior offer/answer (the channel reuses the
+            # X25519 keys exchanged in the signaling blobs).
+            agent = self._p2p_agents.get(frm)
+            if agent is None or agent.remote is None:
+                log.warning("relay-req from %s without prior offer; ignored", frm)
+                return
+            if frm not in self._p2p_relay:
+                self._make_relay_channel(frm)
+                log.info("P2P with %s falling back to ACDS relay (TURN role)",
+                         frm)
+            self._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
+                "to": frm, "from": self.participant_id, "kind": "relay-ok",
+            }).encode())
+        elif kind == "relay-ok":
+            fut = self._relay_pending.pop(frm, None)
+            if fut is not None and not fut.done():
+                fut.set_result(True)
         else:
-            asyncio.get_running_loop().create_task(self._p2p_answer(frm, desc))
+            asyncio.get_running_loop().create_task(
+                self._p2p_answer(frm, data["desc"]))
+
+    def _on_webrtc_relay(self, payload: bytes) -> None:
+        """A relayed channel segment: feed the peer's relay channel. The
+        segment is secretbox-encrypted under the ICE session keys, so a
+        malicious relay (or a peer spoofing 'from' past the ACDS pin check)
+        cannot inject plaintext — decrypt failure drops it silently."""
+        import base64
+
+        data = json.loads(payload)
+        ch = self._p2p_relay.get(data["from"])
+        if ch is not None:
+            ch.on_datagram(base64.b64decode(data["data"]))
+
+    def _make_relay_channel(self, peer_id: str):
+        from asciichat_tpu.net.webrtc import SecureP2PChannel
+
+        agent = self._p2p_agents[peer_id]
+
+        def send_via_relay(enc: bytes) -> None:
+            import base64
+
+            self._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_RELAY, json.dumps({
+                "to": peer_id, "from": self.participant_id,
+                "data": base64.b64encode(enc).decode(),
+            }).encode())
+
+        ch = SecureP2PChannel(agent.crypto, send_via_relay,
+                              peername=("acds-relay", peer_id), via_relay=True)
+        self._p2p_relay[peer_id] = ch
+        return ch
 
     async def _p2p_answer(self, frm: str, desc: dict) -> None:
         """Incoming offer: spawn the controlled agent and answer. A fresh
@@ -444,10 +504,15 @@ class DiscoverySession:
 
         stale = self._p2p_agents.get(frm)
         if stale is not None:
-            if stale.connected.is_set():
+            relay = self._p2p_relay.get(frm)
+            if stale.connected.is_set() or (relay is not None
+                                            and not relay.closed):
                 return  # live channel exists; ignore duplicate offers
             stale.close()
             del self._p2p_agents[frm]
+            if relay is not None:  # dead relay from a failed prior attempt
+                relay.close()
+                del self._p2p_relay[frm]
         agent = IceLiteAgent(controlling=False)
         await agent.start()
         self._p2p_agents[frm] = agent
@@ -459,12 +524,20 @@ class DiscoverySession:
         }).encode())
         agent.set_remote(desc)
 
-    async def p2p_connect(self, peer_id: str, timeout: float = 10.0):
-        """Negotiate a direct encrypted P2P channel with another participant:
-        offer/answer through the Ed25519-signed ACDS relay, ICE-lite checks,
-        then the reliable channel (net/webrtc.SecureP2PChannel)."""
+    async def p2p_connect(self, peer_id: str, timeout: float = 10.0,
+                          ice_timeout: float | None = None,
+                          relay_fallback: bool = True):
+        """Negotiate an encrypted P2P channel with another participant,
+        walking the reference's connect ladder (parallel_connect.c:1-321):
+        offer/answer through the Ed25519-signed ACDS relay, ICE-lite
+        connectivity checks for a direct UDP path, and — when both peers sit
+        behind NATs that block direct UDP (symmetric NATs) — fall back to
+        relaying the still-end-to-end-encrypted channel through the ACDS
+        (the TURN role; the relay host cannot read or forge segments)."""
         from asciichat_tpu.net.webrtc import IceLiteAgent
 
+        if ice_timeout is None:
+            ice_timeout = min(4.0, timeout / 2)
         agent = IceLiteAgent(controlling=True)
         await agent.start()
         if self.stun_server:
@@ -479,25 +552,56 @@ class DiscoverySession:
         try:
             desc = await asyncio.wait_for(fut, timeout)
             agent.set_remote(desc)
-            return await agent.wait_connected(timeout)
+            try:
+                return await agent.wait_connected(ice_timeout)
+            except (asyncio.TimeoutError, TimeoutError):
+                if not relay_fallback:
+                    raise
+                log.info("ICE checks to %s failed after %.1fs; trying ACDS "
+                         "relay (TURN role)", peer_id, ice_timeout)
+                return await self._relay_connect(peer_id, timeout)
         except (asyncio.TimeoutError, TimeoutError):
             # clean up so a retry starts fresh (stale agents also hold the
             # UDP socket open)
             self._p2p_pending.pop(peer_id, None)
             self._p2p_agents.pop(peer_id, None)
+            self._relay_pending.pop(peer_id, None)
             agent.close()
             raise
 
+    async def _relay_connect(self, peer_id: str, timeout: float):
+        """Last ladder rung: ask the peer to switch to the ACDS data relay,
+        then bring up the channel over ACIP_WEBRTC_RELAY segments."""
+        fut = asyncio.get_running_loop().create_future()
+        self._relay_pending[peer_id] = fut
+        self._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
+            "to": peer_id, "from": self.participant_id, "kind": "relay-req",
+        }).encode())
+        await asyncio.wait_for(fut, timeout)
+        return self._make_relay_channel(peer_id)
+
     async def p2p_accept(self, peer_id: str, timeout: float = 10.0):
-        """Wait for the channel negotiated from an incoming offer."""
-        deadline = asyncio.get_running_loop().time() + timeout
+        """Wait for the channel negotiated from an incoming offer — direct
+        (ICE) or relayed (TURN-role fallback), whichever establishes."""
+        loop = asyncio.get_running_loop()
+        deadline = loop.time() + timeout
         while peer_id not in self._p2p_agents:
-            if asyncio.get_running_loop().time() > deadline:
+            if loop.time() > deadline:
                 raise TimeoutError(f"no P2P offer from {peer_id}")
             await asyncio.sleep(0.05)
-        return await self._p2p_agents[peer_id].wait_connected(timeout)
+        agent = self._p2p_agents[peer_id]
+        while True:
+            if agent.connected.is_set():
+                return agent.channel
+            if peer_id in self._p2p_relay:
+                return self._p2p_relay[peer_id]
+            if loop.time() > deadline:
+                raise TimeoutError(f"no P2P channel with {peer_id}")
+            await asyncio.sleep(0.05)
 
     async def leave(self) -> None:
+        for ch in self._p2p_relay.values():
+            ch.close()
         for agent in self._p2p_agents.values():
             agent.close()
         if self._t and self.session_string:

@@ -93,6 +93,10 @@ class PacketType(enum.IntEnum):
     ACIP_SESSION_RECONNECT = 6008
     ACIP_WEBRTC_SDP = 6009
     ACIP_WEBRTC_ICE = 6010
+    # TURN-role data relay: when ICE connectivity fails, SecureP2PChannel
+    # segments (still end-to-end encrypted) ride the signaling relay
+    # (parallel_connect.c:1-321 direct -> ICE -> TURN ladder, last rung)
+    ACIP_WEBRTC_RELAY = 6011
     ACIP_STRING_RESERVE = 6020
     ACIP_STRING_RESERVED = 6021
     ACIP_STRING_RENEW = 6022

@@ -188,7 +188,11 @@ class IceLiteAgent(asyncio.DatagramProtocol):
     def _nominate(self, addr) -> None:
         if self.peer_addr is None:
             self.peer_addr = addr
-            self.channel = SecureP2PChannel(self, addr)
+            self.channel = SecureP2PChannel(
+                self.crypto,
+                lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a),
+                peername=addr,
+            )
             self.connected.set()
             log.info("ICE pair nominated: %s (%s)", addr,
                      "controlling" if self.controlling else "controlled")
@@ -207,20 +211,30 @@ class IceLiteAgent(asyncio.DatagramProtocol):
 
 
 class SecureP2PChannel:
-    """Reliable ordered encrypted byte stream over the nominated UDP pair,
+    """Reliable ordered encrypted byte stream over a datagram carrier,
     exposing the ACIP Transport interface (send/recv of typed packets).
+
+    The carrier is pluggable (`send_datagram`): normally the nominated ICE
+    UDP pair, but when connectivity checks fail the SAME channel runs over
+    the ACDS signaling relay (the TURN rung of the reference's
+    direct-TCP -> ICE -> TURN connect ladder, parallel_connect.c:1-321) —
+    segments stay end-to-end encrypted, so the relay host is blind.
 
     Segment plaintext: u32 seq | u32 ack | u8 flags | payload. Each segment
     is encrypted as one secretbox datagram (nonce||MAC||ct) under the ICE
-    session's X25519 key, so an on-path attacker can neither read nor forge
-    segments or acks. Go-Back-N: cumulative acks, RTO retransmission."""
+    session's X25519 key, so an on-path attacker (including the TURN-role
+    relay) can neither read nor forge segments or acks. Go-Back-N:
+    cumulative acks, RTO retransmission."""
 
     HDR = struct.Struct(">IIB")
     FLAG_ACK_ONLY = 1
 
-    def __init__(self, agent: IceLiteAgent, peer: tuple[str, int]):
-        self.agent = agent
-        self.peer = peer
+    def __init__(self, crypto: CryptoContext, send_datagram, peername,
+                 via_relay: bool = False):
+        self.crypto = crypto
+        self._send_datagram = send_datagram
+        self.peer = peername
+        self.via_relay = via_relay
         self.snd_base = 0  # oldest unacked byte
         self.snd_next = 0
         self._inflight: list[tuple[int, bytes]] = []  # (seq, payload)
@@ -242,7 +256,7 @@ class SecureP2PChannel:
     # -- sending ---------------------------------------------------------------
     def _send_segment(self, seq: int, payload: bytes, flags: int = 0) -> None:
         plain = self.HDR.pack(seq, self.rcv_next, flags) + payload
-        self.agent.transport.sendto(self.agent.crypto.encrypt(plain), self.peer)
+        self._send_datagram(self.crypto.encrypt(plain))
         if not flags & self.FLAG_ACK_ONLY:
             self._last_data_send = time.monotonic()
 
@@ -275,7 +289,7 @@ class SecureP2PChannel:
     # -- receiving ---------------------------------------------------------------
     def on_datagram(self, data: bytes) -> None:
         try:
-            plain = self.agent.crypto.decrypt(data)
+            plain = self.crypto.decrypt(data)
         except ValueError:
             return  # forged/garbled
         if len(plain) < self.HDR.size:

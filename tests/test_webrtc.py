@@ -395,3 +395,75 @@ def test_srflx_gathering_against_stun_server():
             st_transport.close()
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_p2p_relay_fallback_behind_symmetric_nat(monkeypatch):
+    """TURN-role last rung of the connect ladder (parallel_connect.c:1-321):
+    a fake symmetric NAT eats EVERY direct UDP datagram both ways, so ICE
+    connectivity checks cannot succeed; the channel must fall back to
+    relaying its end-to-end-encrypted segments through the ACDS
+    (ACIP_WEBRTC_RELAY) and still deliver ACIP packets both directions,
+    including multi-segment reassembly."""
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net.transport import serve_tcp
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    orig_start = IceLiteAgent.start
+
+    async def natted_start(self, bind="0.0.0.0", port=0):
+        await orig_start(self, bind, port)
+        real = self.transport
+
+        class BlackholeNat:
+            """Symmetric NAT with no mapping: every outbound UDP datagram
+            (STUN checks AND data) is dropped before it leaves."""
+
+            def sendto(self, data, addr=None):
+                pass
+
+            def get_extra_info(self, key, default=None):
+                return real.get_extra_info(key, default)
+
+            def close(self):
+                real.close()
+
+        self.transport = BlackholeNat()
+
+    monkeypatch.setattr(IceLiteAgent, "start", natted_start)
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="nat-a")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="nat-b")
+        await s1.connect()
+        await s2.connect()
+        session = await s1.create(my_port=15003)
+        await s2.join(session)
+        events = [asyncio.create_task(s.event_loop()) for s in (s1, s2)]
+        try:
+            ch_a, ch_b = await asyncio.gather(
+                s1.p2p_connect("nat-b", timeout=20, ice_timeout=1.0),
+                s2.p2p_accept("nat-a", timeout=20),
+            )
+            assert ch_a.via_relay and ch_b.via_relay
+            await ch_a.send(pkt.PacketType.TEXT_MESSAGE, b"hello via relay")
+            ptype, payload = await asyncio.wait_for(ch_b.recv(), 5)
+            assert (ptype, payload) == (pkt.PacketType.TEXT_MESSAGE,
+                                        b"hello via relay")
+            # multi-segment payload (> SEGMENT_SIZE) reassembles through the
+            # relay's per-segment JSON envelopes
+            big = bytes(range(256)) * 20  # 5120 B > 4 segments
+            await ch_b.send(pkt.PacketType.ASCII_FRAME, big)
+            ptype, payload = await asyncio.wait_for(ch_a.recv(), 10)
+            assert ptype == pkt.PacketType.ASCII_FRAME and payload == big
+        finally:
+            for e in events:
+                e.cancel()
+            await s1.leave()
+            await s2.leave()
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
