@@ -529,11 +529,11 @@ class AsciiChatServer:
         log.info("listening on %s:%d (tcp)", self.host, self.port)
         ws_server = None
         if self.ws_port:
-            from asciichat_tpu.apps.webclient import INDEX_HTML
+            from asciichat_tpu.apps.webclient import make_http_handler
             from asciichat_tpu.net.websocket import serve_ws
 
             ws_server = await serve_ws(self._handle_conn, self.host, self.ws_port,
-                                       index_html=INDEX_HTML)
+                                       pages=make_http_handler())
             log.info("listening on %s:%d (websocket + browser client page)",
                      self.host, self.ws_port)
         announcer = None

@@ -237,22 +237,33 @@ async def connect_ws(host: str, port: int, path: str = "/",
 
 
 async def serve_ws(handler, host: str, port: int,
-                   index_html: str | None = None) -> asyncio.AbstractServer:
+                   index_html: str | None = None,
+                   pages=None) -> asyncio.AbstractServer:
     """Listen for WebSocket upgrades; `await handler(WebSocketTransport)`.
-    Plain HTTP GETs are answered with `index_html` when provided (the
-    browser client page) and 400 otherwise."""
+    Plain HTTP GETs are routed through `pages(path) -> (ctype, body)|None`
+    when provided (the browser app's static assets + JSON endpoints), else
+    answered with `index_html` for any path, else 400."""
 
     async def on_conn(reader, writer):
         try:
             status, headers = await _read_http_headers(reader)
             key = headers.get("sec-websocket-key")
             if not key or "upgrade" not in headers.get("connection", "").lower():
-                if index_html is not None and status.startswith("GET"):
-                    body = index_html.encode()
+                page = None
+                if status.startswith("GET"):
+                    path = status.split(" ")[1] if " " in status else "/"
+                    if pages is not None:
+                        page = pages(path)
+                    elif index_html is not None:
+                        page = ("text/html; charset=utf-8", index_html.encode())
+                if page is not None:
+                    ctype, body = page
                     writer.write(
-                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-                        + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+                        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
                     )
+                elif status.startswith("GET") and (pages or index_html):
+                    writer.write(b"HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n")
                 else:
                     writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
                 await writer.drain()

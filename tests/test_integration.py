@@ -270,7 +270,12 @@ def test_browser_page_and_no_compress_bit():
                 time.sleep(1)
         assert page is not None, "ws port never came up"
         assert b"<title>asciichat-tpu</title>" in page
-        assert b"capsPayload" in page and b"ansiToHtml" in page
+        # the app shell references the render-core assets (served separately)
+        assert b"/app.js" in page and b"/ansi.js" in page
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port_ws}/ansi.js", timeout=10
+        ) as r:
+            assert b"AnsiGrid" in r.read()
 
         feeder = _spawn("client", "127.0.0.1", "--port", str(port_tcp),
                         "--test-pattern", "--max-frames", "100000",
@@ -423,6 +428,26 @@ def test_live_server_uses_batched_device_tick():
         srv.wait(timeout=10)
 
 
+def _wait_audio_samples(path: str, min_samples: int, timeout_s: float = 45.0,
+                        procs: tuple = ()) -> None:
+    """Poll until the f32 capture file holds enough samples. A fixed sleep is
+    load-flaky on this 1-vCPU box: under a full-suite run the jax import in
+    three child processes can eat >10 s of the exchange window."""
+    import os
+
+    deadline = time.monotonic() + timeout_s
+    need = min_samples * 4
+    while time.monotonic() < deadline:
+        for p in procs:
+            assert p.poll() is None, "child process died during audio exchange"
+        try:
+            if os.path.getsize(path) >= need:
+                return
+        except OSError:
+            pass
+        time.sleep(0.5)
+
+
 def test_client_audio_duplex_exclude_self(tmp_path):
     """Two REAL clients exchange audio through the server: A captures a 440 Hz
     tone, B captures silence. Exclude-self mixing (mixer.c:636) means A's
@@ -442,7 +467,8 @@ def test_client_audio_duplex_exclude_self(tmp_path):
         b = _spawn("client", "127.0.0.1", "--port", str(port), "--no-media",
                    "--tone-hz", "0", "--audio-out", fb,
                    "--no-reconnect", "--log-level", "WARNING")
-        time.sleep(14)  # jax import + several seconds of real audio exchange
+        # ~2 s of steady-state mix in B's capture, however long imports take
+        _wait_audio_samples(fb, 96000, procs=(a, b))
         for p in (a, b):
             p.send_signal(signal.SIGINT)
         for p in (a, b):
@@ -624,7 +650,7 @@ def test_opus_audio_duplex(tmp_path):
         b = _spawn("client", "127.0.0.1", "--port", str(port), "--no-media",
                    "--tone-hz", "0", "--opus", "--audio-out", fb,
                    "--no-reconnect", "--log-level", "WARNING")
-        time.sleep(14)
+        _wait_audio_samples(fb, 96000, procs=(a, b))
         for p in (a, b):
             p.send_signal(signal.SIGINT)
         for p in (a, b):

@@ -1,0 +1,400 @@
+"""Browser client: ANSI->cell-grid parser golden tests + asset serving.
+
+The browser render core (web/ansi.js) parses oracle-grammar frames into
+typed-array cell grids. Its Python twin (web/ansiparse.py, same algorithm)
+is golden-tested here against EVERY oracle render mode: for random frames,
+parse(oracle_bytes) must reproduce the per-cell (glyph, fg, bg) derived
+independently from the pixel math. When a node interpreter is available the
+actual JS file is run against the same corpus (skip otherwise — this image
+has no JS runtime; see README 'web client' notes).
+
+Reference grammars: lib/video/ascii/scalar/foreground.c, halfblock.c,
+output_buffer.c:107-164, terminal/ansi.c:360-583.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from asciichat_tpu.render import oracle
+from asciichat_tpu.render import palette as pal
+from asciichat_tpu.web import ansiparse
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _pack(r, g, b):
+    return (int(r) << 16) | (int(g) << 8) | int(b)
+
+
+def _luma(px):
+    return oracle.clamp_rgb(oracle.luminance(int(px[0]), int(px[1]), int(px[2])))
+
+
+def _cp(glyph_bytes: bytes) -> int:
+    return ord(glyph_bytes.decode())
+
+
+def _rand_frames(seed, n=3, hmax=24, wmax=40):
+    rng = np.random.default_rng(seed)
+    for _ in range(n):
+        h = int(rng.integers(2, hmax))
+        w = int(rng.integers(2, wmax))
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == 1:  # flat runs + black regions (exercises RLE/REP paths)
+            rgb = np.zeros((h, w, 3), np.uint8)
+            for _ in range(int(rng.integers(1, 6))):
+                y0, x0 = int(rng.integers(0, h)), int(rng.integers(0, w))
+                y1, x1 = int(rng.integers(y0, h)) + 1, int(rng.integers(x0, w)) + 1
+                rgb[y0:y1, x0:x1] = rng.integers(0, 256, 3, dtype=np.uint8)
+        else:  # gradient
+            yy, xx = np.mgrid[0:h, 0:w]
+            rgb = np.stack([xx * 255 // max(w - 1, 1),
+                            yy * 255 // max(h - 1, 1),
+                            (xx + yy) % 256], -1).astype(np.uint8)
+        yield rgb
+
+
+# --------------------------------------------------------------------------
+# expected cells per mode, derived from pixel math (NOT from the emitters)
+
+def _cells_mono(rgb, cache):
+    h, w = rgb.shape[:2]
+    g = np.zeros((h, w), np.int64)
+    f = np.full((h, w), -1, np.int64)
+    b = np.full((h, w), -1, np.int64)
+    for y in range(h):
+        for x in range(w):
+            key = cache.char_index_ramp[_luma(rgb[y, x]) >> 2]
+            g[y, x] = _cp(cache.mono_glyphs()[key])
+    return g, f, b
+
+
+def _cells_truecolor_fg(rgb, cache):
+    h, w = rgb.shape[:2]
+    g = np.zeros((h, w), np.int64)
+    f = np.zeros((h, w), np.int64)
+    b = np.full((h, w), -1, np.int64)
+    for y in range(h):
+        for x in range(w):
+            g[y, x] = _cp(cache.cache256[_luma(rgb[y, x])])
+            f[y, x] = _pack(*rgb[y, x])
+    return g, f, b
+
+
+def _cells_256(rgb, cache):
+    h, w = rgb.shape[:2]
+    g = np.zeros((h, w), np.int64)
+    f = np.zeros((h, w), np.int64)
+    b = np.full((h, w), -1, np.int64)
+    for y in range(h):
+        for x in range(w):
+            px = rgb[y, x]
+            g[y, x] = _cp(cache.cache256[_luma(px)])
+            f[y, x] = ansiparse.xterm256(
+                oracle.rgb_to_256color(int(px[0]), int(px[1]), int(px[2])))
+    return g, f, b
+
+
+def _cells_16(rgb, cache):
+    h, w = rgb.shape[:2]
+    g = np.zeros((h, w), np.int64)
+    f = np.zeros((h, w), np.int64)
+    b = np.full((h, w), -1, np.int64)
+    for y in range(h):
+        for x in range(w):
+            px = rgb[y, x]
+            idx = oracle.rgb_to_16color(int(px[0]), int(px[1]), int(px[2]))
+            g[y, x] = _cp(cache.cache256[cache.char_index_ramp[_luma(px) >> 2]])
+            f[y, x] = ansiparse.ANSI16[idx]
+    return g, f, b
+
+
+def _cells_16_dithered(rgb, cache):
+    h, w = rgb.shape[:2]
+    idxs = oracle._fs_dither_indices(rgb)
+    g = np.zeros((h, w), np.int64)
+    f = np.zeros((h, w), np.int64)
+    b = np.full((h, w), -1, np.int64)
+    for y in range(h):
+        for x in range(w):
+            g[y, x] = _cp(cache.cache256[cache.char_index_ramp[_luma(rgb[y, x]) >> 2]])
+            f[y, x] = ansiparse.ANSI16[int(idxs[y, x])]
+    return g, f, b
+
+
+def _cells_16_dithered_bg(rgb, cache):
+    h, w = rgb.shape[:2]
+    idxs = oracle._fs_dither_indices(rgb)
+    g = np.zeros((h, w), np.int64)
+    f = np.zeros((h, w), np.int64)
+    b = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            idx = int(idxs[y, x])
+            br = oracle.ANSI16_RGB[idx]
+            bg_lum = (int(br[0]) * 77 + int(br[1]) * 150 + int(br[2]) * 29) // 256
+            g[y, x] = _cp(cache.cache256[_luma(rgb[y, x])])
+            b[y, x] = ansiparse.ANSI16[idx]
+            f[y, x] = ansiparse.ANSI16[15 if bg_lum < 127 else 0]
+    return g, f, b
+
+
+def _cells_halfblock_truecolor(rgb, cache):
+    rows = list(oracle._hb_rows(rgb))
+    h, w = len(rows), rgb.shape[1]
+    g = np.full((h, w), 32, np.int64)
+    f = np.full((h, w), -1, np.int64)
+    b = np.full((h, w), -1, np.int64)
+    for y, (top, bot, _last) in enumerate(rows):
+        for x in range(w):
+            t = tuple(int(v) for v in top[x])
+            btm = tuple(int(v) for v in bot[x])
+            if t == (0, 0, 0) and btm == (0, 0, 0):
+                continue  # transparent: space, no colors
+            g[y, x] = 0x2580
+            f[y, x] = _pack(*t)
+            b[y, x] = _pack(*btm)
+    return g, f, b
+
+
+def _cells_halfblock_indexed(rgb, cache, quant, resolve):
+    rows = list(oracle._hb_rows(rgb))
+    h, w = len(rows), rgb.shape[1]
+    g = np.full((h, w), 32, np.int64)
+    f = np.full((h, w), -1, np.int64)
+    b = np.full((h, w), -1, np.int64)
+    for y, (top, bot, _last) in enumerate(rows):
+        for x in range(w):
+            t = tuple(int(v) for v in top[x])
+            btm = tuple(int(v) for v in bot[x])
+            if t == (0, 0, 0) and btm == (0, 0, 0):
+                continue
+            g[y, x] = 0x2580
+            f[y, x] = resolve(quant(*t))
+            b[y, x] = resolve(quant(*btm))
+    return g, f, b
+
+
+def _cells_halfblock_mono(rgb, cache):
+    rows = list(oracle._hb_rows(rgb))
+    h, w = len(rows), rgb.shape[1]
+    g = np.full((h, w), 32, np.int64)
+    f = np.full((h, w), -1, np.int64)
+    b = np.full((h, w), -1, np.int64)
+    shades = [0x2591, 0x2592, 0x2593, 0x2588]
+    for y, (top, bot, _last) in enumerate(rows):
+        for x in range(w):
+            t = tuple(int(v) for v in top[x])
+            btm = tuple(int(v) for v in bot[x])
+            lum_top = (t[0] * 76 + t[1] * 150 + t[2] * 29) >> 8
+            lum_bot = (btm[0] * 76 + btm[1] * 150 + btm[2] * 29) >> 8
+            if lum_top < 16 and lum_bot < 16:
+                continue
+            g[y, x] = shades[lum_top >> 6]
+    return g, f, b
+
+
+MODES = {
+    "mono": (oracle.render_mono, _cells_mono),
+    "truecolor_fg": (oracle.render_truecolor_fg, _cells_truecolor_fg),
+    "truecolor_fg_utf8": (oracle.render_truecolor_fg_utf8, _cells_truecolor_fg),
+    "256color": (oracle.render_256color, _cells_256),
+    "16color": (oracle.render_16color, _cells_16),
+    "16color_dithered": (oracle.render_16color_dithered, _cells_16_dithered),
+    "16color_dithered_bg": (
+        lambda rgb, palette: oracle.render_16color_dithered_bg(rgb, True, palette),
+        _cells_16_dithered_bg,
+    ),
+    "halfblock_truecolor": (
+        lambda rgb, palette: oracle.render_halfblock_truecolor(rgb),
+        _cells_halfblock_truecolor,
+    ),
+    "halfblock_256": (
+        oracle.render_halfblock_256,
+        lambda rgb, cache: _cells_halfblock_indexed(
+            rgb, cache, oracle.rgb_to_256color, ansiparse.xterm256),
+    ),
+    "halfblock_16": (
+        oracle.render_halfblock_16,
+        lambda rgb, cache: _cells_halfblock_indexed(
+            rgb, cache, oracle.rgb_to_16color, lambda i: ansiparse.ANSI16[i]),
+    ),
+    "halfblock_mono": (oracle.render_halfblock_mono, _cells_halfblock_mono),
+}
+
+
+@pytest.mark.parametrize("mode", sorted(MODES))
+def test_parser_reconstructs_cells(mode):
+    """parse(oracle bytes) == cells derived from pixel math, per mode."""
+    render, expect = MODES[mode]
+    cache = pal.get_palette_cache(pal.DEFAULT_PALETTE)
+    grid = ansiparse.AnsiGrid()
+    for i, rgb in enumerate(_rand_frames(seed=hash(mode) % 2**32, n=4)):
+        frame = render(rgb, pal.DEFAULT_PALETTE)
+        grid.parse(frame)
+        eg, ef, eb = expect(rgb, cache)
+        assert (grid.h, grid.w) == eg.shape, (mode, i, grid.h, grid.w, eg.shape)
+        g, f, b = grid.cells()
+        np.testing.assert_array_equal(g, eg, err_msg=f"{mode}[{i}] glyphs")
+        np.testing.assert_array_equal(f, ef, err_msg=f"{mode}[{i}] fg")
+        np.testing.assert_array_equal(b, eb, err_msg=f"{mode}[{i}] bg")
+
+
+def test_parser_handles_padding_and_full_driver():
+    """Full ascii_convert_with_capabilities output (aspect fit + left/top
+    padding) parses to a grid with the padding as default cells and the
+    content block byte-faithful."""
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK)
+    out = oracle.ascii_convert_with_capabilities(rgb, 60, 30, caps)
+    rw, rh, pad_w, pad_h = oracle.compute_render_geometry(64, 48, 60, 30, caps)
+    grid = ansiparse.AnsiGrid().parse(out)
+    assert grid.h == pad_h + rh // 2
+    assert grid.w == pad_w + rw
+    g, f, b = grid.cells()
+    # padding cells are untouched defaults
+    assert (g[:pad_h] == 32).all() and (f[:pad_h] == -1).all()
+    assert (g[pad_h:, :pad_w] == 32).all()
+    # content block equals parsing the unpadded render directly
+    resized = oracle.resize_image(rgb, rw, rh)
+    inner = ansiparse.AnsiGrid().parse(oracle.render_halfblock_truecolor(resized))
+    gi, fi, bi = inner.cells()
+    np.testing.assert_array_equal(g[pad_h:, pad_w:], gi)
+    np.testing.assert_array_equal(f[pad_h:, pad_w:], fi)
+    np.testing.assert_array_equal(b[pad_h:, pad_w:], bi)
+
+
+def test_parser_rep_and_reset_edge_cases():
+    g = ansiparse.AnsiGrid()
+    # REP with active SGR repeats glyph+attrs; ESC[m empty = reset
+    g.parse("\x1b[38;2;1;2;3mA\x1b[3b\x1b[mB")
+    assert g.w == 5 and g.h == 1
+    assert g.cell(0, 0) == (ord("A"), 0x010203, -1)
+    assert g.cell(3, 0) == (ord("A"), 0x010203, -1)
+    assert g.cell(4, 0) == (ord("B"), -1, -1)
+    # unknown CSI finals are skipped without emitting cells
+    g.parse("\x1b[2J\x1b[HX")
+    assert g.w == 1 and g.cell(0, 0)[0] == ord("X")
+    # 16-color bright + bg codes
+    g.parse("\x1b[97m\x1b[41mZ")
+    assert g.cell(0, 0) == (ord("Z"), 0xFFFFFF, 0x800000)
+    # 256-color fg/bg
+    g.parse("\x1b[38;5;196m\x1b[48;5;21mQ")
+    assert g.cell(0, 0) == (ord("Q"), 0xFF0000, 0x0000FF)
+    # gray ramp + cube resolution
+    assert ansiparse.xterm256(232) == 0x080808
+    assert ansiparse.xterm256(255) == 0xEEEEEE
+    assert ansiparse.xterm256(16) == 0x000000
+    assert ansiparse.xterm256(231) == 0xFFFFFF
+
+
+def test_assets_serve_over_http():
+    """serve_ws routes the static app + JSON endpoints; 404 for unknown."""
+    import asyncio
+
+    from asciichat_tpu.apps.webclient import make_http_handler
+    from asciichat_tpu.net.websocket import serve_ws
+
+    async def fetch(port, path):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+        await writer.drain()
+        status = await reader.readline()
+        headers = {}
+        while True:
+            line = await reader.readline()
+            if line in (b"\r\n", b""):
+                break
+            k, _, v = line.decode().partition(":")
+            headers[k.strip().lower()] = v.strip()
+        body = await reader.readexactly(int(headers.get("content-length", 0)))
+        writer.close()
+        return status.decode(), headers, body
+
+    async def run():
+        async def handler(t):
+            await t.close()
+
+        srv = await serve_ws(handler, "127.0.0.1", 0,
+                             pages=make_http_handler())
+        port = srv.sockets[0].getsockname()[1]
+        st, hd, body = await fetch(port, "/")
+        assert "200" in st and "text/html" in hd["content-type"]
+        assert b"app.js" in body
+        st, hd, body = await fetch(port, "/ansi.js")
+        assert "200" in st and "javascript" in hd["content-type"]
+        assert b"AnsiGrid" in body
+        st, hd, body = await fetch(port, "/app.js")
+        assert b"CanvasRenderer" in body and b"benchLocal" in body
+        st, hd, body = await fetch(port, "/browse")
+        assert b"servers.json" in body
+        st, hd, body = await fetch(port, "/servers.json")
+        assert "200" in st
+        assert isinstance(json.loads(body), list)
+        st, hd, body = await fetch(port, "/no-such-page")
+        assert "404" in st
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def _corpus():
+    """Frames across modes for the JS<->Python equivalence run."""
+    out = []
+    for mode, (render, _) in sorted(MODES.items()):
+        rgb = next(iter(_rand_frames(seed=hash(mode) % 2**32, n=1)))
+        out.append(render(rgb, pal.DEFAULT_PALETTE).decode())
+    out.append("\x1b[38;2;1;2;3mA\x1b[3b\x1b[mB")
+    out.append("\x1b[97m\x1b[41mZ\x1b[2J\x1b[HX")
+    return out
+
+
+@pytest.mark.skipif(shutil.which("node") is None,
+                    reason="no node interpreter in this image")
+def test_js_parser_matches_python_twin(tmp_path):
+    """Run the ACTUAL web/ansi.js under node on the corpus and compare every
+    cell against the Python twin (line-for-line sync check)."""
+    corpus = _corpus()
+    runner = tmp_path / "run.mjs"
+    runner.write_text(
+        "const m = await import('file://"
+        + str(REPO / "asciichat_tpu/web/ansi.js")
+        + "');\n"
+        "const fs = await import('fs');\n"
+        "const corpus = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));\n"
+        "const out = [];\n"
+        "for (const text of corpus) {\n"
+        "  const g = new m.default.AnsiGrid ? new m.default.AnsiGrid() : null;\n"
+        "  const G = m.AnsiGrid || m.default.AnsiGrid;\n"
+        "  const grid = new G(); grid.parse(text);\n"
+        "  const cells = [];\n"
+        "  for (let y = 0; y < grid.h; y++) for (let x = 0; x < grid.w; x++)\n"
+        "    cells.push(grid.cell(x, y));\n"
+        "  out.push({w: grid.w, h: grid.h, cells});\n"
+        "}\n"
+        "fs.writeFileSync(process.argv[3], JSON.stringify(out));\n"
+    )
+    cin, cout = tmp_path / "corpus.json", tmp_path / "out.json"
+    cin.write_text(json.dumps(corpus))
+    subprocess.run(["node", str(runner), str(cin), str(cout)], check=True,
+                   timeout=60)
+    js = json.loads(cout.read_text())
+    for text, res in zip(corpus, js):
+        grid = ansiparse.AnsiGrid().parse(text)
+        assert (res["w"], res["h"]) == (grid.w, grid.h)
+        it = iter(res["cells"])
+        for y in range(grid.h):
+            for x in range(grid.w):
+                assert tuple(next(it)) == grid.cell(x, y), (x, y)
