@@ -201,16 +201,16 @@ class AsciiChatServer:
                 c.wire_caps.width = min(max(w, MIN_TERM_W), MAX_TERM_W)
                 c.wire_caps.height = min(max(h, MIN_TERM_H), MAX_TERM_H)
             elif ptype == P.STREAM_START:
-                c.streaming = True
+                await self._set_streaming(c, True)
             elif ptype == P.STREAM_STOP:
-                c.streaming = False
+                await self._set_streaming(c, False)
             elif ptype == P.IMAGE_FRAME:
                 pixels, w, h, fmt = pkt.unpack_image_frame(payload)
                 if fmt != pkt.PIXEL_FORMAT_RGB24 or w > MAX_UPLOAD_W or h > MAX_UPLOAD_H:
                     raise ValueError(f"bad image frame {w}x{h} fmt={fmt}")
                 frame = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
                 c.video.commit(frame)
-                c.streaming = True
+                await self._set_streaming(c, True)
             elif ptype == P.IMAGE_FRAME_H265:
                 # per-client decode context, lazily opened on the first AU
                 # (src/session/h265/server.c:14-25); dims ride the header
@@ -231,14 +231,15 @@ class AsciiChatServer:
                         continue
                 for frame in c.h265.decode(au):
                     c.video.commit(frame)
-                c.streaming = True
+                await self._set_streaming(c, True)
             elif ptype == P.AUDIO_BATCH:
                 body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
                 c.audio.write(np.frombuffer(body, "<f4")[:total])
             elif ptype == P.PING:
                 await c.transport.send(P.PONG, payload)
             elif ptype == P.CLIENT_JOIN:
-                c.streaming = True  # announces media capability (packet.h:5003)
+                # announces media capability (packet.h:5003)
+                await self._set_streaming(c, True)
             elif ptype == P.REMOTE_LOG:
                 # bidirectional remote logging (packet.h:2004)
                 log.info("remote[%d]: %s", c.id,
@@ -264,6 +265,15 @@ class AsciiChatServer:
             elif ptype == P.TEXT_MESSAGE:
                 await self._broadcast(P.TEXT_MESSAGE, payload, exclude=c.id)
             # unknown types are tolerated (forward compat)
+
+    async def _set_streaming(self, c: "ClientState", on: bool) -> None:
+        """Track stream start/stop and rebroadcast the roster on the
+        transition (the reference rebroadcasts server state when a client's
+        media starts, STREAM_START handling in src/server/protocol.c) —
+        without this, viewers' rosters go stale at the pre-stream count."""
+        if c.streaming != on:
+            c.streaming = on
+            await self._broadcast_state()
 
     async def _broadcast_state(self) -> None:
         """PACKET_TYPE_SERVER_STATE: current roster to all clients

@@ -782,3 +782,103 @@ def test_server_survives_protocol_fuzz_and_churn():
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_mixed_codec_population(tmp_path):
+    """Heterogeneous client population on ONE server (the reference's normal
+    deployment; ROADMAP 'mixed opus/raw + h265/raw populations'): client A
+    uplinks Opus audio (+H.265 video when a codec exists), client B uplinks
+    raw PCM + raw RGB, and an in-process viewer watches. Every per-client
+    decode path feeds the same batched tick; cross-codec audio is proven by
+    spectrum: B's mix is dominated by A's 440 Hz tone (decoded from Opus)
+    and A's mix by B's 220 Hz tone (raw), each through the exclude-self
+    mixer."""
+    import signal
+
+    from asciichat_tpu.runtime import codecs as codecs_mod
+
+    try:
+        codecs_mod.OpusCodec()
+    except codecs_mod.CodecUnavailable:
+        pytest.skip("no libopus")
+    try:
+        codecs_mod.H265Encoder(64, 48).close()
+        h265_args = ["--h265"]
+    except codecs_mod.CodecUnavailable:
+        h265_args = []  # still a mixed opus/raw population
+
+    port = PORT + 26
+    srv = _spawn("server", "--port", str(port), "--log-level", "WARNING")
+    time.sleep(4)
+    fa, fb = str(tmp_path / "a.f32"), str(tmp_path / "b.f32")
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        a = _spawn("client", "127.0.0.1", "--port", str(port), "--test-pattern",
+                   "--opus", *h265_args, "--tone-hz", "440", "--audio-out", fa,
+                   "--width", "60", "--height", "20",
+                   "--no-reconnect", "--log-level", "WARNING")
+        b = _spawn("client", "127.0.0.1", "--port", str(port), "--test-pattern",
+                   "--tone-hz", "220", "--audio-out", fb,
+                   "--width", "60", "--height", "20",
+                   "--no-reconnect", "--log-level", "WARNING")
+
+        # in-process viewer: sees both streams composited + roster state
+        async def viewer():
+            from asciichat_tpu.net import packet as pkt
+            from asciichat_tpu.net import protocol as proto
+            from asciichat_tpu.net.transport import connect_tcp
+            from asciichat_tpu.render.types import (
+                ColorLevel, RenderMode, TerminalCapabilities,
+            )
+
+            t = await connect_tcp("127.0.0.1", port)
+            caps = proto.WireCapabilities(
+                caps=TerminalCapabilities(ColorLevel.TRUECOLOR,
+                                          RenderMode.HALF_BLOCK),
+                width=80, height=24)
+            await t.send(pkt.PacketType.CLIENT_CAPABILITIES, caps.pack())
+            import json as _json
+
+            frames = 0
+            streaming = 0
+            deadline = asyncio.get_running_loop().time() + 90
+            while asyncio.get_running_loop().time() < deadline:
+                ptype, payload = await asyncio.wait_for(t.recv(), 30)
+                if ptype == pkt.PacketType.ASCII_FRAME:
+                    frames += 1
+                elif ptype == pkt.PacketType.SERVER_STATE:
+                    streaming = max(
+                        streaming, _json.loads(payload).get("streaming", 0))
+                if frames >= 30 and streaming >= 2:
+                    await t.close()
+                    return frames, streaming
+            raise AssertionError(
+                f"viewer saw frames={frames} streaming={streaming}")
+
+        frames, streaming = asyncio.run(viewer())
+        assert frames >= 30 and streaming >= 2
+
+        _wait_audio_samples(fb, 96000, procs=(a, b))
+        _wait_audio_samples(fa, 96000, procs=(a, b))
+        for p in (a, b):
+            p.send_signal(signal.SIGINT)
+        for p in (a, b):
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+        def dominant_hz(path):
+            v = np.fromfile(path, "<f4")
+            v = v[len(v) // 2:]  # steady state
+            spec = np.abs(np.fft.rfft(v * np.hanning(len(v))))
+            spec[:3] = 0  # ignore DC/duck envelope drift
+            return float(np.fft.rfftfreq(len(v), 1 / 48000)[int(np.argmax(spec))])
+
+        hz_b = dominant_hz(fb)  # B hears A's 440 (Opus-decoded server-side)
+        hz_a = dominant_hz(fa)  # A hears B's 220 (raw)
+        assert abs(hz_b - 440) < 25, f"B's mix dominated by {hz_b:.0f} Hz, not 440"
+        assert abs(hz_a - 220) < 25, f"A's mix dominated by {hz_a:.0f} Hz, not 220"
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
