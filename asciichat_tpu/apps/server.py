@@ -622,9 +622,11 @@ def main(args) -> int:
 
     allowed = None
     if args.allowed_keys:
-        from asciichat_tpu.net.sshauth import AuthorizedKeys
+        # file path OR forge specs ('github:alice,gitlab:bob' fetched over
+        # HTTPS — lib/crypto/https_keys.c role, net/httpskeys.py)
+        from asciichat_tpu.net.httpskeys import load_allowed_keys
 
-        allowed = AuthorizedKeys.load(args.allowed_keys)
+        allowed = load_allowed_keys(args.allowed_keys)
         log.info("SSH client auth required (%d allowed key(s))", len(allowed))
     gpg_keyring = None
     if args.gpg_keyring:

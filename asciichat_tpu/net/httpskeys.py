@@ -1,0 +1,104 @@
+"""Fetch SSH public keys for forge users over HTTPS (github:/gitlab: specs).
+
+Counterpart of the reference's lib/crypto/https_keys.c + lib/network/
+http_client.c (BearSSL HTTPS GET of https://github.com/<user>.keys /
+https://gitlab.com/<user>.keys feeding the SSH auth whitelist). Here the
+TLS client is stdlib ssl; the forge base URLs and the trust anchor are
+injectable so tests exercise the full HTTPS path against a local
+self-signed server with ZERO egress (the same fake-server pattern as the
+UPnP router and update-checker tests).
+
+Security notes:
+- certificate verification is ALWAYS on (ssl.create_default_context);
+  `cafile` only swaps the trust anchor, it never disables checking.
+- responses are size-capped and parsed as authorized_keys lines; only
+  ssh-ed25519 entries are kept (the only key type the handshake accepts,
+  net/sshauth.py).
+"""
+
+from __future__ import annotations
+
+import ssl
+import urllib.error
+import urllib.request
+
+from asciichat_tpu.net.sshauth import AuthorizedKeys, SshAuthError
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("httpskeys")
+
+FORGE_URLS = {
+    "github": "https://github.com/{user}.keys",
+    "gitlab": "https://gitlab.com/{user}.keys",
+}
+MAX_RESPONSE = 256 * 1024  # a keys page is a few hundred bytes; cap hard
+
+
+def fetch_keys_text(spec: str, *, forge_urls: dict[str, str] | None = None,
+                    cafile: str | None = None, timeout: float = 10.0) -> str:
+    """GET the authorized_keys-format text for 'github:user' / 'gitlab:user'."""
+    forge, _, user = spec.partition(":")
+    forge_urls = forge_urls or FORGE_URLS
+    if forge not in forge_urls or not user:
+        raise SshAuthError(f"bad key spec {spec!r} (want github:USER or gitlab:USER)")
+    if any(c in user for c in "/?#@ "):
+        raise SshAuthError(f"bad forge username {user!r}")
+    url = forge_urls[forge].format(user=user)
+    ctx = ssl.create_default_context(cafile=cafile)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout, context=ctx) as r:
+            if r.status != 200:
+                raise SshAuthError(f"{url}: HTTP {r.status}")
+            body = r.read(MAX_RESPONSE + 1)
+    except (urllib.error.URLError, OSError, ssl.SSLError) as e:
+        raise SshAuthError(f"{url}: {e}") from e
+    if len(body) > MAX_RESPONSE:
+        raise SshAuthError(f"{url}: response exceeds {MAX_RESPONSE} bytes")
+    return body.decode("utf-8", errors="replace")
+
+
+def _blobs_from_text(text: str) -> list[bytes]:
+    """authorized_keys lines -> raw ed25519 key blobs (forge pages list one
+    '<type> <base64>' per line; other key types are skipped)."""
+    import base64
+
+    blobs = []
+    for line in text.splitlines():
+        parts = line.strip().split()
+        if len(parts) >= 2 and parts[0] == "ssh-ed25519":
+            try:
+                blobs.append(base64.b64decode(parts[1]))
+            except Exception:
+                continue
+    return blobs
+
+
+def load_allowed_keys(spec: str, **kw) -> AuthorizedKeys:
+    """AuthorizedKeys from a file path OR comma-separated forge specs
+    ('github:alice,gitlab:bob'); the file path branch matches
+    AuthorizedKeys.load exactly."""
+    if not any(part.partition(":")[0] in FORGE_URLS
+               for part in spec.split(",")):
+        return AuthorizedKeys.load(spec)
+    # Deployment overrides: self-hosted forges (enterprise GitLab) swap the
+    # base URLs; private CAs swap the trust anchor. Also the test seam for
+    # the zero-egress fake-forge HTTPS server.
+    import json as _json
+    import os as _os
+
+    if "forge_urls" not in kw and _os.environ.get("ASCIICHAT_FORGE_URLS"):
+        kw["forge_urls"] = _json.loads(_os.environ["ASCIICHAT_FORGE_URLS"])
+    if "cafile" not in kw and _os.environ.get("ASCIICHAT_FORGE_CA"):
+        kw["cafile"] = _os.environ["ASCIICHAT_FORGE_CA"]
+    blobs: list[bytes] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        text = fetch_keys_text(part, **kw)
+        got = _blobs_from_text(text)
+        log.info("fetched %d ed25519 key(s) for %s", len(got), part)
+        blobs.extend(got)
+    if not blobs:
+        raise SshAuthError(f"no usable ed25519 keys from {spec!r}")
+    return AuthorizedKeys(blobs)

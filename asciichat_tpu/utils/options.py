@@ -403,7 +403,9 @@ def default_registry() -> OptionsRegistry:
     add("password", "security", str, None, "session password (Argon2id auth)",
         modes=Mode.SERVER | Mode.CLIENT)
     add("allowed-keys", "security", str, None,
-        "authorized_keys file: require SSH-key client auth (ed25519)",
+        "require SSH-key client auth (ed25519): authorized_keys file, or "
+        "forge specs fetched over HTTPS (github:USER / gitlab:USER, "
+        "comma-separated)",
         modes=Mode.SERVER)
     add("ssh-key", "security", str, None,
         "OpenSSH private key file for client auth; implies --encrypt",
