@@ -444,14 +444,20 @@ class DiscoverySession:
             if fut is not None and not fut.done():
                 fut.set_result(data["desc"])
         elif kind == "relay-req":
-            # peer's ICE checks failed; fall back to the blind TURN-role
+            # Peer's ICE checks failed; fall back to the blind TURN-role
             # relay. Requires a prior offer/answer (the channel reuses the
-            # X25519 keys exchanged in the signaling blobs).
+            # X25519 keys exchanged in the signaling blobs). The switch is
+            # AUTHORITATIVE: even if OUR side nominated a direct pair (one-
+            # way-UDP asymmetry can make the responder nominate while the
+            # initiator never hears back), the peer has declared the direct
+            # path dead — tear it down so both ends agree on the relay and
+            # the transports cannot split-brain.
             agent = self._p2p_agents.get(frm)
             if agent is None or agent.remote is None:
                 log.warning("relay-req from %s without prior offer; ignored", frm)
                 return
             if frm not in self._p2p_relay:
+                agent.stop_ice()
                 self._make_relay_channel(frm)
                 log.info("P2P with %s falling back to ACDS relay (TURN role)",
                          frm)
@@ -491,8 +497,19 @@ class DiscoverySession:
                 "data": base64.b64encode(enc).decode(),
             }).encode())
 
-        ch = SecureP2PChannel(agent.crypto, send_via_relay,
-                              peername=("acds-relay", peer_id), via_relay=True)
+        ch = agent.channel
+        if ch is not None and not ch.closed:
+            # One-way-UDP asymmetry: OUR side nominated a direct pair (the
+            # peer's requests reached us) but the peer never heard our
+            # answers and fell back. The application may already hold this
+            # channel from p2p_accept — REBIND it to the relay carrier
+            # instead of replacing it; its unacked segments retransmit over
+            # the relay with their original sequence numbers.
+            ch.rebind(send_via_relay, ("acds-relay", peer_id))
+        else:
+            ch = SecureP2PChannel(agent.crypto, send_via_relay,
+                                  peername=("acds-relay", peer_id),
+                                  via_relay=True)
         self._p2p_relay[peer_id] = ch
         return ch
 
@@ -571,7 +588,12 @@ class DiscoverySession:
 
     async def _relay_connect(self, peer_id: str, timeout: float):
         """Last ladder rung: ask the peer to switch to the ACDS data relay,
-        then bring up the channel over ACIP_WEBRTC_RELAY segments."""
+        then bring up the channel over ACIP_WEBRTC_RELAY segments. The ICE
+        agent's probing stops NOW (socket + retx task released; a late STUN
+        answer must not nominate a second, unread channel) — only its
+        session crypto stays alive for the relay channel."""
+        agent = self._p2p_agents[peer_id]
+        agent.stop_ice()
         fut = asyncio.get_running_loop().create_future()
         self._relay_pending[peer_id] = fut
         self._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
@@ -591,10 +613,12 @@ class DiscoverySession:
             await asyncio.sleep(0.05)
         agent = self._p2p_agents[peer_id]
         while True:
-            if agent.connected.is_set():
-                return agent.channel
+            # relay wins ties: a relay-req means the peer's direct path is
+            # dead even if OUR side nominated one (one-way-UDP asymmetry)
             if peer_id in self._p2p_relay:
                 return self._p2p_relay[peer_id]
+            if agent.connected.is_set():
+                return agent.channel
             if loop.time() > deadline:
                 raise TimeoutError(f"no P2P channel with {peer_id}")
             await asyncio.sleep(0.05)

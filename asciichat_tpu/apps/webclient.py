@@ -39,6 +39,7 @@ class _BrowseCache:
             return list(self._result)
 
     def _refresh(self) -> None:
+        result = None
         try:
             from asciichat_tpu.net.mdns import discover
 
@@ -49,9 +50,10 @@ class _BrowseCache:
                 for s in found
             ]
         except Exception:
-            result = []
+            pass  # transient sweep failure: keep the last-good roster
         with self._lock:
-            self._result = result
+            if result is not None:
+                self._result = result
             self._stamp = time.monotonic()
             self._busy = False
 

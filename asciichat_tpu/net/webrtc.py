@@ -60,6 +60,7 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         self.transport: asyncio.DatagramTransport | None = None
         self.channel: "SecureP2PChannel | None" = None
         self._check_task: asyncio.Task | None = None
+        self._superseded = False  # relay fallback won; never nominate late
         self._srflx_waiters: dict[bytes, asyncio.Future] = {}
         self.srflx_candidate: dict | None = None
 
@@ -185,7 +186,23 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             ):
                 self._nominate(addr)
 
+    def stop_ice(self) -> None:
+        """Stop connectivity checks and release the UDP socket while keeping
+        the session crypto alive (a relay-fallback channel keeps using
+        `agent.crypto`). Prevents a LATE STUN response from nominating a
+        second, unread channel after the relay rung has won, and stops the
+        socket/probe-task leak on every fallback."""
+        self._superseded = True
+        if self._check_task:
+            self._check_task.cancel()
+            self._check_task = None
+        if self.transport:
+            self.transport.close()
+            self.transport = None
+
     def _nominate(self, addr) -> None:
+        if self._superseded:
+            return
         if self.peer_addr is None:
             self.peer_addr = addr
             self.channel = SecureP2PChannel(
@@ -252,6 +269,16 @@ class SecureP2PChannel:
         self._last_data_send = 0.0
         self.closed = False
         self.retransmits = 0
+
+    def rebind(self, send_datagram, peername) -> None:
+        """Swap the datagram carrier under a live channel (direct UDP ->
+        ACDS relay). Go-Back-N state is carrier-independent: unacked
+        segments simply retransmit over the new carrier with their original
+        sequence numbers, so a channel the application already holds keeps
+        working across the fallback."""
+        self._send_datagram = send_datagram
+        self.peer = peername
+        self.via_relay = True
 
     # -- sending ---------------------------------------------------------------
     def _send_segment(self, seq: int, payload: bytes, flags: int = 0) -> None:

@@ -379,7 +379,12 @@ def echo_cancel(
 
     (weights, hang), (out, frozen) = jax.lax.scan(
         step, (weights, hang), jnp.arange(mic.shape[0]))
-    return out, weights, far_hist[-taps:], hang, jnp.mean(frozen)
+    # telemetry scalars ride ONE stacked array so the host side pays a single
+    # fetch per tick (CLAUDE.md: never per-scalar round-trips in interactive
+    # paths): [double-talk fraction, residual energy, mic energy]
+    stats = jnp.stack([jnp.mean(frozen), jnp.sum(out * out),
+                       jnp.sum(mic * mic)])
+    return out, weights, far_hist[-taps:], hang, stats
 
 
 class EchoCanceller:
@@ -400,18 +405,23 @@ class EchoCanceller:
         self.divergence_resets = 0
 
     def process(self, mic, far):
+        import numpy as np
+
         mic = jnp.asarray(mic, jnp.float32)
-        out, self.weights, self.far_tail, self.hang, dt_frac = echo_cancel(
+        out, self.weights, self.far_tail, self.hang, stats = echo_cancel(
             mic, jnp.asarray(far, jnp.float32),
             self.weights, self.far_tail, self.hang,
             taps=self.taps, mu=self.mu, geigel_t=self.geigel_t,
             hangover=self.hangover,
         )
+        # one host fetch for all per-tick telemetry (the energies are
+        # computed inside the jitted graph, not as separate dispatches)
+        dt_frac, out_e, mic_e = np.asarray(stats)
         self.double_talk_frac = float(dt_frac)
         # Divergence control: a healthy canceller REMOVES energy. If the
         # residual carries substantially more than the mic, the echo model
         # is wrong (path changed / froze mid-adaptation) — pull it back.
-        if float(jnp.sum(out * out)) > 2.0 * float(jnp.sum(mic * mic)) + 1e-9:
+        if out_e > 2.0 * mic_e + 1e-9:
             self.weights = self.weights * 0.5
             self.divergence_resets += 1
         return out

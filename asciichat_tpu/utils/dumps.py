@@ -33,9 +33,23 @@ def install_dump_handlers():
     kept-open file (faulthandler holds the fd) or None where unsupported."""
     import faulthandler
     import signal
+    import stat
 
     try:
-        f = open(dump_path(), "a")
+        # The path is predictable and lives in a world-writable directory, so
+        # open it symlink-safely and refuse anything another user pre-created:
+        # O_NOFOLLOW stops symlink redirection, 0600 keeps stacks private,
+        # and the fstat check rejects a same-name regular file planted by a
+        # different uid (which O_CREAT would happily append to).
+        flags = os.O_WRONLY | os.O_CREAT | os.O_APPEND
+        flags |= getattr(os, "O_NOFOLLOW", 0)
+        fd = os.open(dump_path(), flags, 0o600)
+        st = os.fstat(fd)
+        if (st.st_uid != os.getuid() or stat.S_ISLNK(st.st_mode)
+                or not stat.S_ISREG(st.st_mode)):
+            os.close(fd)
+            return None  # foreign/planted file: no dump channel
+        f = os.fdopen(fd, "a")
         faulthandler.register(signal.SIGUSR1, file=f, all_threads=True,
                               chain=False)
         return f

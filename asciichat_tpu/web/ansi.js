@@ -54,10 +54,14 @@
     }
 
     _alloc() {
+      // default-fill the WHOLE capacity (typed arrays zero-fill, which is
+      // NOT the default cell): parse() only re-clears the previously-used
+      // region, so untouched cells must already read space/-1/-1 — this
+      // matches the np.full initialization in the Python twin
       const n = this.capW * this.capH;
-      this.glyphs = new Uint32Array(n);
-      this.fg = new Int32Array(n);
-      this.bg = new Int32Array(n);
+      this.glyphs = new Uint32Array(n).fill(SPACE);
+      this.fg = new Int32Array(n).fill(-1);
+      this.bg = new Int32Array(n).fill(-1);
     }
 
     /** Parse one decoded frame string into the grid. Returns this. */
@@ -78,7 +82,9 @@
       while (i < len) {
         const c = text.charCodeAt(i);
         if (c === 0x1b && i + 1 < len && text.charCodeAt(i + 1) === 0x5b) {
-          // CSI: accumulate numeric params without allocating
+          // CSI: accumulate numeric params without allocating. Params are
+          // capped at 5 (the longest oracle-grammar form, 38;2;R;G;B) —
+          // extras are ignored, IDENTICALLY to the Python twin.
           let j = i + 2;
           let p0 = -1, p1 = -1, p2 = -1, p3 = -1, p4 = -1; // up to 5 params
           let num = -1, np = 0, fin = 0;
@@ -90,6 +96,7 @@
               const v = num < 0 ? 0 : num;
               if (np === 0) p0 = v; else if (np === 1) p1 = v;
               else if (np === 2) p2 = v; else if (np === 3) p3 = v;
+              else if (np === 4) p4 = v;
               np++;
               num = -1;
             } else { fin = d; break; }
@@ -101,12 +108,13 @@
             else if (np === 4) p4 = num;
             np++;
           }
-          if (fin === 0x6d) { // 'm' — SGR
+          if (np > 5) np = 5;
+          if (fin === 0x6d) { // 'm' — SGR (branch conditions mirror the twin)
             if (np === 0) { fg = -1; bg = -1; }
-            else if (p0 === 38 && p1 === 2) fg = ((p2 | 0) << 16) | ((p3 | 0) << 8) | (p4 | 0);
-            else if (p0 === 48 && p1 === 2) bg = ((p2 | 0) << 16) | ((p3 | 0) << 8) | (p4 | 0);
-            else if (p0 === 38 && p1 === 5) fg = xterm256(p2 | 0);
-            else if (p0 === 48 && p1 === 5) bg = xterm256(p2 | 0);
+            else if (np === 5 && p0 === 38 && p1 === 2) fg = ((p2 & 255) << 16) | ((p3 & 255) << 8) | (p4 & 255);
+            else if (np === 5 && p0 === 48 && p1 === 2) bg = ((p2 & 255) << 16) | ((p3 & 255) << 8) | (p4 & 255);
+            else if (np === 3 && p0 === 38 && p1 === 5) fg = xterm256(p2 & 255);
+            else if (np === 3 && p0 === 48 && p1 === 5) bg = xterm256(p2 & 255);
             else {
               // short SGR lists (0, 16-color codes); walk the few params
               const ps = [p0, p1, p2, p3, p4];

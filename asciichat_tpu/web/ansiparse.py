@@ -88,17 +88,22 @@ class AnsiGrid:
                     j += 1
                 if num >= 0:
                     params.append(num)
+                # cap at 5 (the longest oracle form, 38;2;R;G;B) — identical
+                # to the JS register-based accumulator
+                del params[5:]
                 if fin == "m":
                     if not params:
                         fg = bg = -1
                     elif len(params) == 5 and params[0] == 38 and params[1] == 2:
-                        fg = (params[2] << 16) | (params[3] << 8) | params[4]
+                        fg = ((params[2] & 255) << 16) | ((params[3] & 255) << 8) \
+                            | (params[4] & 255)
                     elif len(params) == 5 and params[0] == 48 and params[1] == 2:
-                        bg = (params[2] << 16) | (params[3] << 8) | params[4]
+                        bg = ((params[2] & 255) << 16) | ((params[3] & 255) << 8) \
+                            | (params[4] & 255)
                     elif len(params) == 3 and params[0] == 38 and params[1] == 5:
-                        fg = xterm256(params[2])
+                        fg = xterm256(params[2] & 255)
                     elif len(params) == 3 and params[0] == 48 and params[1] == 5:
-                        bg = xterm256(params[2])
+                        bg = xterm256(params[2] & 255)
                     else:
                         for p in params:
                             if p == 0:

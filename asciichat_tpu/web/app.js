@@ -158,8 +158,13 @@ function connect() {
   };
   ws.onerror = () => {};
   ws.onmessage = (ev) => {
+    if (ev.data.byteLength < A.HEADER_SIZE) return;
     const dv = new DataView(ev.data);
+    // validate magic + declared length against the actual buffer: a
+    // truncated/corrupt packet must be dropped, not throw out of onmessage
+    if (dv.getUint32(0) !== 0x0000000a || dv.getUint32(4) !== 0x5c11c4a1) return;
     const { type, length } = A.unpackHeader(dv);
+    if (length > ev.data.byteLength - A.HEADER_SIZE) return;
     const payload = new Uint8Array(ev.data, A.HEADER_SIZE, length);
     if (type === A.T.ASCII_FRAME) handleFrame(payload);
     else if (type === A.T.AUDIO_BATCH) playAudioBatch(payload);

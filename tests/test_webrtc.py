@@ -467,3 +467,78 @@ def test_p2p_relay_fallback_behind_symmetric_nat(monkeypatch):
             srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_p2p_relay_fallback_one_way_udp(monkeypatch):
+    """Asymmetric NAT: the initiator's STUN requests REACH the responder (so
+    the responder nominates a direct pair) but every responder->initiator
+    datagram is eaten, so the initiator's ICE fails and falls back. The
+    responder must follow: its already-nominated channel is REBOUND to the
+    relay carrier (same object the app may hold), and traffic flows both
+    ways — no transport split-brain."""
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net.transport import serve_tcp
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    orig_start = IceLiteAgent.start
+
+    async def natted_start(self, bind="0.0.0.0", port=0):
+        await orig_start(self, bind, port)
+        if self.controlling:
+            return  # initiator's outbound works
+        real = self.transport
+
+        class OneWayNat:  # responder: outbound blocked, inbound untouched
+            def sendto(self, data, addr=None):
+                pass
+
+            def get_extra_info(self, key, default=None):
+                return real.get_extra_info(key, default)
+
+            def close(self):
+                real.close()
+
+        self.transport = OneWayNat()
+
+    monkeypatch.setattr(IceLiteAgent, "start", natted_start)
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="ow-a")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="ow-b")
+        await s1.connect()
+        await s2.connect()
+        session = await s1.create(my_port=15004)
+        await s2.join(session)
+        events = [asyncio.create_task(s.event_loop()) for s in (s1, s2)]
+        try:
+            ch_a, ch_b = await asyncio.gather(
+                s1.p2p_connect("ow-b", timeout=20, ice_timeout=1.0),
+                s2.p2p_accept("ow-a", timeout=20),
+            )
+            # responder may have returned the direct-nominated channel
+            # before the relay-req arrived; the rebind must make THAT SAME
+            # object relay-backed
+            assert ch_a.via_relay
+            for _ in range(100):
+                if ch_b.via_relay:
+                    break
+                await asyncio.sleep(0.05)
+            assert ch_b.via_relay, "responder channel was not rebound to relay"
+            await ch_b.send(pkt.PacketType.TEXT_MESSAGE, b"responder speaks")
+            ptype, payload = await asyncio.wait_for(ch_a.recv(), 5)
+            assert payload == b"responder speaks"
+            await ch_a.send(pkt.PacketType.PONG, b"initiator answers")
+            ptype, payload = await asyncio.wait_for(ch_b.recv(), 5)
+            assert payload == b"initiator answers"
+        finally:
+            for e in events:
+                e.cancel()
+            await s1.leave()
+            await s2.leave()
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
