@@ -882,3 +882,105 @@ def test_mixed_codec_population(tmp_path):
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_render_group_churn_under_load():
+    """Live re-negotiation stress: while an uploader streams and a viewer
+    watches continuously, a churner re-sends CLIENT_CAPABILITIES every few
+    frames cycling geometry x render mode x color level x filter x palette
+    (each change re-plans a device render group, apps/server.py group
+    cache). Frames must keep flowing to BOTH receivers, the churner must
+    observe its geometry changes honored, and the server must stay alive."""
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import connect_tcp
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    port = PORT + 32
+    srv = _spawn("server", "--port", str(port), "--log-level", "ERROR")
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+
+        async def run():
+            up = await connect_tcp("127.0.0.1", port)
+            await up.send(pkt.PacketType.CLIENT_CAPABILITIES,
+                          proto.WireCapabilities().pack())
+            frame = np.zeros((60, 80, 3), np.uint8)
+            frame[:, :40] = [220, 40, 90]
+
+            async def uploader():
+                while True:
+                    await up.send(pkt.PacketType.IMAGE_FRAME,
+                                  pkt.pack_image_frame(frame.tobytes(), 80, 60))
+                    await asyncio.sleep(0.05)
+
+            viewer = await connect_tcp("127.0.0.1", port)
+            await viewer.send(
+                pkt.PacketType.CLIENT_CAPABILITIES,
+                proto.WireCapabilities(
+                    caps=TerminalCapabilities(ColorLevel.TRUECOLOR,
+                                              RenderMode.HALF_BLOCK),
+                    width=64, height=20).pack())
+            viewer_frames = 0
+
+            async def watch():
+                nonlocal viewer_frames
+                while True:
+                    ptype, _payload = await viewer.recv()
+                    if ptype == pkt.PacketType.ASCII_FRAME:
+                        viewer_frames += 1
+
+            churner = await connect_tcp("127.0.0.1", port)
+            churn_widths = set()
+
+            async def churn():
+                pool = [
+                    (40, 12, ColorLevel.NONE, RenderMode.FOREGROUND, 0, ""),
+                    (60, 20, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, 3, ""),
+                    (30, 10, ColorLevel.COLOR_256, RenderMode.FOREGROUND, 8,
+                     "   .-+*#"),
+                    (50, 16, ColorLevel.COLOR_16, RenderMode.HALF_BLOCK, 12, ""),
+                    (45, 14, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, 6, ""),
+                ]
+                for i in range(40):
+                    w, h, lvl, mode, filt, palette = pool[i % len(pool)]
+                    await churner.send(
+                        pkt.PacketType.CLIENT_CAPABILITIES,
+                        proto.WireCapabilities(
+                            caps=TerminalCapabilities(lvl, mode),
+                            width=w, height=h, color_filter=filt,
+                            palette_custom=palette).pack())
+                    # drain a frame or two at the new settings
+                    deadline = asyncio.get_running_loop().time() + 3
+                    while asyncio.get_running_loop().time() < deadline:
+                        ptype, payload = await asyncio.wait_for(
+                            churner.recv(), 5)
+                        if ptype == pkt.PacketType.ASCII_FRAME:
+                            fw, _fh, _o, _c, _crc, _fl = (
+                                pkt.ASCII_FRAME_HDR.unpack(payload[:24]))
+                            churn_widths.add(fw)
+                            break
+
+            tasks = [asyncio.create_task(uploader()),
+                     asyncio.create_task(watch())]
+            try:
+                await asyncio.wait_for(churn(), 90)
+                # viewer kept receiving through 40 re-negotiations
+                assert viewer_frames > 20, viewer_frames
+                # the churner's geometry changes were honored
+                assert len(churn_widths) >= 3, churn_widths
+            finally:
+                for t in tasks:
+                    t.cancel()
+                await up.close()
+                await viewer.close()
+                await churner.close()
+
+        asyncio.run(asyncio.wait_for(run(), 120))
+        assert srv.poll() is None, "server died under render-group churn"
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)

@@ -398,3 +398,29 @@ def test_js_parser_matches_python_twin(tmp_path):
         for y in range(grid.h):
             for x in range(grid.w):
                 assert tuple(next(it)) == grid.cell(x, y), (x, y)
+
+
+def test_parser_survives_garbage():
+    """Arbitrary bytes (truncated escapes, huge params, invalid UTF-8
+    replacement chars, stray CSI finals) must never crash the parser, must
+    yield sane dims, and reparsing must be idempotent — the frame stream is
+    network input."""
+    rng = np.random.default_rng(99)
+    grid = ansiparse.AnsiGrid()
+    for seed in range(60):
+        raw = bytes(rng.integers(0, 256, int(rng.integers(1, 3000))))
+        text = raw.decode("utf-8", errors="replace")
+        grid.parse(text)
+        assert 0 <= grid.w <= grid.cap_w and 1 <= grid.h <= grid.cap_h
+        again = ansiparse.AnsiGrid().parse(text)
+        assert (again.w, again.h) == (grid.w, grid.h)
+        np.testing.assert_array_equal(grid.cells()[0], again.cells()[0])
+    # pathological escapes
+    for text in ["\x1b", "\x1b[", "\x1b[38;2;1;2", "\x1b[999999999999m",
+                 "\x1b[;;;;;;;;m", "\x1b[38;5m", "\x1b[48;2;300;300;300mX",
+                 "\x1b[3bX", "A\x1b[1000000b", "\x1b[m\x1b[m\n\n\n"]:
+        g = ansiparse.AnsiGrid().parse(text)
+        assert g.h >= 1
+    # REP flood is bounded by capacity, not memory
+    g = ansiparse.AnsiGrid().parse("X\x1b[2000000000b")
+    assert g.w <= g.cap_w
