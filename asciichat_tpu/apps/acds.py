@@ -48,13 +48,47 @@ def _uj(payload: bytes) -> dict:
     return json.loads(payload.decode())
 
 
+class _RelayBudget:
+    """Per-sender token bucket for TURN-role data relay bandwidth.
+
+    The ACDS blindly forwards end-to-end-encrypted ACIP_WEBRTC_RELAY
+    segments when two peers' ICE fails; without a budget any client could
+    use the rendezvous host as a free traffic amplifier. A token bucket
+    (vs the SQLite sliding window used for control-plane actions) keeps the
+    per-segment cost at a dict lookup — the relay is a media path. Over-
+    budget segments are DROPPED; the channel's Go-Back-N retransmission
+    then throttles the sender to the refill rate (TURN allocation-quota
+    role, cf. lib/network/rate_limit/)."""
+
+    def __init__(self, rate_bps: float = 1_000_000.0,
+                 burst_bytes: float = 4_000_000.0):
+        self.rate = rate_bps
+        self.burst = burst_bytes
+        self._state: dict[str, tuple[float, float]] = {}  # peer -> (tokens, t)
+
+    def allow(self, peer: str, nbytes: int) -> bool:
+        import time as _time
+
+        now = _time.monotonic()
+        tokens, at = self._state.get(peer, (self.burst, now))
+        tokens = min(self.burst, tokens + (now - at) * self.rate)
+        if tokens < nbytes:
+            self._state[peer] = (tokens, now)
+            return False
+        self._state[peer] = (tokens - nbytes, now)
+        return True
+
+
 class AcdsServer:
     def __init__(self, host: str = "0.0.0.0", port: int = 27225,
-                 db_path: str = ":memory:", election_interval: float = ELECTION_INTERVAL_S):
+                 db_path: str = ":memory:", election_interval: float = ELECTION_INTERVAL_S,
+                 relay_rate_bps: float = 1_000_000.0):
         self.host = host
         self.port = port
         self.db = SessionDatabase(db_path)
         self.limiter = RateLimiter(db_path if db_path != ":memory:" else ":memory:")
+        self.relay_budget = _RelayBudget(relay_rate_bps, 4 * relay_rate_bps)
+        self.relay_dropped = 0
         self.election_interval = election_interval
         # participant_id -> (transport, session_string)
         self.clients: dict[str, tuple[Transport, str | None]] = {}
@@ -295,6 +329,15 @@ class AcdsServer:
                     except ident.SignatureError:
                         log.warning("relay from-spoof dropped: %s claimed by %s",
                                     claimed_from, participant_id)
+                        continue
+                    if (ptype == P.ACIP_WEBRTC_RELAY
+                            and not self.relay_budget.allow(
+                                participant_id, len(raw_payload))):
+                        self.relay_dropped += 1
+                        if self.relay_dropped % 500 == 1:
+                            log.warning("relay budget exceeded by %s "
+                                        "(%d dropped total)",
+                                        participant_id, self.relay_dropped)
                         continue
                     target = self.clients.get(req.get("to", ""))
                     if target:

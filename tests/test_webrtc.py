@@ -542,3 +542,85 @@ def test_p2p_relay_fallback_one_way_udp(monkeypatch):
             srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_relay_budget_throttles_flood():
+    """The ACDS's TURN-role relay enforces a per-sender byte budget: an
+    over-budget flood is dropped at the relay (the rendezvous host is not a
+    free amplifier) while the in-budget channel keeps working; Go-Back-N
+    retransmission absorbs the drops."""
+    from asciichat_tpu.apps.acds import AcdsServer, _RelayBudget
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net.transport import serve_tcp
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    # unit: bucket semantics
+    b = _RelayBudget(rate_bps=1000, burst_bytes=2000)
+    assert b.allow("p", 1500)
+    assert not b.allow("p", 1500)  # burst exhausted
+    import time as _t
+
+    _t.sleep(0.6)
+    assert b.allow("p", 400)  # refilled ~600 tokens
+    assert b.allow("q", 1500)  # budgets are per-sender
+
+    orig_start = IceLiteAgent.start
+
+    async def natted_start(self, bind="0.0.0.0", port=0):
+        await orig_start(self, bind, port)
+        real = self.transport
+
+        class Blackhole:
+            def sendto(self, data, addr=None):
+                pass
+
+            def get_extra_info(self, key, default=None):
+                return real.get_extra_info(key, default)
+
+            def close(self):
+                real.close()
+
+        self.transport = Blackhole()
+
+    async def run():
+        import unittest.mock as mock
+
+        with mock.patch.object(IceLiteAgent, "start", natted_start):
+            # tight budget: ~40 segments/s refill, small burst
+            acds = AcdsServer("127.0.0.1", 0, relay_rate_bps=64_000)
+            srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            s1 = DiscoverySession("127.0.0.1", port, participant_id="fl-a")
+            s2 = DiscoverySession("127.0.0.1", port, participant_id="fl-b")
+            await s1.connect()
+            await s2.connect()
+            session = await s1.create(my_port=15005)
+            await s2.join(session)
+            events = [asyncio.create_task(s.event_loop()) for s in (s1, s2)]
+            try:
+                ch_a, ch_b = await asyncio.gather(
+                    s1.p2p_connect("fl-b", timeout=20, ice_timeout=0.5),
+                    s2.p2p_accept("fl-a", timeout=20),
+                )
+                assert ch_a.via_relay
+                # flood well past the burst: sends must still complete
+                # (ARQ absorbs relay drops) and data must arrive intact
+                blob = bytes(range(256)) * 64  # 16 KB
+                for i in range(12):  # ~200 KB >> 64 KB/s budget
+                    await asyncio.wait_for(
+                        ch_a.send(pkt.PacketType.ASCII_FRAME, blob), 30)
+                got = 0
+                while got < 12:
+                    ptype, payload = await asyncio.wait_for(ch_b.recv(), 30)
+                    assert payload == blob
+                    got += 1
+                assert acds.relay_dropped > 0, "flood never hit the budget"
+                assert ch_a.retransmits > 0
+            finally:
+                for e in events:
+                    e.cancel()
+                await s1.leave()
+                await s2.leave()
+                srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 120))
