@@ -17,6 +17,7 @@ with exclude-self mixes (mixer.c:636), PING/PONG keepalive
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import itertools
 import time
 
@@ -48,6 +49,13 @@ MAX_TERM_W, MAX_TERM_H = 1024, 512
 MIN_TERM_W, MIN_TERM_H = 4, 2  # degenerate dims break render planning
 VIDEO_TICK = 1 / 60  # server render cadence (render.c:41)
 AUDIO_TICK = 480 / 48000  # 10 ms audio tick (render.c:42)
+# Keepalive sweep (src/client/keepalive.c counterpart, server side): clients
+# ping every 5 s; a peer silent past PING_PROBE_S gets a server PING, and one
+# silent past CLIENT_TIMEOUT_S is disconnected — without this, half-open
+# connections (partition without RST, frozen tabs) hold slots until
+# MAX_CLIENTS fills: an unauthenticated slot-exhaustion DoS.
+PING_PROBE_S = 20.0
+CLIENT_TIMEOUT_S = 60.0
 
 
 class ClientState:
@@ -104,7 +112,10 @@ class AsciiChatServer:
         import os as _os
 
         self._device_tick = _os.environ.get("ASCIICHAT_TICK", "device") != "host"
+        self.client_timeout = float(
+            _os.environ.get("ASCIICHAT_CLIENT_TIMEOUT", CLIENT_TIMEOUT_S))
         self._group_cache: dict[tuple, object] = {}
+        self._renderer_cache: dict[str, AsciiRenderer] = {}
         self._stack_pool: np.ndarray | None = None  # per-tick source stack
         self._device_failures = 0
         self._device_retry_at = 0.0
@@ -206,7 +217,10 @@ class AsciiChatServer:
                 await self._set_streaming(c, False)
             elif ptype == P.IMAGE_FRAME:
                 pixels, w, h, fmt = pkt.unpack_image_frame(payload)
-                if fmt != pkt.PIXEL_FORMAT_RGB24 or w > MAX_UPLOAD_W or h > MAX_UPLOAD_H:
+                # a 0-dim frame would poison the compositor plan with NaN
+                # aspect math every tick (remote DoS) — reject a minimum too
+                if (fmt != pkt.PIXEL_FORMAT_RGB24 or not 1 <= w <= MAX_UPLOAD_W
+                        or not 1 <= h <= MAX_UPLOAD_H):
                     raise ValueError(f"bad image frame {w}x{h} fmt={fmt}")
                 frame = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
                 c.video.commit(frame)
@@ -215,7 +229,7 @@ class AsciiChatServer:
                 # per-client decode context, lazily opened on the first AU
                 # (src/session/h265/server.c:14-25); dims ride the header
                 au, w, h, fmt = pkt.unpack_image_frame(payload)
-                if w > MAX_UPLOAD_W or h > MAX_UPLOAD_H:
+                if not 1 <= w <= MAX_UPLOAD_W or not 1 <= h <= MAX_UPLOAD_H:
                     raise ValueError(f"bad h265 frame dims {w}x{h}")
                 from asciichat_tpu.runtime import codecs
 
@@ -229,7 +243,13 @@ class AsciiChatServer:
                         await c.transport.send(P.ERROR_MESSAGE,
                                                proto.pack_error(3, str(e)))
                         continue
-                for frame in c.h265.decode(au):
+                # native decode (avcodec + swscale, several ms at 800x600)
+                # must not serialize ahead of every other client's recv on
+                # the loop thread — the same reason the render/audio ticks
+                # run in executors; only this task touches c.h265
+                frames = await asyncio.get_running_loop().run_in_executor(
+                    None, c.h265.decode, au)
+                for frame in frames:
                     c.video.commit(frame)
                 await self._set_streaming(c, True)
             elif ptype == P.AUDIO_BATCH:
@@ -368,6 +388,13 @@ class AsciiChatServer:
 
         frames_dev = jnp.asarray(stack)
         now = time.monotonic()
+        # two-phase: render + pack EVERY group first, send only after all
+        # succeeded — a late-group failure otherwise falls back to the host
+        # path and re-sends to clients already served this tick (double
+        # frames + inflated stats at the failure moment)
+        to_send: list[tuple[ClientState, bytes]] = []
+        frames_rendered = 0
+        compute_count = 0
         for key, members in groups.items():
             wc0 = members[0].wire_caps
             # identical receivers (same filter within the same geometry
@@ -411,11 +438,15 @@ class AsciiChatServer:
                         c.wire_caps.height, compress=not no_compress,
                         level=self.compression_level,
                     )
-                if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
-                    self.stats.frames_sent += 1
-                    self.stats.bytes_sent += len(payload)
-            self.stats.frames_rendered += len(unique_filters)
-            self.tick_compute_count += 1
+                to_send.append((c, payload))
+            frames_rendered += len(unique_filters)
+            compute_count += 1
+        for c, payload in to_send:
+            if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
+                self.stats.frames_sent += 1
+                self.stats.bytes_sent += len(payload)
+        self.stats.frames_rendered += frames_rendered
+        self.tick_compute_count += compute_count
 
     def _render_tick_host(self, receivers, sizes, stack) -> None:
         """CPU fallback: host compositing + per-size-key conversion."""
@@ -441,11 +472,18 @@ class AsciiChatServer:
                     if wc.caps.render_mode == RenderMode.HALF_BLOCK
                     else wc.height
                 )  # stream.c:831
-                renderer = (
-                    AsciiRenderer(wc.palette_custom)
-                    if wc.palette_custom
-                    else self.renderer
-                )
+                # cached per palette: a fresh AsciiRenderer re-derives and
+                # re-uploads the palette ramp — per tick per client over the
+                # device link (the device path caches RenderGroup for the
+                # same reason)
+                renderer = self.renderer
+                if wc.palette_custom:
+                    renderer = self._renderer_cache.get(wc.palette_custom)
+                    if renderer is None:
+                        if len(self._renderer_cache) > 32:
+                            self._renderer_cache.clear()
+                        renderer = AsciiRenderer(wc.palette_custom)
+                        self._renderer_cache[wc.palette_custom] = renderer
                 rendered[key] = renderer.convert(frame_px, wc.width, req_h, wc.caps)
             frame = rendered[key]
             # capabilities bit0: client cannot decompress (browser clients)
@@ -489,6 +527,21 @@ class AsciiChatServer:
         for i, c in enumerate(snapshot):
             if not c.has_caps:
                 continue
+            if c.wire_caps.codec_audio == 1 and c.opus is None:
+                # listen-only opus clients (codec_audio caps, no mic) never
+                # hit the uplink handler that lazily creates the context —
+                # create it on the DOWNLINK side too, else they get raw
+                # float32 at ~1.5 Mbps instead of the negotiated codec
+                from asciichat_tpu.runtime import codecs
+
+                try:
+                    new = codecs.OpusCodec()
+                    if c.opus is None:  # uplink handler may have raced us
+                        c.opus = new
+                    else:
+                        new.close()
+                except codecs.CodecUnavailable:
+                    c.opus = False
             if c.wire_caps.codec_audio == 1 and c.opus:
                 # opus client: encode its personalized mix with ITS context
                 try:
@@ -508,6 +561,7 @@ class AsciiChatServer:
         loop = asyncio.get_running_loop()
         next_video = next_audio = loop.time()
         next_stats = loop.time() + 30.0
+        next_sweep = loop.time() + 5.0
         while True:
             now = loop.time()
             if now >= next_video:
@@ -527,7 +581,24 @@ class AsciiChatServer:
             if now >= next_stats:
                 log.info("stats: %s", self.stats.report(len(self.clients)))
                 next_stats = now + 30.0
+            if now >= next_sweep:
+                await self._sweep_stalled()
+                next_sweep = now + 5.0
             await asyncio.sleep(max(0.0, min(next_video, next_audio) - loop.time()))
+
+    async def _sweep_stalled(self) -> None:
+        """Probe quiet clients, disconnect silent ones (see CLIENT_TIMEOUT_S)."""
+        now = time.monotonic()
+        probe_after = min(PING_PROBE_S, self.client_timeout / 3)
+        for c in list(self.clients.values()):
+            silent = now - c.last_seen
+            if silent > self.client_timeout:
+                log.warning("client %d silent for %.0fs; disconnecting", c.id,
+                            silent)
+                with contextlib.suppress(Exception):
+                    await c.transport.close()  # recv loop unwinds + cleans up
+            elif silent > probe_after:
+                c.transport.send_nowait(pkt.PacketType.PING, b"probe")
 
     async def run(self) -> None:
         # warm the codec probe in an executor: its first call may compile

@@ -215,6 +215,12 @@ class CryptoContext:
         self.shared_key: bytes | None = None
         self.session_id = os.urandom(SESSION_ID_SIZE)
         self.nonce_counter = 1  # crypto.c:114 (0 reserved)
+        # encrypt() is reached from BOTH the event loop and executor ticks
+        # (SecureChannel.send_nowait); an unguarded counter could hand two
+        # threads the same nonce — catastrophic for XSalsa20-Poly1305
+        import threading
+
+        self._nonce_lock = threading.Lock()
         self.handshake_complete = False
         self.rekey = RekeyState()
         self.packet_threshold = packet_threshold
@@ -252,14 +258,15 @@ class CryptoContext:
 
     # -- nonce + packet encryption ----------------------------------------
     def _next_nonce(self) -> bytes:
-        n = self.session_id + struct.pack(">Q", self.nonce_counter)
-        self.nonce_counter += 1
+        with self._nonce_lock:
+            n = self.session_id + struct.pack(">Q", self.nonce_counter)
+            self.nonce_counter += 1
+            self.rekey.packet_count += 1
         return n
 
     def encrypt(self, plaintext: bytes) -> bytes:
         """-> nonce(24) || MAC(16) || ct (crypto_encrypt, crypto.c:486-505)."""
         nonce = self._next_nonce()
-        self.rekey.packet_count += 1
         return nonce + secretbox(plaintext, nonce, self._key)
 
     def decrypt(self, ciphertext: bytes) -> bytes:

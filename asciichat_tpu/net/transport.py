@@ -45,7 +45,8 @@ class Transport:
         return self.writer.get_extra_info("peername")
 
     def start_sender(self) -> None:
-        self._sender_task = asyncio.get_running_loop().create_task(self._sender())
+        self._loop = asyncio.get_running_loop()
+        self._sender_task = self._loop.create_task(self._sender())
 
     async def _sender(self) -> None:
         try:
@@ -71,12 +72,37 @@ class Transport:
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
         """Non-blocking enqueue; returns False when the queue is full (the
-        frame is dropped — overload shedding, pipeline.c:72-80)."""
+        frame is dropped — overload shedding, pipeline.c:72-80).
+
+        THREAD-SAFE: the render/audio ticks call this from executor threads,
+        but asyncio.Queue is loop-affine (put_nowait wakes the sender task's
+        getter future, and a cross-thread Future.set_result can race the
+        event loop into InvalidStateError / lost wakeups). Off-loop callers
+        get their enqueue marshalled via call_soon_threadsafe; `full()` is a
+        benign approximation for the drop decision there."""
+        buf = pkt.pack_packet(ptype, payload)
+        loop = getattr(self, "_loop", None)
         try:
-            self._send_queue.put_nowait(pkt.pack_packet(ptype, payload))
+            running = asyncio.get_running_loop()
+        except RuntimeError:
+            running = None
+        if loop is not None and running is not loop:
+            if self._send_queue.full():
+                return False
+            try:
+                loop.call_soon_threadsafe(self._put_drop, buf)
+            except RuntimeError:
+                return False  # loop already closed
+            return True
+        try:
+            self._send_queue.put_nowait(buf)
             return True
         except asyncio.QueueFull:
             return False
+
+    def _put_drop(self, buf: bytes) -> None:
+        with contextlib.suppress(asyncio.QueueFull):
+            self._send_queue.put_nowait(buf)
 
     async def recv(self) -> tuple[int, bytes]:
         """Read one verified packet -> (type, payload).

@@ -29,20 +29,38 @@ OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 8, 9, 10
 MAX_MESSAGE_SIZE = pkt.MAX_PACKET_SIZE + pkt.HEADER_SIZE
 
 
+def _xor_mask(payload: bytes, mask: bytes) -> bytes:
+    """Vectorized frame (un)masking: the per-byte Python loop costs ~100 ms
+    for one 1.4 MB camera upload ON THE EVENT LOOP; numpy does it in ~1 ms."""
+    if not payload:
+        return payload
+    import numpy as np
+
+    data = np.frombuffer(payload, np.uint8)
+    m = np.frombuffer((mask * (len(data) // 4 + 1))[: len(data)], np.uint8)
+    return (data ^ m).tobytes()
+
+
 def _accept_key(client_key: str) -> str:
     digest = hashlib.sha1((client_key + WS_GUID).encode()).digest()
     return base64.b64encode(digest).decode()
 
 
 async def _read_http_headers(reader: asyncio.StreamReader) -> tuple[str, dict[str, str]]:
-    request_line = (await reader.readline()).decode().strip()
+    """Tolerant header read for a public port: binary garbage (TLS probes,
+    scanners) decodes with replacement instead of raising out of on_conn,
+    and the header count is bounded (a stream of unique headers must not
+    grow the dict without limit)."""
+    request_line = (await reader.readline()).decode(errors="replace").strip()
     headers: dict[str, str] = {}
-    while True:
-        line = (await reader.readline()).decode().strip()
+    for _ in range(256):
+        line = (await reader.readline()).decode(errors="replace").strip()
         if not line:
             break
         k, _, v = line.partition(":")
         headers[k.strip().lower()] = v.strip()
+    else:
+        raise ValueError("too many http headers")
     return request_line, headers
 
 
@@ -88,8 +106,7 @@ class WebSocketConnection:
             header = struct.pack(">BBQ", fin_op, mask_bit | 127, n)
         if self.is_client:
             mask = os.urandom(4)
-            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
-            self.writer.write(header + mask + masked)
+            self.writer.write(header + mask + _xor_mask(data, mask))
         else:
             self.writer.write(header + data)
         await self.writer.drain()
@@ -114,7 +131,7 @@ class WebSocketConnection:
             mask = await self.reader.readexactly(4) if masked else None
             payload = await self.reader.readexactly(length) if length else b""
             if mask:
-                payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+                payload = _xor_mask(payload, mask)
             if opcode == OP_PING:
                 await self.send_message(payload, OP_PONG)
                 continue
@@ -136,9 +153,16 @@ class WebSocketConnection:
             if fin:
                 data = bytes(message)
                 if compressed:
-                    raw = self._rx.decompress(
-                        data + b"\x00\x00\xff\xff", MAX_MESSAGE_SIZE + 1
-                    )
+                    import zlib
+
+                    try:
+                        raw = self._rx.decompress(
+                            data + b"\x00\x00\xff\xff", MAX_MESSAGE_SIZE + 1
+                        )
+                    except zlib.error as e:
+                        # keep the documented bad-data contract: protocol
+                        # violations surface as ValueError -> disconnect
+                        raise ValueError(f"bad deflate stream: {e}") from e
                     if len(raw) > MAX_MESSAGE_SIZE:
                         raise ValueError("decompressed websocket message too large")
                     data = raw
@@ -167,7 +191,8 @@ class WebSocketTransport:
         return self.ws.writer.get_extra_info("peername")
 
     def start_sender(self) -> None:
-        self._sender_task = asyncio.get_running_loop().create_task(self._sender())
+        self._loop = asyncio.get_running_loop()
+        self._sender_task = self._loop.create_task(self._sender())
 
     async def _sender(self) -> None:
         try:
@@ -187,11 +212,32 @@ class WebSocketTransport:
             await self._send_queue.put(buf)
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        # thread-safe like net.transport.Transport.send_nowait: executor
+        # ticks enqueue via call_soon_threadsafe, never poking the
+        # loop-affine Queue from a foreign thread
+        buf = pkt.pack_packet(ptype, payload)
+        loop = getattr(self, "_loop", None)
         try:
-            self._send_queue.put_nowait(pkt.pack_packet(ptype, payload))
+            running = asyncio.get_running_loop()
+        except RuntimeError:
+            running = None
+        if loop is not None and running is not loop:
+            if self._send_queue.full():
+                return False
+            try:
+                loop.call_soon_threadsafe(self._put_drop, buf)
+            except RuntimeError:
+                return False
+            return True
+        try:
+            self._send_queue.put_nowait(buf)
             return True
         except asyncio.QueueFull:
             return False
+
+    def _put_drop(self, buf: bytes) -> None:
+        with contextlib.suppress(asyncio.QueueFull):
+            self._send_queue.put_nowait(buf)
 
     async def recv(self) -> tuple[int, bytes]:
         _, message = await self.ws.recv_message()
@@ -288,7 +334,10 @@ async def serve_ws(handler, host: str, port: int,
                 ).encode()
             )
             await writer.drain()
-        except (asyncio.IncompleteReadError, ConnectionError):
+        except (asyncio.IncompleteReadError, asyncio.LimitOverrunError,
+                ConnectionError, ValueError):
+            with contextlib.suppress(Exception):
+                writer.close()
             return
         t = WebSocketTransport(
             WebSocketConnection(reader, writer, is_client=False, deflate=deflate)

@@ -202,7 +202,7 @@ def _avshim():
 
     try:
         lib = load_library("avshim")
-    except (OSError, Exception) as e:  # compile or dlopen failure
+    except Exception as e:  # compile or dlopen failure
         raise CodecUnavailable(f"libavcodec shim unavailable: {e}") from None
     c = ctypes
     u8p = c.POINTER(c.c_uint8)

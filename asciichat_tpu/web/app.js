@@ -54,6 +54,7 @@ let ws = null;
 let wsState = "idle";
 let backoffMs = 250;
 let intentionalClose = false;
+let pingTimer = null;
 
 // ---------------------------------------------------------------------------
 // rendering + stats
@@ -148,9 +149,17 @@ function connect() {
     backoffMs = 250;
     setStatus("connected", "ok");
     sendCaps();
+    // keepalive ping (src/client/keepalive.c role): the server sweeps
+    // clients that go silent, and an idle viewer sends nothing else
+    clearInterval(pingTimer);
+    pingTimer = setInterval(() => {
+      if (ws && ws.readyState === 1)
+        ws.send(A.packPacket(A.T.PING, new TextEncoder().encode(String(Date.now()))));
+    }, 5000);
   };
   ws.onclose = () => {
     wsState = "closed";
+    clearInterval(pingTimer);
     if (intentionalClose) { setStatus("disconnected", ""); return; }
     setStatus(`reconnecting in ${(backoffMs / 1000).toFixed(1)}s…`, "warn");
     setTimeout(connect, backoffMs);

@@ -849,6 +849,9 @@ def test_mixed_codec_population(tmp_path):
                 elif ptype == pkt.PacketType.SERVER_STATE:
                     streaming = max(
                         streaming, _json.loads(payload).get("streaming", 0))
+                elif ptype == pkt.PacketType.PING:
+                    # answer keepalive probes: a silent viewer is swept
+                    await t.send(pkt.PacketType.PONG, payload)
                 if frames >= 30 and streaming >= 2:
                     await t.close()
                     return frames, streaming
@@ -981,6 +984,93 @@ def test_render_group_churn_under_load():
 
         asyncio.run(asyncio.wait_for(run(), 120))
         assert srv.poll() is None, "server died under render-group churn"
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
+
+
+def test_zero_dim_frame_rejected_and_zombies_swept(tmp_path):
+    """Two hardening regressions: (1) a 0x0 IMAGE_FRAME must get the sender
+    disconnected (it used to pass validation and NaN-poison the compositor
+    plan every tick — remote video DoS for everyone); (2) a half-open client
+    that goes silent is PING-probed and then swept, freeing its slot
+    (keepalive.c counterpart), while a pinging client survives."""
+    import os as _os
+
+    port = PORT + 34
+    env = {**ENV, "ASCIICHAT_CLIENT_TIMEOUT": "6"}
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "asciichat_tpu.apps.main", "server",
+         "--port", str(port), "--log-level", "WARNING"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+
+        async def run():
+            from asciichat_tpu.net import packet as pkt
+            from asciichat_tpu.net import protocol as proto
+            from asciichat_tpu.net.transport import connect_tcp
+
+            # (1) zero-dim frame -> disconnect, server survives
+            evil = await connect_tcp("127.0.0.1", port)
+            await evil.send(pkt.PacketType.CLIENT_CAPABILITIES,
+                            proto.WireCapabilities().pack())
+            await evil.send(pkt.PacketType.IMAGE_FRAME,
+                            pkt.pack_image_frame(b"", 0, 0))
+            with pytest.raises((asyncio.IncompleteReadError, ConnectionError,
+                                asyncio.TimeoutError, ValueError)):
+                # the server must drop us; recv eventually fails
+                for _ in range(200):
+                    await asyncio.wait_for(evil.recv(), 10)
+
+            # a good client still gets frames after the attack
+            good = await connect_tcp("127.0.0.1", port)
+            await good.send(pkt.PacketType.CLIENT_CAPABILITIES,
+                            proto.WireCapabilities().pack())
+            frame = np.full((24, 32, 3), 180, np.uint8)
+            await good.send(pkt.PacketType.IMAGE_FRAME,
+                            pkt.pack_image_frame(frame.tobytes(), 32, 24))
+            got_frame = False
+            deadline = asyncio.get_running_loop().time() + 20
+            while not got_frame and asyncio.get_running_loop().time() < deadline:
+                ptype, _ = await asyncio.wait_for(good.recv(), 10)
+                if ptype == pkt.PacketType.ASCII_FRAME:
+                    got_frame = True
+            assert got_frame, "video tick dead after 0x0 frame attack"
+
+            # (2) zombie sweep: a silent client is probed then dropped;
+            # the pinging client lives through the same window
+            zombie = await connect_tcp("127.0.0.1", port)
+            await zombie.send(pkt.PacketType.CLIENT_CAPABILITIES,
+                              proto.WireCapabilities().pack())
+
+            async def keep_pinging():
+                for _ in range(30):
+                    good.send_nowait(pkt.PacketType.PING, b"alive")
+                    await asyncio.sleep(1.0)
+
+            pinger = asyncio.create_task(keep_pinging())
+            probed = dropped = False
+            deadline = asyncio.get_running_loop().time() + 25
+            try:
+                while asyncio.get_running_loop().time() < deadline:
+                    ptype, _ = await asyncio.wait_for(zombie.recv(), 20)
+                    if ptype == pkt.PacketType.PING:
+                        probed = True  # server probes the quiet client...
+                        # ...and we deliberately do NOT answer
+            except (asyncio.IncompleteReadError, ConnectionError,
+                    asyncio.TimeoutError):
+                dropped = True
+            assert probed, "server never probed the silent client"
+            assert dropped, "silent client was never swept"
+            # the pinging client is still being served
+            ptype, _ = await asyncio.wait_for(good.recv(), 10)
+            pinger.cancel()
+            await good.close()
+
+        asyncio.run(asyncio.wait_for(run(), 120))
+        assert srv.poll() is None
     finally:
         srv.terminate()
         srv.wait(timeout=10)
