@@ -229,6 +229,10 @@ class AcdsServer:
                             "participants": info.participants,
                         }))
                 elif ptype in (P.ACIP_SESSION_JOIN, P.ACIP_SESSION_RECONNECT):
+                    if not self.limiter.allow(peer, "session_join"):
+                        await t.send(P.ERROR_MESSAGE,
+                                     _j({"error": "rate limited"}))
+                        continue
                     req = _uj(payload)
                     participant_id = req.get("participant_id") or secrets.token_hex(8)
                     try:
@@ -322,13 +326,21 @@ class AcdsServer:
                     # relay to target participant (signaling.c:137 pattern);
                     # the ORIGINAL sender-signed envelope travels end-to-end
                     # so the receiver verifies the sender, not the relay
+                    if not participant_id or not session_string:
+                        continue  # must have joined a session to relay
                     req = _uj(payload)
                     claimed_from = req.get("from", "")
+                    # a connection may only speak AS ITSELF: pinning the
+                    # claimed id on first use would let anyone squat a
+                    # not-yet-joined participant's identity
+                    if claimed_from != participant_id:
+                        log.warning("relay from-spoof dropped: %s claimed by %s",
+                                    claimed_from, participant_id)
+                        continue
                     try:
                         self.pins.check(claimed_from, sender_pub)
                     except ident.SignatureError:
-                        log.warning("relay from-spoof dropped: %s claimed by %s",
-                                    claimed_from, participant_id)
+                        log.warning("relay key mismatch for %s", claimed_from)
                         continue
                     if (ptype == P.ACIP_WEBRTC_RELAY
                             and not self.relay_budget.allow(
@@ -339,13 +351,24 @@ class AcdsServer:
                                         "(%d dropped total)",
                                         participant_id, self.relay_dropped)
                         continue
-                    target = self.clients.get(req.get("to", ""))
+                    # targets are restricted to the SENDER'S OWN session —
+                    # the relay must not bridge unrelated sessions
+                    to_id = req.get("to", "")
+                    info = self.db.lookup(session_string)
+                    if info is None or to_id not in info.participants:
+                        continue
+                    target = self.clients.get(to_id)
                     if target:
                         target[0].send_nowait(ptype, raw_payload)
                 elif ptype == P.PING:
                     await t.send(P.PONG, payload)
         except (asyncio.IncompleteReadError, ConnectionError, ValueError):
             pass
+        except Exception:
+            # handler bodies parse client-controlled JSON/structs: a shape we
+            # did not anticipate (TypeError/KeyError/AttributeError/...) must
+            # drop THIS connection, not surface as an unhandled task error
+            log.exception("acds connection %s dropped on malformed input", peer)
         finally:
             if participant_id:
                 self.clients.pop(participant_id, None)

@@ -290,6 +290,9 @@ class AsciiChatClient:
             await t.send(pkt.PacketType.CLIENT_CAPABILITIES, self.wire_caps.pack())
             if self.source is not None:
                 await t.send(pkt.PacketType.STREAM_START)
+            # the handshake + caps exchange succeeded: this connection is
+            # good, so the NEXT failure starts the backoff schedule fresh
+            self.reconnect_policy.reset()
             tasks = [
                 asyncio.create_task(self._capture_task(t)),
                 asyncio.create_task(self._audio_capture_task(t)),
@@ -318,6 +321,15 @@ class AsciiChatClient:
                     pass
                 for task in tasks:
                     task.cancel()
+                for task in tasks:
+                    # observe background failures: a capture/audio task that
+                    # died mid-session must be LOGGED, not silently dropped
+                    try:
+                        await task
+                    except asyncio.CancelledError:
+                        pass
+                    except Exception:
+                        log.exception("background task failed mid-session")
                 await t.send(pkt.PacketType.CLIENT_LEAVE)
         finally:
             await t.close()
@@ -347,7 +359,10 @@ class AsciiChatClient:
                     self.reconnect_policy.reset()
                     if not self.reconnect:
                         return
-                except (ConnectionError, asyncio.IncompleteReadError, OSError) as e:
+                except (ConnectionError, asyncio.IncompleteReadError, OSError,
+                        ValueError) as e:
+                    # ValueError = corrupt packet (CRC/framing): treat like a
+                    # broken connection — disconnect + reconnect, never crash
                     if not self.reconnect:
                         raise
                     delay = self.reconnect_policy.next_delay()
@@ -357,7 +372,7 @@ class AsciiChatClient:
             keyboard.stop()
             self.display.teardown()
             for dev in (self.audio_source, self.audio_sink, self.opus_enc,
-                        self.opus_dec, self._h265_enc):
+                        self.opus_dec, self._h265_enc, self.source):
                 if dev is not None:
                     try:
                         dev.close()

@@ -65,7 +65,11 @@ class SignedAcdsChannel:
                 try:
                     pub, body = ident.open_envelope(ptype, payload)
                     if ptype in self._relayed:
-                        self.pins.check(json.loads(body).get("from", ""), pub)
+                        # relayed peers must ALREADY be pinned (keys arrive
+                        # via the ACDS-signed participant list) — first-use
+                        # pinning here would let any ACDS client squat a
+                        # session peer's identity by racing that list
+                        self.pins.require(json.loads(body).get("from", ""), pub)
                     else:
                         self.pins.check(self.ACDS_NAME, pub)
                 except (ident.SignatureError, ValueError) as e:
@@ -172,7 +176,10 @@ class RingRunner:
             else:
                 self._send(to_pid, next_msg)
         elif mtype == "RING_ELECTION_RESULT":
-            ack = self.cp.on_election_result(msg)
+            # the outer envelope 'from' is verified against the sender's
+            # pinned key by SignedAcdsChannel; the state machine additionally
+            # requires it to BE the deterministic ring leader
+            ack = self.cp.on_election_result(msg, sender=data.get("from"))
             if ack["ack_status"] == "ACCEPTED":
                 self.results_verified += 1
                 self._apply_result(msg, announce=False)
@@ -353,28 +360,33 @@ class DiscoverySession:
                     if self.ring:
                         try:
                             self.ring.on_ring_packet(payload)
-                        except (KeyError, ValueError) as e:
+                        except (KeyError, ValueError, TypeError) as e:
                             log.warning("bad ring packet dropped: %s", e)
                 elif ptype == P.ACIP_WEBRTC_SDP:
                     try:
                         self._on_webrtc_sdp(payload)
-                    except (KeyError, ValueError) as e:
+                    except (KeyError, ValueError, TypeError) as e:
                         log.warning("bad SDP relay dropped: %s", e)
                 elif ptype == P.ACIP_WEBRTC_RELAY:
                     try:
                         self._on_webrtc_relay(payload)
-                    except (KeyError, ValueError) as e:
+                    except (KeyError, ValueError, TypeError) as e:
                         log.warning("bad data relay dropped: %s", e)
                 elif ptype == P.ACIP_SETTINGS_SYNC:
                     try:
                         self._on_settings_sync(payload)
-                    except (KeyError, ValueError) as e:
+                    except (KeyError, ValueError, TypeError) as e:
                         log.warning("bad settings sync dropped: %s", e)
                 elif ptype == P.ACIP_SETTINGS_ACK:
-                    ack = json.loads(payload)
+                    try:
+                        ack = json.loads(payload)
+                        version = int(ack.get("version") or 0)
+                    except (ValueError, TypeError, AttributeError) as e:
+                        log.warning("bad settings ack dropped: %s", e)
+                        continue
                     # count each sender once, current version only (a stale
                     # or duplicate ack must not inflate the counter)
-                    if (int(ack.get("version") or 0) == self.settings_version
+                    if (version == self.settings_version
                             and ack.get("from") in self.participants
                             and ack.get("from") not in self._settings_acked):
                         self._settings_acked.add(ack["from"])

@@ -43,8 +43,15 @@ class ParticipantMetrics:
     STRUCT = struct.Struct(">16sBIHB64sHQ")
 
     def pack(self) -> bytes:
+        pid = self.participant_id.encode()
+        if len(pid) > 16:
+            # silent truncation would round-trip to a DIFFERENT id, breaking
+            # the ACDS spoof check and ring host lookups — fail loudly
+            raise ValueError(
+                f"participant_id {self.participant_id!r} exceeds the 16-byte "
+                "participant_metrics_t field")
         return self.STRUCT.pack(
-            self.participant_id.encode()[:16].ljust(16, b"\0"),
+            pid.ljust(16, b"\0"),
             self.nat_tier, self.upload_kbps, self.rtt_ms, self.stun_success_pct,
             self.address.encode()[:64], self.port,
             self.measured_at_ms or int(time.time() * 1000),
@@ -52,9 +59,14 @@ class ParticipantMetrics:
 
     @staticmethod
     def unpack(buf: bytes) -> "ParticipantMetrics":
-        pid, nat, up, rtt, stun, addr, port, ts = ParticipantMetrics.STRUCT.unpack(
-            buf[: ParticipantMetrics.STRUCT.size]
-        )
+        try:
+            pid, nat, up, rtt, stun, addr, port, ts = (
+                ParticipantMetrics.STRUCT.unpack(
+                    buf[: ParticipantMetrics.STRUCT.size]))
+        except struct.error as e:
+            # struct.error is NOT a ValueError: peers' malformed metrics must
+            # surface as the bad-data contract, not kill event loops
+            raise ValueError(f"short participant metrics: {e}") from e
         return ParticipantMetrics(
             participant_id=pid.rstrip(b"\0").decode(),
             nat_tier=nat, upload_kbps=up, rtt_ms=rtt, stun_success_pct=stun,
@@ -189,14 +201,37 @@ class ConsensusParticipant:
             {"type": "STATS_UPDATE", "round_id": msg["round_id"], "metrics": metrics},
         )
 
-    def on_election_result(self, msg: dict) -> dict:
-        """Phase 4: verify + ack (participants can recompute the election
-        from the included metrics and reject a forged result)."""
-        host, backup = elect(msg["metrics"])
-        ok = host == msg["host_id"] and backup == msg["backup_id"]
+    def on_election_result(self, msg: dict, sender: str | None = None) -> dict:
+        """Phase 4: verify + ack. A result is only ACCEPTED when ALL hold:
+
+        - the sender (outer signed-relay envelope 'from') IS the current
+          deterministic ring leader — non-leaders cannot announce results;
+        - the included metrics cover EXACTLY the ring membership — an
+          attacker cannot shrink the electorate to just itself;
+        - round_id is not older than the newest round we've seen — a
+          replayed genuinely-signed result from an earlier membership is
+          rejected;
+        - the recomputed election over those metrics matches the claim.
+
+        (A malicious LEADER can still forge metric VALUES — per-participant
+        metric signatures would be needed to close that, and the reference
+        protocol has the same property; leadership itself is deterministic
+        and rotates with membership.)"""
+        leader = next(
+            (pid for pid, p in self.positions.items() if p.is_leader), None)
+        ok = self.positions != {} and (sender is None or sender == leader)
+        if ok:
+            ids = sorted(m.participant_id for m in msg["metrics"])
+            ok = ids == ring_order(list(self.positions))
+        if ok:
+            ok = int(msg.get("round_id") or 0) >= self.round_id
+        if ok:
+            host, backup = elect(msg["metrics"])
+            ok = host == msg["host_id"] and backup == msg["backup_id"]
         if ok:
             self.host_id = msg["host_id"]
             self.backup_id = msg["backup_id"]
+            self.round_id = max(self.round_id, int(msg.get("round_id") or 0))
             self.phase = Phase.DECIDED
         return {
             "type": "STATS_ACK",

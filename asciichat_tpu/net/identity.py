@@ -101,6 +101,21 @@ class KnownPeers:
                 f"pinned {pinned.hex()[:16]}…, got {pubkey.hex()[:16]}…"
             )
 
+    def require(self, name: str, pubkey: bytes) -> None:
+        """Verify against an EXISTING pin only — never pins on first use.
+        For channels where the legitimate binding arrives out-of-band (the
+        ACDS-signed participant list): an unknown sender must be rejected,
+        not trusted-and-pinned (first-use pinning there would let any
+        stranger squat an identity by racing the legitimate binding)."""
+        pinned = self._pins.get(name)
+        if pinned is None:
+            raise SignatureError(f"no pinned identity for {name!r}")
+        if pinned != pubkey:
+            raise SignatureError(
+                f"identity key mismatch for {name!r}: "
+                f"pinned {pinned.hex()[:16]}…, got {pubkey.hex()[:16]}…"
+            )
+
     def get(self, name: str) -> bytes | None:
         return self._pins.get(name)
 

@@ -287,10 +287,11 @@ def unpack_image_frame(payload: bytes) -> tuple[bytes, int, int, int]:
     w, h, fmt, comp, crc, _ts = IMAGE_FRAME_HDR.unpack(payload[: IMAGE_FRAME_HDR.size])
     if w > 10000 or h > 10000:  # reference dimension sanity (ascii.c:204)
         raise ValueError(f"image dimensions {w}x{h} exceed sanity bounds")
-    if w * h * 3 > MAX_DECOMPRESSED_SIZE:
+    bpp = 4 if fmt == PIXEL_FORMAT_RGBA32 else 3  # bound by the DECLARED format
+    if w * h * bpp > MAX_DECOMPRESSED_SIZE:
         raise ValueError(f"image {w}x{h} exceeds decompression cap")
     body = payload[IMAGE_FRAME_HDR.size :]
-    pixels = decompress(body, w * h * 3 + 64) if comp else body
+    pixels = decompress(body, w * h * bpp + 64) if comp else body
     if crc32c(pixels) != crc:
         raise ValueError("image frame CRC mismatch")
     return pixels, w, h, fmt
@@ -302,5 +303,9 @@ def pack_audio_batch(samples: bytes, num_samples: int, batch_count: int,
 
 
 def unpack_audio_batch(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    if len(payload) < AUDIO_BATCH_HDR.size:
+        # keep the ValueError bad-data contract (struct.error would escape
+        # the callers' protocol-violation handlers)
+        raise ValueError("short audio batch header")
     bc, total, rate, ch = AUDIO_BATCH_HDR.unpack(payload[: AUDIO_BATCH_HDR.size])
     return payload[AUDIO_BATCH_HDR.size :], bc, total, rate, ch

@@ -116,7 +116,7 @@ class NativeVideoFileSource(FrameSource):
     def read(self) -> np.ndarray | None:
         ptr = self._buf.ctypes.data_as(self._c.POINTER(self._c.c_uint8))
         rc = self._lib.ac_media_read_frame(self._h, ptr)
-        if rc <= 0 and rc == 0 and self.loop:
+        if rc == 0 and self.loop:
             # rewind via seek; raw streams without an index need a reopen
             if self._lib.ac_media_rewind(self._h) != 0:
                 self._lib.ac_media_close(self._h)
@@ -169,7 +169,10 @@ class FFmpegFileSource(FrameSource):
         w, h, rate = probe.stdout.strip().split(",")
         self.width, self.height = int(w), int(h)
         num, _, den = rate.partition("/")
-        self.fps = (float(num) / float(den or 1)) or 30.0
+        # ffprobe reports "0/0" for single-image streams and some broken
+        # containers: guard the denominator, fall back to 30
+        den_f = float(den) if den else 1.0
+        self.fps = (float(num) / den_f if den_f else 0.0) or 30.0
         cmd = ["ffmpeg", "-v", "error"]
         if loop:
             cmd += ["-stream_loop", "-1"]
@@ -202,6 +205,7 @@ class PrefetchSource(FrameSource):
         self.fps = getattr(inner, "fps", 30.0)
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._eof = False
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -218,12 +222,23 @@ class PrefetchSource(FrameSource):
                 except Exception:
                     continue
             if frame is None:
+                self._eof = True  # EOF is sticky: later read()s return None
                 return
 
     def read(self) -> np.ndarray | None:
+        # never block once the producer is gone — a read() after EOF (e.g. a
+        # reconnect starting a fresh capture task) must return None
+        # immediately instead of wedging an executor thread forever
         if self._stop.is_set():
             return None
-        return self._q.get()
+        import queue as _queue
+
+        while True:
+            try:
+                return self._q.get(timeout=0.2)
+            except _queue.Empty:
+                if self._stop.is_set() or getattr(self, "_eof", False):
+                    return None
 
     def close(self) -> None:
         self._stop.set()
@@ -297,7 +312,15 @@ class WebcamSource(FrameSource):
         self.fps = 30.0
 
     def read(self):
-        return self._cam.read()
+        # a select timeout inside the camera is TRANSIENT (auto-exposure
+        # stall, USB hiccup) — returning None here would read as
+        # end-of-stream to the capture loop and kill the uplink forever;
+        # retry for a generous window before declaring the camera dead
+        for _ in range(15):  # ~30 s at the 2 s device timeout
+            frame = self._cam.read()
+            if frame is not None:
+                return frame
+        return None
 
     def close(self) -> None:
         self._cam.close()

@@ -116,13 +116,16 @@ class V4L2Webcam:
         fcntl.ioctl(self.fd, req, arg)
 
     def _set_format(self, pixfmt: int) -> tuple[int, int, int]:
-        # struct v4l2_format: type u32, then v4l2_pix_format
-        fmt = struct.pack("<L", V4L2_BUF_TYPE_VIDEO_CAPTURE)
-        fmt += struct.pack("<LLLLLLLL", self.width, self.height, pixfmt,
-                           1, 0, 0, 0, 0)
-        fmt = bytearray(fmt.ljust(208, b"\0"))
+        # struct v4l2_format (64-bit layout, verified against the kernel
+        # headers with a compiled offsetof probe): u32 type at 0, then the
+        # fmt union 8-BYTE ALIGNED at offset 8 (it contains pointer-bearing
+        # members), so v4l2_pix_format fields sit at width=8, height=12,
+        # pixelformat=16, field=20
+        fmt = bytearray(208)
+        struct.pack_into("<L", fmt, 0, V4L2_BUF_TYPE_VIDEO_CAPTURE)
+        struct.pack_into("<LLLL", fmt, 8, self.width, self.height, pixfmt, 1)
         self._ioctl(VIDIOC_S_FMT, fmt)
-        w, h, got_fmt = struct.unpack_from("<LLL", fmt, 4)
+        w, h, got_fmt = struct.unpack_from("<LLL", fmt, 8)
         return w, h, got_fmt
 
     def _setup(self, num_buffers: int) -> None:
@@ -144,13 +147,15 @@ class V4L2Webcam:
         self._ioctl(VIDIOC_REQBUFS, req)
         count = struct.unpack_from("<L", req, 0)[0]
         for i in range(count):
+            # struct v4l2_buffer 64-bit: index=0, type=4, bytesused=8,
+            # memory=60, m.offset=64, length=72 (offsetof-probe verified)
             qb = bytearray(88)
             struct.pack_into("<L", qb, 0, i)  # index
             struct.pack_into("<L", qb, 4, V4L2_BUF_TYPE_VIDEO_CAPTURE)
-            struct.pack_into("<L", qb, 44, V4L2_MEMORY_MMAP)
+            struct.pack_into("<L", qb, 60, V4L2_MEMORY_MMAP)
             self._ioctl(VIDIOC_QUERYBUF, qb)
-            length = struct.unpack_from("<L", qb, 48)[0]
-            offset = struct.unpack_from("<L", qb, 52)[0]
+            length = struct.unpack_from("<L", qb, 72)[0]
+            offset = struct.unpack_from("<L", qb, 64)[0]
             self.buffers.append(
                 mmap.mmap(self.fd, length, mmap.MAP_SHARED,
                           mmap.PROT_READ | mmap.PROT_WRITE, offset=offset)
@@ -159,12 +164,15 @@ class V4L2Webcam:
         self._ioctl(VIDIOC_STREAMON, struct.pack("<L", V4L2_BUF_TYPE_VIDEO_CAPTURE))
 
     def read(self, timeout: float = 2.0) -> np.ndarray | None:
+        """One frame, or None when no frame arrived within `timeout` — that
+        is a TRANSIENT condition (auto-exposure stall, USB hiccup), NOT
+        end-of-stream; callers must retry, not treat it as EOF."""
         r, _, _ = select.select([self.fd], [], [], timeout)
         if not r:
             return None
         qb = bytearray(88)
         struct.pack_into("<L", qb, 4, V4L2_BUF_TYPE_VIDEO_CAPTURE)
-        struct.pack_into("<L", qb, 44, V4L2_MEMORY_MMAP)
+        struct.pack_into("<L", qb, 60, V4L2_MEMORY_MMAP)
         self._ioctl(VIDIOC_DQBUF, qb)
         index = struct.unpack_from("<L", qb, 0)[0]
         used = struct.unpack_from("<L", qb, 8)[0]

@@ -1,6 +1,7 @@
 """Discovery: session strings, SQLite DB, rate limiting, ring consensus
 state machines (in-process e2e, the reference's consensus test strategy)."""
 
+import json
 import time
 
 import pytest
@@ -462,5 +463,132 @@ def test_session_settings_sync():
             await host.leave()
             await peer.leave()
             srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_election_result_forgery_defenses():
+    """on_election_result must reject: a result from a NON-leader sender, a
+    shrunk electorate (metrics covering only the attacker), a replayed
+    result from an older round, and malformed metrics — a self-consistent
+    forged message alone must not hijack the host."""
+    ids = ["alice", "bob", "carol", "dave"]
+    node = cons.ConsensusParticipant("alice")
+    node.on_ring_members(ids)
+    node.round_id = 5
+
+    full = [cons.ParticipantMetrics(p, upload_kbps=10_000) for p in ids]
+    host, backup = cons.elect(full)
+    good = {"type": "RING_ELECTION_RESULT", "round_id": 5,
+            "host_id": host, "backup_id": backup, "metrics": full}
+    # legit: from the deterministic leader (last in ring order = dave)
+    assert node.on_election_result(good, sender="dave")["ack_status"] == "ACCEPTED"
+
+    # non-leader sender rejected even though the content verifies
+    node2 = cons.ConsensusParticipant("alice")
+    node2.on_ring_members(ids)
+    assert node2.on_election_result(good, sender="bob")["ack_status"] == "REJECTED"
+
+    # shrunk electorate: attacker elects itself from a 1-entry metrics list
+    me = cons.ParticipantMetrics("dave", nat_tier=0, upload_kbps=999_999)
+    forged = {"type": "RING_ELECTION_RESULT", "round_id": 99,
+              "host_id": "dave", "backup_id": None, "metrics": [me]}
+    assert node2.on_election_result(forged, sender="dave")["ack_status"] == "REJECTED"
+
+    # replay: a genuinely-valid result from an OLDER round
+    node3 = cons.ConsensusParticipant("alice")
+    node3.on_ring_members(ids)
+    node3.round_id = 7
+    stale = dict(good, round_id=3)
+    assert node3.on_election_result(stale, sender="dave")["ack_status"] == "REJECTED"
+
+    # oversize participant id fails loudly at pack time (silent truncation
+    # would break the ACDS spoof check and host lookups)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cons.ParticipantMetrics("x" * 17).pack()
+    # short metrics raise the bad-data ValueError, not struct.error
+    with _pytest.raises(ValueError):
+        cons.ParticipantMetrics.unpack(b"\x00")
+
+
+def test_relay_requires_preexisting_pin_and_own_identity():
+    """Identity-squatting defenses: (1) a participant's channel DROPS
+    relayed packets from senders it has no pin for (no first-use pinning on
+    the relay path); (2) the ACDS refuses to relay a packet whose 'from'
+    differs from the connection's own joined identity."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import identity as ident
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        victim = DiscoverySession("127.0.0.1", port, participant_id="victim")
+        await victim.connect()
+        session = await victim.create(my_port=15010)
+
+        # (1) receiver-side: a signed SETTINGS_SYNC from an id the victim
+        # never pinned must be dropped by the channel, not applied
+        stranger = ident.Identity()
+        body = json.dumps({"to": "victim", "from": "ghost-host",
+                           "version": 10**9,
+                           "settings": {"hijacked": True}}).encode()
+        env = stranger.sign(pkt.PacketType.ACIP_SETTINGS_SYNC, body)
+        # inject directly past the ACDS (worst case: a compromised relay)
+        raw_t = victim._t.t
+        # craft delivery: pretend the ACDS relayed it
+        victim._t.t = _Inject(raw_t, [(pkt.PacketType.ACIP_SETTINGS_SYNC, env)])
+        dropped_before = victim._t.dropped
+        task = asyncio.create_task(victim._t.recv())
+        await asyncio.sleep(0.2)
+        # the forged packet was dropped by the channel (no pin for
+        # 'ghost-host'); recv may have continued on to a LEGIT queued
+        # packet, but never delivered the forgery
+        assert victim._t.dropped == dropped_before + 1
+        if task.done():
+            assert task.result()[0] != pkt.PacketType.ACIP_SETTINGS_SYNC
+        else:
+            task.cancel()
+        victim._t.t = raw_t
+        assert victim.settings.get("hijacked") is None
+
+        # (2) ACDS-side: a joined participant relaying AS someone else is
+        # refused
+        attacker = DiscoverySession("127.0.0.1", port, participant_id="mallory")
+        await attacker.connect()
+        await attacker.join(session)
+        await attacker._t.send(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
+            "to": "victim", "from": "victim",  # spoofed from
+            "kind": "offer", "desc": {"ufrag": "x", "pwd": "y",
+                                      "pubkey": "00" * 32, "candidates": []},
+        }).encode())
+        await asyncio.sleep(0.3)
+        # victim must NOT have spawned an agent for the spoofed offer
+        assert "victim" not in victim._p2p_agents
+        await attacker.leave()
+        await victim.leave()
+        srv.close()
+
+    class _Inject:
+        """Wraps a transport, delivering queued packets first."""
+
+        def __init__(self, inner, queued):
+            self.inner = inner
+            self.queued = list(queued)
+
+        async def recv(self):
+            if self.queued:
+                return self.queued.pop(0)
+            return await self.inner.recv()
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
 
     asyncio.run(asyncio.wait_for(run(), 30))

@@ -41,6 +41,14 @@ def _cp(glyph_bytes: bytes) -> int:
     return ord(glyph_bytes.decode())
 
 
+def _mode_seed(mode: str) -> int:
+    """Deterministic per-mode seed: hash() is randomized per process, which
+    made one full-suite run hit a frame no rerun could reproduce."""
+    import zlib
+
+    return zlib.crc32(mode.encode())
+
+
 def _rand_frames(seed, n=3, hmax=24, wmax=40):
     rng = np.random.default_rng(seed)
     for _ in range(n):
@@ -167,20 +175,34 @@ def _cells_halfblock_truecolor(rgb, cache):
 
 
 def _cells_halfblock_indexed(rgb, cache, quant, resolve):
+    """Indexed halfblocks run on QUANTIZED (fg,bg) pairs, and transparency
+    is decided by the RUN'S FIRST pixel being raw-black (halfblock.c:297-405
+    run-start rule): a run that starts black renders as spaces even where
+    later members are non-black (they quantize equal), and vice versa —
+    so expectations must walk runs, not cells."""
     rows = list(oracle._hb_rows(rgb))
     h, w = len(rows), rgb.shape[1]
     g = np.full((h, w), 32, np.int64)
     f = np.full((h, w), -1, np.int64)
     b = np.full((h, w), -1, np.int64)
     for y, (top, bot, _last) in enumerate(rows):
-        for x in range(w):
+        x = 0
+        while x < w:
             t = tuple(int(v) for v in top[x])
             btm = tuple(int(v) for v in bot[x])
-            if t == (0, 0, 0) and btm == (0, 0, 0):
-                continue
-            g[y, x] = 0x2580
-            f[y, x] = resolve(quant(*t))
-            b[y, x] = resolve(quant(*btm))
+            cf, cb = quant(*t), quant(*btm)
+            j = x + 1
+            while j < w:
+                t2 = tuple(int(v) for v in top[j])
+                b2 = tuple(int(v) for v in bot[j])
+                if quant(*t2) != cf or quant(*b2) != cb:
+                    break
+                j += 1
+            if not (t == (0, 0, 0) and btm == (0, 0, 0)):
+                g[y, x:j] = 0x2580
+                f[y, x:j] = resolve(cf)
+                b[y, x:j] = resolve(cb)
+            x = j
     return g, f, b
 
 
@@ -238,7 +260,7 @@ def test_parser_reconstructs_cells(mode):
     render, expect = MODES[mode]
     cache = pal.get_palette_cache(pal.DEFAULT_PALETTE)
     grid = ansiparse.AnsiGrid()
-    for i, rgb in enumerate(_rand_frames(seed=hash(mode) % 2**32, n=4)):
+    for i, rgb in enumerate(_rand_frames(seed=_mode_seed(mode), n=4)):
         frame = render(rgb, pal.DEFAULT_PALETTE)
         grid.parse(frame)
         eg, ef, eb = expect(rgb, cache)
@@ -354,7 +376,7 @@ def _corpus():
     """Frames across modes for the JS<->Python equivalence run."""
     out = []
     for mode, (render, _) in sorted(MODES.items()):
-        rgb = next(iter(_rand_frames(seed=hash(mode) % 2**32, n=1)))
+        rgb = next(iter(_rand_frames(seed=_mode_seed(mode), n=1)))
         out.append(render(rgb, pal.DEFAULT_PALETTE).decode())
     out.append("\x1b[38;2;1;2;3mA\x1b[3b\x1b[mB")
     out.append("\x1b[97m\x1b[41mZ\x1b[2J\x1b[HX")
