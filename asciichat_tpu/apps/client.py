@@ -281,9 +281,16 @@ class AsciiChatClient:
                 ctx = CryptoContext()
                 if self.password:
                     ctx.set_password(self.password)
+                known_hosts = None
+                if self.ssh_identity is not None or self.gpg_identity is not None:
+                    from asciichat_tpu.net.knownhosts import KnownHosts
+
+                    known_hosts = KnownHosts()
                 if await client_handshake(raw, ctx, self.password,
                                           ssh_identity=self.ssh_identity,
-                                          gpg_identity=self.gpg_identity):
+                                          gpg_identity=self.gpg_identity,
+                                          known_hosts=known_hosts,
+                                          server_id=f"{self.host}:{self.port}"):
                     t = SecureChannel(raw, ctx, initiator=True)
                     log.info("encryption established (X25519 + XSalsa20-Poly1305)")
             await t.send(pkt.PacketType.PROTOCOL_VERSION, b"\x01")

@@ -86,10 +86,13 @@ class AsciiChatServer:
                  password: str | None = None, ws_port: int | None = None,
                  mdns: bool = False, inspect_port: int | None = None,
                  status_screen: bool = False, allowed_keys=None,
-                 gpg_keyring=None):
+                 gpg_keyring=None, host_identity=None):
         self.status_screen = status_screen
         self.allowed_keys = allowed_keys  # sshauth.AuthorizedKeys | None
         self.gpg_keyring = gpg_keyring  # gpgauth.GpgKeyring | None
+        # persistent Ed25519 HOST identity: proves the server to key-auth
+        # clients (net/knownhosts.py; lib/crypto/known_hosts.c role)
+        self.host_identity = host_identity
         self.host = host
         self.port = port
         self.ws_port = ws_port
@@ -156,7 +159,8 @@ class AsciiChatServer:
                 if await server_handshake(t, ctx, first,
                                           require_auth=auth_required,
                                           allowed_keys=self.allowed_keys,
-                                          gpg_keyring=self.gpg_keyring):
+                                          gpg_keyring=self.gpg_keyring,
+                                          host_identity=self.host_identity):
                     chan = SecureChannel(t, ctx, initiator=False)
                 first = None
         except (HandshakeError, asyncio.IncompleteReadError, ValueError) as e:
@@ -705,11 +709,27 @@ def main(args) -> int:
 
         gpg_keyring = GpgKeyring(args.gpg_keyring)
         log.info("GPG client auth required (keyring %s)", args.gpg_keyring)
+    host_identity = None
+    if allowed is not None or gpg_keyring is not None:
+        import os as _os2
+
+        from asciichat_tpu.net.identity import Identity
+
+        key_path = _os2.path.expanduser(
+            _os2.environ.get("ASCIICHAT_HOST_KEY", "~/.asciichat/host_key"))
+        try:
+            host_identity = Identity.load_or_create(key_path)
+            log.info("host identity %s (known_hosts pinning)",
+                     host_identity.id_hex[:16])
+        except OSError as e:
+            log.warning("host key %s unavailable (%s); using an ephemeral "
+                        "identity for this run", key_path, e)
     server = AsciiChatServer(args.host, args.port, compression_level=args.compress,
                              password=args.password, ws_port=args.ws_port,
                              mdns=args.mdns, inspect_port=args.inspect_port,
                              status_screen=args.status and _sys.stdout.isatty(),
-                             allowed_keys=allowed, gpg_keyring=gpg_keyring)
+                             allowed_keys=allowed, gpg_keyring=gpg_keyring,
+                             host_identity=host_identity)
     try:
         asyncio.run(server.run())
     except KeyboardInterrupt:

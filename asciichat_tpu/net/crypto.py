@@ -199,6 +199,7 @@ class RekeyState:
     packet_count: int = 0
     last_time: float = dataclasses.field(default_factory=time.monotonic)
     in_progress: bool = False
+    started_at: float = 0.0  # when in_progress was set (stall detection)
     count: int = 0
 
 
@@ -214,6 +215,7 @@ class CryptoContext:
         self.public_key = self._private.public_key().public_bytes_raw()
         self.shared_key: bytes | None = None
         self.session_id = os.urandom(SESSION_ID_SIZE)
+        self.previous_session_id: bytes | None = None
         self.nonce_counter = 1  # crypto.c:114 (0 reserved)
         # encrypt() is reached from BOTH the event loop and executor ticks
         # (SecureChannel.send_nowait); an unguarded counter could hand two
@@ -333,11 +335,27 @@ class CryptoContext:
             or time.monotonic() - self.rekey.last_time >= self.time_threshold_s
         )
 
+    REKEY_STALL_TIMEOUT_S = 30.0
+
     def start_rekey(self) -> bytes:
         """-> new ephemeral public key (REKEY_REQUEST payload)."""
         self._temp_private = X25519PrivateKey.generate()
         self.rekey.in_progress = True
+        self.rekey.started_at = time.monotonic()
         return self._temp_private.public_key().public_bytes_raw()
+
+    def rekey_stalled(self) -> bool:
+        """A REKEY_RESPONSE that never arrives (lost packet, rate-limited
+        responder) must not leave in_progress latched forever — that would
+        silently disable the 1M-packet/1-hour forward-security thresholds
+        for the rest of the session."""
+        return (self.rekey.in_progress
+                and time.monotonic() - self.rekey.started_at
+                > self.REKEY_STALL_TIMEOUT_S)
+
+    def abandon_rekey(self) -> None:
+        self._temp_private = None
+        self.rekey.in_progress = False
 
     PREVIOUS_KEY_GRACE_S = 5.0
     MIN_INCOMING_REKEY_INTERVAL_S = 5.0
@@ -371,6 +389,10 @@ class CryptoContext:
         self._temp_private = None
         self.rekey = RekeyState(count=self.rekey.count + 1)
         self.nonce_counter = 1
+        # remember the outgoing nonce prefix we used before the rekey: the
+        # channel's reflection check must keep rejecting our own OLD packets
+        # bounced back during the previous-key grace window
+        self.previous_session_id = self.session_id
         self.session_id = os.urandom(SESSION_ID_SIZE)
 
     def finish_rekey(self, peer_new_public: bytes) -> None:

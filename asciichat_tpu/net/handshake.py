@@ -51,14 +51,50 @@ class HandshakeError(ValueError):
     pass
 
 
+def _require_host_proof(ptype, payload, host_challenge, ctx, known_hosts,
+                        server_id):
+    """Key-auth mode server authentication: the next packet MUST be
+    CRYPTO_SERVER_AUTH_RESP carrying the Ed25519 host proof over our fresh
+    challenge + the DH key; verify and (optionally) TOFU-pin it. Returns
+    (None, None) when the proof consumed the packet (caller recvs the next
+    one), never silently skips — an impostor accepting the client's
+    signature without proving a host identity is the MITM this closes."""
+    from asciichat_tpu.net import knownhosts as kh
+
+    P = pkt.PacketType
+    if ptype == P.CRYPTO_AUTH_FAILED:
+        return ptype, payload  # terminal checks will raise 'auth failed'
+    if ptype != P.CRYPTO_SERVER_AUTH_RESP:
+        raise HandshakeError(
+            "server did not prove a host identity in key-auth mode — "
+            "possible MITM (known_hosts.c role)")
+    try:
+        host_pub = kh.verify_host_proof(payload, host_challenge,
+                                        ctx.shared_key)
+    except kh.HostKeyError as e:
+        raise HandshakeError(str(e)) from None
+    if known_hosts is not None and server_id:
+        try:
+            known_hosts.check(server_id, host_pub)
+        except kh.HostKeyError as e:
+            raise HandshakeError(str(e)) from None
+    return None, None
+
+
 async def client_handshake(
     t: Transport, ctx: CryptoContext, password: str | None = None,
     encrypt: bool = True, ssh_identity=None, gpg_identity=None,
+    known_hosts=None, server_id: str | None = None,
 ) -> bool:
     """Run the client side; returns True when encryption is active.
     `ssh_identity` (net/sshauth.SshIdentity) or `gpg_identity`
     (net/gpgauth.GpgIdentity) answer the challenge with a signature over
-    challenge||shared_key instead of the password HMAC."""
+    challenge||shared_key instead of the password HMAC. In key mode the
+    SERVER must authenticate too: it signs our fresh challenge with its
+    persistent Ed25519 host key (net/knownhosts.py, the known_hosts.c
+    role), which is TOFU-pinned per `server_id` in `known_hosts` when
+    provided — password mode gets mutual auth from the HMAC exchange
+    instead."""
     P = pkt.PacketType
     if not encrypt:
         await t.send(P.CRYPTO_NO_ENCRYPTION)
@@ -101,8 +137,15 @@ async def client_handshake(
                 None, sshauth.make_auth_response,
                 ssh_identity, payload[:32], ctx.shared_key,
             )
-            await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
+            import os as _os
+
+            host_challenge = _os.urandom(32)
+            await t.send(P.CRYPTO_AUTH_RESPONSE, resp + host_challenge)
             ptype, payload = await t.recv()
+            ptype, payload = _require_host_proof(
+                ptype, payload, host_challenge, ctx, known_hosts, server_id)
+            if ptype is None:
+                ptype, payload = await t.recv()
         elif gpg_identity is not None:
             import asyncio as _asyncio
 
@@ -112,10 +155,19 @@ async def client_handshake(
                 None, gpgauth.make_auth_response,
                 gpg_identity, payload[:32], ctx.shared_key,
             )
-            await t.send(P.CRYPTO_AUTH_RESPONSE, resp)
+            import os as _os
+
+            host_challenge = _os.urandom(32)
+            await t.send(P.CRYPTO_AUTH_RESPONSE, resp + host_challenge)
             ptype, payload = await t.recv()
+            ptype, payload = _require_host_proof(
+                ptype, payload, host_challenge, ctx, known_hosts, server_id)
+            if ptype is None:
+                ptype, payload = await t.recv()
         else:
-            if password:
+            if password and ctx.password_key is None:
+                # the caller may have set it already; Argon2id costs a full
+                # 64 MiB pass — never derive the same key twice per connect
                 ctx.set_password(password)
             # HMAC keyed by the shared secret (crypto.c:1068), PLUS a client
             # challenge for MUTUAL authentication: the server must prove it
@@ -146,6 +198,7 @@ async def client_handshake(
 async def server_handshake(
     t: Transport, ctx: CryptoContext, first_packet: tuple[int, bytes],
     require_auth: bool = False, allowed_keys=None, gpg_keyring=None,
+    host_identity=None,
 ) -> bool:
     """Run the server side starting from the client's first crypto packet.
     `allowed_keys` (net/sshauth.AuthorizedKeys) enables SSH-identity auth:
@@ -201,6 +254,18 @@ async def server_handshake(
         if not ok:
             await t.send(P.CRYPTO_AUTH_FAILED, b"authentication failed")
             raise HandshakeError("client failed authentication")
+        if (client_auth_algo in (AUTH_ALGO_ED25519, AUTH_ALGO_GPG)
+                and len(payload) >= 32):
+            # key mode: prove OUR host identity over the client's trailing
+            # challenge (net/knownhosts.py; known_hosts.c role). Without a
+            # configured identity an ephemeral one still binds this session.
+            from asciichat_tpu.net import identity as _ident
+            from asciichat_tpu.net import knownhosts as kh
+
+            hid = host_identity or _ident.Identity()
+            await t.send(P.CRYPTO_SERVER_AUTH_RESP,
+                         kh.sign_host_proof(hid, payload[-32:],
+                                            ctx.shared_key))
         if (ctx.password_key is not None and len(payload) >= 64
                 and client_auth_algo == AUTH_ALGO_NONE):
             # MUTUAL auth: answer the client's challenge so a fake server
@@ -225,13 +290,35 @@ class SecureChannel:
         self.t = t
         self.ctx = ctx
         self.initiator = initiator
+        # anti-replay over the ORDERED transport: per-sender-nonce-prefix
+        # highest counter seen. TCP/WS deliver in order, so a valid stream
+        # has strictly increasing counters per prefix; an equal-or-lower
+        # counter is a recorded-and-reinjected packet. Rekeys change the
+        # prefix (fresh entry). Entries only appear after a SUCCESSFUL
+        # decrypt, so the dict is bounded by rekey count.
+        self._recv_last: dict[bytes, int] = {}
 
     def _wrap(self, ptype: int, payload: bytes) -> bytes:
         inner = pkt.pack_packet(ptype, payload)
         return self.ctx.encrypt(inner)
 
     def _unwrap(self, blob: bytes) -> tuple[int, bytes]:
+        if len(blob) < 24:
+            raise ValueError("short encrypted packet")
+        sid, ctr = blob[:16], int.from_bytes(blob[16:24], "big")
+        # REFLECTION: both directions share one symmetric key, so our own
+        # recorded ciphertext would decrypt if bounced back — but it carries
+        # OUR nonce prefix, which a legitimate peer never uses
+        if sid == self.ctx.session_id or sid == self.ctx.previous_session_id:
+            raise ValueError("reflected packet (own nonce prefix)")
         inner = self.ctx.decrypt(blob)
+        # REPLAY: counters must be strictly increasing per sender prefix on
+        # an ordered transport (checked only after authentication succeeds)
+        last = self._recv_last.get(sid, 0)
+        if ctr <= last:
+            raise ValueError(
+                f"replayed encrypted packet (counter {ctr} <= {last})")
+        self._recv_last[sid] = ctr
         ptype, length, crc, _cid = pkt.unpack_header(inner)
         payload = inner[pkt.HEADER_SIZE : pkt.HEADER_SIZE + length]
         if not pkt.verify_payload(payload, crc):
@@ -239,6 +326,10 @@ class SecureChannel:
         return ptype, payload
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
+        if self.initiator and self.ctx.rekey_stalled():
+            # a lost/rate-limited REKEY_RESPONSE must not latch in_progress
+            # forever and silently disable the forward-security thresholds
+            self.ctx.abandon_rekey()
         if self.initiator and self.ctx.needs_rekey() and not self.ctx.rekey.in_progress:
             # rekey messages travel INSIDE the encrypted channel: an on-path
             # attacker without the current session key can neither inject a
@@ -295,7 +386,15 @@ class SecureChannel:
                 except ValueError:
                     pass  # forged/garbled proof: keep the current key
                 continue
-            return ptype, payload  # plaintext control packet
+            if 1000 <= ptype <= 1299:
+                continue  # stray plaintext handshake chatter: ignore
+            # Anything else arriving in PLAINTEXT after encryption was
+            # established is an injection attempt: an on-path attacker can
+            # frame arbitrary unencrypted packets, and silently returning
+            # them here would hand them to the application as authenticated
+            # traffic (integrity bypass). Violate loudly -> disconnect.
+            raise ValueError(
+                f"plaintext packet type {ptype} inside an encrypted session")
 
     async def close(self) -> None:
         await self.t.close()

@@ -8,10 +8,13 @@ participant. This module is the TPU framework's counterpart:
 
 - Identity: an Ed25519 keypair (ephemeral, or persisted to a key file).
 - Envelope: every ACDS subprotocol payload travels as
-      pubkey(32) || sig(64) || body
-  where sig = Ed25519(key, be16(packet_type) || body). Binding the packet
-  type prevents cross-type replay (a signed NETWORK_QUALITY body can't be
-  re-presented as a HOST_ANNOUNCEMENT).
+      pubkey(32) || sig(64) || ts_ms(8) || body
+  where sig = Ed25519(key, be16(packet_type) || ts_ms || body). Binding
+  the packet type prevents cross-type replay (a signed NETWORK_QUALITY
+  body can't be re-presented as a HOST_ANNOUNCEMENT), and the signed
+  timestamp bounds same-type replay: envelopes older than the freshness
+  window are rejected, so a recorded session-create or host announcement
+  cannot be re-presented after the victim leaves.
 - Pinning (known-hosts style): the first key seen for a participant-id (or
   for the ACDS itself) is pinned; later envelopes must verify under the
   pinned key. An imposter presenting a fresh key for a known id is rejected.
@@ -30,7 +33,9 @@ from cryptography.hazmat.primitives.asymmetric.ed25519 import (
 
 PUBKEY_SIZE = 32
 SIG_SIZE = 64
-ENVELOPE_OVERHEAD = PUBKEY_SIZE + SIG_SIZE
+TS_SIZE = 8
+ENVELOPE_OVERHEAD = PUBKEY_SIZE + SIG_SIZE + TS_SIZE
+FRESHNESS_WINDOW_S = 300.0  # clock-skew tolerance for signed envelopes
 
 
 class SignatureError(ValueError):
@@ -57,9 +62,12 @@ class Identity:
         return ident
 
     def sign(self, ptype: int, body: bytes) -> bytes:
-        """-> pubkey(32) || sig(64) || body."""
-        sig = self._private.sign(struct.pack(">H", ptype & 0xFFFF) + body)
-        return self.public_bytes + sig + body
+        """-> pubkey(32) || sig(64) || ts_ms(8) || body."""
+        import time as _time
+
+        ts = struct.pack(">Q", int(_time.time() * 1000))
+        sig = self._private.sign(struct.pack(">H", ptype & 0xFFFF) + ts + body)
+        return self.public_bytes + sig + ts + body
 
     @property
     def id_hex(self) -> str:
@@ -68,18 +76,26 @@ class Identity:
 
 def open_envelope(ptype: int, enveloped: bytes) -> tuple[bytes, bytes]:
     """Verify and strip an envelope -> (signer_pubkey, body).
-    Raises SignatureError on truncation or a bad signature."""
+    Raises SignatureError on truncation, a bad signature, or a stale
+    timestamp (same-type replay beyond the freshness window)."""
+    import time as _time
+
     if len(enveloped) < ENVELOPE_OVERHEAD:
         raise SignatureError("enveloped payload too short")
     pub = enveloped[:PUBKEY_SIZE]
-    sig = enveloped[PUBKEY_SIZE:ENVELOPE_OVERHEAD]
+    sig = enveloped[PUBKEY_SIZE : PUBKEY_SIZE + SIG_SIZE]
+    ts_raw = enveloped[PUBKEY_SIZE + SIG_SIZE : ENVELOPE_OVERHEAD]
     body = enveloped[ENVELOPE_OVERHEAD:]
     try:
         Ed25519PublicKey.from_public_bytes(pub).verify(
-            sig, struct.pack(">H", ptype & 0xFFFF) + body
+            sig, struct.pack(">H", ptype & 0xFFFF) + ts_raw + body
         )
     except (InvalidSignature, ValueError) as e:
         raise SignatureError(f"bad envelope signature: {e}") from None
+    (ts_ms,) = struct.unpack(">Q", ts_raw)
+    if abs(_time.time() * 1000 - ts_ms) > FRESHNESS_WINDOW_S * 1000:
+        raise SignatureError(
+            f"stale envelope (signed {ts_ms}, window {FRESHNESS_WINDOW_S}s)")
     return pub, body
 
 

@@ -77,7 +77,17 @@ def parse(data: bytes) -> tuple[int, bytes, dict[int, bytes]]:
     end = 20 + length
     while at + 4 <= end:
         t, n = struct.unpack(">HH", data[at : at + 4])
-        attrs[t] = data[at + 4 : at + 4 + n]
+        if t == ATTR_MESSAGE_INTEGRITY:
+            # RFC 5389 §15.4: attributes after MESSAGE-INTEGRITY (except
+            # FINGERPRINT) are NOT covered by the MAC and MUST be ignored —
+            # and a duplicate must never overwrite the authenticated value
+            # (verify_integrity only authenticates up to the MI boundary,
+            # so a consumer of parse()+verify_integrity would otherwise
+            # trust attacker-appended duplicates)
+            attrs[t] = data[at + 4 : at + 4 + n]
+            break
+        if t not in attrs:  # first occurrence wins
+            attrs[t] = data[at + 4 : at + 4 + n]
         at += 4 + n + (-n % 4)
     return msg_type, txid, attrs
 

@@ -315,6 +315,12 @@ class SecureP2PChannel:
 
     # -- receiving ---------------------------------------------------------------
     def on_datagram(self, data: bytes) -> None:
+        # REFLECTION guard: both directions share one symmetric key, so our
+        # own datagrams would decrypt if bounced back — but they carry OUR
+        # nonce prefix (session_id), which the peer never uses. (Duplicate
+        # LEGITIMATE datagrams are fine: Go-Back-N dedups by sequence.)
+        if data[:16] == self.crypto.session_id:
+            return
         try:
             plain = self.crypto.decrypt(data)
         except ValueError:

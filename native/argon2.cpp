@@ -360,9 +360,14 @@ int ac_argon2id(const uint8_t* pwd, uint32_t pwdlen, const uint8_t* salt,
                      ad, adlen);
 }
 
-void ac_blake2b(uint8_t* out, uint32_t outlen, const uint8_t* in,
-                uint64_t inlen) {
+int ac_blake2b(uint8_t* out, uint32_t outlen, const uint8_t* in,
+               uint64_t inlen) {
+  // BLAKE2b digests are 1..64 bytes; outlen > 64 would over-read final()'s
+  // 64-byte buffer and produce a digest of no defined length — reject
+  // instead of being an exported footgun (internal hprime() stays <= 64).
+  if (outlen == 0 || outlen > 64) return -1;
   blake2b(out, outlen, in, inlen);
+  return 0;
 }
 
 }  // extern "C"

@@ -457,3 +457,193 @@ def test_mutual_auth_detects_fake_server():
         server.close()
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_secure_channel_rejects_replay_reflection_and_plaintext_injection():
+    """Three on-path attacks against the encrypted channel must all surface
+    as the bad-data ValueError (caller disconnects):
+    - REPLAY: a recorded ENCRYPTED packet re-presented later (nonce counter
+      not strictly increasing per sender prefix);
+    - REFLECTION: a peer's own ciphertext bounced back (both directions use
+      one symmetric key; only the nonce prefix distinguishes them);
+    - PLAINTEXT INJECTION: a non-crypto packet framed in plaintext after
+      encryption was established."""
+    import asyncio
+
+    import pytest as _pytest
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.handshake import SecureChannel
+
+    class Pipe:
+        """In-memory bidirectional transport pair with injectable frames."""
+
+        def __init__(self):
+            self.q = asyncio.Queue()
+
+        async def send(self, ptype, payload=b""):
+            await self.peer.q.put((ptype, payload))
+
+        def send_nowait(self, ptype, payload=b""):
+            self.peer.q.put_nowait((ptype, payload))
+            return True
+
+        async def recv(self):
+            return await self.q.get()
+
+        async def close(self):
+            pass
+
+        peername = ("pipe", 0)
+
+    async def run():
+        a_t, b_t = Pipe(), Pipe()
+        a_t.peer, b_t.peer = b_t, a_t
+        actx, bctx = C.CryptoContext(), C.CryptoContext()
+        actx.compute_shared(bctx.public_key)
+        bctx.compute_shared(actx.public_key)
+        actx.handshake_complete = bctx.handshake_complete = True
+        a = SecureChannel(a_t, actx, initiator=True)
+        b = SecureChannel(b_t, bctx, initiator=False)
+
+        # baseline: traffic flows
+        await a.send(pkt.PacketType.PING, b"one")
+        recorded = await b_t.q.get()  # capture the wire frame
+        b_t.q.put_nowait(recorded)
+        assert (await b.recv())[1] == b"one"
+
+        # REPLAY: same ciphertext again
+        b_t.q.put_nowait(recorded)
+        with _pytest.raises(ValueError, match="replayed"):
+            await b.recv()
+
+        # REFLECTION: b's own output bounced back to b
+        await b.send(pkt.PacketType.PONG, b"mine")
+        bounced = await a_t.q.get()
+        b_t.q.put_nowait(bounced)
+        with _pytest.raises(ValueError, match="reflected"):
+            await b.recv()
+
+        # PLAINTEXT INJECTION: attacker frames an unencrypted packet
+        b_t.q.put_nowait((pkt.PacketType.SIZE_MESSAGE, b"\x00\x10\x00\x10"))
+        with _pytest.raises(ValueError, match="plaintext"):
+            await b.recv()
+
+        # the channel still works for legit traffic after rejecting attacks
+        await a.send(pkt.PacketType.PING, b"two")
+        assert (await b.recv())[1] == b"two"
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_key_mode_requires_server_host_proof(tmp_path):
+    """SSH-identity mode: a fake server that accepts the client's signature
+    WITHOUT proving a host identity must be rejected (the MITM that key mode
+    previously allowed), and a host-key CHANGE must be rejected by the
+    known_hosts pin."""
+    import asyncio
+
+    from cryptography.hazmat.primitives.asymmetric.ed25519 import Ed25519PrivateKey
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding, NoEncryption, PrivateFormat,
+    )
+
+    from asciichat_tpu.net import identity as ident
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import sshauth
+    from asciichat_tpu.net.handshake import (
+        HandshakeError, client_handshake, server_handshake,
+    )
+    from asciichat_tpu.net.knownhosts import KnownHosts
+    from asciichat_tpu.net.transport import Transport, connect_tcp
+
+    key = Ed25519PrivateKey.generate()
+    keyfile = tmp_path / "id"
+    keyfile.write_bytes(key.private_bytes(
+        Encoding.PEM, PrivateFormat.OpenSSH, NoEncryption()))
+    ssh_id = sshauth.SshIdentity.from_private_key_file(str(keyfile))
+    allowed = sshauth.AuthorizedKeys([ssh_id.key_blob])
+    kh_file = str(tmp_path / "known_hosts")
+
+    async def fake_server_no_proof(t: Transport):
+        """Impostor: runs the handshake but never sends SERVER_AUTH_RESP."""
+        P = pkt.PacketType
+        first = await t.recv()  # CRYPTO_CAPABILITIES
+        from asciichat_tpu.net.handshake import pack_parameters
+
+        ctx = C.CryptoContext()
+        await t.send(P.CRYPTO_PARAMETERS, pack_parameters(True))
+        await t.send(P.CRYPTO_KEY_EXCHANGE_INIT, ctx.public_key)
+        ptype, payload = await t.recv()
+        ctx.compute_shared(payload[:32])
+        await t.send(P.CRYPTO_AUTH_CHALLENGE, b"\x01" * 32)
+        await t.recv()  # discard the signature
+        await t.send(P.CRYPTO_HANDSHAKE_COMPLETE)
+
+    async def real_server(t: Transport, host_identity):
+        ctx = C.CryptoContext()
+        first = await t.recv()
+        await server_handshake(t, ctx, first, require_auth=True,
+                               allowed_keys=allowed,
+                               host_identity=host_identity)
+
+    async def run():
+        # (1) impostor without a host proof -> HandshakeError
+        srv = await asyncio.start_server(
+            lambda r, w: fake_server_no_proof(Transport(r, w)),
+            "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        with pytest.raises(HandshakeError, match="host identity"):
+            await client_handshake(t, C.CryptoContext(), ssh_identity=ssh_id,
+                                   known_hosts=KnownHosts(kh_file),
+                                   server_id="127.0.0.1:x")
+        await t.close()
+        srv.close()
+
+        # (2) legit server pins on first use...
+        hid1 = ident.Identity()
+        srv = await asyncio.start_server(
+            lambda r, w: real_server(Transport(r, w), hid1), "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        assert await client_handshake(t, C.CryptoContext(), ssh_identity=ssh_id,
+                                      known_hosts=KnownHosts(kh_file),
+                                      server_id="srv:1")
+        await t.close()
+        srv.close()
+
+        # (3) ...and a DIFFERENT host key for the same server_id is rejected
+        hid2 = ident.Identity()
+        srv = await asyncio.start_server(
+            lambda r, w: real_server(Transport(r, w), hid2), "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        with pytest.raises(HandshakeError, match="MISMATCH"):
+            await client_handshake(t, C.CryptoContext(), ssh_identity=ssh_id,
+                                   known_hosts=KnownHosts(kh_file),
+                                   server_id="srv:1")
+        await t.close()
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_stale_envelope_rejected():
+    """Signed ACDS envelopes carry a signed timestamp: one outside the
+    freshness window is rejected (bounded same-type replay)."""
+    import struct as _struct
+    import time as _time
+
+    from asciichat_tpu.net import identity as ident
+
+    me = ident.Identity()
+    env = me.sign(6000, b'{"x":1}')
+    pub, body = ident.open_envelope(6000, env)  # fresh: verifies
+    assert body == b'{"x":1}'
+    # forge staleness by re-signing with an old timestamp
+    old_ts = _struct.pack(">Q", int((_time.time() - 3600) * 1000))
+    sig = me._private.sign(_struct.pack(">H", 6000) + old_ts + b'{"x":1}')
+    stale = me.public_bytes + sig + old_ts + b'{"x":1}'
+    with pytest.raises(ident.SignatureError, match="stale"):
+        ident.open_envelope(6000, stale)
