@@ -497,8 +497,6 @@ class DiscoverySession:
             ch.on_datagram(base64.b64decode(data["data"]))
 
     def _make_relay_channel(self, peer_id: str):
-        from asciichat_tpu.net.webrtc import SecureP2PChannel
-
         agent = self._p2p_agents[peer_id]
 
         def send_via_relay(enc: bytes) -> None:
@@ -515,13 +513,16 @@ class DiscoverySession:
             # peer's requests reached us) but the peer never heard our
             # answers and fell back. The application may already hold this
             # channel from p2p_accept — REBIND it to the relay carrier
-            # instead of replacing it; its unacked segments retransmit over
-            # the relay with their original sequence numbers.
+            # instead of replacing it; its unacked segments (secretbox ARQ
+            # or SCTP chunks — both carrier-agnostic) retransmit over the
+            # relay with their original sequence numbers.
             ch.rebind(send_via_relay, ("acds-relay", peer_id))
         else:
-            ch = SecureP2PChannel(agent.crypto, send_via_relay,
-                                  peername=("acds-relay", peer_id),
-                                  via_relay=True)
+            # the channel type is NEGOTIATED (DTLS-SCTP iff both advertised
+            # fingerprints), so both ends build the same protocol over the
+            # relay even when only one of them ever nominated a direct pair
+            ch = agent.make_channel(send_via_relay,
+                                    ("acds-relay", peer_id), via_relay=True)
         self._p2p_relay[peer_id] = ch
         return ch
 
@@ -582,13 +583,18 @@ class DiscoverySession:
             desc = await asyncio.wait_for(fut, timeout)
             agent.set_remote(desc)
             try:
-                return await agent.wait_connected(ice_timeout)
-            except (asyncio.TimeoutError, TimeoutError):
+                ch = await agent.wait_connected(ice_timeout)
+                # DTLS-SCTP channels handshake after nomination; a nominated
+                # pair whose DTLS can't complete (one-way UDP) falls through
+                # to the relay rung like a failed ICE check would
+                return await ch.wait_ready(ice_timeout)
+            except (asyncio.TimeoutError, TimeoutError, ConnectionError):
                 if not relay_fallback:
                     raise
                 log.info("ICE checks to %s failed after %.1fs; trying ACDS "
                          "relay (TURN role)", peer_id, ice_timeout)
-                return await self._relay_connect(peer_id, timeout)
+                ch = await self._relay_connect(peer_id, timeout)
+                return await ch.wait_ready(timeout)
         except (asyncio.TimeoutError, TimeoutError):
             # clean up so a retry starts fresh (stale agents also hold the
             # UDP socket open)
@@ -627,10 +633,14 @@ class DiscoverySession:
         while True:
             # relay wins ties: a relay-req means the peer's direct path is
             # dead even if OUR side nominated one (one-way-UDP asymmetry)
-            if peer_id in self._p2p_relay:
-                return self._p2p_relay[peer_id]
-            if agent.connected.is_set():
-                return agent.channel
+            ch = self._p2p_relay.get(peer_id)
+            if ch is None and agent.connected.is_set():
+                ch = agent.channel
+            # a DTLS-SCTP channel is handed out only once its handshakes
+            # finish (secretbox channels are born ready); a FAILED direct
+            # channel keeps us waiting — the peer will fall back to relay
+            if ch is not None and ch.ready.is_set() and not ch.failed:
+                return ch
             if loop.time() > deadline:
                 raise TimeoutError(f"no P2P channel with {peer_id}")
             await asyncio.sleep(0.05)

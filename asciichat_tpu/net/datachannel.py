@@ -1,0 +1,245 @@
+"""WebRTC DataChannel transport: ACIP over DTLS + SCTP on a datagram carrier.
+
+This is the browser-grade stack of the reference's WebRTC transport
+(lib/network/webrtc/webrtc.c + libdatachannel: ICE -> DTLS -> SCTP ->
+DataChannel), assembled from this framework's sans-io pieces:
+
+    IceLiteAgent (net/webrtc.py)  — nominates the UDP pair, owns the socket
+    DtlsEndpoint (net/dtls.py)    — OpenSSL DTLS 1.2, fingerprint-pinned
+    SctpAssociation (net/sctp.py) — reliability, ordering, DCEP channel
+
+Framing: one SCTP user message (PPID 53, WebRTC binary) carries exactly one
+ACIP wire packet (header + CRC + payload, net/packet.py) — the same bytes
+the TCP/WebSocket transports move, so everything above the transport
+(dispatcher, handlers, frames, audio) runs unchanged over a DataChannel.
+
+Trust model: the certificate fingerprints ride the Ed25519-signed signaling
+blobs (the WebRTC a=fingerprint role, RFC 8827 §6.2); after the DTLS
+handshake the peer's actual certificate digest MUST equal the signaled one
+or the transport self-destructs before any application byte flows.
+
+The carrier is pluggable exactly like SecureP2PChannel's: normally the
+nominated ICE pair, but `rebind()` can swap it for the ACDS relay (TURN
+role) — DTLS is carrier-agnostic and SCTP retransmits anything in flight,
+so an established channel survives the fallback.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net import sctp as sctp_mod
+from asciichat_tpu.net.dtls import DtlsEndpoint, DtlsError, DtlsIdentity
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("datachannel")
+
+# Soft send backpressure: cap on SCTP bytes queued+in flight before send()
+# yields (the TCP transport's bounded-send-queue analog)
+_SEND_BUF_CAP = 1 << 20
+
+
+class DataChannelTransport:
+    """ACIP transport over DTLS-SCTP. Same surface as SecureP2PChannel:
+    send/send_nowait/recv/close/peername/rebind + `wait_ready()` (the DTLS
+    and SCTP handshakes happen after ICE nomination)."""
+
+    def __init__(self, identity: DtlsIdentity, send_datagram, peername, *,
+                 client: bool, expected_fingerprint: str | None,
+                 via_relay: bool = False):
+        self.identity = identity
+        self._send_datagram = send_datagram
+        self.peer = peername
+        self.client = client
+        self.expected_fingerprint = expected_fingerprint
+        self.via_relay = via_relay
+        self.closed = False
+        self.failed: str | None = None
+        self.ready = asyncio.Event()
+        self.retransmits = 0  # interface parity; SCTP tracks per-chunk
+
+        self.dtls = DtlsEndpoint(identity, server=not client)
+        self.sctp = sctp_mod.SctpAssociation(self._sctp_out, client=client)
+        self.sctp.on_message = self._on_sctp_message
+        self.sctp.on_established = self._on_sctp_established
+        self.sctp.on_closed = self._on_sctp_closed
+        self.sctp.on_channel_open = lambda sid, label: self.ready.set()
+        self.sctp.on_channel_acked = lambda sid: self.ready.set()
+        self._sctp_started = False
+        self._rx: asyncio.Queue[tuple[int, bytes]] = asyncio.Queue()
+        self._timer_task = asyncio.get_running_loop().create_task(self._timers())
+        if client:
+            self.dtls.start()
+            self._drain_dtls()
+
+    # -- carrier side ---------------------------------------------------------
+    def on_datagram(self, data: bytes) -> None:
+        """Feed one datagram from the carrier (ICE socket or relay)."""
+        if self.closed:
+            return
+        try:
+            self.dtls.incoming(data)
+        except DtlsError as e:
+            self._fail(f"DTLS failure: {e}")
+            return
+        if self.dtls.handshake_complete and not self._sctp_started:
+            self._start_sctp()
+        for msg in self.dtls.read():
+            self.sctp.on_packet(msg)
+        self._drain_dtls()
+
+    def rebind(self, send_datagram, peername) -> None:
+        """Swap the datagram carrier (direct UDP -> ACDS relay). DTLS doesn't
+        bind to addresses and SCTP retransmits in-flight chunks, so the
+        channel — even mid-handshake — continues over the new carrier."""
+        self._send_datagram = send_datagram
+        self.peer = peername
+        self.via_relay = True
+        # nudge retransmission onto the new carrier immediately
+        self.dtls.handle_timeout()
+        self._drain_dtls()
+
+    def _drain_dtls(self) -> None:
+        for dg in self.dtls.outgoing():
+            try:
+                self._send_datagram(dg)
+            except Exception as e:  # carrier died mid-write
+                self._fail(f"carrier send failed: {e}")
+                return
+
+    def _start_sctp(self) -> None:
+        self._sctp_started = True
+        got = self.dtls.peer_fingerprint
+        if self.expected_fingerprint and got != self.expected_fingerprint:
+            # signaling said one certificate, the wire presented another:
+            # MITM between ICE and DTLS — kill the transport before data
+            self._fail("DTLS certificate fingerprint mismatch "
+                       f"(signaled {self.expected_fingerprint[:16]}..., "
+                       f"got {(got or '?')[:16]}...)")
+            return
+        log.info("DTLS established with %s (fp %s...)", self.peer,
+                 (got or "?")[:23])
+        if self.client:
+            self.sctp.connect()
+            self._drain_dtls()
+
+    def _on_sctp_established(self) -> None:
+        if self.client:
+            self._dc_sid = self.sctp.open_channel(label="acip")
+        else:
+            self.ready.set()  # server side: usable once the association is up
+        self._drain_dtls()
+
+    def _on_sctp_closed(self, reason: str) -> None:
+        if not self.closed:
+            self._fail(f"SCTP closed: {reason}")
+
+    def _on_sctp_message(self, sid: int, ppid: int, data: bytes) -> None:
+        try:
+            ptype, length, crc, _cid = pkt.unpack_header(data)
+            payload = data[pkt.HEADER_SIZE : pkt.HEADER_SIZE + length]
+            if len(payload) != length or not pkt.verify_payload(payload, crc):
+                raise ValueError("length/CRC mismatch")
+        except Exception as e:
+            log.warning("bad ACIP packet on DataChannel: %s", e)
+            return
+        self._rx.put_nowait((ptype, payload))
+
+    # -- SCTP -> DTLS ---------------------------------------------------------
+    def _sctp_out(self, packet_bytes: bytes) -> None:
+        if self.closed or not self.dtls.handshake_complete:
+            return
+        try:
+            self.dtls.write(packet_bytes)
+        except DtlsError as e:
+            self._fail(f"DTLS write failed: {e}")
+            return
+        self._drain_dtls()
+
+    # -- ACIP surface ---------------------------------------------------------
+    async def wait_ready(self, timeout: float = 10.0) -> "DataChannelTransport":
+        """Wait for DTLS + SCTP + DCEP to complete over the nominated pair."""
+        await asyncio.wait_for(self.ready.wait(), timeout)
+        if self.failed:
+            raise ConnectionError(self.failed)
+        return self
+
+    def _buffered(self) -> int:
+        st = self.sctp
+        return (sum(len(e[0]) for e in st._outstanding.values())
+                + sum(16 + len(q[4]) for q in st._send_queue))
+
+    async def send(self, ptype: int, payload: bytes = b"") -> None:
+        if self.failed:
+            raise ConnectionError(self.failed)
+        while self._buffered() > _SEND_BUF_CAP:
+            if self.closed or self.failed:
+                raise ConnectionError(self.failed or "channel closed")
+            await asyncio.sleep(0.01)
+        self.sctp.send(0 if self.client else self._peer_sid(),
+                       sctp_mod.PPID_BINARY, pkt.pack_packet(ptype, payload))
+
+    def _peer_sid(self) -> int:
+        # server sends on the stream the client's DCEP opened (0); if none
+        # yet, 0 is still correct for the single-channel ACIP case
+        return 0
+
+    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        if self.closed or self.failed or self._buffered() > _SEND_BUF_CAP:
+            return False  # shed load like the TCP transport's bounded queue
+        self.sctp.send(0, sctp_mod.PPID_BINARY, pkt.pack_packet(ptype, payload))
+        return True
+
+    async def recv(self) -> tuple[int, bytes]:
+        while True:
+            if self.failed and self._rx.empty():
+                raise ConnectionError(self.failed)
+            try:
+                return await asyncio.wait_for(self._rx.get(), 0.5)
+            except asyncio.TimeoutError:
+                continue
+
+    @property
+    def peername(self):
+        return self.peer
+
+    # -- lifecycle ------------------------------------------------------------
+    async def _timers(self) -> None:
+        try:
+            while not self.closed:
+                await asyncio.sleep(0.05)
+                # DTLSv1_handle_timeout retransmits only if the flight timer
+                # actually expired; safe to poll
+                self.dtls.handle_timeout()
+                self.sctp.tick()
+                self._drain_dtls()
+        except asyncio.CancelledError:
+            pass
+
+    def _fail(self, reason: str) -> None:
+        if self.failed is None:
+            self.failed = reason
+            log.warning("DataChannel failed: %s", reason)
+        self.ready.set()  # unblock waiters; wait_ready raises
+        self.close()
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        try:
+            if self.sctp.state == "established":
+                self.sctp.shutdown()
+            self.dtls.close()
+            self._drain_dtls_best_effort()
+        except Exception:
+            pass
+        self._timer_task.cancel()
+
+    def _drain_dtls_best_effort(self) -> None:
+        try:
+            for dg in self.dtls.outgoing():
+                self._send_datagram(dg)
+        except Exception:
+            pass

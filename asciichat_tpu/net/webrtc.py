@@ -39,6 +39,14 @@ SEGMENT_SIZE = 1200  # stay under typical path MTU
 RTO_S = 0.2
 WINDOW = 64
 
+# Channel-stack default for new agents: "auto" upgrades to DTLS-SCTP
+# DataChannels when OpenSSL 3 is present AND the peer advertises a
+# fingerprint; ASCIICHAT_P2P_DTLS=0 pins the legacy secretbox stream
+# (operator kill-switch; also how ARQ-specific tests stay deterministic).
+import os as _os
+
+DTLS_DEFAULT: bool | str = _os.environ.get("ASCIICHAT_P2P_DTLS", "auto")
+
 
 def _rand_token(n: int = 8) -> str:
     import secrets
@@ -49,7 +57,7 @@ def _rand_token(n: int = 8) -> str:
 class IceLiteAgent(asyncio.DatagramProtocol):
     """One-socket ICE-lite agent + the reliable channel's datagram engine."""
 
-    def __init__(self, controlling: bool):
+    def __init__(self, controlling: bool, dtls: bool | str | None = None):
         self.controlling = controlling
         self.ufrag = _rand_token(3)
         self.pwd = _rand_token(11)
@@ -58,11 +66,29 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         self.peer_addr: tuple[str, int] | None = None
         self.connected = asyncio.Event()
         self.transport: asyncio.DatagramTransport | None = None
-        self.channel: "SecureP2PChannel | None" = None
+        self.channel = None  # SecureP2PChannel | DataChannelTransport
         self._check_task: asyncio.Task | None = None
         self._superseded = False  # relay fallback won; never nominate late
         self._srflx_waiters: dict[bytes, asyncio.Future] = {}
         self.srflx_candidate: dict | None = None
+        # DTLS-SCTP DataChannel upgrade (browser-grade stack): advertise a
+        # certificate fingerprint when OpenSSL is available; the channel
+        # type is then negotiated — both sides advertise -> DataChannel,
+        # else the legacy secretbox stream (mixed populations work).
+        self.dtls_identity = None
+        if dtls is None:
+            dtls = DTLS_DEFAULT
+        if isinstance(dtls, str):
+            if dtls == "auto":
+                from asciichat_tpu.net import dtls as dtls_mod
+
+                dtls = dtls_mod.available()
+            else:
+                dtls = dtls.lower() not in ("0", "false", "no", "off")
+        if dtls:
+            from asciichat_tpu.net.dtls import DtlsIdentity
+
+            self.dtls_identity = DtlsIdentity.generate()
 
     # -- lifecycle -----------------------------------------------------------
     async def start(self, bind: str = "0.0.0.0", port: int = 0) -> None:
@@ -113,12 +139,39 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         cands = [{"ip": ip, "port": port} for ip in sorted(ips)]
         if self.srflx_candidate:
             cands.append(self.srflx_candidate)
-        return {
+        desc = {
             "ufrag": self.ufrag,
             "pwd": self.pwd,
             "pubkey": self.crypto.public_key.hex(),
             "candidates": cands,
         }
+        if self.dtls_identity is not None:
+            # a=fingerprint role (RFC 8827 §6.2): rides the Ed25519-signed
+            # signaling envelope, pins the DTLS certificate
+            desc["dtls_fp"] = self.dtls_identity.fingerprint
+        return desc
+
+    def _use_dtls(self) -> bool:
+        return (self.dtls_identity is not None and self.remote is not None
+                and bool(self.remote.get("dtls_fp")))
+
+    def make_channel(self, send_datagram, peername, via_relay: bool = False):
+        """Build the negotiated channel type over an arbitrary datagram
+        carrier: DTLS-SCTP DataChannel when both sides advertised
+        fingerprints, else the legacy secretbox stream. Used for both the
+        nominated ICE pair and the ACDS relay (TURN-role) carrier, so both
+        ends always agree on the protocol regardless of which carrier wins."""
+        if self._use_dtls():
+            from asciichat_tpu.net.datachannel import DataChannelTransport
+
+            return DataChannelTransport(
+                self.dtls_identity, send_datagram, peername,
+                client=self.controlling,
+                expected_fingerprint=self.remote.get("dtls_fp"),
+                via_relay=via_relay,
+            )
+        return SecureP2PChannel(self.crypto, send_datagram, peername,
+                                via_relay=via_relay)
 
     def set_remote(self, desc: dict) -> None:
         self.remote = desc
@@ -205,14 +258,14 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             return
         if self.peer_addr is None:
             self.peer_addr = addr
-            self.channel = SecureP2PChannel(
-                self.crypto,
+            self.channel = self.make_channel(
                 lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a),
                 peername=addr,
             )
             self.connected.set()
-            log.info("ICE pair nominated: %s (%s)", addr,
-                     "controlling" if self.controlling else "controlled")
+            log.info("ICE pair nominated: %s (%s, %s)", addr,
+                     "controlling" if self.controlling else "controlled",
+                     "dtls-sctp" if self._use_dtls() else "secretbox")
 
     async def wait_connected(self, timeout: float = 10.0) -> "SecureP2PChannel":
         await asyncio.wait_for(self.connected.wait(), timeout)
@@ -269,6 +322,14 @@ class SecureP2PChannel:
         self._last_data_send = 0.0
         self.closed = False
         self.retransmits = 0
+        # interface parity with DataChannelTransport: a secretbox channel
+        # needs no post-nomination handshake, it is ready at birth
+        self.ready = asyncio.Event()
+        self.ready.set()
+        self.failed: str | None = None
+
+    async def wait_ready(self, timeout: float = 10.0) -> "SecureP2PChannel":
+        return self
 
     def rebind(self, send_datagram, peername) -> None:
         """Swap the datagram carrier under a live channel (direct UDP ->

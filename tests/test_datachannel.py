@@ -1,0 +1,479 @@
+"""DTLS 1.2 + SCTP + DCEP DataChannel stack (browser-grade WebRTC transport;
+lib/network/webrtc/ + libdatachannel role).
+
+The DTLS layer is interop-tested against the INDEPENDENT openssl CLI
+implementation (s_server/s_client over real UDP), the equivalence-gate
+pattern of tests/test_reference_c.py: our sans-io endpoint must complete
+handshakes and move data against code we didn't write.
+"""
+
+import asyncio
+import os
+import random
+import shutil
+import socket
+import struct
+import subprocess
+import time
+
+import pytest
+
+from asciichat_tpu.net import dtls as dtls_mod
+from asciichat_tpu.net import sctp as sctp_mod
+from asciichat_tpu.net.dtls import DtlsEndpoint, DtlsIdentity
+from asciichat_tpu.net.sctp import SctpAssociation
+
+pytestmark = pytest.mark.skipif(
+    not dtls_mod.available(), reason="OpenSSL 3 shared libraries not present"
+)
+
+
+@pytest.fixture(scope="module")
+def identities():
+    return DtlsIdentity.generate("peer-a"), DtlsIdentity.generate("peer-b")
+
+
+# --- DTLS --------------------------------------------------------------------
+
+
+def _pump_dtls(a, b, loss=0.0, rng=None, rounds=50):
+    rng = rng or random.Random(0)
+    for _ in range(rounds):
+        moved = False
+        for dg in a.outgoing():
+            moved = True
+            if rng.random() >= loss:
+                b.incoming(dg)
+                b.read()  # a completed endpoint answers retransmitted
+                #           flights inside SSL_read (on_datagram does this)
+        for dg in b.outgoing():
+            moved = True
+            if rng.random() >= loss:
+                a.incoming(dg)
+                a.read()
+        if a.handshake_complete and b.handshake_complete:
+            return True
+        if not moved:
+            # datagrams lost: DTLS retransmission is wall-clock-timer
+            # driven (150 ms initial via DTLS_set_timer_cb), so wait for
+            # the flight timer before poking it
+            time.sleep(0.05)
+            a.handle_timeout()
+            b.handle_timeout()
+    return a.handshake_complete and b.handshake_complete
+
+
+def test_dtls_handshake_and_data(identities):
+    ida, idb = identities
+    a = DtlsEndpoint(ida, server=False)
+    b = DtlsEndpoint(idb, server=True)
+    a.start()
+    b.start()
+    assert _pump_dtls(a, b)
+    # fingerprint pinning material matches the actual certificates
+    assert a.peer_fingerprint == idb.fingerprint
+    assert b.peer_fingerprint == ida.fingerprint
+    assert len(ida.fingerprint.split(":")) == 32  # SHA-256, RFC 8122 format
+    a.write(b"hello dtls")
+    for dg in a.outgoing():
+        b.incoming(dg)
+    assert b.read() == [b"hello dtls"]
+    b.write(b"x" * 1000)  # near-MTU record
+    for dg in b.outgoing():
+        a.incoming(dg)
+    assert a.read() == [b"x" * 1000]
+
+
+def test_dtls_handshake_survives_packet_loss(identities):
+    """DTLS retransmits lost flights on its own timers (RFC 6347 §4.2.4)."""
+    ida, idb = identities
+    a = DtlsEndpoint(ida, server=False)
+    b = DtlsEndpoint(idb, server=True)
+    a.start()
+    b.start()
+    assert _pump_dtls(a, b, loss=0.3, rng=random.Random(42), rounds=600)
+
+
+def test_dtls_record_datagram_packing(identities):
+    """Outgoing datagrams respect the MTU and never split a record: every
+    datagram must parse as a whole number of DTLS records."""
+    ida, idb = identities
+    a = DtlsEndpoint(ida, server=False, mtu=700)
+    a.start()
+    for dg in a.outgoing():
+        assert len(dg) <= 700
+        at = 0
+        while at < len(dg):
+            assert dg[at] in range(20, 64)  # DTLS content types (RFC 7983)
+            rec_len = 13 + int.from_bytes(dg[at + 11 : at + 13], "big")
+            at += rec_len
+        assert at == len(dg)
+
+
+@pytest.mark.skipif(shutil.which("openssl") is None, reason="no openssl CLI")
+def test_dtls_interop_client_vs_openssl_s_server(identities, tmp_path):
+    """Our DTLS CLIENT against the independent openssl s_server binary."""
+    srv_id = DtlsIdentity.generate("cli-server")
+    cert, key = tmp_path / "c.pem", tmp_path / "k.pem"
+    cert.write_bytes(srv_id.cert_pem)
+    key.write_bytes(srv_id.key_pem)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    proc = subprocess.Popen(
+        ["stdbuf", "-o0", "openssl", "s_server", "-dtls1_2", "-accept",
+         str(port), "-cert", str(cert), "-key", str(key), "-verify", "1",
+         "-quiet"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL)
+    try:
+        time.sleep(0.8)
+        cli = DtlsEndpoint(identities[0], server=False)
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.connect(("127.0.0.1", port))
+        sock.settimeout(1.0)
+        cli.start()
+        deadline = time.time() + 10
+        while not cli.handshake_complete and time.time() < deadline:
+            for dg in cli.outgoing():
+                sock.send(dg)
+            try:
+                cli.incoming(sock.recv(4096))
+            except socket.timeout:
+                cli.handle_timeout()
+        assert cli.handshake_complete
+        # the certificate openssl served is the one we fingerprinted
+        assert cli.peer_fingerprint == srv_id.fingerprint
+        # openssl -> us: s_server relays its stdin over DTLS
+        proc.stdin.write(b"echo-from-openssl\n")
+        proc.stdin.flush()
+        msgs = []
+        t0 = time.time()
+        while time.time() - t0 < 8 and not msgs:
+            try:
+                cli.incoming(sock.recv(4096))
+                msgs += cli.read()
+            except socket.timeout:
+                pass
+        assert msgs and msgs[0] == b"echo-from-openssl\n"
+        # us -> openssl: s_server prints received data to stdout; poll it
+        # non-blocking, resending (DTLS app data is datagram, not reliable)
+        os.set_blocking(proc.stdout.fileno(), False)
+        seen = b""
+        t0 = time.time()
+        while time.time() - t0 < 8 and b"ping-from-asciichat" not in seen:
+            cli.write(b"ping-from-asciichat\n")
+            for dg in cli.outgoing():
+                sock.send(dg)
+            time.sleep(0.3)
+            try:
+                seen += proc.stdout.read() or b""
+            except (BlockingIOError, TypeError):
+                pass
+        assert b"ping-from-asciichat" in seen
+    finally:
+        proc.terminate()
+        try:
+            proc.communicate(timeout=5)
+        except Exception:
+            proc.kill()
+
+
+@pytest.mark.skipif(shutil.which("openssl") is None, reason="no openssl CLI")
+def test_dtls_interop_server_vs_openssl_s_client(identities, tmp_path):
+    """Our DTLS SERVER against the independent openssl s_client binary."""
+    cli_id = DtlsIdentity.generate("cli-client")
+    cert, key = tmp_path / "c.pem", tmp_path / "k.pem"
+    cert.write_bytes(cli_id.cert_pem)
+    key.write_bytes(cli_id.key_pem)
+    srv = DtlsEndpoint(identities[1], server=True)
+    srv.start()
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(1.0)
+    port = sock.getsockname()[1]
+    proc = subprocess.Popen(
+        ["openssl", "s_client", "-dtls1_2", "-connect", f"127.0.0.1:{port}",
+         "-cert", str(cert), "-key", str(key), "-quiet"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL)
+    try:
+        peer = None
+        deadline = time.time() + 10
+        msgs = []
+        while time.time() < deadline and not srv.handshake_complete:
+            try:
+                data, peer = sock.recvfrom(4096)
+                srv.incoming(data)
+            except socket.timeout:
+                srv.handle_timeout()
+            for dg in srv.outgoing():
+                if peer:
+                    sock.sendto(dg, peer)
+        assert srv.handshake_complete
+        assert srv.peer_fingerprint == cli_id.fingerprint
+        proc.stdin.write(b"hello-from-openssl-client\n")
+        proc.stdin.flush()
+        t0 = time.time()
+        while time.time() - t0 < 5 and not msgs:
+            try:
+                data, peer = sock.recvfrom(4096)
+                srv.incoming(data)
+                msgs += srv.read()
+            except socket.timeout:
+                pass
+        assert msgs and msgs[0] == b"hello-from-openssl-client\n"
+        srv.write(b"reply-from-asciichat\n")
+        for dg in srv.outgoing():
+            sock.sendto(dg, peer)
+        time.sleep(0.5)
+    finally:
+        proc.terminate()
+        out = proc.communicate(timeout=5)[0]
+    assert b"reply-from-asciichat" in out
+
+
+# --- SCTP --------------------------------------------------------------------
+
+
+def test_sctp_packet_codec_checksum():
+    """CRC32c over the zero-checksum packet, stored little-endian (RFC 9260
+    Appendix B) — the classic interop trap, asserted explicitly."""
+    from asciichat_tpu.net.packet import crc32c
+
+    chunks = sctp_mod._chunk(sctp_mod.CT_HEARTBEAT, 0, b"\x00\x01\x00\x08beat")
+    p = sctp_mod.pack_packet(5000, 5001, 0xDEADBEEF, chunks)
+    src, dst, vtag, parsed = sctp_mod.unpack_packet(p)
+    assert (src, dst, vtag) == (5000, 5001, 0xDEADBEEF)
+    assert parsed == [(sctp_mod.CT_HEARTBEAT, 0, b"\x00\x01\x00\x08beat")]
+    want = crc32c(p[:8] + b"\0\0\0\0" + p[12:])
+    assert p[8:12] == struct.pack("<I", want)  # little-endian on the wire
+    # corruption must be caught
+    bad = bytearray(p)
+    bad[14] ^= 0x40
+    with pytest.raises(ValueError):
+        sctp_mod.unpack_packet(bytes(bad))
+
+
+def _mk_pair(now):
+    qa, qb = [], []
+    a = SctpAssociation(qb.append, client=True, now_fn=lambda: now[0])
+    b = SctpAssociation(qa.append, client=False, now_fn=lambda: now[0])
+    return a, b, qa, qb
+
+
+def _pump_sctp(a, b, qa, qb, now, loss=0.0, iters=400, rng=None):
+    rng = rng or random.Random(3)
+    for _ in range(iters):
+        while qb:
+            p = qb.pop(0)
+            if rng.random() >= loss:
+                b.on_packet(p)
+        while qa:
+            p = qa.pop(0)
+            if rng.random() >= loss:
+                a.on_packet(p)
+        now[0] += 0.1
+        a.tick()
+        b.tick()
+        if (not qa and not qb and not a._outstanding and not b._outstanding
+                and not a._send_queue and not b._send_queue
+                and a._hs_chunk is None and b._hs_chunk is None):
+            return
+
+
+def test_sctp_handshake_and_ordered_delivery_under_loss():
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    got_a, got_b = [], []
+    a.on_message = lambda s, p, d: got_a.append(d)
+    b.on_message = lambda s, p, d: got_b.append(d)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    assert a.state == "established" and b.state == "established"
+
+    big = random.Random(1).randbytes(50_000)  # fragments across ~46 chunks
+    a.send(0, sctp_mod.PPID_BINARY, big)
+    for i in range(40):
+        a.send(0, sctp_mod.PPID_BINARY, b"m%03d" % i)
+    b.send(0, sctp_mod.PPID_BINARY, b"from-server")
+    _pump_sctp(a, b, qa, qb, now, loss=0.2, iters=4000,
+               rng=random.Random(99))
+    assert got_b == [big] + [b"m%03d" % i for i in range(40)]
+    assert got_a == [b"from-server"]
+
+    a.shutdown()
+    _pump_sctp(a, b, qa, qb, now)
+    assert a.state == "done" and b.state == "done"
+
+
+def test_sctp_dcep_open_ack():
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    opened, acked = [], []
+    b.on_channel_open = lambda sid, label: opened.append((sid, label))
+    a.on_channel_acked = acked.append
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    sid = a.open_channel(label="acip")
+    assert sid == 0  # DTLS-client parity rule (RFC 8832 §6)
+    _pump_sctp(a, b, qa, qb, now)
+    assert opened == [(0, "acip")] and acked == [0]
+    assert a.channel_acked(0)
+
+
+def test_sctp_unordered_and_unknown_chunk_rules():
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    got = []
+    b.on_message = lambda s, p, d: got.append(d)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    # unknown chunk with high bits 10 (0x80): skipped, packet continues —
+    # bundle [unknown, DATA] must still deliver the DATA
+    data_chunk = sctp_mod._chunk(
+        sctp_mod.CT_DATA, sctp_mod.F_BEGIN | sctp_mod.F_END | sctp_mod.F_UNORDERED,
+        sctp_mod._DATA_HDR.pack(a.my_tsn, 0, 0, 53) + b"after-unknown")
+    a.my_tsn = sctp_mod._u32(a.my_tsn + 1)
+    unknown = sctp_mod._chunk(0x80 | 0x3F, 0, b"future-extension")
+    b.on_packet(sctp_mod.pack_packet(5000, 5000, b.my_vtag,
+                                     unknown + data_chunk))
+    assert got == [b"after-unknown"]
+    # unknown chunk with high bits 00: stop processing the rest
+    data2 = sctp_mod._chunk(
+        sctp_mod.CT_DATA, sctp_mod.F_BEGIN | sctp_mod.F_END | sctp_mod.F_UNORDERED,
+        sctp_mod._DATA_HDR.pack(a.my_tsn, 0, 0, 53) + b"never-delivered")
+    stop = sctp_mod._chunk(0x3F, 0, b"")
+    b.on_packet(sctp_mod.pack_packet(5000, 5000, b.my_vtag, stop + data2))
+    assert got == [b"after-unknown"]
+    # bad verification tag: dropped entirely
+    b.on_packet(sctp_mod.pack_packet(5000, 5000, b.my_vtag ^ 1, data_chunk))
+    assert got == [b"after-unknown"]
+
+
+# --- DataChannel over ICE ----------------------------------------------------
+
+
+def _mk_agents(**kw):
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    return (IceLiteAgent(controlling=True, **kw),
+            IceLiteAgent(controlling=False, **kw))
+
+
+def test_datachannel_over_ice_loopback():
+    """Full browser-grade stack: ICE nomination -> DTLS handshake with
+    fingerprint pinning -> SCTP association -> DCEP -> ACIP packets."""
+    from asciichat_tpu.net.datachannel import DataChannelTransport
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(10)).wait_ready(10)
+            ch_b = await (await b.wait_connected(10)).wait_ready(10)
+            assert isinstance(ch_a, DataChannelTransport)
+            assert ch_a.dtls.peer_fingerprint == b.dtls_identity.fingerprint
+            assert ch_b.dtls.peer_fingerprint == a.dtls_identity.fingerprint
+            await ch_a.send(3000, b"frame" * 11000)  # 55 KB ASCII frame
+            await ch_b.send(5003, b"pong")
+            ptype, payload = await ch_b.recv()
+            assert (ptype, len(payload)) == (3000, 55000)
+            assert (await ch_a.recv()) == (5003, b"pong")
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(run())
+
+
+def test_datachannel_survives_datagram_loss():
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        rng = random.Random(5)
+        for ag in (a, b):
+            real = ag.transport.sendto
+
+            def lossy(data, addr, real=real, rng=rng):
+                if rng.random() >= 0.15:
+                    real(data, addr)
+
+            ag.transport.sendto = lossy
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(15)).wait_ready(15)
+            ch_b = await (await b.wait_connected(15)).wait_ready(15)
+            blob = random.Random(2).randbytes(30_000)
+            await ch_a.send(3001, blob)
+            ptype, payload = await ch_b.recv()
+            assert (ptype, payload) == (3001, blob)
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(run())
+
+
+def test_datachannel_fingerprint_mismatch_kills_transport():
+    """Signaling says one certificate, the wire presents another: the
+    transport must fail closed before any application byte flows."""
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            desc_a, desc_b = a.local_description(), b.local_description()
+            # MITM: attacker swaps the signaled fingerprint for its own;
+            # the Ed25519 envelope prevents this in production — this test
+            # proves the DTLS layer ALSO catches it (defense in depth)
+            tam = dict(desc_b)
+            tam["dtls_fp"] = DtlsIdentity.generate("mitm").fingerprint
+            b.set_remote(desc_a)
+            a.set_remote(tam)
+            ch_a = await a.wait_connected(10)
+            with pytest.raises((ConnectionError, asyncio.TimeoutError,
+                                TimeoutError)):
+                await ch_a.wait_ready(5)
+            assert ch_a.failed and "fingerprint" in ch_a.failed
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(run())
+
+
+def test_mixed_population_falls_back_to_secretbox():
+    """A peer without DTLS (older build / no OpenSSL) still connects: the
+    channel type is negotiated per-pair, like the codec negotiation."""
+    from asciichat_tpu.net.webrtc import SecureP2PChannel
+
+    async def run():
+        a, _ = _mk_agents()  # a advertises DTLS
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        b = IceLiteAgent(controlling=False, dtls=False)  # b cannot
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            assert "dtls_fp" not in b.local_description()
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(10)).wait_ready(10)
+            ch_b = await (await b.wait_connected(10)).wait_ready(10)
+            assert isinstance(ch_a, SecureP2PChannel)
+            assert isinstance(ch_b, SecureP2PChannel)
+            await ch_a.send(5003, b"legacy-ping")
+            assert (await ch_b.recv()) == (5003, b"legacy-ping")
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(run())

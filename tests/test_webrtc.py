@@ -1,6 +1,9 @@
 """STUN (RFC 5389 subset) + ICE-lite + encrypted reliable P2P channel
-(lib/network/webrtc/ seat: native-to-native P2P transport; DTLS-SCTP
-browser interop documented out of scope in docs/webrtc-design.md)."""
+(lib/network/webrtc/ seat). The channel stack is negotiated: DTLS-SCTP
+DataChannels when both peers advertise certificate fingerprints
+(tests/test_datachannel.py covers that stack), else the legacy secretbox
+Go-Back-N stream — the ARQ-specific tests here pin dtls=False to keep
+exercising the secretbox path deterministically."""
 
 import asyncio
 import os
@@ -35,10 +38,11 @@ def test_stun_message_roundtrip_and_integrity():
     assert not stun.is_stun(b"\x80hello-not-stun" + b"\0" * 20)
 
 
-def _mk_agents():
+def _mk_agents(**kw):
     from asciichat_tpu.net.webrtc import IceLiteAgent
 
-    return IceLiteAgent(controlling=True), IceLiteAgent(controlling=False)
+    return (IceLiteAgent(controlling=True, **kw),
+            IceLiteAgent(controlling=False, **kw))
 
 
 def test_ice_lite_loopback_and_reliable_channel():
@@ -77,10 +81,12 @@ def test_ice_lite_loopback_and_reliable_channel():
 
 def test_p2p_channel_survives_packet_loss():
     """Go-Back-N ARQ: 20% datagram loss on both directions still delivers
-    the full stream (retransmission observed)."""
+    the full stream (retransmission observed). Pins the secretbox channel —
+    this is the ARQ's loss test (DTLS-SCTP has its own in
+    test_datachannel.py)."""
 
     async def run():
-        a, b = _mk_agents()
+        a, b = _mk_agents(dtls=False)
         await a.start("127.0.0.1")
         await b.start("127.0.0.1")
         try:
@@ -115,10 +121,11 @@ def test_p2p_retransmit_not_starved_by_duplex_acks():
     """Regression: in a duplex session the receiver of a continuous inbound
     stream emits ACK-only segments every few ms. Those acks must NOT refresh
     the retransmission timer, or a lost outgoing DATA segment is never
-    retransmitted and send() blocks forever on a full window (ADVICE r2)."""
+    retransmitted and send() blocks forever on a full window (ADVICE r2).
+    Secretbox-ARQ-specific: pins dtls=False."""
 
     async def run():
-        a, b = _mk_agents()
+        a, b = _mk_agents(dtls=False)
         await a.start("127.0.0.1")
         await b.start("127.0.0.1")
         try:
@@ -544,11 +551,16 @@ def test_p2p_relay_fallback_one_way_udp(monkeypatch):
     asyncio.run(asyncio.wait_for(run(), 60))
 
 
-def test_relay_budget_throttles_flood():
+def test_relay_budget_throttles_flood(monkeypatch):
     """The ACDS's TURN-role relay enforces a per-sender byte budget: an
     over-budget flood is dropped at the relay (the rendezvous host is not a
     free amplifier) while the in-budget channel keeps working; Go-Back-N
-    retransmission absorbs the drops."""
+    retransmission absorbs the drops. Pins the secretbox channel: the test
+    is about the ARQ-vs-budget interplay, and SCTP's standards-mandated
+    RTO backoff makes a starved flood take minutes instead of seconds."""
+    from asciichat_tpu.net import webrtc as webrtc_mod
+
+    monkeypatch.setattr(webrtc_mod, "DTLS_DEFAULT", False)
     from asciichat_tpu.apps.acds import AcdsServer, _RelayBudget
     from asciichat_tpu.apps.discovery import DiscoverySession
     from asciichat_tpu.net.transport import serve_tcp
