@@ -613,14 +613,23 @@ class AsciiChatServer:
         self._server = await serve_tcp(self._handle_conn, self.host, self.port)
         log.info("listening on %s:%d (tcp)", self.host, self.port)
         ws_server = None
+        webrtc_gw = None
         if self.ws_port:
-            from asciichat_tpu.apps.webclient import make_http_handler
+            from asciichat_tpu.apps.webclient import WebRtcGateway, make_http_handler
             from asciichat_tpu.net.websocket import serve_ws
 
+            webrtc_gw = WebRtcGateway(self._handle_conn)
+            post = None
+            if webrtc_gw.available():
+                def post(path, body, _gw=webrtc_gw):
+                    if path.split("?", 1)[0] == "/webrtc/offer":
+                        return _gw.on_offer(body)
+                    return None
             ws_server = await serve_ws(self._handle_conn, self.host, self.ws_port,
-                                       pages=make_http_handler())
-            log.info("listening on %s:%d (websocket + browser client page)",
-                     self.host, self.ws_port)
+                                       pages=make_http_handler(), post=post)
+            log.info("listening on %s:%d (websocket + browser client page%s)",
+                     self.host, self.ws_port,
+                     " + webrtc signaling" if post else "")
         announcer = None
         if self.mdns:
             from asciichat_tpu.net.mdns import MdnsAnnouncer
@@ -659,6 +668,8 @@ class AsciiChatServer:
                 status_task.cancel()
             if ws_server:
                 ws_server.close()
+            if webrtc_gw:
+                webrtc_gw.close()
             if announcer:
                 announcer.stop()
 

@@ -8,15 +8,24 @@ canvas), plus dynamic endpoints:
 
 - /servers.json — LAN server browse via one mDNS sweep (client --browse in
   the browser; lib/network/mdns/ role), cached a few seconds.
+- POST /webrtc/offer — WebRTC DataChannel signaling (lib/network/webrtc/
+  + src/discovery-service/signaling.c role for direct-to-server browsers):
+  body is the browser's SDP offer, response is the server's SDP answer;
+  the resulting ICE+DTLS+SCTP DataChannel then joins the server exactly
+  like a TCP or WebSocket client (same ACIP handler).
 """
 
 from __future__ import annotations
 
+import asyncio
 import json
 import threading
 import time
 
 from asciichat_tpu import web
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("webclient")
 
 
 class _BrowseCache:
@@ -78,3 +87,71 @@ def make_http_handler(extra: dict | None = None):
 # make_http_handler is the supported path.
 def index_html() -> str:
     return web.get_asset("/")[1].decode()
+
+
+class WebRtcGateway:
+    """Answers browser RTCPeerConnection offers and hands established
+    DataChannels to the server's connection handler.
+
+    The browser is the full-ICE controlling agent and DTLS client; the
+    server side is ICE-lite + a=setup:passive (RFC 8839 §4.3/RFC 8842
+    §5.3, the standard server posture). One POST = one dedicated UDP
+    socket/agent; the channel then speaks plain ACIP, so the server treats
+    a browser on WebRTC identically to one on TCP or WebSocket."""
+
+    def __init__(self, handler, max_pending: int = 64):
+        self._handler = handler  # async def handler(transport)
+        self._max_pending = max_pending
+        self._tasks: set[asyncio.Task] = set()
+        self.closed = False
+
+    def available(self) -> bool:
+        from asciichat_tpu.net import dtls
+
+        return dtls.available()
+
+    async def on_offer(self, body: bytes) -> tuple[str, bytes] | None:
+        """POST /webrtc/offer handler: SDP offer in, SDP answer out.
+        Returns None (-> 404) for malformed or unsupportable offers."""
+        from asciichat_tpu.net import sdp
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        if self.closed or len(self._tasks) >= self._max_pending:
+            return None
+        try:
+            info = sdp.parse(body.decode("utf-8", errors="strict"))
+        except UnicodeDecodeError:
+            return None
+        if not (info.ufrag and info.pwd and info.fingerprint):
+            return None  # not a DataChannel offer this stack can secure
+        agent = IceLiteAgent(controlling=False)
+        if agent.dtls_identity is None:
+            agent.close()
+            return None  # no OpenSSL on this host
+        await agent.start()
+        agent.set_remote(info.to_desc())
+        answer = sdp.answer_for_agent(agent)
+        task = asyncio.get_running_loop().create_task(self._run(agent))
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
+        log.info("webrtc offer accepted (ufrag %s); agent on udp:%d",
+                 info.ufrag, agent.local_port)
+        return ("application/sdp", answer.encode())
+
+    async def _run(self, agent) -> None:
+        try:
+            ch = await agent.wait_connected(30)
+            await ch.wait_ready(30)
+            log.info("webrtc datachannel up from %s", ch.peername)
+            await self._handler(ch)
+        except (TimeoutError, asyncio.TimeoutError):
+            log.info("webrtc offer never completed (browser went away?)")
+        except ConnectionError as e:
+            log.info("webrtc channel ended: %s", e)
+        finally:
+            agent.close()
+
+    def close(self) -> None:
+        self.closed = True
+        for t in list(self._tasks):
+            t.cancel()

@@ -224,7 +224,15 @@ class DataChannelTransport:
         self.ready.set()  # unblock waiters; wait_ready raises
         self.close()
 
-    def close(self) -> None:
+    def close(self):
+        """Close the channel. Callable from sync code (P2P paths) AND
+        awaitable (the server's `await transport.close()` path): the work
+        happens synchronously, the return value is an await-compatible
+        no-op."""
+        self._close_sync()
+        return _Awaitable()
+
+    def _close_sync(self) -> None:
         if self.closed:
             return
         self.closed = True
@@ -243,3 +251,10 @@ class DataChannelTransport:
                 self._send_datagram(dg)
         except Exception:
             pass
+
+
+class _Awaitable:
+    """Awaiting this is a no-op; not awaiting it warns nobody."""
+
+    def __await__(self):
+        return iter(())

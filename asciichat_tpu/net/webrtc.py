@@ -175,8 +175,14 @@ class IceLiteAgent(asyncio.DatagramProtocol):
 
     def set_remote(self, desc: dict) -> None:
         self.remote = desc
-        self.crypto.compute_shared(bytes.fromhex(desc["pubkey"]))
-        self.crypto.handshake_complete = True
+        if desc.get("pubkey"):
+            self.crypto.compute_shared(bytes.fromhex(desc["pubkey"]))
+            self.crypto.handshake_complete = True
+        elif not self._use_dtls():
+            # a peer without an X25519 key AND without a DTLS fingerprint
+            # has no way to secure the channel — refuse up front
+            raise ValueError("remote description has neither pubkey nor "
+                             "dtls_fp; no secure channel possible")
         if self.controlling and self._check_task is None:
             self._check_task = asyncio.get_running_loop().create_task(
                 self._run_checks()

@@ -284,11 +284,13 @@ async def connect_ws(host: str, port: int, path: str = "/",
 
 async def serve_ws(handler, host: str, port: int,
                    index_html: str | None = None,
-                   pages=None) -> asyncio.AbstractServer:
+                   pages=None, post=None) -> asyncio.AbstractServer:
     """Listen for WebSocket upgrades; `await handler(WebSocketTransport)`.
     Plain HTTP GETs are routed through `pages(path) -> (ctype, body)|None`
     when provided (the browser app's static assets + JSON endpoints), else
-    answered with `index_html` for any path, else 400."""
+    answered with `index_html` for any path, else 400. POSTs route through
+    `post(path, body) -> (ctype, body)|None` (awaitable results awaited) —
+    the WebRTC signaling endpoint (browser offer -> SDP answer)."""
 
     async def on_conn(reader, writer):
         try:
@@ -302,6 +304,14 @@ async def serve_ws(handler, host: str, port: int,
                         page = pages(path)
                     elif index_html is not None:
                         page = ("text/html; charset=utf-8", index_html.encode())
+                elif status.startswith("POST") and post is not None:
+                    path = status.split(" ")[1] if " " in status else "/"
+                    clen = int(headers.get("content-length", "0"))
+                    body = await reader.readexactly(clen) if 0 < clen <= 1 << 20 \
+                        else b""
+                    page = post(path, body)
+                    if asyncio.iscoroutine(page):
+                        page = await page
                 if page is not None:
                     ctype, body = page
                     writer.write(

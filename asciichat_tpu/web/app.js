@@ -55,6 +55,9 @@ let wsState = "idle";
 let backoffMs = 250;
 let intentionalClose = false;
 let pingTimer = null;
+// "ws" (default) or "webrtc" (?transport=webrtc): DataChannel with
+// automatic permanent fallback to the WebSocket when signaling fails
+let transportPref = "ws";
 
 // ---------------------------------------------------------------------------
 // rendering + stats
@@ -90,7 +93,7 @@ function updateHud() {
     `${stats.netFps.toFixed(1)} fps net | parse ${stats.parseMs.toFixed(2)}ms ` +
     `draw ${stats.drawMs.toFixed(2)}ms (${stats.renderPath}) -> ` +
     `${headroom.toFixed(0)} fps render capacity | ${grid.w}x${grid.h} | ` +
-    `${(stats.kbps || 0).toFixed(0)} kB/s`;
+    `${(stats.kbps || 0).toFixed(0)} kB/s | ${stats.transport || "ws"}`;
   window.__stats = { ...stats, gridW: grid.w, gridH: grid.h, headroom };
 }
 
@@ -142,8 +145,67 @@ function setStatus(text, cls) {
 function connect() {
   intentionalClose = false;
   setStatus("connecting…", "warn");
-  ws = new WebSocket(`ws://${location.host}/ws`);
-  ws.binaryType = "arraybuffer";
+  if (transportPref === "webrtc" && window.RTCPeerConnection) {
+    connectWebRtc();
+    return;
+  }
+  const w = new WebSocket(`ws://${location.host}/ws`);
+  w.binaryType = "arraybuffer";
+  wireTransport(w, "ws");
+}
+
+/* WebRTC DataChannel transport (?transport=webrtc): the browser-native
+ * ICE+DTLS+SCTP stack against the server's /webrtc/offer signaling endpoint
+ * (net/{dtls,sctp,datachannel}.py + apps/webclient.WebRtcGateway). The
+ * DataChannel carries the SAME ACIP binary packets as the WebSocket, so
+ * everything above the transport is shared; a wrapper gives it the
+ * WebSocket surface (numeric readyState, onmessage/onopen/onclose). */
+async function connectWebRtc() {
+  const pc = new RTCPeerConnection();
+  const dc = pc.createDataChannel("acip");
+  dc.binaryType = "arraybuffer";
+  const shim = {
+    readyState: 0,
+    send: (buf) => dc.send(buf),
+    close: () => { shim.readyState = 3; try { dc.close(); } catch (e) {} pc.close(); },
+    onopen: null, onclose: null, onerror: null, onmessage: null,
+  };
+  dc.onopen = () => { shim.readyState = 1; if (shim.onopen) shim.onopen(); };
+  dc.onclose = () => {
+    if (shim.readyState === 3) return;
+    shim.readyState = 3;
+    if (shim.onclose) shim.onclose();
+  };
+  dc.onmessage = (ev) => { if (shim.onmessage) shim.onmessage(ev); };
+  wireTransport(shim, "webrtc");
+  try {
+    await pc.setLocalDescription(await pc.createOffer());
+    await new Promise((res) => {  // non-trickle: wait for ICE gathering
+      if (pc.iceGatheringState === "complete") return res();
+      pc.onicegatheringstatechange = () =>
+        pc.iceGatheringState === "complete" && res();
+      setTimeout(res, 2000);
+    });
+    const resp = await fetch("/webrtc/offer", {
+      method: "POST",
+      headers: { "Content-Type": "application/sdp" },
+      body: pc.localDescription.sdp,
+    });
+    if (!resp.ok) throw new Error(`signaling ${resp.status}`);
+    await pc.setRemoteDescription({ type: "answer", sdp: await resp.text() });
+    // dc.onopen fires once ICE+DTLS+SCTP+DCEP complete
+  } catch (e) {
+    // signaling or stack failure: permanent fallback to the WebSocket
+    setStatus("webrtc unavailable; using websocket", "warn");
+    transportPref = "ws";
+    try { pc.close(); } catch (e2) {}
+    if (!intentionalClose) connect();
+  }
+}
+
+function wireTransport(w, kind) {
+  ws = w;
+  stats.transport = kind;
   ws.onopen = () => {
     wsState = "open";
     backoffMs = 250;
@@ -394,6 +456,7 @@ window.addEventListener("DOMContentLoaded", () => {
   $("cam").onclick = toggleCamera;
   window.__benchLocal = benchLocal; // headless drivers call this directly
   const q = new URLSearchParams(location.search);
+  if (q.get("transport") === "webrtc") transportPref = "webrtc";
   if (q.get("bench") === "local") {
     benchLocal(+q.get("cols") || 203, +q.get("rows") || 64, +q.get("frames") || 300);
   } else {

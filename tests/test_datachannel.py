@@ -477,3 +477,174 @@ def test_mixed_population_falls_back_to_secretbox():
             b.close()
 
     asyncio.run(run())
+
+
+# --- browser-role e2e: SDP signaling + DataChannel into the live server -----
+
+
+def test_sdp_roundtrip_and_chrome_style_parse():
+    from asciichat_tpu.net import sdp
+
+    desc = {"ufrag": "Xy3k", "pwd": "p" * 22,
+            "dtls_fp": ":".join(["AB"] * 32),
+            "candidates": [{"ip": "192.168.1.5", "port": 41234},
+                           {"ip": "203.0.113.9", "port": 52000,
+                            "type": "srflx"}]}
+    text = sdp.build(desc, setup="actpass", ice_lite=False)
+    info = sdp.parse(text)
+    assert (info.ufrag, info.pwd) == ("Xy3k", "p" * 22)
+    assert info.fingerprint == desc["dtls_fp"]
+    assert info.setup == "actpass" and not info.ice_lite
+    assert info.candidates == [
+        {"ip": "192.168.1.5", "port": 41234, "type": "host"},
+        {"ip": "203.0.113.9", "port": 52000, "type": "srflx"},
+    ]
+    # a Chrome-style offer (hand-written per RFC 8866/8839/8841 grammar:
+    # \r\n lines, media-level ice attrs, mDNS + IPv6 + TCP candidates that
+    # must be tolerated-and-skipped, unknown a= lines ignored)
+    chrome = (
+        "v=0\r\n"
+        "o=- 163128102 2 IN IP4 127.0.0.1\r\n"
+        "s=-\r\nt=0 0\r\n"
+        "a=group:BUNDLE 0\r\n"
+        "a=extmap-allow-mixed\r\n"
+        "a=msid-semantic: WMS\r\n"
+        "m=application 9 UDP/DTLS/SCTP webrtc-datachannel\r\n"
+        "c=IN IP4 0.0.0.0\r\n"
+        "a=ice-ufrag:x9Qb\r\n"
+        "a=ice-pwd:ByT4LqSknZzz0PPalJtOZBuP\r\n"
+        "a=ice-options:trickle\r\n"
+        "a=fingerprint:sha-256 "
+        "7B:8B:F0:65:5F:78:E2:51:3B:AC:6F:F3:3F:46:1B:35:"
+        "DC:B8:5F:64:1A:24:C2:43:F0:A1:58:D0:A1:2C:19:08\r\n"
+        "a=setup:actpass\r\n"
+        "a=mid:0\r\n"
+        "a=sctp-port:5000\r\n"
+        "a=max-message-size:262144\r\n"
+        "a=candidate:2230659787 1 udp 2122260223 "
+        "a1b2c3d4-0e1f-4a58-aa2e-123456789abc.local 56143 typ host "
+        "generation 0 network-id 1\r\n"
+        "a=candidate:3580321214 1 udp 2122194687 10.0.0.17 49203 typ host "
+        "generation 0 network-id 2\r\n"
+        "a=candidate:1510613869 1 tcp 1518280447 10.0.0.17 9 typ host "
+        "tcptype active generation 0 network-id 2\r\n"
+        "a=candidate:842163049 1 udp 1686052607 203.0.113.44 49203 "
+        "typ srflx raddr 10.0.0.17 rport 49203 generation 0\r\n"
+    )
+    info = sdp.parse(chrome)
+    assert info.ufrag == "x9Qb"
+    assert info.pwd == "ByT4LqSknZzz0PPalJtOZBuP"
+    assert info.fingerprint.startswith("7B:8B:F0:65")
+    assert info.sctp_port == 5000
+    # mDNS + TCP candidates skipped; the two resolvable UDP ones kept
+    assert info.candidates == [
+        {"ip": "10.0.0.17", "port": 49203, "type": "host"},
+        {"ip": "203.0.113.44", "port": 49203, "type": "srflx"},
+    ]
+    d = info.to_desc()
+    assert d["dtls_fp"] == info.fingerprint and "pubkey" not in d
+
+
+async def _http_post(host, port, path, body: bytes,
+                     ctype="application/sdp"):
+    reader, writer = await asyncio.open_connection(host, port)
+    writer.write(
+        f"POST {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+        f"Content-Type: {ctype}\r\nContent-Length: {len(body)}\r\n"
+        "\r\n".encode() + body)
+    await writer.drain()
+    status = await reader.readline()
+    headers = {}
+    while True:
+        line = await reader.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        k, _, v = line.decode().partition(":")
+        headers[k.strip().lower()] = v.strip()
+    resp = b""
+    if "content-length" in headers:
+        resp = await reader.readexactly(int(headers["content-length"]))
+    writer.close()
+    return int(status.split()[1]), resp
+
+
+def test_browser_role_webrtc_into_live_server():
+    """The full browser path into the server: POST an SDP offer to
+    /webrtc/offer on the websocket listener, parse the SDP answer, run
+    ICE (we play the browser: full/controlling agent) -> DTLS -> SCTP ->
+    DCEP, then speak plain ACIP: advertise capabilities, upload one
+    IMAGE_FRAME, and receive the rendered ASCII_FRAME — the same handler
+    and tick the TCP and WebSocket clients use."""
+    import struct as _struct
+
+    import numpy as np
+
+    from asciichat_tpu.apps.server import AsciiChatServer
+    from asciichat_tpu.apps.webclient import WebRtcGateway, make_http_handler
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import sdp
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+    from asciichat_tpu.net.websocket import serve_ws
+
+    async def run():
+        server = AsciiChatServer()
+        gw = WebRtcGateway(server._handle_conn)
+        assert gw.available()
+
+        def post(path, body):
+            if path.split("?", 1)[0] == "/webrtc/offer":
+                return gw.on_offer(body)
+            return None
+
+        ws_srv = await serve_ws(server._handle_conn, "127.0.0.1", 0,
+                                pages=make_http_handler(), post=post)
+        port = ws_srv.sockets[0].getsockname()[1]
+        tick = asyncio.get_running_loop().create_task(server._tick_loop())
+        browser = IceLiteAgent(controlling=True)  # the browser role
+        await browser.start("127.0.0.1")
+        try:
+            # malformed offers are refused without state
+            st, _ = await _http_post("127.0.0.1", port, "/webrtc/offer",
+                                     b"v=0\r\nnot-a-datachannel-offer\r\n")
+            assert st in (400, 404) and not gw._tasks
+
+            offer = sdp.offer_for_agent(browser)
+            st, answer = await _http_post("127.0.0.1", port,
+                                          "/webrtc/offer", offer.encode())
+            assert st == 200
+            info = sdp.parse(answer.decode())
+            assert info.ice_lite and info.setup == "passive"
+            browser.set_remote(info.to_desc())
+            ch = await browser.wait_connected(15)
+            await ch.wait_ready(15)
+
+            caps = bytearray(168)
+            _struct.pack_into(">I", caps, 0, 1)  # bit0: no-compression
+            _struct.pack_into(">I", caps, 4, 3)  # truecolor
+            _struct.pack_into(">I", caps, 12, 2)
+            _struct.pack_into(">H", caps, 16, 60)
+            _struct.pack_into(">H", caps, 18, 20)
+            caps[159] = 1
+            await ch.send(pkt.PacketType.CLIENT_CAPABILITIES, bytes(caps))
+            rgb = np.zeros((48, 64, 3), np.uint8)
+            rgb[:, :, 0] = 200
+            await ch.send(pkt.PacketType.IMAGE_FRAME,
+                          pkt.pack_image_frame(rgb.tobytes(), 64, 48, 0))
+            deadline = asyncio.get_running_loop().time() + 30
+            frame = None
+            while asyncio.get_running_loop().time() < deadline:
+                ptype, payload = await asyncio.wait_for(ch.recv(), 10)
+                if ptype == pkt.PacketType.ASCII_FRAME:
+                    frame = payload
+                    break
+            assert frame is not None, "no ASCII_FRAME over the DataChannel"
+            w, h, orig, _comp, _crc, _fl = pkt.ASCII_FRAME_HDR.unpack(
+                frame[:24])
+            assert orig > 0 and w > 0 and h > 0
+        finally:
+            tick.cancel()
+            browser.close()
+            gw.close()
+            ws_srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 120))
