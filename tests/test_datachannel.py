@@ -648,3 +648,121 @@ def test_browser_role_webrtc_into_live_server():
             ws_srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 120))
+
+
+# --- adversarial robustness --------------------------------------------------
+
+
+def test_dtls_survives_garbage_datagrams(identities):
+    """Attacker datagrams (random bytes, DTLS-looking first byte, truncated
+    records) must be silently discarded — never a fatal error, never a
+    wedged channel — when interleaved with reads exactly like the
+    production on_datagram path interleaves them (RFC 6347 §4.1.2.7:
+    invalid records are dropped)."""
+    ida, idb = identities
+    a = DtlsEndpoint(ida, server=False)
+    b = DtlsEndpoint(idb, server=True)
+    a.start()
+    b.start()
+    rng = random.Random(11)
+
+    def garbage():
+        g = bytearray(os.urandom(rng.randint(1, 1400)))
+        if rng.random() < 0.5:
+            g[0] = rng.randint(20, 63)  # DTLS content-type range
+        return bytes(g)
+
+    def deliver(ep, dg):
+        ep.incoming(garbage())  # attacker datagram before every real one
+        ep.read()
+        ep.incoming(dg)
+        return ep.read()
+
+    for _ in range(20):
+        for dg in a.outgoing():
+            deliver(b, dg)
+        for dg in b.outgoing():
+            deliver(a, dg)
+        if a.handshake_complete and b.handshake_complete:
+            break
+    assert a.handshake_complete and b.handshake_complete
+    b.write(b"still-alive")
+    got = []
+    for dg in b.outgoing():
+        got += deliver(a, dg)
+    assert got == [b"still-alive"]
+    assert not a.closed and not b.closed
+
+
+def test_sctp_survives_fuzzed_packets():
+    """Random garbage, bit-flipped valid packets, and forged-vtag packets
+    into on_packet: never an exception, association stays usable."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    got = []
+    b.on_message = lambda s, p, d: got.append(d)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    assert b.state == "established"
+    rng = random.Random(23)
+    a.send(0, sctp_mod.PPID_BINARY, b"before-fuzz")
+    valid = list(qb)
+    for _ in range(300):
+        choice = rng.random()
+        if choice < 0.4:
+            b.on_packet(os.urandom(rng.randint(0, 200)))
+        elif choice < 0.8 and valid:
+            mut = bytearray(rng.choice(valid))
+            for _ in range(rng.randint(1, 8)):
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            b.on_packet(bytes(mut))
+        else:
+            # well-formed packet, forged verification tag
+            ch = sctp_mod._chunk(sctp_mod.CT_DATA, 3,
+                                 sctp_mod._DATA_HDR.pack(1, 0, 0, 53) + b"x")
+            b.on_packet(sctp_mod.pack_packet(5000, 5000, b.my_vtag ^ 7, ch))
+    _pump_sctp(a, b, qa, qb, now)
+    a.send(0, sctp_mod.PPID_BINARY, b"after-fuzz")
+    _pump_sctp(a, b, qa, qb, now)
+    assert got == [b"before-fuzz", b"after-fuzz"]
+    assert b.state == "established"
+
+
+def test_datachannel_survives_garbage_and_replay():
+    """Transport-level: attacker datagrams on the wire (garbage + replays
+    of earlier legitimate datagrams) neither kill nor desync the channel."""
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        rng = random.Random(31)
+        seen: list[bytes] = []
+        for ag in (a, b):
+            real = ag.transport.sendto
+
+            def evil(data, addr, real=real):
+                seen.append(data)
+                if rng.random() < 0.3:  # inject garbage before
+                    real(os.urandom(rng.randint(10, 900)), addr)
+                real(data, addr)
+                if seen and rng.random() < 0.3:  # replay an old datagram
+                    real(rng.choice(seen), addr)
+
+            ag.transport.sendto = evil
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(15)).wait_ready(15)
+            ch_b = await (await b.wait_connected(15)).wait_ready(15)
+            blob = random.Random(4).randbytes(20_000)
+            await ch_a.send(3001, blob)
+            await ch_b.send(5003, b"ok")
+            assert (await ch_b.recv()) == (3001, blob)
+            assert (await ch_a.recv()) == (5003, b"ok")
+            assert not ch_a.failed and not ch_b.failed
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
