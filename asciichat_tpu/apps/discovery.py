@@ -535,8 +535,13 @@ class DiscoverySession:
         stale = self._p2p_agents.get(frm)
         if stale is not None:
             relay = self._p2p_relay.get(frm)
-            if stale.connected.is_set() or (relay is not None
-                                            and not relay.closed):
+            # "live" for a relay channel means READY and not failed: a DTLS
+            # relay whose handshake never completed (initiator gave up and
+            # is now re-offering) must count as stale, or this peer would
+            # ignore every retry forever
+            relay_live = (relay is not None and not relay.closed
+                          and relay.ready.is_set() and not relay.failed)
+            if stale.connected.is_set() or relay_live:
                 return  # live channel exists; ignore duplicate offers
             stale.close()
             del self._p2p_agents[frm]
@@ -595,12 +600,20 @@ class DiscoverySession:
                          "relay (TURN role)", peer_id, ice_timeout)
                 ch = await self._relay_connect(peer_id, timeout)
                 return await ch.wait_ready(timeout)
-        except (asyncio.TimeoutError, TimeoutError):
+        except (asyncio.TimeoutError, TimeoutError, ConnectionError):
             # clean up so a retry starts fresh (stale agents also hold the
-            # UDP socket open)
+            # UDP socket open). ConnectionError: a DTLS relay channel can
+            # fail-closed (fingerprint/SCTP abort) after _make_relay_channel
+            # populated the maps. The relay entry MUST go too — a zombie
+            # not-closed never-ready channel there makes _p2p_answer ignore
+            # every fresh offer and the relay-req handler skip rebuilding,
+            # permanently wedging P2P with that peer.
             self._p2p_pending.pop(peer_id, None)
             self._p2p_agents.pop(peer_id, None)
             self._relay_pending.pop(peer_id, None)
+            relay = self._p2p_relay.pop(peer_id, None)
+            if relay is not None:
+                relay.close()
             agent.close()
             raise
 

@@ -130,7 +130,7 @@ class WebRtcGateway:
             return None  # no OpenSSL on this host
         await agent.start()
         agent.set_remote(info.to_desc())
-        answer = sdp.answer_for_agent(agent)
+        answer = sdp.answer_for_agent(agent, info)
         task = asyncio.get_running_loop().create_task(self._run(agent))
         self._tasks.add(task)
         task.add_done_callback(self._tasks.discard)

@@ -184,6 +184,25 @@ class DtlsIdentity:
             return cls(*_gen_cert_openssl_cli(common_name))
 
 
+_default_identity: DtlsIdentity | None = None
+_default_identity_lock = __import__("threading").Lock()
+
+
+def default_identity() -> DtlsIdentity:
+    """One cached per-process identity (what WebRTC stacks do per
+    PeerConnection factory). Keygen + X.509 signing is milliseconds with
+    the cryptography package but a blocking `openssl req` subprocess
+    without it — generating per-agent would let an unauthenticated
+    POST /webrtc/offer stream stall the event loop, and buys nothing:
+    the trust anchor is the fingerprint in the signed signaling, not
+    certificate uniqueness."""
+    global _default_identity
+    with _default_identity_lock:
+        if _default_identity is None:
+            _default_identity = DtlsIdentity.generate()
+        return _default_identity
+
+
 def _gen_cert_cryptography(cn: str) -> tuple[bytes, bytes]:
     import datetime
 

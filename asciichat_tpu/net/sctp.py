@@ -347,7 +347,9 @@ class SctpAssociation:
 
     # -- DATA receive ---------------------------------------------------------
     def _on_data(self, flags: int, value: bytes) -> bool:
-        if len(value) <= _DATA_HDR.size:
+        # zero-length user data is a legal chunk (send(b"") emits one);
+        # only a TRUNCATED header is malformed
+        if len(value) < _DATA_HDR.size:
             return False
         tsn, sid, ssn, ppid = _DATA_HDR.unpack_from(value)
         data = value[_DATA_HDR.size :]
@@ -475,10 +477,16 @@ class SctpAssociation:
         inflight = sum(len(e[0]) for e in self._outstanding.values())
         bundle: list[bytes] = []
         bundled = 0
+        # bundle budget: one max-size chunk (16 B headers + frag payload).
+        # Packet = 12 B common header + budget; the DTLS record adds ~37 B,
+        # so budget must keep 12 + budget + 37 <= the endpoint's 1200 MTU —
+        # frag+16 = 1116 -> 1165-byte record. (frag+64 overflowed the MTU
+        # by ~13 bytes when two chunks bundled.)
+        budget = self.frag + 16
         while self._send_queue and inflight < cap:
             flags, sid, ssn, ppid, piece = self._send_queue[0]
             size = 16 + len(piece)  # chunk hdr 4 + DATA hdr 12 + payload
-            if bundled and bundled + size > self.frag + 64:
+            if bundled and bundled + size > budget:
                 self._xmit(b"".join(bundle))
                 bundle, bundled = [], 0
                 continue
@@ -502,6 +510,7 @@ class SctpAssociation:
             return
         cum, rwnd, n_gaps, _n_dups = _SACK_HDR.unpack_from(value)
         self.peer_rwnd = rwnd
+        earliest = self._out_order[0] if self._out_order else None
         acked = [t for t in self._out_order if not _tsn_lt(cum, t)]
         for t in acked:
             self._outstanding.pop(t, None)
@@ -518,13 +527,19 @@ class SctpAssociation:
         for t in gap_acked:
             self._outstanding.pop(t, None)
         self._out_order = [t for t in self._out_order if t in self._outstanding]
-        if self._outstanding:
-            self._t3_start = self._now()
-        else:
+        if not self._outstanding:
             self._t3_start = None
             self._rto = RTO_INIT
             if self.state == "shutdown-pending":
                 self._begin_shutdown()
+        elif earliest is not None and earliest not in self._outstanding:
+            # RESTART T3 only when the earliest outstanding TSN was acked
+            # (RFC 9260 §6.3.2 R3). A SACK whose cumulative point makes no
+            # progress must NOT refresh the timer — that's the ack-refresh
+            # starvation bug class (a continuously-SACKing receiver would
+            # otherwise postpone retransmission of a lost chunk forever;
+            # same failure the secretbox ARQ fixed for ack-only segments).
+            self._t3_start = self._now()
         self._flush()
 
     # -- timers ---------------------------------------------------------------

@@ -109,10 +109,11 @@ def _format_candidates(cands: list[dict]) -> list[str]:
 
 
 def build(desc: dict, *, setup: str, ice_lite: bool,
-          sctp_port: int = 5000) -> str:
+          sctp_port: int = 5000, mid: str = "0") -> str:
     """SDP text from an internal signaling blob (agent.local_description()).
     `setup` is the DTLS role offer/answer: 'actpass' in offers, 'passive'
-    or 'active' in answers (RFC 8842)."""
+    or 'active' in answers (RFC 8842). `mid` must ECHO the offer's mid in
+    an answer (JSEP; browsers reject a mismatched mid)."""
     lines = [
         "v=0",
         _O_LINE,
@@ -122,7 +123,7 @@ def build(desc: dict, *, setup: str, ice_lite: bool,
     if ice_lite:
         lines.append("a=ice-lite")
     lines += [
-        "a=group:BUNDLE 0",
+        f"a=group:BUNDLE {mid}",
         "a=msid-semantic: WMS",
         "m=application 9 UDP/DTLS/SCTP webrtc-datachannel",
         "c=IN IP4 0.0.0.0",
@@ -130,7 +131,7 @@ def build(desc: dict, *, setup: str, ice_lite: bool,
         f"a=ice-pwd:{desc['pwd']}",
         f"a=fingerprint:sha-256 {desc['dtls_fp']}",
         f"a=setup:{setup}",
-        "a=mid:0",
+        f"a=mid:{mid}",
         f"a=sctp-port:{sctp_port}",
         "a=max-message-size:262144",
     ]
@@ -138,10 +139,13 @@ def build(desc: dict, *, setup: str, ice_lite: bool,
     return "\r\n".join(lines) + "\r\n"
 
 
-def answer_for_agent(agent, *, public_ip: str | None = None) -> str:
+def answer_for_agent(agent, offer: "SdpInfo | None" = None, *,
+                     public_ip: str | None = None) -> str:
     """SDP answer for a browser's offer, from an ICE-lite controlled agent
     (the server role: a=ice-lite + a=setup:passive, the browser takes the
-    active/DTLS-client side; RFC 8839 §4.3, RFC 8842 §5.3)."""
+    active/DTLS-client side; RFC 8839 §4.3, RFC 8842 §5.3). The answer
+    echoes the offer's mid — JSEP requires the m-section identification
+    to match or setRemoteDescription rejects."""
     desc = agent.local_description()
     if public_ip:
         port = agent.local_port
@@ -149,7 +153,8 @@ def answer_for_agent(agent, *, public_ip: str | None = None) -> str:
         if not any(c["ip"] == public_ip for c in cands):
             cands.append({"ip": public_ip, "port": port, "type": "host"})
         desc["candidates"] = cands
-    return build(desc, setup="passive", ice_lite=True)
+    return build(desc, setup="passive", ice_lite=True,
+                 mid=offer.mid if offer else "0")
 
 
 def offer_for_agent(agent) -> str:

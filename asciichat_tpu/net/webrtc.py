@@ -86,9 +86,13 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             else:
                 dtls = dtls.lower() not in ("0", "false", "no", "off")
         if dtls:
-            from asciichat_tpu.net.dtls import DtlsIdentity
+            from asciichat_tpu.net import dtls as dtls_mod
 
-            self.dtls_identity = DtlsIdentity.generate()
+            # per-process cached identity: certificate generation must not
+            # run per-agent on the event loop (unauthenticated offers would
+            # make it a cheap stall), and WebRTC trust is the fingerprint
+            # in the signed signaling, not cert uniqueness
+            self.dtls_identity = dtls_mod.default_identity()
 
     # -- lifecycle -----------------------------------------------------------
     async def start(self, bind: str = "0.0.0.0", port: int = 0) -> None:

@@ -195,7 +195,12 @@ async function connectWebRtc() {
     await pc.setRemoteDescription({ type: "answer", sdp: await resp.text() });
     // dc.onopen fires once ICE+DTLS+SCTP+DCEP complete
   } catch (e) {
-    // signaling or stack failure: permanent fallback to the WebSocket
+    // signaling or stack failure: permanent fallback to the WebSocket.
+    // Detach the shim's handlers FIRST — pc.close() fires dc teardown
+    // asynchronously, and the wired onclose would otherwise clear the new
+    // WebSocket's keepalive timer and schedule a SECOND connect()
+    shim.onopen = shim.onclose = shim.onmessage = null;
+    shim.readyState = 3;
     setStatus("webrtc unavailable; using websocket", "warn");
     transportPref = "ws";
     try { pc.close(); } catch (e2) {}

@@ -766,3 +766,109 @@ def test_datachannel_survives_garbage_and_replay():
             b.close()
 
     asyncio.run(asyncio.wait_for(run(), 60))
+
+
+# --- code-review regression tests -------------------------------------------
+
+
+def test_sctp_t3_not_starved_by_no_progress_sacks():
+    """RFC 9260 §6.3.2 R3: a SACK that does not ack the earliest
+    outstanding TSN must NOT restart T3-rtx — otherwise a receiver that
+    SACKs every arriving packet (the normal duplex case) postpones
+    retransmission of a lost chunk indefinitely (the ack-refresh
+    starvation class the secretbox ARQ also had to fix)."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    sent = []
+    a._send = sent.append
+    a.send(0, sctp_mod.PPID_BINARY, b"lost-chunk")
+    assert len(sent) == 1 and a._outstanding
+    (lost_tsn,) = list(a._outstanding)
+    t3_at_send = a._t3_start
+    # stream of no-progress SACKs (stalled cum = lost_tsn-1, gap-acks for
+    # later TSNs would be here in the real duplex case), each well inside
+    # the RTO window
+    for i in range(20):
+        now[0] += 0.1  # 0.1 < RTO 0.5
+        sack = sctp_mod._chunk(sctp_mod.CT_SACK, 0, sctp_mod._SACK_HDR.pack(
+            sctp_mod._u32(lost_tsn - 1), sctp_mod.A_RWND, 0, 0))
+        a.on_packet(sctp_mod.pack_packet(5000, 5000, a.my_vtag, sack))
+        assert a._t3_start == t3_at_send, "no-progress SACK restarted T3"
+        a.tick()
+        if len(sent) > 1:
+            break
+    assert len(sent) > 1, "lost chunk never retransmitted under SACK stream"
+
+
+def test_sctp_empty_message_roundtrip():
+    """send(b'') emits a zero-payload DATA chunk; the receiver must accept
+    and deliver it (a rejected-but-sent chunk would stall cum_tsn and
+    abort the association after MAX_RETX)."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    got = []
+    b.on_message = lambda s, p, d: got.append((s, p, d))
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    a.send(0, sctp_mod.PPID_BINARY, b"")
+    a.send(0, sctp_mod.PPID_BINARY, b"after-empty")
+    _pump_sctp(a, b, qa, qb, now)
+    assert got == [(0, 53, b""), (0, 53, b"after-empty")]
+    assert b.state == "established" and not a._outstanding
+
+
+def test_sctp_bundles_fit_dtls_mtu():
+    """Bundled SCTP packets must leave room for the ~37-byte DTLS record
+    overhead inside the 1200-byte MTU: every emitted packet <= 12 + frag
+    + 16 bytes."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    sent = []
+    a._send = sent.append
+    for i in range(40):  # small messages that bundle + two full-size ones
+        a.send(0, sctp_mod.PPID_BINARY, b"m" * 200)
+    a.send(0, sctp_mod.PPID_BINARY, b"x" * 5000)
+    cap = 12 + a.frag + 16
+    assert sent and max(len(p) for p in sent) <= cap
+    assert cap + 37 <= 1200  # the DTLS record stays inside the MTU
+
+
+def test_sdp_answer_echoes_offer_mid():
+    """JSEP: the answer's m-section mid must match the offer's or the
+    browser rejects setRemoteDescription."""
+    from asciichat_tpu.net import sdp
+
+    offer_desc = {"ufrag": "u", "pwd": "p" * 22,
+                  "dtls_fp": ":".join(["CD"] * 32), "candidates": []}
+    offer = sdp.build(offer_desc, setup="actpass", ice_lite=False,
+                      mid="data1")
+    info = sdp.parse(offer)
+    assert info.mid == "data1"
+
+    class FakeAgent:
+        local_port = 1
+        def local_description(self):
+            return {"ufrag": "v", "pwd": "q" * 22,
+                    "dtls_fp": ":".join(["EF"] * 32), "candidates": []}
+
+    answer = sdp.answer_for_agent(FakeAgent(), info)
+    assert "a=mid:data1\r\n" in answer
+    assert "a=group:BUNDLE data1\r\n" in answer
+
+
+def test_dtls_identity_cached_per_process():
+    """Certificate generation must not run per-agent (event-loop stall /
+    unauthenticated-offer DoS): agents share the process identity."""
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    async def run():
+        a = IceLiteAgent(controlling=True)
+        b = IceLiteAgent(controlling=False)
+        assert a.dtls_identity is b.dtls_identity
+        assert a.dtls_identity is dtls_mod.default_identity()
+
+    asyncio.run(run())
