@@ -170,14 +170,24 @@ class SctpAssociation:
         self.peer_rwnd = A_RWND
 
         # sender
-        self._outstanding: dict[int, list] = {}  # tsn -> [bytes, t_sent, retx]
+        self._outstanding: dict[int, list] = {}  # tsn -> [bytes, t_sent, retx, miss]
         self._out_order: list[int] = []  # tsns in send order
         self._send_queue: list[bytes] = []  # DATA chunks not yet transmitted
         self._rto = RTO_INIT
         self._t3_start: float | None = None
         self._ssn_out: dict[int, int] = {}
+        # congestion control (RFC 9260 §7, simplified single-path form):
+        # slow start from 4 MTU, +MTU per cum-advancing SACK in slow start,
+        # +MTU²/cwnd in congestion avoidance; halve on fast retransmit,
+        # collapse to the initial window on T3 expiry. Without this, a
+        # burst blasts straight through socket buffers (observed: 256 KB
+        # into a loopback rcvbuf drops half the flight).
+        self._mtu_budget = self.frag + 16 + 12  # one bundle's packet bytes
+        self.cwnd = 4 * self._mtu_budget
+        self.ssthresh = 256 * 1024
 
         # receiver
+        self._sack_owed = 0  # packets-with-DATA since the last SACK
         self.cum_tsn = 0  # last consecutively received (set from INIT)
         self._received: dict[int, tuple] = {}  # tsn -> (flags, sid, ssn, ppid, data)
         self._frag_hold: dict[int, tuple] = {}  # undelivered chunk store
@@ -282,7 +292,13 @@ class SctpAssociation:
             else:
                 break  # unknown, stop processing this packet (00/01)
         if saw_data:
-            self._send_sack()
+            # delayed SACK (RFC 9260 §6.2): ack every SECOND in-order
+            # packet (tick() covers the 200 ms timer with its 50-100 ms
+            # cadence) — halves reverse-path packets on bulk transfer.
+            # Gaps always SACK immediately: fast retransmit feeds on them.
+            self._sack_owed += 1
+            if self._received or self._sack_owed >= 2:
+                self._send_sack()
             self._flush()  # rwnd may allow more after delivery
 
     def _on_init(self, value: bytes) -> None:
@@ -422,6 +438,7 @@ class SctpAssociation:
             self.on_message(sid, ppid, msg)
 
     def _send_sack(self) -> None:
+        self._sack_owed = 0
         gaps = []
         # gap-ack blocks: offsets relative to cum_tsn (RFC 9260 §3.3.4);
         # offsets beyond u16 range can't be represented and are simply not
@@ -473,7 +490,7 @@ class SctpAssociation:
         per packet up to the fragment budget."""
         if self.state != "established":
             return
-        cap = min(self.peer_rwnd, 256 * 1024)
+        cap = min(self.peer_rwnd, self.cwnd, 256 * 1024)
         inflight = sum(len(e[0]) for e in self._outstanding.values())
         bundle: list[bytes] = []
         bundled = 0
@@ -495,7 +512,7 @@ class SctpAssociation:
             self.my_tsn = _u32(self.my_tsn + 1)
             ch = _chunk(CT_DATA, flags,
                         _DATA_HDR.pack(tsn, sid, ssn, ppid) + piece)
-            self._outstanding[tsn] = [ch, self._now(), 0]
+            self._outstanding[tsn] = [ch, self._now(), 0, 0]
             self._out_order.append(tsn)
             bundle.append(ch)
             bundled += len(ch)
@@ -511,10 +528,14 @@ class SctpAssociation:
         cum, rwnd, n_gaps, _n_dups = _SACK_HDR.unpack_from(value)
         self.peer_rwnd = rwnd
         earliest = self._out_order[0] if self._out_order else None
+        acked_bytes = 0
         acked = [t for t in self._out_order if not _tsn_lt(cum, t)]
         for t in acked:
-            self._outstanding.pop(t, None)
+            ent = self._outstanding.pop(t, None)
+            if ent is not None:
+                acked_bytes += len(ent[0])
         gap_acked = set()
+        highest = cum
         for i in range(n_gaps):
             off = _SACK_HDR.size + 4 * i
             if off + 4 > len(value):
@@ -522,11 +543,44 @@ class SctpAssociation:
             s, e = struct.unpack_from(">HH", value, off)
             for d in range(s, e + 1):
                 gap_acked.add(_u32(cum + d))
+            if _tsn_lt(highest, _u32(cum + e)):
+                highest = _u32(cum + e)
         # gap-acked chunks leave the retransmit set (we never renege — the
         # receiver sits behind reliable DTLS, reneging can't happen)
         for t in gap_acked:
-            self._outstanding.pop(t, None)
+            ent = self._outstanding.pop(t, None)
+            if ent is not None:
+                acked_bytes += len(ent[0])
         self._out_order = [t for t in self._out_order if t in self._outstanding]
+        # congestion window growth on progress (RFC 9260 §7.2.1/7.2.2)
+        if acked_bytes:
+            if self.cwnd <= self.ssthresh:
+                self.cwnd += min(acked_bytes, self._mtu_budget)
+            else:
+                self.cwnd += max(1, self._mtu_budget * self._mtu_budget
+                                 // self.cwnd)
+        # fast retransmit (§7.2.4): chunks below the highest gap-acked TSN
+        # that the SACK did not cover get a miss indication; at 3 they
+        # retransmit immediately (bounded to one packet bundle per SACK)
+        # instead of waiting out a backed-off T3 — the difference between
+        # milliseconds and seconds of head-of-line stall per lost packet.
+        if gap_acked:
+            retx_bundle: list[bytes] = []
+            retx_bytes = 0
+            for t in self._out_order:
+                if not _tsn_lt(t, highest):
+                    break
+                ent = self._outstanding[t]
+                ent[3] += 1
+                if ent[3] == 3 and retx_bytes + len(ent[0]) <= self._mtu_budget:
+                    retx_bundle.append(ent[0])
+                    retx_bytes += len(ent[0])
+                    ent[1] = self._now()
+                    ent[3] = 0
+            if retx_bundle:
+                self.ssthresh = max(self.cwnd // 2, 4 * self._mtu_budget)
+                self.cwnd = self.ssthresh
+                self._xmit(b"".join(retx_bundle))
         if not self._outstanding:
             self._t3_start = None
             self._rto = RTO_INIT
@@ -546,6 +600,8 @@ class SctpAssociation:
     def tick(self, now: float | None = None) -> None:
         """Drive retransmission timers; call every ~50-100 ms."""
         now = self._now() if now is None else now
+        if self._sack_owed:  # delayed-SACK timer (§6.2's 200 ms bound)
+            self._send_sack()
         if self._hs_chunk is not None and self._hs_start is not None:
             if now - self._hs_start >= min(RTO_INIT * (2 ** self._hs_retx), RTO_MAX):
                 self._hs_retx += 1
@@ -555,16 +611,29 @@ class SctpAssociation:
                 self._hs_start = now
                 self._xmit(self._hs_chunk, vtag=self._hs_vtag)
         if self._t3_start is not None and now - self._t3_start >= self._rto:
-            # T3-rtx: retransmit the earliest outstanding chunk, back off
-            if self._out_order:
-                tsn = self._out_order[0]
+            # T3-rtx (§6.3.3): retransmit up to one packet bundle of the
+            # earliest outstanding chunks, collapse the congestion window
+            # to the initial size, back the timer off
+            bundle: list[bytes] = []
+            bundled = 0
+            for tsn in self._out_order:
                 ent = self._outstanding.get(tsn)
-                if ent is not None:
-                    ent[2] += 1
-                    if ent[2] > MAX_RETX:
-                        self._abort("too many retransmits")
-                        return
-                    self._xmit(ent[0])
+                if ent is None:
+                    continue
+                if bundled + len(ent[0]) > self._mtu_budget and bundle:
+                    break
+                ent[2] += 1
+                if ent[2] > MAX_RETX:
+                    self._abort("too many retransmits")
+                    return
+                ent[1] = now
+                ent[3] = 0
+                bundle.append(ent[0])
+                bundled += len(ent[0])
+            if bundle:
+                self.ssthresh = max(self.cwnd // 2, 4 * self._mtu_budget)
+                self.cwnd = 4 * self._mtu_budget
+                self._xmit(b"".join(bundle))
             self._rto = min(self._rto * 2, RTO_MAX)
             self._t3_start = now
 

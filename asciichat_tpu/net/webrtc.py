@@ -100,6 +100,17 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         self.transport, _ = await loop.create_datagram_endpoint(
             lambda: self, local_addr=(bind, port)
         )
+        # media-stream-sized socket buffers: a burst window of ~256 KB
+        # must not overflow the ~212 KB Linux default rcvbuf while the
+        # single-threaded receiver drains (drops there look like path
+        # loss and trip congestion control for nothing)
+        sock = self.transport.get_extra_info("socket")
+        if sock is not None:
+            for opt in (socket.SO_RCVBUF, socket.SO_SNDBUF):
+                try:
+                    sock.setsockopt(socket.SOL_SOCKET, opt, 1 << 20)
+                except OSError:
+                    pass
 
     @property
     def local_port(self) -> int:
