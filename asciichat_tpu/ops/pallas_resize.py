@@ -11,9 +11,17 @@ rows:
 
 STATUS: bit-exact (golden-tested) but currently SLOWER than the MXU einsum
 path (~7.6k fps): issuing DH manual DMAs per grid program from a fori_loop
-serializes on the scalar core. Kept as the starting point for a pipelined
-variant (per-row grid with automatic double-buffering, or fewer/larger
-descriptor batches); the production path stays ops/pixel.resize_nn("mxu").
+serializes on the scalar core. The XLA-level variants of the same idea were
+also measured on the real chip (2026-08-17, B=128 1080p->57x203):
+  mxu full-frame einsum (production) : 105k fps ( 9.5 us/frame)
+  jnp.take rows + einsum cols        :  24k fps (42.2 us/frame)
+  static-slice concat rows + einsum  :  47k fps (21.1 us/frame)
+i.e. every sparse-row formulation loses to streaming the full 6.2 MB frame
+through the MXU: 57 scattered single-row fetches are DMA-DESCRIPTOR-bound
+(~0.5-1 us each on the scalar core), and 9.5 us/frame is already within
+~25% of the 7.6 us full-read HBM bound — the matmul IS the speed-of-light
+formulation here. Kept for reference and for the interpret-mode golden
+test; the production path stays ops/pixel.resize_nn("mxu").
 
 - ROW fetch is pure data movement: for each of the DH output rows, one async
   DMA copies the 8-row-aligned source block containing the sampled row,
