@@ -68,7 +68,8 @@ class DataChannelTransport:
         self.sctp.on_channel_acked = lambda sid: self.ready.set()
         self._sctp_started = False
         self._rx: asyncio.Queue[tuple[int, bytes]] = asyncio.Queue()
-        self._timer_task = asyncio.get_running_loop().create_task(self._timers())
+        self._loop = asyncio.get_running_loop()
+        self._timer_task = self._loop.create_task(self._timers())
         if client:
             self.dtls.start()
             self._drain_dtls()
@@ -167,8 +168,13 @@ class DataChannelTransport:
 
     def _buffered(self) -> int:
         st = self.sctp
-        return (sum(len(e[0]) for e in st._outstanding.values())
-                + sum(16 + len(q[4]) for q in st._send_queue))
+        try:
+            return (sum(len(e[0]) for e in st._outstanding.values())
+                    + sum(16 + len(q[4]) for q in st._send_queue))
+        except RuntimeError:
+            # dict mutated by the loop thread while an executor tick reads
+            # the size for its drop decision — any approximation is fine
+            return 0
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
         if self.failed:
@@ -186,10 +192,39 @@ class DataChannelTransport:
         return 0
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        """Non-blocking enqueue with overload shedding.
+
+        THREAD-SAFE like the TCP/WS transports: the server's render/audio
+        ticks call this from executor threads, but the whole SCTP+DTLS
+        stack is loop-affine — a foreign-thread SSL_write racing the loop
+        thread's SSL_read corrupts OpenSSL's cipher state (observed:
+        'Provider routines::cipher operation failed' killing the channel
+        seconds into a soak). Off-loop callers marshal via
+        call_soon_threadsafe; the buffered-size check there is a benign
+        approximation for the drop decision."""
         if self.closed or self.failed or self._buffered() > _SEND_BUF_CAP:
             return False  # shed load like the TCP transport's bounded queue
-        self.sctp.send(0, sctp_mod.PPID_BINARY, pkt.pack_packet(ptype, payload))
+        data = pkt.pack_packet(ptype, payload)
+        try:
+            running = asyncio.get_running_loop()
+        except RuntimeError:
+            running = None
+        if running is not self._loop:
+            try:
+                self._loop.call_soon_threadsafe(self._send_on_loop, data)
+            except RuntimeError:
+                return False  # loop shut down
+            return True
+        self._send_on_loop(data)
         return True
+
+    def _send_on_loop(self, data: bytes) -> None:
+        if self.closed or self.failed:
+            return
+        try:
+            self.sctp.send(0, sctp_mod.PPID_BINARY, data)
+        except Exception as e:
+            self._fail(f"send failed: {e}")
 
     async def recv(self) -> tuple[int, bytes]:
         while True:

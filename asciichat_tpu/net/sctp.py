@@ -81,7 +81,16 @@ _SACK_HDR = struct.Struct(">IIHH")  # cum tsn, a_rwnd, n_gaps, n_dups
 A_RWND = 1 << 20
 RTO_INIT = 0.5
 RTO_MAX = 4.0
-MAX_RETX = 10
+MAX_RETX = 10  # handshake flights (INIT / COOKIE_ECHO)
+# DATA-path failure detection is TIME-based, not count-based: an
+# association that made ANY forward progress in this window stays up. A
+# per-chunk retransmit cap aborts spuriously on a merely-saturated link
+# (observed: a 3-client soak on one core shed load exactly as designed,
+# yet individual frames' chunks hit 10 retransmits while the association
+# as a whole was healthy). 30 s of NO cumulative progress means the peer
+# is gone (the reference's transports behave the same way: keepalive
+# timeouts, not packet-retry counts — src/client/keepalive.c role).
+NO_PROGRESS_ABORT_S = 30.0
 
 
 def _u32(x: int) -> int:
@@ -185,9 +194,11 @@ class SctpAssociation:
         self._mtu_budget = self.frag + 16 + 12  # one bundle's packet bytes
         self.cwnd = 4 * self._mtu_budget
         self.ssthresh = 256 * 1024
+        self._last_progress = self._now()
 
         # receiver
         self._sack_owed = 0  # packets-with-DATA since the last SACK
+        self._rcv_buffered = 0  # bytes held in frag_hold + ordered_hold
         self.cum_tsn = 0  # last consecutively received (set from INIT)
         self._received: dict[int, tuple] = {}  # tsn -> (flags, sid, ssn, ppid, data)
         self._frag_hold: dict[int, tuple] = {}  # undelivered chunk store
@@ -355,6 +366,7 @@ class SctpAssociation:
     def _establish(self) -> None:
         self.state = "established"
         self.established_at = self._now()
+        self._last_progress = self.established_at
         self._hs_chunk = None
         log.info("SCTP association established (%s)",
                  "client" if self.client else "server")
@@ -371,10 +383,18 @@ class SctpAssociation:
         data = value[_DATA_HDR.size :]
         if not _tsn_lt(self.cum_tsn, tsn) or tsn in self._received:
             return True  # duplicate: still triggers a SACK
-        if len(self._received) > 4096:
-            return True  # reassembly-buffer bound: drop, peer retransmits
+        if len(self._received) > 4096 and tsn != _u32(self.cum_tsn + 1):
+            # reassembly-buffer bound: drop, peer retransmits. cum+1 is
+            # ALWAYS accepted — it is the chunk that advances the
+            # cumulative point and drains this buffer; dropping it here
+            # deadlocks the association (observed in the 3-client soak:
+            # gap-acks free the sender's flight while cum stalls, the
+            # bound fills, and the missing chunk's retransmissions bounce
+            # off it forever).
+            return True
         self._received[tsn] = True
         self._frag_hold[tsn] = (flags, sid, ssn, ppid, data)
+        self._rcv_buffered += len(data)
         # advance the cumulative ack point (tsn <= cum needs no dup entry:
         # the _tsn_lt guard above already rejects it)
         while _u32(self.cum_tsn + 1) in self._received:
@@ -432,6 +452,8 @@ class SctpAssociation:
             self._next_ssn_in[sid] = nxt
 
     def _deliver(self, sid: int, ppid: int, msg: bytes) -> None:
+        # every delivered byte was counted into _rcv_buffered on arrival
+        self._rcv_buffered = max(0, self._rcv_buffered - len(msg))
         if ppid == PPID_DCEP:
             self._on_dcep(sid, msg)
         else:
@@ -455,7 +477,12 @@ class SctpAssociation:
                 start = prev = o
             gaps.append((start, prev))
             gaps = gaps[:100]
-        body = _SACK_HDR.pack(self.cum_tsn, A_RWND, len(gaps), 0)
+        # honest window: what the reassembly buffer can still absorb — this
+        # is what actually throttles a sender whose cum is stalled (its
+        # gap-acked chunks left its flight accounting, so cwnd alone would
+        # let it run away from the receive buffer)
+        a_rwnd = max(0, A_RWND - self._rcv_buffered)
+        body = _SACK_HDR.pack(self.cum_tsn, a_rwnd, len(gaps), 0)
         body += b"".join(struct.pack(">HH", s, e) for s, e in gaps)
         self._xmit(_chunk(CT_SACK, 0, body))
 
@@ -519,6 +546,19 @@ class SctpAssociation:
             inflight += len(ch)
         if bundle:
             self._xmit(b"".join(bundle))
+        elif not self._outstanding and self._send_queue:
+            # zero-window probe (RFC 9260 §6.1 A): with nothing in flight
+            # and a closed window, one chunk goes anyway — a 0-rwnd
+            # receiver whose buffer later drains has no other trigger to
+            # reopen the flow
+            flags, sid, ssn, ppid, piece = self._send_queue.pop(0)
+            tsn = self.my_tsn
+            self.my_tsn = _u32(self.my_tsn + 1)
+            ch = _chunk(CT_DATA, flags,
+                        _DATA_HDR.pack(tsn, sid, ssn, ppid) + piece)
+            self._outstanding[tsn] = [ch, self._now(), 0, 0]
+            self._out_order.append(tsn)
+            self._xmit(ch)
         if self._outstanding and self._t3_start is None:
             self._t3_start = self._now()
 
@@ -581,12 +621,15 @@ class SctpAssociation:
                 self.ssthresh = max(self.cwnd // 2, 4 * self._mtu_budget)
                 self.cwnd = self.ssthresh
                 self._xmit(b"".join(retx_bundle))
+        if acked_bytes:
+            self._last_progress = self._now()
         if not self._outstanding:
             self._t3_start = None
             self._rto = RTO_INIT
             if self.state == "shutdown-pending":
                 self._begin_shutdown()
         elif earliest is not None and earliest not in self._outstanding:
+            self._rto = RTO_INIT  # forward progress: shed the backoff
             # RESTART T3 only when the earliest outstanding TSN was acked
             # (RFC 9260 §6.3.2 R3). A SACK whose cumulative point makes no
             # progress must NOT refresh the timer — that's the ack-refresh
@@ -614,6 +657,10 @@ class SctpAssociation:
             # T3-rtx (§6.3.3): retransmit up to one packet bundle of the
             # earliest outstanding chunks, collapse the congestion window
             # to the initial size, back the timer off
+            if now - self._last_progress > NO_PROGRESS_ABORT_S:
+                self._abort(f"no forward progress in "
+                            f"{NO_PROGRESS_ABORT_S:.0f}s")
+                return
             bundle: list[bytes] = []
             bundled = 0
             for tsn in self._out_order:
@@ -623,9 +670,6 @@ class SctpAssociation:
                 if bundled + len(ent[0]) > self._mtu_budget and bundle:
                     break
                 ent[2] += 1
-                if ent[2] > MAX_RETX:
-                    self._abort("too many retransmits")
-                    return
                 ent[1] = now
                 ent[3] = 0
                 bundle.append(ent[0])

@@ -912,3 +912,61 @@ def test_datachannel_bulk_throughput_floor():
             b.close()
 
     asyncio.run(asyncio.wait_for(run(), 90))
+
+
+def test_send_nowait_from_executor_thread_is_safe():
+    """The server's render/audio ticks call send_nowait from executor
+    threads. The SCTP+DTLS stack is loop-affine — an off-loop SSL_write
+    racing the loop's SSL_read corrupts OpenSSL cipher state ('Provider
+    routines::cipher operation failed', killed 3-client soaks within
+    seconds). Off-loop sends must marshal onto the loop."""
+
+    async def run():
+        import concurrent.futures
+
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(10)).wait_ready(10)
+            ch_b = await (await b.wait_connected(10)).wait_ready(10)
+            n_thread = 400
+            payload = os.urandom(2000)
+
+            def hammer():  # foreign thread, like _render_tick
+                sent = 0
+                for _ in range(n_thread):
+                    if ch_a.send_nowait(3000, payload):
+                        sent += 1
+                    time.sleep(0.001)
+                return sent
+
+            loop = asyncio.get_running_loop()
+            fut = loop.run_in_executor(None, hammer)
+            # meanwhile the loop itself runs duplex traffic both ways
+            for i in range(200):
+                await ch_b.send(5003, b"loop-%d" % i)
+                await asyncio.sleep(0.002)
+            sent = await fut
+            assert sent > 0
+            got_a = got_b = 0
+            deadline = loop.time() + 30
+            while (got_b < sent or got_a < 200) and loop.time() < deadline:
+                if got_b < sent:
+                    pt, pl = await asyncio.wait_for(ch_b.recv(), 10)
+                    if pt == 3000:
+                        assert pl == payload
+                        got_b += 1
+                while not ch_a._rx.empty():
+                    ch_a._rx.get_nowait()
+                    got_a += 1
+            assert not ch_a.failed and not ch_b.failed, (ch_a.failed,
+                                                        ch_b.failed)
+            assert got_b == sent
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 90))
