@@ -10,14 +10,18 @@ integrity/privacy — the CRC32c stays, computed exactly as net/packet.crc32c):
 - DATA with fragmentation (B/E flags), TSN-based reliability, per-stream
   ordered delivery (SSN), unordered (U flag) delivery
 - SACK with cumulative ack + gap-ack blocks (generated and honored),
-  T3-rtx retransmission with exponential backoff
+  delayed SACK (every 2nd in-order packet; immediate on gaps; tick() as
+  the timer bound), fast retransmit with a fast-recovery exit point,
+  cwnd slow start / congestion avoidance, RTT-adaptive RTO (RFC 6298
+  form, Karn's rule), T3-rtx retransmission with exponential backoff,
+  time-based (not retry-count) association failure detection
 - HEARTBEAT response, ABORT, graceful SHUTDOWN sequence
 - DCEP (RFC 8832): DATA_CHANNEL_OPEN / DATA_CHANNEL_ACK on WebRTC PPIDs
 
 Deliberately omitted (not needed for reliable-ordered DataChannels, and
 tolerated-absent by browser stacks): multihoming, FORWARD-TSN/partial
 reliability, RE-CONFIG stream reset, path verification (the path IS the
-DTLS connection), delayed SACK (we ack every packet that carried DATA).
+DTLS connection).
 
 Sans-io: `SctpAssociation` never touches a socket or event loop. Packets in
 via `on_packet()`, out via the `send_cb`; timers via `tick(now)`. The asyncio
@@ -195,6 +199,14 @@ class SctpAssociation:
         self.cwnd = 4 * self._mtu_budget
         self.ssthresh = 256 * 1024
         self._last_progress = self._now()
+        # RTT estimator (RFC 6298 form, Karn's rule: never sample a
+        # retransmitted chunk) — without it, a fixed 0.5 s RTO fires
+        # spuriously on every burst start once path RTT exceeds it
+        self._srtt: float | None = None
+        self._rttvar = 0.0
+        # fast-recovery exit point: cwnd halves at most once per loss
+        # window (RFC 9260 §7.2.4), not once per triggering SACK
+        self._fr_exit: int | None = None
 
         # receiver
         self._sack_owed = 0  # packets-with-DATA since the last SACK
@@ -514,8 +526,11 @@ class SctpAssociation:
     def _flush(self) -> None:
         """Transmit queued DATA chunks subject to the flight-size cap
         (min of peer rwnd and a fixed congestion cap), bundling chunks
-        per packet up to the fragment budget."""
-        if self.state != "established":
+        per packet up to the fragment budget. Also runs in
+        shutdown-pending: a graceful close must DRAIN the queue, not
+        strand it (§9.2 — SHUTDOWN goes out only once everything is
+        delivered)."""
+        if self.state not in ("established", "shutdown-pending"):
             return
         cap = min(self.peer_rwnd, self.cwnd, 256 * 1024)
         inflight = sum(len(e[0]) for e in self._outstanding.values())
@@ -560,20 +575,28 @@ class SctpAssociation:
             self._out_order.append(tsn)
             self._xmit(ch)
         if self._outstanding and self._t3_start is None:
+            # arming T3 from idle starts a NEW progress window: an
+            # association that was quiet for >30 s must not be aborted on
+            # its first post-idle loss without a single retransmission
             self._t3_start = self._now()
+            self._last_progress = max(self._last_progress, self._t3_start)
 
     def _on_sack(self, value: bytes) -> None:
         if len(value) < _SACK_HDR.size:
             return
         cum, rwnd, n_gaps, _n_dups = _SACK_HDR.unpack_from(value)
         self.peer_rwnd = rwnd
+        now = self._now()
         earliest = self._out_order[0] if self._out_order else None
         acked_bytes = 0
+        rtt_sample = None
         acked = [t for t in self._out_order if not _tsn_lt(cum, t)]
         for t in acked:
             ent = self._outstanding.pop(t, None)
             if ent is not None:
                 acked_bytes += len(ent[0])
+                if ent[2] == 0 and rtt_sample is None:  # Karn's rule
+                    rtt_sample = now - ent[1]
         gap_acked = set()
         highest = cum
         for i in range(n_gaps):
@@ -592,6 +615,17 @@ class SctpAssociation:
             if ent is not None:
                 acked_bytes += len(ent[0])
         self._out_order = [t for t in self._out_order if t in self._outstanding]
+        if rtt_sample is not None:
+            if self._srtt is None:
+                self._srtt, self._rttvar = rtt_sample, rtt_sample / 2
+            else:
+                self._rttvar += 0.25 * (abs(self._srtt - rtt_sample)
+                                        - self._rttvar)
+                self._srtt += 0.125 * (rtt_sample - self._srtt)
+        # fast-recovery exit: the loss window ends when cum passes the
+        # highest TSN that was outstanding when it began
+        if self._fr_exit is not None and not _tsn_lt(cum, self._fr_exit):
+            self._fr_exit = None
         # congestion window growth on progress (RFC 9260 §7.2.1/7.2.2)
         if acked_bytes:
             if self.cwnd <= self.ssthresh:
@@ -612,32 +646,44 @@ class SctpAssociation:
                     break
                 ent = self._outstanding[t]
                 ent[3] += 1
-                if ent[3] == 3 and retx_bytes + len(ent[0]) <= self._mtu_budget:
+                # >= 3, not == 3: a chunk that missed its retx slot because
+                # the per-SACK budget was full must stay eligible (== would
+                # strand every lost chunk but the first in a burst)
+                if ent[3] >= 3 and retx_bytes + len(ent[0]) <= self._mtu_budget:
                     retx_bundle.append(ent[0])
                     retx_bytes += len(ent[0])
-                    ent[1] = self._now()
+                    ent[1] = now
                     ent[3] = 0
             if retx_bundle:
-                self.ssthresh = max(self.cwnd // 2, 4 * self._mtu_budget)
-                self.cwnd = self.ssthresh
+                if self._fr_exit is None:  # halve once per loss window
+                    self.ssthresh = max(self.cwnd // 2, 4 * self._mtu_budget)
+                    self.cwnd = self.ssthresh
+                    self._fr_exit = _u32(self.my_tsn - 1)
                 self._xmit(b"".join(retx_bundle))
         if acked_bytes:
-            self._last_progress = self._now()
+            self._last_progress = now
         if not self._outstanding:
             self._t3_start = None
-            self._rto = RTO_INIT
-            if self.state == "shutdown-pending":
-                self._begin_shutdown()
+            self._rto = self._computed_rto()
         elif earliest is not None and earliest not in self._outstanding:
-            self._rto = RTO_INIT  # forward progress: shed the backoff
+            # forward progress: shed the backoff down to the RTT estimate
+            self._rto = self._computed_rto()
             # RESTART T3 only when the earliest outstanding TSN was acked
             # (RFC 9260 §6.3.2 R3). A SACK whose cumulative point makes no
             # progress must NOT refresh the timer — that's the ack-refresh
             # starvation bug class (a continuously-SACKing receiver would
             # otherwise postpone retransmission of a lost chunk forever;
             # same failure the secretbox ARQ fixed for ack-only segments).
-            self._t3_start = self._now()
+            self._t3_start = now
         self._flush()
+        if (self.state == "shutdown-pending" and not self._outstanding
+                and not self._send_queue):
+            self._begin_shutdown()
+
+    def _computed_rto(self) -> float:
+        if self._srtt is None:
+            return RTO_INIT
+        return min(max(self._srtt + 4 * self._rttvar, 0.2), RTO_MAX)
 
     # -- timers ---------------------------------------------------------------
     def tick(self, now: float | None = None) -> None:

@@ -106,9 +106,18 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         # loss and trip congestion control for nothing)
         sock = self.transport.get_extra_info("socket")
         if sock is not None:
-            for opt in (socket.SO_RCVBUF, socket.SO_SNDBUF):
+            for opt, name in ((socket.SO_RCVBUF, "rcvbuf"),
+                              (socket.SO_SNDBUF, "sndbuf")):
                 try:
                     sock.setsockopt(socket.SOL_SOCKET, opt, 1 << 20)
+                    # the kernel silently clamps to net.core.{r,w}mem_max
+                    # (212992 stock) — verify, or the protection is a
+                    # no-op and burst drops masquerade as path loss
+                    got = sock.getsockopt(socket.SOL_SOCKET, opt)
+                    if got < (1 << 20):  # kernel reports 2x the set value
+                        log.debug("SO_%s clamped to %d by net.core "
+                                  "limits; large bursts may drop locally",
+                                  name.upper(), got)
                 except OSError:
                     pass
 

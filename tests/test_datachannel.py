@@ -959,6 +959,8 @@ def test_send_nowait_from_executor_thread_is_safe():
                     if pt == 3000:
                         assert pl == payload
                         got_b += 1
+                else:
+                    await asyncio.sleep(0.01)  # let the loop deliver to a
                 while not ch_a._rx.empty():
                     ch_a._rx.get_nowait()
                     got_a += 1
@@ -970,3 +972,115 @@ def test_send_nowait_from_executor_thread_is_safe():
             b.close()
 
     asyncio.run(asyncio.wait_for(run(), 90))
+
+
+def test_sctp_shutdown_drains_send_queue():
+    """Graceful shutdown must DELIVER everything queued (cwnd starts at 4
+    bundles, so most of a large message sits in _send_queue at close time;
+    dropping it would truncate the peer's last frame) before SHUTDOWN."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    got = []
+    b.on_message = lambda s, p, d: got.append(d)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    big = random.Random(9).randbytes(50_000)
+    a.send(0, sctp_mod.PPID_BINARY, big)
+    assert a._send_queue  # the initial window can't hold it all
+    a.shutdown()
+    _pump_sctp(a, b, qa, qb, now)
+    assert got == [big]
+    assert a.state == "done" and b.state == "done"
+
+
+def test_sctp_burst_loss_recovers_every_chunk_fast():
+    """A burst that loses MANY chunks of one flight (the socket-overflow
+    case) must recover ALL of them via repeated fast retransmit rounds —
+    the >=3 eligibility keeps budget-deferred chunks retransmittable, and
+    cwnd halves only once per loss window."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    got = []
+    b.on_message = lambda s, p, d: got.append(d)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    a.cwnd = 64 * a._mtu_budget  # big window so the flight is one burst
+    big = random.Random(10).randbytes(40_000)
+    a.send(0, sctp_mod.PPID_BINARY, big)
+    # first transmission burst: drop packets 2..6 (a contiguous mid-flight
+    # hole of ~5 packets), deliver the rest
+    burst = list(qb)
+    qb.clear()
+    for i, p in enumerate(burst):
+        if not (2 <= i <= 6):
+            b.on_packet(p)
+    cwnd_after_first_halving = None
+    for _ in range(200):
+        while qa:
+            a.on_packet(qa.pop(0))
+        while qb:
+            b.on_packet(qb.pop(0))
+        if cwnd_after_first_halving is None and a._fr_exit is not None:
+            cwnd_after_first_halving = a.cwnd
+        if got:
+            break
+        now[0] += 0.05
+        a.tick()
+        b.tick()
+    assert got == [big]
+    # single halving for the whole loss window
+    assert cwnd_after_first_halving is not None
+    assert a.cwnd >= cwnd_after_first_halving
+    assert now[0] < 3.0, f"recovery took {now[0]:.1f}s virtual time"
+
+
+def test_sctp_rtt_adaptive_rto():
+    """RTO must adapt ABOVE a path RTT larger than RTO_INIT, or every
+    burst start would fire a spurious T3 (retransmit + cwnd collapse)."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    rtt = 0.8  # > RTO_INIT (0.5)
+    for _ in range(12):
+        a.send(0, sctp_mod.PPID_BINARY, b"probe")
+        # deliver after the one-way delay; SACK comes back after full RTT
+        now[0] += rtt / 2
+        while qb:
+            b.on_packet(qb.pop(0))
+        now[0] += rtt / 2
+        while qa:
+            a.on_packet(qa.pop(0))
+        b.tick()  # flush delayed sack
+        while qa:
+            a.on_packet(qa.pop(0))
+    assert a._srtt is not None and a._srtt > 0.5
+    assert a._computed_rto() > rtt, f"rto {a._computed_rto():.2f} <= rtt"
+
+
+def test_sctp_no_abort_on_first_loss_after_idle():
+    """An association idle for >30s must NOT be aborted on its first
+    post-idle T3 expiry — arming the timer from idle restarts the
+    progress window."""
+    now = [0.0]
+    a, b, qa, qb = _mk_pair(now)
+    got = []
+    b.on_message = lambda s, p, d: got.append(d)
+    a.connect()
+    _pump_sctp(a, b, qa, qb, now)
+    now[0] += 120.0  # long idle
+    a.tick()
+    b.tick()
+    a.send(0, sctp_mod.PPID_BINARY, b"after-idle")
+    qb.clear()  # that first packet is lost
+    for _ in range(40):
+        now[0] += 0.25
+        a.tick()
+        while qb:
+            b.on_packet(qb.pop(0))
+        while qa:
+            a.on_packet(qa.pop(0))
+        if got:
+            break
+    assert a.state == "established", "post-idle loss aborted the association"
+    assert got == [b"after-idle"]
