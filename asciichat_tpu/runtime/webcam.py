@@ -201,7 +201,128 @@ class V4L2Webcam:
         os.close(self.fd)
 
 
+class FfmpegDeviceWebcam:
+    """Webcam via ffmpeg's device demuxers — the capture backend for
+    macOS (`-f avfoundation`, webcam_avfoundation.m role) and Windows
+    (`-f dshow`, webcam_mediafoundation.c role), where this framework has
+    no native ioctl path. rgb24 frames stream over a pipe with the same
+    read()/close()/width/height surface as V4L2Webcam.
+
+    The input format/spec are injectable, which both selects the platform
+    demuxer and makes the whole pipe path testable anywhere (`-f lavfi`
+    with a testsrc graph, or a fake ffmpeg binary emitting rawvideo)."""
+
+    def __init__(self, informat: str, inspec: str, width: int = 640,
+                 height: int = 480, fps: float = 30.0,
+                 input_opts: tuple[str, ...] = (), binary: str = "ffmpeg"):
+        import shutil as _sh
+        import subprocess
+
+        if not _sh.which(binary):
+            raise WebcamUnavailable(f"{binary} not on PATH (required for "
+                                    f"{informat} capture)")
+        self.width, self.height = width, height
+        self._frame_bytes = width * height * 3
+        cmd = [binary, "-v", "error", "-f", informat, *input_opts,
+               "-i", inspec,
+               "-vf", f"scale={width}:{height}", "-pix_fmt", "rgb24",
+               "-f", "rawvideo", "pipe:1"]
+        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE)
+        self._fps = fps
+
+    def read(self):
+        """One rgb24 frame as uint8 [H, W, 3], or None at stream end."""
+        buf = b""
+        out = self._proc.stdout
+        while len(buf) < self._frame_bytes:
+            chunk = out.read(self._frame_bytes - len(buf))
+            if not chunk:
+                err = b""
+                if self._proc.stderr is not None:
+                    try:
+                        err = self._proc.stderr.read() or b""
+                    except Exception:
+                        pass
+                if err.strip():
+                    raise WebcamUnavailable(
+                        f"device capture failed: {err.decode(errors='replace')[:200]}")
+                return None
+            buf += chunk
+        return np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
+
+    def close(self) -> None:
+        try:
+            self._proc.terminate()
+            self._proc.wait(timeout=2)
+        except Exception:
+            try:
+                self._proc.kill()
+            except Exception:
+                pass
+
+
+def parse_dshow_devices(stderr_text: str) -> list[str]:
+    """Video device names from `ffmpeg -list_devices true -f dshow -i
+    dummy` stderr. Pure (unit-tested); the listing format is ffmpeg's
+    documented one: quoted name lines followed by 'Alternative name'
+    lines, with '(video)' / '(audio)' markers on modern builds."""
+    names: list[str] = []
+    in_video = True  # legacy builds print a 'DirectShow video devices' header
+    for line in stderr_text.splitlines():
+        low = line.lower()
+        if "directshow video devices" in low:
+            in_video = True
+            continue
+        if "directshow audio devices" in low:
+            in_video = False
+            continue
+        if "alternative name" in low:
+            continue
+        start = line.find('"')
+        end = line.rfind('"')
+        if start < 0 or end <= start:
+            continue
+        name = line[start + 1 : end]
+        if "(video)" in low or ("(" not in low.split('"')[-1] and in_video):
+            names.append(name)
+    return names
+
+
+def list_dshow_devices(binary: str = "ffmpeg") -> list[str]:  # pragma: no cover
+    """Enumerate DirectShow video devices (Windows)."""
+    import subprocess
+
+    try:
+        r = subprocess.run([binary, "-hide_banner", "-list_devices", "true",
+                            "-f", "dshow", "-i", "dummy"],
+                           capture_output=True, timeout=10)
+    except (OSError, subprocess.TimeoutExpired):
+        return []
+    return parse_dshow_devices(r.stderr.decode(errors="replace"))
+
+
 def open_webcam(device: str = "/dev/video0", width: int = 640, height: int = 480):
-    """-> V4L2Webcam, or raises WebcamUnavailable (callers fall back to the
-    test pattern, webcam.c:21-27)."""
-    return V4L2Webcam(device, width, height)
+    """Platform capture dispatch (lib/video/webcam/webcam.c:20-46 role):
+    Linux -> native V4L2 ioctl/mmap; macOS -> ffmpeg avfoundation; Windows
+    -> ffmpeg dshow. Raises WebcamUnavailable when no backend can open
+    (callers fall back to the test pattern, webcam.c:21-27)."""
+    import sys as _sys
+
+    if _sys.platform.startswith("linux"):
+        return V4L2Webcam(device, width, height)
+    if _sys.platform == "darwin":  # pragma: no cover - needs macOS
+        # avfoundation device spec: index or name; map the Linux-default
+        # /dev/video0 convention to camera 0
+        spec = "0" if device.startswith("/dev/") else (device or "0")
+        return FfmpegDeviceWebcam(
+            "avfoundation", spec, width, height,
+            input_opts=("-framerate", "30", "-pixel_format", "uyvy422"))
+    if _sys.platform == "win32":  # pragma: no cover - needs Windows
+        if device.startswith("/dev/") or not device:
+            cams = list_dshow_devices()
+            if not cams:
+                raise WebcamUnavailable("no DirectShow video devices found")
+            device = cams[0]
+        return FfmpegDeviceWebcam("dshow", f"video={device}", width, height)
+    raise WebcamUnavailable(f"no webcam backend for {_sys.platform}")

@@ -25,6 +25,17 @@ class KeyboardReader:
     def start(self) -> None:
         if not self.enabled:
             return
+        if sys.platform == "win32":  # pragma: no cover - Windows console
+            # Win32 console path (lib/platform/windows/ keyboard role):
+            # raw per-key mode via kernel32, reads via msvcrt.getwch —
+            # select() does not work on console handles
+            from asciichat_tpu.utils import platform_win
+
+            self._raw_ctx = platform_win.raw_keyboard()
+            self._raw_ctx.__enter__()
+            self._thread = threading.Thread(target=self._loop_win, daemon=True)
+            self._thread.start()
+            return
         import termios
         import tty
 
@@ -46,10 +57,25 @@ class KeyboardReader:
                 if key:
                     self.on_key(key)
 
+    def _loop_win(self) -> None:  # pragma: no cover - Windows console
+        import msvcrt  # type: ignore[import-not-found]
+
+        while not self._stop.is_set():
+            if msvcrt.kbhit():
+                try:
+                    self.on_key(msvcrt.getwch())
+                except OSError:
+                    return
+            else:
+                self._stop.wait(0.05)
+
     def stop(self) -> None:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=0.5)
+        if getattr(self, "_raw_ctx", None) is not None:  # pragma: no cover
+            self._raw_ctx.__exit__(None, None, None)
+            self._raw_ctx = None
         if self._saved is not None:
             import termios
 

@@ -77,6 +77,12 @@ class FrameWriter:
 
     def setup(self) -> None:
         if self.is_tty:
+            if sys.platform == "win32":  # pragma: no cover - Windows console
+                # ANSI output needs VT processing enabled on Win32
+                # (lib/platform/windows/terminal.c role)
+                from asciichat_tpu.utils import platform_win
+
+                platform_win.enable_vt()
             self.stream.write(HIDE_CURSOR)
             self.stream.flush()
 

@@ -259,3 +259,123 @@ def test_avshim_under_sanitizers():
         pytest.skip("no HEVC codec in libavcodec")
     assert out.returncode == 0, (out.stdout + out.stderr).decode()[-3000:]
     assert b"sanitize avshim OK" in out.stdout
+
+
+# --- cross-platform capture + console backends ------------------------------
+
+
+def test_win_console_mode_bits():
+    """Win32 console mode arithmetic (lib/platform/windows/terminal.c
+    role) is pure and must hold on any platform: VT processing + no
+    newline munging on output; no line/echo/^C cooking + VT input on
+    input; unrelated host bits preserved."""
+    from asciichat_tpu.utils import platform_win as pw
+
+    out = pw.vt_output_mode(0x0003)  # PROCESSED | WRAP_AT_EOL (host bits)
+    assert out & pw.ENABLE_VIRTUAL_TERMINAL_PROCESSING
+    assert out & pw.DISABLE_NEWLINE_AUTO_RETURN
+    assert out & 0x0002  # host's WRAP_AT_EOL preserved
+
+    raw = pw.raw_input_mode(pw.ENABLE_PROCESSED_INPUT | pw.ENABLE_LINE_INPUT
+                            | pw.ENABLE_ECHO_INPUT | 0x0010)
+    assert not raw & pw.ENABLE_PROCESSED_INPUT
+    assert not raw & pw.ENABLE_LINE_INPUT
+    assert not raw & pw.ENABLE_ECHO_INPUT
+    assert raw & pw.ENABLE_VIRTUAL_TERMINAL_INPUT
+    assert raw & 0x0010  # unrelated host bit preserved
+
+
+def test_parse_dshow_devices():
+    """ffmpeg -list_devices stderr parsing: modern (video)/(audio) markers
+    AND the legacy section-header format; alternative-name lines skipped."""
+    from asciichat_tpu.runtime.webcam import parse_dshow_devices
+
+    modern = (
+        '[dshow @ 0000020af2f0] "Integrated Camera" (video)\n'
+        '[dshow @ 0000020af2f0]   Alternative name "@device_pnp_\\\\?\\usb#vid"\n'
+        '[dshow @ 0000020af2f0] "OBS Virtual Camera" (video)\n'
+        '[dshow @ 0000020af2f0]   Alternative name "@device_sw_{860}"\n'
+        '[dshow @ 0000020af2f0] "Microphone (Realtek)" (audio)\n'
+        "dummy: Immediate exit requested\n"
+    )
+    assert parse_dshow_devices(modern) == ["Integrated Camera",
+                                           "OBS Virtual Camera"]
+    legacy = (
+        "[dshow @ 03ae] DirectShow video devices\n"
+        '[dshow @ 03ae]  "USB2.0 HD UVC WebCam"\n'
+        "[dshow @ 03ae] DirectShow audio devices\n"
+        '[dshow @ 03ae]  "Microphone Array"\n'
+    )
+    assert parse_dshow_devices(legacy) == ["USB2.0 HD UVC WebCam"]
+
+
+def test_ffmpeg_device_webcam_pipe_path(tmp_path):
+    """The FfmpegDeviceWebcam read loop (framing, end-of-stream, error
+    propagation) against a FAKE ffmpeg binary emitting rawvideo — the
+    same pipe contract the real avfoundation/dshow demuxers use. The real
+    binary is absent in this image; on user machines only the argv
+    differs."""
+    import numpy as np
+
+    from asciichat_tpu.runtime.webcam import FfmpegDeviceWebcam, WebcamUnavailable
+
+    w, h, n = 32, 24, 3
+    fake = tmp_path / "ffmpeg"
+    fake.write_text(
+        "#!/bin/sh\n"
+        f"python3 -c 'import sys\n"
+        f"for i in range({n}):\n"
+        f"    sys.stdout.buffer.write(bytes([i %% 256]) * {w * h * 3})\n"
+        f"' \n".replace("%%", "%")
+    )
+    fake.chmod(0o755)
+    import os as _os
+
+    old_path = _os.environ["PATH"]
+    _os.environ["PATH"] = f"{tmp_path}:{old_path}"
+    try:
+        cam = FfmpegDeviceWebcam("avfoundation", "0", width=w, height=h)
+        frames = []
+        while True:
+            f = cam.read()
+            if f is None:
+                break
+            frames.append(f)
+        cam.close()
+        assert len(frames) == n
+        assert frames[0].shape == (h, w, 3)
+        assert frames[0].dtype == np.uint8
+        assert frames[1][0, 0, 0] == 1  # frame content framing is correct
+
+        # a failing device surfaces ffmpeg's stderr as WebcamUnavailable
+        bad = tmp_path / "ffmpeg"
+        bad.write_text("#!/bin/sh\necho 'Could not find video device' >&2\nexit 1\n")
+        cam = FfmpegDeviceWebcam("dshow", "video=Nope", width=w, height=h)
+        try:
+            cam.read()
+            raise AssertionError("expected WebcamUnavailable")
+        except WebcamUnavailable as e:
+            assert "Could not find video device" in str(e)
+        finally:
+            cam.close()
+    finally:
+        _os.environ["PATH"] = old_path
+
+
+def test_open_webcam_linux_dispatch_unchanged():
+    """On Linux the dispatch must still go to the native V4L2 backend
+    (gated: no camera in this image -> WebcamUnavailable)."""
+    import sys
+
+    import pytest as _pytest
+
+    from asciichat_tpu.runtime.webcam import WebcamUnavailable, open_webcam
+
+    if not sys.platform.startswith("linux"):
+        _pytest.skip("linux-only dispatch check")
+    import os as _os
+
+    if _os.path.exists("/dev/video0"):
+        _pytest.skip("a real camera exists; exercised elsewhere")
+    with _pytest.raises(WebcamUnavailable):
+        open_webcam()
