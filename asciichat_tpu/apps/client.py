@@ -43,6 +43,7 @@ class AsciiChatClient:
         encrypt: bool = False,
         password: str | None = None,
         use_ws: bool = False,
+        use_webrtc: bool = False,
         flip_x: bool = False,
         flip_y: bool = False,
         show_fps: bool = False,
@@ -65,6 +66,7 @@ class AsciiChatClient:
         self.ssh_identity = ssh_identity  # sshauth.SshIdentity | None
         self.gpg_identity = gpg_identity  # gpgauth.GpgIdentity | None
         self.use_ws = use_ws
+        self.use_webrtc = use_webrtc
         # shared session framework (models/session.py, src/common/session/):
         # capture transforms + display + reconnect policy are the same
         # implementations the mirror and discovery modes use
@@ -268,7 +270,14 @@ class AsciiChatClient:
                     self._stop.set()
 
     async def _session(self, max_frames: int | None) -> None:
-        if self.use_ws:
+        if self.use_webrtc:
+            # WebRTC transport (src/client/webrtc.c role): SDP signaling
+            # against the server's /webrtc/offer + ICE/DTLS/SCTP; the
+            # server sees this client exactly like a browser
+            from asciichat_tpu.net.datachannel import connect_webrtc
+
+            raw = await connect_webrtc(self.host, self.port)
+        elif self.use_ws:
             from asciichat_tpu.net.websocket import connect_ws
 
             raw = await connect_ws(self.host, self.port)
@@ -447,7 +456,8 @@ def main(args) -> int:
                              encrypt=args.encrypt, password=args.password,
                              ssh_identity=ssh_identity,
                              gpg_identity=gpg_identity,
-                             use_ws=args.ws, audio_source=audio_source,
+                             use_ws=args.ws, use_webrtc=args.webrtc,
+                             audio_source=audio_source,
                              audio_sink=audio_sink, want_h265=args.h265,
                              audio_gain=args.audio_gain, flip_x=args.flip_x,
                              flip_y=args.flip_y, show_fps=args.show_fps,

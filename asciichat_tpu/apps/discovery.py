@@ -725,6 +725,11 @@ async def run_discovery(args) -> int:
     if getattr(args, "stun", None):
         host_part, _, port_part = args.stun.rpartition(":")
         sess.stun_server = (host_part or args.stun, int(port_part or 3478))
+    p2p_dtls = getattr(args, "p2p_dtls", "auto") or "auto"
+    if p2p_dtls != "auto":
+        from asciichat_tpu.net import webrtc as webrtc_mod
+
+        webrtc_mod.DTLS_DEFAULT = p2p_dtls not in ("off", "0", "false", "no")
     ring = sess.attach_ring(getattr(args, "ring_interval", None)
                             or RING_COLLECTION_INTERVAL_S)
     await sess.connect()

@@ -271,6 +271,10 @@ class DataChannelTransport:
         if self.closed:
             return
         self.closed = True
+        owner = getattr(self, "_owner_agent", None)
+        if owner is not None:  # connect_webrtc: channel owns the ICE socket
+            self._owner_agent = None
+            owner.close()  # re-entry is safe: self.closed is already set
         try:
             if self.sctp.state == "established":
                 self.sctp.shutdown()
@@ -293,3 +297,62 @@ class _Awaitable:
 
     def __await__(self):
         return iter(())
+
+
+async def _http_post_sdp(host: str, port: int, path: str,
+                         body: str, timeout: float = 10.0) -> str:
+    reader, writer = await asyncio.wait_for(
+        asyncio.open_connection(host, port), timeout)
+    try:
+        data = body.encode()
+        writer.write(
+            f"POST {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            f"Content-Type: application/sdp\r\n"
+            f"Content-Length: {len(data)}\r\n\r\n".encode() + data)
+        await writer.drain()
+        status = await asyncio.wait_for(reader.readline(), timeout)
+        parts = status.split()
+        if len(parts) < 2 or parts[1] != b"200":
+            raise ConnectionError(
+                f"webrtc signaling rejected: {status.decode(errors='replace').strip()}")
+        headers: dict[str, str] = {}
+        while True:
+            line = await asyncio.wait_for(reader.readline(), timeout)
+            if line in (b"\r\n", b"\n", b""):
+                break
+            k, _, v = line.decode(errors="replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        payload = await asyncio.wait_for(reader.readexactly(clen), timeout)
+        return payload.decode()
+    finally:
+        writer.close()
+
+
+async def connect_webrtc(host: str, port: int,
+                         timeout: float = 15.0) -> DataChannelTransport:
+    """Dial a server over WebRTC: POST an SDP offer to its /webrtc/offer
+    signaling endpoint (the websocket listener), run ICE -> DTLS -> SCTP,
+    and return the ready ACIP transport. This is the native client's
+    WebRTC transport (src/client/webrtc.c role) — the same path a browser
+    takes, so a native `--webrtc` client and a browser are
+    indistinguishable to the server."""
+    from asciichat_tpu.net import sdp
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    agent = IceLiteAgent(controlling=True, dtls=True)
+    await agent.start()
+    try:
+        answer = await _http_post_sdp(host, port, "/webrtc/offer",
+                                      sdp.offer_for_agent(agent), timeout)
+        info = sdp.parse(answer)
+        if not info.fingerprint:
+            raise ConnectionError("server SDP answer carries no fingerprint")
+        agent.set_remote(info.to_desc())
+        ch = await agent.wait_connected(timeout)
+        ch = await ch.wait_ready(timeout)
+        ch._owner_agent = agent  # the channel owns the ICE socket's lifetime
+        return ch
+    except BaseException:
+        agent.close()
+        raise

@@ -376,6 +376,9 @@ def default_registry() -> OptionsRegistry:
     add("no-reconnect", "network", bool, False, "disable auto-reconnect",
         modes=Mode.CLIENT)
     add("ws", "network", bool, False, "connect over WebSocket", modes=Mode.CLIENT)
+    add("webrtc", "network", bool, False,
+        "connect over a WebRTC DataChannel (dial the server's ws-port "
+        "signaling endpoint; ICE + DTLS + SCTP)", modes=Mode.CLIENT)
     add("ws-port", "network", int, None,
         "also listen for WebSocket clients on this port", modes=Mode.SERVER)
     add("no-media", "network", bool, False, "view-only client", modes=Mode.CLIENT)
@@ -449,6 +452,10 @@ def default_registry() -> OptionsRegistry:
         "address to advertise as host", modes=Mode.DISCOVERY)
     add("stun", "discovery", str, None,
         "STUN server (host:port) for server-reflexive P2P candidates",
+        modes=Mode.DISCOVERY)
+    add("p2p-dtls", "discovery", str, "auto",
+        "P2P channel security: auto (DTLS-SCTP DataChannels when OpenSSL "
+        "present + peer advertises), on, or off (legacy secretbox stream)",
         modes=Mode.DISCOVERY)
     add("ring-interval", "discovery", float, None,
         "ring-consensus collection interval in seconds (default 60)",

@@ -1084,3 +1084,47 @@ def test_sctp_no_abort_on_first_loss_after_idle():
             break
     assert a.state == "established", "post-idle loss aborted the association"
     assert got == [b"after-idle"]
+
+
+def test_native_client_over_webrtc_transport():
+    """The PRODUCTION client (apps/client.AsciiChatClient) with
+    --webrtc: full SDP signaling + ICE + DTLS + SCTP transport, then the
+    normal client session — caps exchange, test-pattern uplink, rendered
+    ASCII frames back. src/client/webrtc.c role, e2e."""
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.apps.server import AsciiChatServer
+    from asciichat_tpu.apps.webclient import WebRtcGateway, make_http_handler
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.websocket import serve_ws
+    from asciichat_tpu.render.types import (ColorLevel, RenderMode,
+                                            TerminalCapabilities)
+    from asciichat_tpu.runtime.framesource import open_source
+
+    async def run():
+        server = AsciiChatServer()
+        gw = WebRtcGateway(server._handle_conn)
+
+        def post(path, body):
+            if path.split("?", 1)[0] == "/webrtc/offer":
+                return gw.on_offer(body)
+            return None
+
+        ws_srv = await serve_ws(server._handle_conn, "127.0.0.1", 0,
+                                pages=make_http_handler(), post=post)
+        port = ws_srv.sockets[0].getsockname()[1]
+        tick = asyncio.get_running_loop().create_task(server._tick_loop())
+        caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+        client = AsciiChatClient(
+            "127.0.0.1", port, open_source(test_pattern=True),
+            proto.WireCapabilities(caps=caps, width=60, height=18),
+            reconnect=False, use_webrtc=True,
+        )
+        try:
+            await asyncio.wait_for(client.run(max_frames=5), 90)
+        finally:
+            tick.cancel()
+            gw.close()
+            ws_srv.close()
+        assert client.frames_received >= 5
+
+    asyncio.run(asyncio.wait_for(run(), 120))
