@@ -1128,3 +1128,62 @@ def test_native_client_over_webrtc_transport():
         assert client.frames_received >= 5
 
     asyncio.run(asyncio.wait_for(run(), 120))
+
+
+def test_mixed_transport_population():
+    """One server tick serving TCP, WebSocket, and WebRTC clients
+    SIMULTANEOUSLY (2 of each, production AsciiChatClient): every client
+    gets its frames — the transports are interchangeable above the
+    dispatcher, which is the whole point of the vtable design
+    (acip/transport.h role)."""
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.apps.server import AsciiChatServer
+    from asciichat_tpu.apps.webclient import WebRtcGateway, make_http_handler
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import serve_tcp
+    from asciichat_tpu.net.websocket import serve_ws
+    from asciichat_tpu.render.types import (ColorLevel, RenderMode,
+                                            TerminalCapabilities)
+    from asciichat_tpu.runtime.framesource import open_source
+
+    async def run():
+        server = AsciiChatServer()
+        gw = WebRtcGateway(server._handle_conn)
+
+        def post(path, body):
+            if path.split("?", 1)[0] == "/webrtc/offer":
+                return gw.on_offer(body)
+            return None
+
+        tcp_srv = await serve_tcp(server._handle_conn, "127.0.0.1", 0)
+        tcp_port = tcp_srv.sockets[0].getsockname()[1]
+        ws_srv = await serve_ws(server._handle_conn, "127.0.0.1", 0,
+                                pages=make_http_handler(), post=post)
+        ws_port = ws_srv.sockets[0].getsockname()[1]
+        tick = asyncio.get_running_loop().create_task(server._tick_loop())
+
+        async def client(port, **kw):
+            caps = TerminalCapabilities(ColorLevel.TRUECOLOR,
+                                        RenderMode.HALF_BLOCK)
+            c = AsciiChatClient(
+                "127.0.0.1", port, open_source(test_pattern=True),
+                proto.WireCapabilities(caps=caps, width=50, height=15),
+                reconnect=False, **kw)
+            await asyncio.wait_for(c.run(max_frames=40), 120)
+            return c.frames_received
+
+        try:
+            counts = await asyncio.gather(
+                client(tcp_port), client(tcp_port),
+                client(ws_port, use_ws=True), client(ws_port, use_ws=True),
+                client(ws_port, use_webrtc=True),
+                client(ws_port, use_webrtc=True),
+            )
+        finally:
+            tick.cancel()
+            gw.close()
+            ws_srv.close()
+            tcp_srv.close()
+        assert all(c >= 40 for c in counts), counts
+
+    asyncio.run(asyncio.wait_for(run(), 180))
