@@ -725,7 +725,7 @@ async def run_discovery(args) -> int:
     if getattr(args, "stun", None):
         host_part, _, port_part = args.stun.rpartition(":")
         sess.stun_server = (host_part or args.stun, int(port_part or 3478))
-    p2p_dtls = getattr(args, "p2p_dtls", "auto") or "auto"
+    p2p_dtls = (getattr(args, "p2p_dtls", "auto") or "auto").lower()
     if p2p_dtls != "auto":
         from asciichat_tpu.net import webrtc as webrtc_mod
 

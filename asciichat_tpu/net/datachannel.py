@@ -271,10 +271,6 @@ class DataChannelTransport:
         if self.closed:
             return
         self.closed = True
-        owner = getattr(self, "_owner_agent", None)
-        if owner is not None:  # connect_webrtc: channel owns the ICE socket
-            self._owner_agent = None
-            owner.close()  # re-entry is safe: self.closed is already set
         try:
             if self.sctp.state == "established":
                 self.sctp.shutdown()
@@ -283,6 +279,14 @@ class DataChannelTransport:
         except Exception:
             pass
         self._timer_task.cancel()
+        owner = getattr(self, "_owner_agent", None)
+        if owner is not None:
+            # connect_webrtc: the channel owns the ICE socket — close it
+            # AFTER the SCTP SHUTDOWN / DTLS close_notify drain above, or
+            # (on proactor loops) the farewell datagrams are dropped and
+            # the server keeps a ghost client until the no-progress abort
+            self._owner_agent = None
+            owner.close()  # re-entry is safe: self.closed is already set
 
     def _drain_dtls_best_effort(self) -> None:
         try:

@@ -653,6 +653,10 @@ class SctpAssociation:
                     retx_bundle.append(ent[0])
                     retx_bytes += len(ent[0])
                     ent[1] = now
+                    ent[2] += 1  # Karn's rule: a retransmitted chunk must
+                    #              never contribute an RTT sample (its ack
+                    #              could be for the ORIGINAL transmission,
+                    #              measuring near-zero and collapsing RTO)
                     ent[3] = 0
             if retx_bundle:
                 if self._fr_exit is None:  # halve once per loss window

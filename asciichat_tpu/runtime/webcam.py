@@ -210,13 +210,20 @@ class FfmpegDeviceWebcam:
 
     The input format/spec are injectable, which both selects the platform
     demuxer and makes the whole pipe path testable anywhere (`-f lavfi`
-    with a testsrc graph, or a fake ffmpeg binary emitting rawvideo)."""
+    with a testsrc graph, or a fake ffmpeg binary emitting rawvideo).
+
+    NOTE: framesource.FFmpegFileSource reads the same rawvideo pipe
+    contract but deliberately with BLOCKING buffered reads — a file decode
+    either produces or ends. A live DEVICE can wedge while staying alive,
+    so this class uses an unbuffered fd + select() stall timeout; the two
+    are not merged because their stall contracts differ."""
 
     def __init__(self, informat: str, inspec: str, width: int = 640,
                  height: int = 480, fps: float = 30.0,
                  input_opts: tuple[str, ...] = (), binary: str = "ffmpeg"):
         import shutil as _sh
         import subprocess
+        import tempfile
 
         if not _sh.which(binary):
             raise WebcamUnavailable(f"{binary} not on PATH (required for "
@@ -227,26 +234,47 @@ class FfmpegDeviceWebcam:
                "-i", inspec,
                "-vf", f"scale={width}:{height}", "-pix_fmt", "rgb24",
                "-f", "rawvideo", "pipe:1"]
+        # stderr goes to a FILE, never a pipe: a flaky device can emit
+        # error lines indefinitely, and an undrained 64 KB stderr pipe
+        # blocks ffmpeg's writes — which blocks its stdout frames — which
+        # deadlocks read() with no error surfaced.
+        self._errfile = tempfile.TemporaryFile()
+        # bufsize=0: read() uses select() on the raw fd for its stall
+        # timeout; BufferedReader would hide readable bytes from select
         self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                      stderr=subprocess.PIPE)
+                                      stderr=self._errfile, bufsize=0)
         self._fps = fps
 
-    def read(self):
-        """One rgb24 frame as uint8 [H, W, 3], or None at stream end."""
+    def _stderr_tail(self) -> str:
+        try:
+            self._errfile.seek(0)
+            return self._errfile.read()[-400:].decode(errors="replace")
+        except Exception:
+            return ""
+
+    def read(self, timeout: float = 2.0):
+        """One rgb24 frame as uint8 [H, W, 3]; None at end of stream OR
+        on a `timeout`-second stall (same transient-stall contract as
+        V4L2Webcam.read — WebcamSource's retry loop counts Nones and
+        gives up after ~30 s instead of hanging a wedged device forever)."""
+        import select as _select
+        import time as _time
+
         buf = b""
-        out = self._proc.stdout
+        fd = self._proc.stdout.fileno()
+        deadline = _time.monotonic() + timeout
         while len(buf) < self._frame_bytes:
-            chunk = out.read(self._frame_bytes - len(buf))
-            if not chunk:
-                err = b""
-                if self._proc.stderr is not None:
-                    try:
-                        err = self._proc.stderr.read() or b""
-                    except Exception:
-                        pass
+            left = deadline - _time.monotonic()
+            if left <= 0:
+                return None  # stalled device; caller retries / falls back
+            r, _, _ = _select.select([fd], [], [], left)
+            if not r:
+                continue
+            chunk = os.read(fd, self._frame_bytes - len(buf))
+            if not chunk:  # EOF: ffmpeg exited
+                err = self._stderr_tail()
                 if err.strip():
-                    raise WebcamUnavailable(
-                        f"device capture failed: {err.decode(errors='replace')[:200]}")
+                    raise WebcamUnavailable(f"device capture failed: {err}")
                 return None
             buf += chunk
         return np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
@@ -260,6 +288,10 @@ class FfmpegDeviceWebcam:
                 self._proc.kill()
             except Exception:
                 pass
+        try:
+            self._errfile.close()
+        except Exception:
+            pass
 
 
 def parse_dshow_devices(stderr_text: str) -> list[str]:

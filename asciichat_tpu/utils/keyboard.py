@@ -31,8 +31,15 @@ class KeyboardReader:
             # select() does not work on console handles
             from asciichat_tpu.utils import platform_win
 
-            self._raw_ctx = platform_win.raw_keyboard()
-            self._raw_ctx.__enter__()
+            try:
+                ctx = platform_win.raw_keyboard()
+                ctx.__enter__()
+            except OSError:
+                # TTY-like stdin that is not a real console (mintty/MSYS
+                # pty): degrade to no keyboard, never crash the session
+                self.enabled = False
+                return
+            self._raw_ctx = ctx
             self._thread = threading.Thread(target=self._loop_win, daemon=True)
             self._thread.start()
             return

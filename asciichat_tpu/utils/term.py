@@ -62,7 +62,17 @@ def detect_capabilities(
 
 def terminal_size(width: int | None = None, height: int | None = None) -> tuple[int, int]:
     size = shutil.get_terminal_size(fallback=(80, 24))
-    return width or size.columns, height or (size.lines - 1)
+    cols, lines = size.columns, size.lines
+    if sys.platform == "win32" and (cols, lines) == (80, 24):
+        # pragma: no cover — shutil's fallback fired (COLUMNS unset AND
+        # os.get_terminal_size failed, e.g. redirected stdout on some
+        # consoles): ask the Win32 console API directly
+        from asciichat_tpu.utils import platform_win
+
+        win = platform_win.console_size()
+        if win:
+            cols, lines = win
+    return width or cols, height or (lines - 1)
 
 
 class FrameWriter:

@@ -336,10 +336,18 @@ def test_ffmpeg_device_webcam_pipe_path(tmp_path):
     try:
         cam = FfmpegDeviceWebcam("avfoundation", "0", width=w, height=h)
         frames = []
-        while True:
-            f = cam.read()
+        stalls = 0
+        while stalls < 20:
+            f = cam.read(timeout=1.0)
             if f is None:
-                break
+                # None = transient stall OR end of stream (the production
+                # caller, WebcamSource, retries exactly like this); the
+                # fake's interpreter startup can exceed one timeout on a
+                # loaded box
+                if cam._proc.poll() is not None and len(frames) >= n:
+                    break
+                stalls += 1
+                continue
             frames.append(f)
         cam.close()
         assert len(frames) == n
