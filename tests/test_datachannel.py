@@ -1187,3 +1187,59 @@ def test_mixed_transport_population():
         assert all(c >= 40 for c in counts), counts
 
     asyncio.run(asyncio.wait_for(run(), 180))
+
+
+def test_datachannel_wan_regime_throughput():
+    """Simulated WAN (50 ms RTT, 0.1% random loss): the congestion
+    machinery (RTT-adaptive RTO, fast retransmit, cwnd growth) must
+    deliver Reno-class throughput. Theory (Mathis): ~1.22*MTU/(RTT*sqrt(p))
+    ~= 870 KB/s; measured 1.47 MB/s (window growth between sparse losses);
+    floor at 10 fps of 55 KB frames (~550 KB/s) leaves 2.7x slack. Also
+    asserts the RTT estimator actually converged near the path RTT —
+    a broken estimator would still pass a pure throughput floor on
+    loopback-grade paths."""
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        rng = random.Random(6)
+        loop = asyncio.get_running_loop()
+        for ag in (a, b):
+            real = ag.transport.sendto
+
+            def wan(data, addr, real=real):
+                if rng.random() < 0.001:
+                    return
+                loop.call_later(0.025, real, data, addr)
+
+            ag.transport.sendto = wan
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(20)).wait_ready(20)
+            await (await b.wait_connected(20)).wait_ready(20)
+            frame = os.urandom(55_000)
+            n = 40
+
+            async def producer():
+                for _ in range(n):
+                    await ch_a.send(3000, frame)
+
+            t0 = time.perf_counter()
+            prod = asyncio.create_task(producer())
+            ch_b = b.channel
+            for _ in range(n):
+                await asyncio.wait_for(ch_b.recv(), 30)
+            dt = time.perf_counter() - t0
+            await prod
+            fps = n / dt
+            assert fps >= 10, f"WAN-regime throughput {fps:.1f} < 10 fps"
+            st = ch_a.sctp
+            assert st._srtt is not None and 0.04 < st._srtt < 0.25, (
+                f"RTT estimator off: srtt={st._srtt}")
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 120))
