@@ -38,6 +38,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from asciichat_tpu.utils import jaxcache
+
+    jaxcache.ensure()  # reuse any prior process's compiled graphs
+
     from asciichat_tpu.ops import cells
     from asciichat_tpu.render import emitter, oracle
     from asciichat_tpu.render import palette as pal
