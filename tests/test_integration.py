@@ -1074,3 +1074,26 @@ def test_zero_dim_frame_rejected_and_zombies_swept(tmp_path):
     finally:
         srv.terminate()
         srv.wait(timeout=10)
+
+
+def test_client_webrtc_cli_flag():
+    """`client --webrtc` end-to-end as REAL spawned binaries: the server's
+    ws listener answers the SDP POST, the client runs ICE+DTLS+SCTP, and
+    frames flow — validating the CLI arg plumbing (args.webrtc ->
+    AsciiChatClient) that the in-process e2e tests bypass."""
+    ws_port = PORT + 101
+    srv = _spawn("server", "--port", str(PORT + 100), "--ws-port",
+                 str(ws_port), "--log-level", "WARNING")
+    try:
+        time.sleep(4)  # jax import + listeners
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        cli = _spawn("client", "127.0.0.1", "--port", str(ws_port),
+                     "--webrtc", "--test-pattern", "--max-frames", "4",
+                     "--no-reconnect", "--log-level", "WARNING",
+                     stdout=subprocess.DEVNULL)
+        rc = cli.wait(timeout=120)
+        err = cli.stderr.read().decode()
+        assert rc == 0, err[-2000:]
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
