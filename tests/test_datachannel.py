@@ -1243,3 +1243,58 @@ def test_datachannel_wan_regime_throughput():
             b.close()
 
     asyncio.run(asyncio.wait_for(run(), 120))
+
+
+def test_signaling_tamper_cannot_downgrade_to_secretbox():
+    """DTLS-downgrade resistance: a malicious relay that tampers with the
+    signed signaling blob (e.g. to strip the dtls_fp and force the legacy
+    channel) breaks the sender's Ed25519 envelope; the receiver drops the
+    offer entirely, so the attacker gets NO channel at all — never a
+    downgraded one (RFC 8827 §6.2 trust model end-to-end through the
+    relay)."""
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="mitm-a")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="mitm-b")
+        await s1.connect()
+        await s2.connect()
+        session = await s1.create(my_port=15011)
+        await s2.join(session)
+
+        # the relay becomes a MITM: every forwarded signaling envelope has
+        # one byte flipped near its END (inside the signed JSON body where
+        # the dtls_fp/candidates live; the envelope prefix holds key+sig)
+        for cid, (transport, *_rest) in list(acds.clients.items()):
+            real = transport.send_nowait
+
+            def tampering(ptype, payload=b"", real=real):
+                from asciichat_tpu.net.packet import PacketType as P
+
+                if ptype == P.ACIP_WEBRTC_SDP and len(payload) > 16:
+                    payload = bytearray(payload)
+                    payload[-10] ^= 0x40
+                    payload = bytes(payload)
+                return real(ptype, payload)
+
+            transport.send_nowait = tampering
+        events = [asyncio.create_task(s.event_loop()) for s in (s1, s2)]
+        try:
+            with pytest.raises((TimeoutError, asyncio.TimeoutError)):
+                await s1.p2p_connect("mitm-b", timeout=6, ice_timeout=2,
+                                     relay_fallback=False)
+            # the victim never built ANY channel from the forged offer
+            assert not s2._p2p_agents and not s2._p2p_relay
+        finally:
+            for e in events:
+                e.cancel()
+            await s1.leave()
+            await s2.leave()
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
