@@ -1,24 +1,26 @@
-"""P2P transport seat: ICE-lite connectivity + an encrypted reliable UDP
-channel (the WebRTC-DataChannel SUBSET this environment can support).
+"""P2P transport: ICE-lite connectivity + a NEGOTIATED channel stack
+(the reference's WebRTC transport role, lib/network/webrtc/ +
+libdatachannel).
 
-The reference's WebRTC transport (lib/network/webrtc/, libdatachannel) gives
-browsers DTLS-SCTP DataChannels. A from-scratch DTLS+SCTP stack is out of
-scope (and untestable without a browser); what IS buildable and testable is
-the part that matters for native-to-native P2P:
+- IceLiteAgent (RFC 8445 subset on net/stun.py): host/srflx candidate
+  gathering, ufrag/pwd, STUN Binding connectivity checks with
+  MESSAGE-INTEGRITY both ways, candidate-pair nomination — over ONE udp
+  socket that then carries the application channel (RFC 7983
+  demultiplexing).
+- The channel PROTOCOL is negotiated per pair at nomination
+  (`make_channel`): when both peers advertised a DTLS certificate
+  fingerprint in the Ed25519-signed signaling blob, the pair carries real
+  browser-grade WebRTC DataChannels — DTLS 1.2 + SCTP + DCEP
+  (net/datachannel.py, net/dtls.py, net/sctp.py). Otherwise (older build,
+  no OpenSSL, or `ASCIICHAT_P2P_DTLS=0`/`--p2p-dtls off`) it falls back
+  to this module's legacy SecureP2PChannel: a reliable ordered byte
+  stream (Go-Back-N ARQ: 1200-byte segments, cumulative acks, RTO
+  retransmit) of XSalsa20-Poly1305 secretbox datagrams under the X25519
+  session key from the signaling blob. ACIP packets flow unchanged inside
+  either stack.
 
-- ICE-lite agent (RFC 8445 subset on net/stun.py): host-candidate gathering,
-  ufrag/pwd, STUN Binding connectivity checks with MESSAGE-INTEGRITY both
-  ways, candidate-pair nomination — over ONE udp socket that then carries
-  the application channel (RFC 7983 demultiplexing).
-- SecureP2PChannel: a reliable ordered byte stream over the nominated pair
-  (Go-Back-N ARQ: 1200-byte segments, cumulative acks, RTO retransmit)
-  encrypted with the SAME session crypto as the TCP transport (X25519 +
-  XSalsa20-Poly1305, net/crypto.py) — keys ride the signaling blob, which
-  travels Ed25519-signed through the ACDS relay (ACIP_WEBRTC_SDP/ICE).
-  ACIP packets flow unchanged inside the stream.
-
-DIVERGENCE (documented): not browser-interoperable — no DTLS-SCTP. See
-docs/webrtc-design.md for the full design + the interop path.
+See docs/webrtc-design.md for the full connect ladder (direct -> relay)
+and the browser signaling path.
 """
 
 from __future__ import annotations
