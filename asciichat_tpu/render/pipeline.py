@@ -18,9 +18,6 @@ import numpy as np
 
 from asciichat_tpu.ops import cells
 from asciichat_tpu.render import emitter
-from asciichat_tpu.utils import jaxcache
-
-jaxcache.ensure()  # persistent XLA cache: tunnel compiles are 40s-10min
 from asciichat_tpu.render import palette as pal
 from asciichat_tpu.render.oracle import compute_render_geometry
 from asciichat_tpu.render.types import TerminalCapabilities

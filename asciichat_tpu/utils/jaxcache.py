@@ -22,8 +22,33 @@ import os
 _done = False
 
 
+def _topology_key() -> str:
+    """Partition the cache by the execution topology knobs this repo
+    actually varies. INCIDENT (2026-08-17): with one shared directory, an
+    executable compiled under plain 1-device CPU (tools/soak_mixed.py)
+    was replayed inside the test environment's 8-virtual-device CPU mesh
+    (conftest's xla_force_host_platform_device_count=8) and produced
+    silently wrong results — test_mixed_codec_population's audio mix came
+    back all-zeros, deterministically, until the cache was cleared. The
+    persistent-cache key evidently does not cover everything these flags
+    change, so the directory does."""
+    import jax
+
+    plats = str(jax.config.jax_platforms or "default").replace(",", "+")
+    hostdev = "1"
+    for part in os.environ.get("XLA_FLAGS", "").split():
+        if "xla_force_host_platform_device_count=" in part:
+            hostdev = part.rsplit("=", 1)[1]
+    return f"{plats}-hd{hostdev}"
+
+
 def ensure() -> None:
-    """Idempotently point JAX at a persistent compilation cache dir."""
+    """Idempotently point JAX at a persistent compilation cache dir.
+
+    Called ONLY from the real-device entry points (bench.py,
+    __graft_entry__) — the cache exists to keep tunneled-TPU compiles
+    from repeating, not to micro-optimize CPU test runs, and the smaller
+    the population surface the smaller the contamination surface."""
     global _done
     if _done:
         return
@@ -33,9 +58,12 @@ def ensure() -> None:
 
         if jax.config.jax_compilation_cache_dir:
             return  # operator already configured one
-        path = os.environ.get(
-            "ASCIICHAT_JAX_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "asciichat_jax"))
+        path = os.path.join(
+            os.environ.get(
+                "ASCIICHAT_JAX_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache",
+                             "asciichat_jax")),
+            _topology_key())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took meaningful compile time; tiny CPU
