@@ -231,6 +231,17 @@ def main():
             f"(reference cadence: 60/s)")
     except Exception as e:  # supplemental only; never fail the headline
         log(f"server tick bench skipped: {e}")
+        tick_rate = None
+
+    # --- supplemental: WebRTC DataChannel transport throughput ------------
+    datachannel_fps = None
+    try:
+        datachannel_fps = bench_datachannel()
+        log(f"WebRTC DataChannel loopback (DTLS 1.2 + SCTP, both endpoints "
+            f"this host): {datachannel_fps:,.0f} x 55KB ACIP frames/s "
+            f"({datachannel_fps * 55 / 1000:.1f} MB/s)")
+    except Exception as e:
+        log(f"datachannel bench skipped: {e}")
 
     print(json.dumps({
         "metric": "1080p_truecolor_ascii_fps_per_chip",
@@ -244,9 +255,56 @@ def main():
         "pipeline_d2h_fps": round(rates["d2h_fps"], 1),
         "pipeline_d2h_mbps": round(rates["d2h_mbps"], 2),
         "hlo_fingerprint": hlo_hash,
+        "datachannel_fps": round(datachannel_fps, 1) if datachannel_fps else None,
         "versions": versions,
     }))
     return 0
+
+
+def bench_datachannel() -> float:
+    """55KB ACIP frames through the full negotiated WebRTC stack (ICE
+    nomination -> DTLS 1.2 -> SCTP/DCEP) over loopback, both endpoints in
+    this process (so the number is conservative by ~2x vs one endpoint
+    per host). The serving transport for browsers and --webrtc clients."""
+    import asyncio
+    import os as _os
+
+    from asciichat_tpu.net import dtls as dtls_mod
+
+    if not dtls_mod.available():
+        raise RuntimeError("OpenSSL 3 not available")
+
+    async def run() -> float:
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        a = IceLiteAgent(controlling=True, dtls=True)
+        b = IceLiteAgent(controlling=False, dtls=True)
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(15)).wait_ready(15)
+            ch_b = await (await b.wait_connected(15)).wait_ready(15)
+            frame = _os.urandom(55_000)
+            n = 120
+
+            async def producer():
+                for _ in range(n):
+                    await ch_a.send(3000, frame)
+
+            t0 = time.perf_counter()
+            prod = asyncio.create_task(producer())
+            for _ in range(n):
+                await asyncio.wait_for(ch_b.recv(), 30)
+            dt = time.perf_counter() - t0
+            await prod
+            return n / dt
+        finally:
+            a.close()
+            b.close()
+
+    return asyncio.run(asyncio.wait_for(run(), 60))
 
 
 def bench_server_tick() -> float:
