@@ -85,10 +85,29 @@ def open_fds(pid: int) -> dict:
     return fds
 
 
+def _catches_sigusr1(pid: int) -> bool:
+    """True iff the target has a SIGUSR1 handler installed (SigCgt bit in
+    /proc/<pid>/status). MUST be checked before signalling: SIGUSR1's
+    default disposition is Term, so poking a process that never registered
+    the faulthandler channel (non-asciichat pid, or dumps.py's best-effort
+    registration failed) would KILL the process this tool exists to
+    inspect."""
+    for line in _read(f"/proc/{pid}/status").splitlines():
+        if line.startswith("SigCgt:"):
+            try:
+                mask = int(line.split(":", 1)[1].strip(), 16)
+            except ValueError:
+                return False
+            return bool(mask & (1 << (signal.SIGUSR1 - 1)))
+    return False
+
+
 def python_stacks(pid: int, timeout: float = 5.0) -> str:
     """Trigger the ambient SIGUSR1 faulthandler dump and return the new
     content of the per-pid dump file ('' if the process never registered
     the channel or does not respond)."""
+    if not _catches_sigusr1(pid):
+        return ""  # no handler: signalling would terminate the target
     path = dump_path(pid)
     try:
         before = os.path.getsize(path)
@@ -99,16 +118,24 @@ def python_stacks(pid: int, timeout: float = 5.0) -> str:
     except (OSError, ProcessLookupError):
         return ""
     deadline = time.monotonic() + timeout
+    grown = 0
     while time.monotonic() < deadline:
         try:
             size = os.path.getsize(path)
         except OSError:
             size = 0
         if size > before:
-            time.sleep(0.1)  # let the dump finish writing
-            with open(path, "rb") as f:
-                f.seek(before)
-                return f.read().decode(errors="replace")
+            # wait until the dump STOPS growing (two stable polls): a
+            # fixed grace can truncate a many-threaded dump mid-write on
+            # a loaded 1-core box, silently omitting the deadlocked thread
+            if size == grown:
+                try:
+                    with open(path, "rb") as f:
+                        f.seek(before)
+                        return f.read().decode(errors="replace")
+                except OSError:
+                    return ""
+            grown = size
         time.sleep(0.05)
     return ""
 
@@ -146,8 +173,14 @@ def serve(pid: int, port: int, host: str = "127.0.0.1"):
                 self.send_response(404)
                 self.end_headers()
                 return
-            body = json.dumps(fn(), indent=2).encode()
-            self.send_response(200)
+            try:
+                body = json.dumps(fn(), indent=2).encode()
+                code = 200
+            except Exception as e:  # target vanished mid-collect, etc.:
+                # a clean 500 beats a dropped socket with no status line
+                body = json.dumps({"error": repr(e)}).encode()
+                code = 500
+            self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()

@@ -22,7 +22,10 @@ import ssl
 import urllib.error
 import urllib.request
 
-from asciichat_tpu.net.sshauth import AuthorizedKeys, SshAuthError
+import re
+
+from asciichat_tpu.net.sshauth import (AuthorizedKeys, SshAuthError,
+                                       parse_authorized_keys)
 from asciichat_tpu.utils.logsys import get_logger
 
 log = get_logger("httpskeys")
@@ -41,7 +44,10 @@ def fetch_keys_text(spec: str, *, forge_urls: dict[str, str] | None = None,
     forge_urls = forge_urls or FORGE_URLS
     if forge not in forge_urls or not user:
         raise SshAuthError(f"bad key spec {spec!r} (want github:USER or gitlab:USER)")
-    if any(c in user for c in "/?#@ "):
+    # allowlist, not blocklist: a blocklist let control characters (CR in
+    # a config file) through to urlopen, which raises InvalidURL — a
+    # ValueError escaping the SshAuthError contract below
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", user):
         raise SshAuthError(f"bad forge username {user!r}")
     url = forge_urls[forge].format(user=user)
     ctx = ssl.create_default_context(cafile=cafile)
@@ -57,32 +63,16 @@ def fetch_keys_text(spec: str, *, forge_urls: dict[str, str] | None = None,
     return body.decode("utf-8", errors="replace")
 
 
-def _blobs_from_text(text: str) -> list[bytes]:
-    """authorized_keys lines -> raw ed25519 key blobs (forge pages list one
-    '<type> <base64>' per line; other key types are skipped)."""
-    import base64
-
-    blobs = []
-    for line in text.splitlines():
-        parts = line.strip().split()
-        if len(parts) >= 2 and parts[0] == "ssh-ed25519":
-            try:
-                blobs.append(base64.b64decode(parts[1]))
-            except Exception:
-                continue
-    return blobs
-
-
 def load_allowed_keys(spec: str, **kw) -> AuthorizedKeys:
     """AuthorizedKeys from a file path OR comma-separated forge specs
     ('github:alice,gitlab:bob'); the file path branch matches
     AuthorizedKeys.load exactly."""
-    if not any(part.partition(":")[0] in FORGE_URLS
-               for part in spec.split(",")):
-        return AuthorizedKeys.load(spec)
-    # Deployment overrides: self-hosted forges (enterprise GitLab) swap the
-    # base URLs; private CAs swap the trust anchor. Also the test seam for
-    # the zero-egress fake-forge HTTPS server.
+    # Deployment overrides FIRST: self-hosted forges (enterprise GitLab)
+    # swap the base URLs; private CAs swap the trust anchor. Also the test
+    # seam for the zero-egress fake-forge HTTPS server. These must be
+    # resolved BEFORE the file-vs-forge decision, or a custom-named forge
+    # ('forge:alice' with ASCIICHAT_FORGE_URLS={'forge': ...}) would fall
+    # into the file branch and crash on open().
     import json as _json
     import os as _os
 
@@ -90,13 +80,17 @@ def load_allowed_keys(spec: str, **kw) -> AuthorizedKeys:
         kw["forge_urls"] = _json.loads(_os.environ["ASCIICHAT_FORGE_URLS"])
     if "cafile" not in kw and _os.environ.get("ASCIICHAT_FORGE_CA"):
         kw["cafile"] = _os.environ["ASCIICHAT_FORGE_CA"]
+    effective = kw.get("forge_urls") or FORGE_URLS
+    if not any(part.partition(":")[0] in effective
+               for part in spec.split(",")):
+        return AuthorizedKeys.load(spec)
     blobs: list[bytes] = []
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
         text = fetch_keys_text(part, **kw)
-        got = _blobs_from_text(text)
+        got = parse_authorized_keys(text)
         log.info("fetched %d ed25519 key(s) for %s", len(got), part)
         blobs.extend(got)
     if not blobs:

@@ -187,6 +187,29 @@ class SshIdentity:
 # authorized_keys whitelist (handshake/server.c:331 client_whitelist)
 
 
+def parse_authorized_keys(text: str) -> list[bytes]:
+    """authorized_keys lines ('<type> <base64> [comment]') -> raw ed25519
+    key blobs. Comments, blanks, and non-KEY_TYPE lines are skipped. The
+    ONE parser for both file-loaded (AuthorizedKeys.load) and
+    forge-fetched (net/httpskeys.py) whitelists — they must never accept
+    different sets."""
+    import base64
+
+    blobs = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) < 2 or parts[0] != KEY_TYPE.decode():
+            continue
+        try:
+            blobs.append(base64.b64decode(parts[1]))
+        except Exception:
+            continue
+    return blobs
+
+
 class AuthorizedKeys:
     def __init__(self, blobs: list[bytes]):
         self._blobs = set(blobs)
@@ -194,20 +217,7 @@ class AuthorizedKeys:
     @staticmethod
     def load(path: str) -> "AuthorizedKeys":
         """authorized_keys format: '<type> <base64> [comment]' per line."""
-        import base64
-
-        blobs = []
-        for line in open(path, encoding="utf-8"):
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split()
-            if len(parts) < 2 or parts[0] != KEY_TYPE.decode():
-                continue
-            try:
-                blobs.append(base64.b64decode(parts[1]))
-            except Exception:
-                continue
+        blobs = parse_authorized_keys(open(path, encoding="utf-8").read())
         if not blobs:
             raise SshAuthError(f"no usable ed25519 keys in {path}")
         return AuthorizedKeys(blobs)

@@ -37,22 +37,26 @@ class UpdateCheckResult:
 
     last_check_time: int = 0
     latest_version: str = ""
-    latest_sha: str = ""
-    html_url: str = ""
+    # the reference caches a sha line (update_checker.c:29-32); the GitHub
+    # releases API reports `target_commitish`, which for real releases is
+    # usually a BRANCH name — stored as-is, labeled honestly
+    latest_commitish: str = ""
 
     def is_fresh(self, now: float | None = None) -> bool:
         if self.last_check_time == 0:
             return False
-        return ((now or time.time()) - self.last_check_time) < CACHE_MAX_AGE_S
+        if now is None:  # NOT `now or ...`: an explicit 0.0 must count
+            now = time.time()
+        return (now - self.last_check_time) < CACHE_MAX_AGE_S
 
 
 def parse_semver(v: str) -> tuple[int, int, int]:
-    """'v1.2.3-rc1' -> (1, 2, 3); malformed parts read as 0 (version.c)."""
-    import re
+    """'v1.2.3-rc1' -> (1, 2, 3). Delegates to utils.ui.parse_version —
+    ONE comparator for the checker and the banner (they used to pad
+    differently and could disagree on '1.2' vs '1.2.0')."""
+    from asciichat_tpu.utils.ui import parse_version
 
-    nums = re.findall(r"\d+", v)[:3]
-    nums += ["0"] * (3 - len(nums))
-    return tuple(int(x) for x in nums)  # type: ignore[return-value]
+    return parse_version(v)
 
 
 def version_compare(a: str, b: str) -> int:
@@ -96,7 +100,7 @@ class UpdateChecker:
             self.cache_path.parent.mkdir(parents=True, exist_ok=True)
             self.cache_path.write_text(
                 f"{result.last_check_time}\n{result.latest_version}\n"
-                f"{result.latest_sha}\n")
+                f"{result.latest_commitish}\n")
         except OSError:
             pass  # cache is best-effort
 
@@ -112,8 +116,7 @@ class UpdateChecker:
         return UpdateCheckResult(
             last_check_time=int(time.time()),
             latest_version=tag,
-            latest_sha=(data.get("target_commitish") or "")[:40],
-            html_url=data.get("html_url") or "",
+            latest_commitish=(data.get("target_commitish") or "")[:40],
         )
 
     # -- the check ------------------------------------------------------------

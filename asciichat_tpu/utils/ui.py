@@ -136,10 +136,16 @@ def multi_pane(panes: list[bytes], width: int, height: int) -> bytes:
 __version__ = "0.2.0"
 
 
-def parse_version(v: str) -> tuple[int, ...]:
+def parse_version(v: str) -> tuple[int, int, int]:
+    """'v1.2.3-rc1' -> (1, 2, 3); missing parts read as 0 (version.c).
+    THE version comparator — net/update_checker.py delegates here, so the
+    checker's decision and the banner's can never disagree on forms like
+    '1.2' vs '1.2.0'."""
     import re
 
-    return tuple(int(x) for x in re.findall(r"\d+", v)[:3]) or (0,)
+    nums = re.findall(r"\d+", v)[:3]
+    nums += ["0"] * (3 - len(nums))
+    return tuple(int(x) for x in nums)  # type: ignore[return-value]
 
 
 def update_banner(current: str, latest: str | None) -> bytes | None:

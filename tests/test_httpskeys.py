@@ -173,3 +173,29 @@ def test_forge_keys_gate_real_server(tmp_path):
         srv.terminate()
         srv.wait(timeout=10)
         httpd.shutdown()
+
+
+def test_forge_username_allowlist_and_custom_forge_override(monkeypatch, tmp_path):
+    """(a) control characters in a username must produce SshAuthError (an
+    attacker-shaped spec used to escape as raw InvalidURL); (b) a
+    custom-named forge from ASCIICHAT_FORGE_URLS must take the HTTPS
+    branch, not be misread as a file path."""
+    import json
+
+    import pytest
+
+    from asciichat_tpu.net.httpskeys import fetch_keys_text, load_allowed_keys
+    from asciichat_tpu.net.sshauth import SshAuthError
+
+    for bad in ("github:alice\rX", "github:a/../b", "github:a b",
+                "github:", "github:ali\nce"):
+        with pytest.raises(SshAuthError):
+            fetch_keys_text(bad)
+
+    monkeypatch.setenv("ASCIICHAT_FORGE_URLS", json.dumps(
+        {"myforge": "https://127.0.0.1:1/{user}.keys"}))
+    # the custom forge spec must NOT be treated as a file path; it reaches
+    # the HTTPS fetch (which fails cleanly against the dead port -> the
+    # SshAuthError contract, not FileNotFoundError)
+    with pytest.raises(SshAuthError):
+        load_allowed_keys("myforge:alice", timeout=0.3)

@@ -98,3 +98,42 @@ def test_query_missing_pid():
         serve = None
 
     assert query.main(A()) == 1
+
+
+def test_python_stacks_never_kills_unregistered_process():
+    """SIGUSR1's default disposition is Term: ascii-query must NOT signal
+    a process that has no handler installed (non-asciichat pid, or the
+    best-effort registration failed) — doing so would kill the very
+    process it was asked to inspect."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from asciichat_tpu.apps.query import _catches_sigusr1, python_stacks
+
+    # a plain python child that does NOT install any SIGUSR1 handler
+    child = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        time.sleep(0.5)
+        assert not _catches_sigusr1(child.pid)
+        out = python_stacks(child.pid, timeout=1.0)
+        assert out == ""
+        time.sleep(0.3)
+        assert child.poll() is None, "query KILLED the uninspectable target"
+        # and one that DOES register a handler is correctly detected
+        h = subprocess.Popen([sys.executable, "-c",
+                              "import signal, time;"
+                              "signal.signal(signal.SIGUSR1, lambda *a: None);"
+                              "print('R', flush=True);"
+                              "time.sleep(30)"], stdout=subprocess.PIPE)
+        try:
+            assert h.stdout.read(1) == b"R"  # handler installed
+            assert _catches_sigusr1(h.pid)
+        finally:
+            h.kill()
+            h.wait()
+    finally:
+        child.kill()
+        child.wait()
