@@ -49,7 +49,10 @@ def plan_tick(
     # the convert driver then re-doubles into pixel rows (ascii.c:230).
     req_h = term_h * 2 if caps.render_mode == RenderMode.HALF_BLOCK else term_h
     render = plan_render(comp.width_px, comp.height_px, term_w, req_h, caps)
-    return ServerTickPlan(comp, render, num_clients or len(source_sizes), audio_samples)
+    # `is not None`, not truthiness: zero receivers with live sources is a
+    # valid transient state and must not silently become len(source_sizes)
+    n = num_clients if num_clients is not None else len(source_sizes)
+    return ServerTickPlan(comp, render, n, audio_samples)
 
 
 def render_compute(
@@ -156,10 +159,9 @@ class RenderGroup:
         self.render = plan_render(comp.width_px, comp.height_px, term_w, req_h, caps)
         self.palette = palette
         self.ramp = cells.ramp_for_palette(palette)
-        self.cidx = jnp.asarray(np.maximum(comp.client_idx, 0))
-        self.comp_mask = jnp.asarray((comp.client_idx >= 0)[..., None])
-        self.src_y = jnp.asarray(comp.src_y)
-        self.src_x = jnp.asarray(comp.src_x)
+        # ONE source for the background-cell encoding + plan-cached uploads
+        self.cidx, self.src_y, self.src_x, self.comp_mask = (
+            compositor.device_maps(comp))
         self.filter_names: list[str] = []
         self.has_rainbow = False
         self.set_filters(filter_names)
@@ -210,10 +212,8 @@ class ServerTick:
         self.fg_on_bg = jnp.asarray(fg_on_bg)
         self.is_rainbow = jnp.asarray(is_rainbow)
         self.filter_on = jnp.asarray(enabled)
-        self.cidx = jnp.asarray(np.maximum(plan.composite.client_idx, 0))
-        self.comp_mask = jnp.asarray((plan.composite.client_idx >= 0)[..., None])
-        self.src_y = jnp.asarray(plan.composite.src_y)
-        self.src_x = jnp.asarray(plan.composite.src_x)
+        self.cidx, self.src_y, self.src_x, self.comp_mask = (
+            compositor.device_maps(plan.composite))
         self.mixer_state = audio_ops.MixerState.init(c, c).astuple()
 
     @property

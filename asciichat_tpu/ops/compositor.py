@@ -61,27 +61,31 @@ def optimal_grid_layout(
             continue
         cell_area = cell_w * cell_h
         cell_visual_aspect = np.float32(cell_w) / (np.float32(cell_h) * CHAR_ASPECT)
-        total_used = np.float32(0.0)
-        for _ in range(n):
-            if avg_aspect > cell_visual_aspect:
-                fw = cell_w
-                fh = int((cell_w / avg_aspect) / CHAR_ASPECT)
-            else:
-                fh = cell_h
-                fw = int(cell_h * CHAR_ASPECT * avg_aspect)
-            fw = min(fw, cell_w)
-            fh = min(fh, cell_h)
-            total_used += np.float32(fw * fh)
-        util = total_used / np.float32(cell_area * n)
+        # the reference loops over sources here (stream.c:596-628) because
+        # it fits each source's own aspect; this port deliberately scores
+        # with the average aspect, so every term is identical and the
+        # Σ(fw·fh)/(area·n) collapses to one fitted cell over one cell area
+        if avg_aspect > cell_visual_aspect:
+            fw = cell_w
+            fh = int((cell_w / avg_aspect) / CHAR_ASPECT)
+        else:
+            fh = cell_h
+            fw = int(cell_h * CHAR_ASPECT * avg_aspect)
+        fw = min(fw, cell_w)
+        fh = min(fh, cell_h)
+        util = np.float32(fw * fh) / np.float32(cell_area)
         if util > best_util:
             best_util = util
             best_cols, best_rows = cols, rows
     return best_cols, best_rows
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class CompositePlan:
-    """Static gather maps for one (layout, source sizes, terminal) combination."""
+    """Static gather maps for one (layout, source sizes, terminal)
+    combination. eq=False: the fields are ndarrays, so the generated
+    __eq__/__hash__ would raise at first use — identity semantics (plus
+    the device_maps cache keyed on the instance) are the intent."""
 
     width_px: int
     height_px: int

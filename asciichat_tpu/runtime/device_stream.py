@@ -124,7 +124,9 @@ class OverlappedRenderPipeline:
                 }
                 with self._lock:
                     self._records_host = host
-                self.fetched += n
+                # count ROWS ACTUALLY COPIED: with batch < fetch_slice the
+                # [:n] slice clamps, and crediting n would overstate d2h_fps
+                self.fetched += min(a.shape[0] for a in host.values())
                 self.fetched_bytes += sum(a.nbytes for a in host.values())
         except BaseException as e:
             self.errors.append(e)
@@ -147,7 +149,14 @@ class OverlappedRenderPipeline:
     # -- driver ------------------------------------------------------------
     def run(self, seconds: float, warmup: float = 1.0) -> dict:
         """Run all stages concurrently; return per-stage rates over the
-        steady-state window (post-warmup)."""
+        steady-state window (post-warmup). Reusable: each call starts a
+        fresh measurement (a second run on a finished pipeline used to
+        observe the stale stop flag and silently report all-zero rates)."""
+        self._stop.clear()
+        self.errors.clear()
+        with self._lock:
+            self._records_dev = None
+            self._records_host = None
         self._threads = [
             threading.Thread(target=f, daemon=True, name=n)
             for f, n in ((self._convert_loop, "pipeline-convert"),

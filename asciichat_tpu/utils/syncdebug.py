@@ -21,6 +21,10 @@ _registry_lock = threading.Lock()
 # lock-order graph: edges (held_name -> acquired_name) observed at runtime
 _order_edges: set[tuple[str, str]] = set()
 _held = threading.local()  # per-thread stack of held lock names
+# monotonic suffix allocator per base name: freed '#N' names are NEVER
+# reused — a new lock inheriting a dead lock's ordering history produces
+# false cycles (the per-instance edges are purged at unregister instead)
+_name_seq: dict[str, int] = {}
 
 
 class NamedLock:
@@ -35,33 +39,46 @@ class NamedLock:
         self.max_hold_s = 0.0
         self.holder: str | None = None
         self.acquired_at: float | None = None
+        self._owner_stack: list | None = None  # acquiring thread's stack
         with _registry_lock:
-            if name in _registry:
+            if name in _registry or name in _name_seq:
                 # per-instance locks (per-client codec contexts etc.) get a
-                # disambiguating suffix; unregister() drops them on close
-                i = 2
-                while f"{name}#{i}" in _registry:
-                    i += 1
+                # disambiguating suffix; unregister() drops them on close.
+                # Suffixes are MONOTONIC per base name (never reused).
+                i = _name_seq.get(name, 1) + 1
+                _name_seq[name.partition("#")[0]] = i
                 name = self.name = f"{name}#{i}"
+            else:
+                _name_seq[name] = 1
             _registry[name] = self
 
     def unregister(self) -> None:
-        """Drop from the registry (call on owner close; debug/named.c
-        unregister analog)."""
+        """Drop from the registry AND purge this lock's ordering edges
+        (debug/named.c unregister analog). Without the purge, dead
+        per-instance locks' edges accumulate unboundedly and keep feeding
+        the cycle detector history from objects that no longer exist."""
         with _registry_lock:
             _registry.pop(self.name, None)
+            stale = [e for e in _order_edges if self.name in e]
+            _order_edges.difference_update(stale)
 
     def acquire(self, timeout: float = -1) -> bool:
         stack = getattr(_held, "names", None)
         if stack is None:
             stack = _held.names = []
+            _held.seen = set()  # edges this thread already reported
         # record ordering edges BEFORE blocking (the would-be deadlock is
-        # exactly the case where we never return from acquire); guarded so
-        # dump_state's iteration never races the add
+        # exactly the case where we never return from acquire). The global
+        # lock is only taken for edges this THREAD has not seen yet —
+        # steady state adds nothing, so nested acquisitions don't all
+        # serialize on one process-wide lock.
         if stack:
-            with _registry_lock:
-                for held_name in stack:
-                    _order_edges.add((held_name, self.name))
+            new = [(h, self.name) for h in stack
+                   if (h, self.name) not in _held.seen]
+            if new:
+                _held.seen.update(new)
+                with _registry_lock:
+                    _order_edges.update(new)
         got = self._lock.acquire(blocking=False)
         if not got:
             self.contentions += 1
@@ -72,6 +89,7 @@ class NamedLock:
         self.holder = threading.current_thread().name
         self.acquired_at = time.monotonic()
         stack.append(self.name)
+        self._owner_stack = stack
         return True
 
     def release(self) -> None:
@@ -82,9 +100,16 @@ class NamedLock:
             self.max_hold_s = max(self.max_hold_s, held)
         self.holder = None
         self.acquired_at = None
-        stack = getattr(_held, "names", None)
+        # remove from the ACQUIRING thread's stack, not the releasing
+        # thread's: a cross-thread release (hand-off pattern, legal for
+        # threading.Lock) must not leave a phantom held-entry that
+        # generates false ordering edges forever after
+        stack = self._owner_stack
+        if stack is None:
+            stack = getattr(_held, "names", None)
+        self._owner_stack = None
         if stack and self.name in stack:
-            stack.remove(self.name)
+            stack.remove(self.name)  # GIL-atomic list op; owner only appends
         self._lock.release()
 
     def __enter__(self) -> "NamedLock":
@@ -158,7 +183,13 @@ def assert_no_order_cycles() -> None:
 
 
 def reset() -> None:
-    """Clear the registry + order graph (test isolation)."""
+    """Clear the registry + order graph (test isolation). Per-thread seen
+    caches are left: they only suppress re-adding edges, and stale entries
+    are harmless once the graph restarts... except in tests asserting edge
+    sets — those run single-threaded and clear their own thread's cache."""
     with _registry_lock:
         _registry.clear()
         _order_edges.clear()
+        _name_seq.clear()
+    if getattr(_held, "names", None) is not None:
+        _held.seen = set()

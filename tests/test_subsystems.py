@@ -899,3 +899,40 @@ def test_session_keybindings():
         assert c._stop.is_set()
 
     asyncio.run(drive_client())
+
+
+def test_syncdebug_no_false_cycles_after_reuse_or_crossthread_release():
+    """Two false-positive generators in the lock-order detector (review):
+    (a) a recreated per-instance lock must NOT inherit a dead lock's
+    ordering history via '#N' name reuse; (b) a cross-thread release
+    (hand-off) must not leave a phantom held-entry producing bogus
+    edges."""
+    import threading
+
+    from asciichat_tpu.utils import syncdebug as sd
+
+    sd.reset()
+    a = sd.NamedLock("sd-server")
+    b = sd.NamedLock("sd-codec")
+    with a:
+        with b:
+            pass
+    b.unregister()  # per-client lock dies with its client
+    b2 = sd.NamedLock("sd-codec")
+    assert b2.name != b.name  # suffixes are monotonic, never reused
+    with b2:
+        with a:  # opposite order vs the DEAD lock: not a real cycle
+            pass
+    assert sd.find_order_cycles() == []
+
+    sd.reset()
+    lk = sd.NamedLock("sd-frame")
+    other = sd.NamedLock("sd-other")
+    lk.acquire()
+    t = threading.Thread(target=lk.release)  # hand-off release
+    t.start()
+    t.join()
+    with other:
+        pass
+    assert ("sd-frame", "sd-other") not in sd.dump_state()["order_edges"]
+    sd.reset()
