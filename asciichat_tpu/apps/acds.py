@@ -70,6 +70,12 @@ class _RelayBudget:
         import time as _time
 
         now = _time.monotonic()
+        if peer not in self._state and len(self._state) >= 4096:
+            # bound the per-sender table on a long-lived public service:
+            # evict the stalest entry (a stale bucket is by definition a
+            # full one, so eviction never grants extra budget)
+            oldest = min(self._state, key=lambda k: self._state[k][1])
+            del self._state[oldest]
         tokens, at = self._state.get(peer, (self.burst, now))
         tokens = min(self.burst, tokens + (now - at) * self.rate)
         if tokens < nbytes:
@@ -86,7 +92,7 @@ class AcdsServer:
         self.host = host
         self.port = port
         self.db = SessionDatabase(db_path)
-        self.limiter = RateLimiter(db_path if db_path != ":memory:" else ":memory:")
+        self.limiter = RateLimiter(db_path)
         self.relay_budget = _RelayBudget(relay_rate_bps, 4 * relay_rate_bps)
         self.relay_dropped = 0
         self.election_interval = election_interval
@@ -166,6 +172,29 @@ class AcdsServer:
         session_string: str | None = None
         P = pkt.PacketType
         sender_pub: bytes | None = None
+
+        async def _unbind() -> None:
+            """Tear down this connection's CURRENT identity binding: clients
+            entry, DB membership, metrics, host failover. Used on leave, on
+            re-identification (a connection switching identities must not
+            orphan its old registration as a ghost member), on pin
+            mismatch, and on disconnect."""
+            nonlocal participant_id, session_string
+            if participant_id:
+                self.clients.pop(participant_id, None)
+                if session_string:
+                    info = self.db.lookup(session_string)
+                    was_host = bool(info and info.host_id == participant_id)
+                    self.db.leave(session_string, participant_id)
+                    self.metrics.get(session_string, {}).pop(participant_id, None)
+                    await self._broadcast_participants(session_string)
+                    if was_host:
+                        log.info("host %s left session %s: re-electing",
+                                 participant_id, session_string)
+                        await self._run_election(session_string)
+            participant_id = None
+            session_string = None
+
         try:
             while True:
                 ptype, payload = await t.recv()
@@ -188,18 +217,31 @@ class AcdsServer:
                         await t.send(P.ERROR_MESSAGE, _j({"error": "rate limited"}))
                         continue
                     req = _uj(payload)
-                    participant_id = req.get("participant_id") or secrets.token_hex(8)
+                    new_pid = req.get("participant_id") or secrets.token_hex(8)
                     try:
-                        self.pins.check(participant_id, sender_pub)
+                        self.pins.check(new_pid, sender_pub)
                     except ident.SignatureError:
                         await t.send(P.ERROR_MESSAGE, _j({"error": "identity key mismatch"}))
-                        participant_id = None
+                        await _unbind()
                         continue
+                    reserved = req.get("reserved_string")
+                    if reserved:
+                        # a reservation belongs to the VERIFIED identity that
+                        # made it, not to whoever claims its name
+                        holder = self.db.reservation_owner(reserved)
+                        me = sender_pub.hex() if sender_pub else peer
+                        if holder is not None and holder != me:
+                            await t.send(P.ERROR_MESSAGE, _j(
+                                {"error": "string reserved by another identity"}))
+                            continue
+                    if participant_id and participant_id != new_pid:
+                        await _unbind()  # re-identification: no ghost member
+                    participant_id = new_pid
                     try:
                         info = self.db.create_session(
                             participant_id, req.get("address", peer),
                             req.get("port", 27224),
-                            session_string=req.get("reserved_string"),
+                            session_string=reserved,
                         )
                     except ValueError as e:
                         await t.send(P.ERROR_MESSAGE, _j({"error": str(e)}))
@@ -234,18 +276,22 @@ class AcdsServer:
                                      _j({"error": "rate limited"}))
                         continue
                     req = _uj(payload)
-                    participant_id = req.get("participant_id") or secrets.token_hex(8)
+                    new_pid = req.get("participant_id") or secrets.token_hex(8)
                     try:
-                        self.pins.check(participant_id, sender_pub)
+                        self.pins.check(new_pid, sender_pub)
                     except ident.SignatureError:
                         await t.send(P.ERROR_MESSAGE, _j({"error": "identity key mismatch"}))
-                        participant_id = None
+                        await _unbind()
                         continue
+                    if participant_id and participant_id != new_pid:
+                        await _unbind()  # re-identification: no ghost member
+                    participant_id = new_pid
                     try:
                         info = self.db.join(req["session_string"], participant_id,
                                             req.get("address", peer), req.get("port", 0))
                     except KeyError:
                         await t.send(P.ERROR_MESSAGE, _j({"error": "session not found"}))
+                        await _unbind()  # no half-bound identity
                         continue
                     session_string = info.session_string
                     self.clients[participant_id] = (t, session_string)
@@ -258,26 +304,38 @@ class AcdsServer:
                     }))
                     await self._broadcast_participants(session_string)
                 elif ptype == P.ACIP_SESSION_LEAVE:
-                    if participant_id and session_string:
-                        self.db.leave(session_string, participant_id)
-                        await self._broadcast_participants(session_string)
+                    # the FULL unbind: a departed participant must lose its
+                    # relay/election/settings access to the session, not
+                    # just its row in the participant list
+                    await _unbind()
                 elif ptype == P.ACIP_SESSION_END:
                     if participant_id and session_string:
-                        self.db.end_session(session_string, participant_id)
-                elif ptype == P.ACIP_STRING_RESERVE:
+                        ended = session_string
+                        self.db.end_session(ended, participant_id)
+                        self.metrics.pop(ended, None)
+                        self.clients.pop(participant_id, None)
+                        participant_id = None
+                        session_string = None
+                elif ptype in (P.ACIP_STRING_RESERVE, P.ACIP_STRING_RENEW,
+                               P.ACIP_STRING_RELEASE):
                     req = _uj(payload)
                     if not self.limiter.allow(peer, "string_reserve"):
                         await t.send(P.ERROR_MESSAGE, _j({"error": "rate limited"}))
                         continue
-                    ok = self.db.reserve_string(req["session_string"],
-                                                req.get("owner_id", peer))
-                    self._signed_send(t, P.ACIP_STRING_RESERVED, _j({"ok": ok}))
-                elif ptype == P.ACIP_STRING_RENEW:
-                    req = _uj(payload)
-                    self.db.renew_string(req["session_string"], req.get("owner_id", peer))
-                elif ptype == P.ACIP_STRING_RELEASE:
-                    req = _uj(payload)
-                    self.db.release_string(req["session_string"], req.get("owner_id", peer))
+                    # ownership is the VERIFIED identity key, never a
+                    # claimed owner_id: every participant_id is public (it
+                    # rides every ACIP_PARTICIPANT_LIST), so claim-based
+                    # matching would let anyone release/renew/hijack another
+                    # party's reserved session name
+                    owner = sender_pub.hex() if sender_pub else req.get(
+                        "owner_id", peer)
+                    if ptype == P.ACIP_STRING_RESERVE:
+                        ok = self.db.reserve_string(req["session_string"], owner)
+                        self._signed_send(t, P.ACIP_STRING_RESERVED, _j({"ok": ok}))
+                    elif ptype == P.ACIP_STRING_RENEW:
+                        self.db.renew_string(req["session_string"], owner)
+                    else:
+                        self.db.release_string(req["session_string"], owner)
                 elif ptype == P.ACIP_NETWORK_QUALITY:
                     m = cons.ParticipantMetrics.unpack(payload)
                     if m.participant_id != participant_id:
@@ -370,25 +428,20 @@ class AcdsServer:
             # drop THIS connection, not surface as an unhandled task error
             log.exception("acds connection %s dropped on malformed input", peer)
         finally:
-            if participant_id:
-                self.clients.pop(participant_id, None)
-                if session_string:
-                    info = self.db.lookup(session_string)
-                    was_host = bool(info and info.host_id == participant_id)
-                    self.db.leave(session_string, participant_id)
-                    self.metrics.get(session_string, {}).pop(participant_id, None)
-                    await self._broadcast_participants(session_string)
-                    if was_host:
-                        # host failover: immediate re-election among the
-                        # remaining participants (backup promotion path)
-                        log.info("host %s left session %s: re-electing",
-                                 participant_id, session_string)
-                        await self._run_election(session_string)
+            # host failover on disconnect rides the same unbind path
+            # (backup promotion: _run_election among the remaining members)
+            await _unbind()
 
     async def _election_loop(self) -> None:
         while True:
             await asyncio.sleep(self.election_interval)
             for s in list(self.metrics):
+                if self.db.lookup(s) is None:
+                    # ended/expired session: evict, or a long-lived public
+                    # ACDS accumulates a metrics dict (and a per-cycle DB
+                    # lookup here) for every session it EVER served
+                    self.metrics.pop(s, None)
+                    continue
                 await self._run_election(s)
 
     async def run(self) -> None:

@@ -162,7 +162,9 @@ class RingRunner:
         msg = _decode_ring_msg(data["msg"])
         mtype = msg.get("type")
         if mtype == "STATS_UPDATE":
-            out = self.cp.on_stats_update(msg)
+            # the envelope 'from' is pin-verified by SignedAcdsChannel; the
+            # state machine additionally requires it to be our predecessor
+            out = self.cp.on_stats_update(msg, sender=data.get("from"))
             if out is None:
                 return
             to_pid, next_msg = out

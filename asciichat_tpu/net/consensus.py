@@ -158,9 +158,15 @@ class ConsensusParticipant:
         return bool(pos and pos.is_leader)
 
     def on_ring_members(self, participant_ids: list[str]) -> None:
-        """Phase 1: ring (re)formation on join/leave."""
+        """Phase 1: ring (re)formation on join/leave. Reformation starts a
+        new round EPOCH: the replay floor resets, because a new leader
+        numbers its rounds from 1 and must not be locked out by the old
+        leader's higher counter. Cross-epoch replays are already rejected
+        by the exact-membership check (a result's metrics must cover
+        exactly the CURRENT ring)."""
         self.positions = ring_positions(participant_ids)
         self.phase = Phase.IDLE
+        self.round_id = 0
 
     def start_collection(self) -> tuple[str, dict]:
         """Phase 2 kick-off: the leader measures and forwards to its NEXT
@@ -176,29 +182,60 @@ class ConsensusParticipant:
         }
         return self.positions[self.my_id].next_id, msg
 
-    def on_stats_update(self, msg: dict) -> tuple[str | None, dict] | None:
+    def on_stats_update(self, msg: dict,
+                        sender: str | None = None) -> tuple[str | None, dict] | None:
         """Append own metrics and forward; the leader closes the loop by
-        electing and broadcasting RING_ELECTION_RESULT."""
-        metrics: list[ParticipantMetrics] = list(msg["metrics"])
+        electing and broadcasting RING_ELECTION_RESULT.
+
+        Validated before ANY state changes (None = drop silently):
+
+        - `sender` (the signed-relay envelope 'from', when provided) must
+          be OUR ring predecessor — collection flows around the ring in
+          order, so a member that relays a STATS_UPDATE straight to the
+          leader with a fabricated complete metrics list cannot have the
+          leader elect from 100% attacker-chosen data;
+        - round_id must be a positive int (a non-int would lodge in state
+          and make later comparisons raise);
+        - metrics entries must be current ring members with no duplicates;
+        - the leader only closes a loop it OPENED: phase COLLECTING and
+          the round id it assigned in start_collection.
+
+        The replay floor (self.round_id) is deliberately NOT adopted from
+        forwarded updates: only rounds we start or results we accept move
+        it, so a forged huge round_id cannot poison the floor and lock out
+        every future genuine result."""
+        if not self.positions or self.my_id not in self.positions:
+            return None
+        if sender is not None and sender != self.positions[self.my_id].prev_id:
+            return None
+        rid = msg.get("round_id")
+        if not isinstance(rid, int) or rid <= 0:
+            return None
+        metrics: list[ParticipantMetrics] = list(msg.get("metrics") or [])
+        ids = [m.participant_id for m in metrics]
+        if not metrics or len(set(ids)) != len(ids) or not (
+                set(ids) <= set(self.positions)):
+            return None
         if any(m.participant_id == self.my_id for m in metrics):
             # collection returned to the leader: everyone measured
             if not self.is_leader:
                 return None
+            if self.phase != Phase.COLLECTING or rid != self.round_id:
+                return None  # a round we never started
             host, backup = elect(metrics)
             self.host_id, self.backup_id = host, backup
             self.phase = Phase.DECIDED
             return None, {
                 "type": "RING_ELECTION_RESULT",
-                "round_id": msg["round_id"],
+                "round_id": rid,
                 "host_id": host,
                 "backup_id": backup,
                 "metrics": metrics,
             }
         metrics.append(self.metrics_provider())
-        self.round_id = msg["round_id"]
         return (
             self.positions[self.my_id].next_id,
-            {"type": "STATS_UPDATE", "round_id": msg["round_id"], "metrics": metrics},
+            {"type": "STATS_UPDATE", "round_id": rid, "metrics": metrics},
         )
 
     def on_election_result(self, msg: dict, sender: str | None = None) -> dict:
@@ -219,23 +256,28 @@ class ConsensusParticipant:
         and rotates with membership.)"""
         leader = next(
             (pid for pid, p in self.positions.items() if p.is_leader), None)
-        ok = self.positions != {} and (sender is None or sender == leader)
+        rid = msg.get("round_id")
+        ok = isinstance(rid, int) and rid > 0
         if ok:
-            ids = sorted(m.participant_id for m in msg["metrics"])
-            ok = ids == ring_order(list(self.positions))
+            ok = self.positions != {} and (sender is None or sender == leader)
         if ok:
-            ok = int(msg.get("round_id") or 0) >= self.round_id
+            ids = sorted(m.participant_id for m in msg.get("metrics") or [])
+            ok = bool(ids) and ids == ring_order(list(self.positions))
+        if ok:
+            ok = rid >= self.round_id
         if ok:
             host, backup = elect(msg["metrics"])
-            ok = host == msg["host_id"] and backup == msg["backup_id"]
+            ok = host == msg.get("host_id") and backup == msg.get("backup_id")
         if ok:
             self.host_id = msg["host_id"]
             self.backup_id = msg["backup_id"]
-            self.round_id = max(self.round_id, int(msg.get("round_id") or 0))
+            self.round_id = max(self.round_id, rid)
             self.phase = Phase.DECIDED
         return {
             "type": "STATS_ACK",
-            "round_id": msg["round_id"],
+            # validated-or-missing: a result without round_id must produce
+            # a REJECTED ack, not a KeyError after state already mutated
+            "round_id": rid if isinstance(rid, int) else 0,
             "participant_id": self.my_id,
             "ack_status": "ACCEPTED" if ok else "REJECTED",
             "stored_host_id": self.host_id,

@@ -223,6 +223,15 @@ class SessionDatabase:
         self.db.commit()
         return True
 
+    def reservation_owner(self, session_string: str) -> str | None:
+        """Current (unexpired) reservation holder, or None."""
+        self._expire()
+        row = self.db.execute(
+            "SELECT owner_id FROM reservations WHERE session_string=?",
+            (session_string,),
+        ).fetchone()
+        return row[0] if row else None
+
     def renew_string(self, session_string: str, owner_id: str) -> bool:
         cur = self.db.execute(
             "UPDATE reservations SET reserved_at=? WHERE session_string=? AND owner_id=?",

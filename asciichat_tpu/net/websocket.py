@@ -75,7 +75,8 @@ class WebSocketConnection:
     DEFLATE_MIN_SIZE = 64
 
     def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter,
-                 is_client: bool, deflate: bool = False):
+                 is_client: bool, deflate: bool = False,
+                 tx_wbits: int = 15, tx_no_ctx: bool = False):
         self.reader = reader
         self.writer = writer
         self.is_client = is_client  # clients mask, servers don't
@@ -84,7 +85,15 @@ class WebSocketConnection:
         if deflate:
             import zlib
 
-            self._tx = zlib.compressobj(wbits=-15)
+            # negotiated compressor parameters (RFC 7692 §7.1): the peer's
+            # *_max_window_bits caps OUR compression window (its inflater
+            # only keeps that much history) and *_no_context_takeover means
+            # it discards history per message, so we must reset the
+            # compressor per message. A 15-bit decompressor inflates any
+            # smaller-window / context-reset stream, so rx needs no knobs.
+            self._tx_wbits = tx_wbits
+            self._tx_no_ctx = tx_no_ctx
+            self._tx = zlib.compressobj(wbits=-tx_wbits)
             self._rx = zlib.decompressobj(wbits=-15)
             self._z_sync = zlib.Z_SYNC_FLUSH
 
@@ -92,6 +101,10 @@ class WebSocketConnection:
         rsv1 = 0
         if (self.deflate and opcode in (OP_TEXT, OP_BINARY)
                 and len(data) >= self.DEFLATE_MIN_SIZE):
+            if self._tx_no_ctx:
+                import zlib
+
+                self._tx = zlib.compressobj(wbits=-self._tx_wbits)
             out = self._tx.compress(data) + self._tx.flush(self._z_sync)
             data = out[:-4] if out.endswith(b"\x00\x00\xff\xff") else out
             rsv1 = 0x40
@@ -251,10 +264,95 @@ class WebSocketTransport:
 
     async def close(self) -> None:
         if self._sender_task is not None:
-            await self._send_queue.put(None)
+            try:
+                self._send_queue.put_nowait(None)
+            except asyncio.QueueFull:
+                # the sender died (peer vanished) with a full queue: a
+                # blocking put would deadlock close() forever and leak the
+                # connection task + socket on every abrupt disconnect
+                self._sender_task.cancel()
             with contextlib.suppress(asyncio.CancelledError):
                 await self._sender_task
         await self.ws.close()
+
+
+def negotiate_deflate_offer(offered: str):
+    """Server-side RFC 7692 §7 negotiation over the client's offer list.
+
+    -> (accept, response_params, tx_wbits, tx_no_ctx). Parameters that
+    constrain the CLIENT's compressor (client_max_window_bits with or
+    without value, client_no_context_takeover) cost us nothing — a 15-bit
+    context-takeover inflater decodes any smaller-window or per-message-
+    reset stream — so they are accepted and omitted from the response
+    (omission = no constraint requested back, §7.1.1). Parameters that
+    constrain OUR compressor are honored and echoed: server_no_context_
+    takeover resets the deflater per message, server_max_window_bits=N
+    shrinks its window (zlib raw deflate needs N >= 9; N=8 declines this
+    offer). Unknown parameters decline the offer (§7.1.3) — accepting
+    while ignoring them is how streams get corrupted."""
+    for part in offered.split(","):
+        tokens = [p.strip() for p in part.split(";")]
+        if not tokens or tokens[0] != "permessage-deflate":
+            continue
+        tx_wbits, tx_no_ctx = 15, False
+        resp: list[str] = []
+        ok = True
+        for p in tokens[1:]:
+            k, _, v = p.partition("=")
+            k, v = k.strip(), v.strip().strip('"')
+            if k in ("client_max_window_bits", "client_no_context_takeover"):
+                continue
+            if k == "server_no_context_takeover" and not v:
+                tx_no_ctx = True
+                resp.append(k)
+            elif k == "server_max_window_bits":
+                try:
+                    n = int(v)
+                except ValueError:
+                    ok = False
+                    break
+                if not 9 <= n <= 15:
+                    ok = False
+                    break
+                tx_wbits = n
+                resp.append(f"server_max_window_bits={n}")
+            else:
+                ok = False
+                break
+        if ok:
+            return True, "; ".join(["permessage-deflate", *resp]), tx_wbits, tx_no_ctx
+    return False, "", 15, False
+
+
+def parse_deflate_response(value: str):
+    """Client-side: the server's agreed extension -> (accepted, tx_wbits,
+    tx_no_ctx) for OUR compressor. client_max_window_bits=N in the
+    response caps our window; client_no_context_takeover makes us reset
+    per message. A response demanding something unsupportable (window < 9)
+    -> not accepted (we then speak uncompressed, which is always legal for
+    a sender)."""
+    for part in value.split(","):
+        tokens = [p.strip() for p in part.split(";")]
+        if not tokens or tokens[0] != "permessage-deflate":
+            continue
+        tx_wbits, tx_no_ctx = 15, False
+        for p in tokens[1:]:
+            k, _, v = p.partition("=")
+            k, v = k.strip(), v.strip().strip('"')
+            if k == "client_no_context_takeover":
+                tx_no_ctx = True
+            elif k == "client_max_window_bits" and v:
+                try:
+                    n = int(v)
+                except ValueError:
+                    return False, 15, False
+                if not 9 <= n <= 15:
+                    return False, 15, False
+                tx_wbits = n
+            # server_* params describe the SERVER's compressor: our 15-bit
+            # inflater handles anything, nothing to do
+        return True, tx_wbits, tx_no_ctx
+    return False, 15, False
 
 
 async def connect_ws(host: str, port: int, path: str = "/",
@@ -273,10 +371,13 @@ async def connect_ws(host: str, port: int, path: str = "/",
     status, headers = await _read_http_headers(reader)
     if "101" not in status or headers.get("sec-websocket-accept") != _accept_key(key):
         raise ConnectionError(f"websocket handshake failed: {status}")
-    negotiated = deflate and "permessage-deflate" in headers.get(
-        "sec-websocket-extensions", "")
+    negotiated, tx_wbits, tx_no_ctx = (False, 15, False)
+    if deflate:
+        negotiated, tx_wbits, tx_no_ctx = parse_deflate_response(
+            headers.get("sec-websocket-extensions", ""))
     t = WebSocketTransport(
-        WebSocketConnection(reader, writer, is_client=True, deflate=negotiated)
+        WebSocketConnection(reader, writer, is_client=True, deflate=negotiated,
+                            tx_wbits=tx_wbits, tx_no_ctx=tx_no_ctx)
     )
     t.start_sender()
     return t
@@ -325,16 +426,15 @@ async def serve_ws(handler, host: str, port: int,
                 await writer.drain()
                 writer.close()
                 return
-            # permessage-deflate (RFC 7692): accept with default parameters
-            # (shared context, 15-bit windows) when offered — browsers offer
-            # it by default, so ASCII frames to web clients compress even
-            # though those clients set the no-zstd capability bit
+            # permessage-deflate (RFC 7692): negotiate honoring the offered
+            # parameters (browsers offer it by default, so ASCII frames to
+            # web clients compress even though those clients set the
+            # no-zstd capability bit; an offer we can't honor is DECLINED
+            # rather than accepted-and-ignored, which corrupts streams)
             offered = headers.get("sec-websocket-extensions", "")
-            deflate = any(
-                part.split(";")[0].strip() == "permessage-deflate"
-                for part in offered.split(",")
-            )
-            ext = ("Sec-WebSocket-Extensions: permessage-deflate\r\n"
+            deflate, resp_params, tx_wbits, tx_no_ctx = (
+                negotiate_deflate_offer(offered))
+            ext = (f"Sec-WebSocket-Extensions: {resp_params}\r\n"
                    if deflate else "")
             writer.write(
                 (
@@ -350,7 +450,8 @@ async def serve_ws(handler, host: str, port: int,
                 writer.close()
             return
         t = WebSocketTransport(
-            WebSocketConnection(reader, writer, is_client=False, deflate=deflate)
+            WebSocketConnection(reader, writer, is_client=False, deflate=deflate,
+                                tx_wbits=tx_wbits, tx_no_ctx=tx_no_ctx)
         )
         t.start_sender()
         try:

@@ -592,3 +592,82 @@ def test_relay_requires_preexisting_pin_and_own_identity():
             return getattr(self.inner, name)
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_consensus_rejects_rigged_stats_injection():
+    """Review hardening: a member cannot rig the election by relaying a
+    fabricated COMPLETE metrics list straight to the leader — stats
+    updates are only accepted from the ring PREDECESSOR, only for a round
+    the leader itself opened, and only over current members."""
+    from asciichat_tpu.net import consensus as cons
+
+    ids = ["aa", "bb", "zz-leader"]
+    leader = cons.ConsensusParticipant("zz-leader")
+    leader.on_ring_members(ids)
+    assert leader.is_leader
+
+    forged = {
+        "type": "STATS_UPDATE",
+        "round_id": 7,
+        "metrics": [
+            cons.ParticipantMetrics("aa", nat_tier=4, upload_kbps=1),
+            cons.ParticipantMetrics("bb", nat_tier=4, upload_kbps=1),
+            cons.ParticipantMetrics("zz-leader", nat_tier=4, upload_kbps=1),
+        ],
+    }
+    # (a) wrong sender: 'aa' is not the leader's predecessor ('bb' is)
+    assert leader.on_stats_update(forged, sender="aa") is None
+    # (b) right sender but a round the leader never started
+    assert leader.on_stats_update(forged, sender="bb") is None
+    assert leader.phase is cons.Phase.IDLE and leader.host_id is None
+
+    # (c) the legitimate flow still works end to end
+    to, msg = leader.start_collection()
+    node = {pid: cons.ConsensusParticipant(pid) for pid in ids[:2]}
+    for n in node.values():
+        n.on_ring_members(ids)
+    while to != "zz-leader":
+        to, msg = node[to].on_stats_update(
+            msg, sender=msg["metrics"][-1].participant_id)
+    out = leader.on_stats_update(msg, sender="bb")
+    assert out is not None and out[0] is None
+    assert leader.host_id in ids
+
+    # (d) metrics naming a NON-member are dropped
+    leader.on_ring_members(ids)  # reset
+    to, msg = leader.start_collection()
+    bad = dict(msg)
+    bad["metrics"] = list(msg["metrics"]) + [
+        cons.ParticipantMetrics("intruder")]
+    assert node["aa"].on_stats_update(bad, sender="zz-leader") is None
+
+
+def test_consensus_round_floor_not_poisonable():
+    """A forged huge round_id in a forwarded STATS_UPDATE must not move the
+    replay floor (it would lock out every future genuine result), and a
+    result without round_id must produce a clean REJECTED ack, not a
+    KeyError after state mutation."""
+    from asciichat_tpu.net import consensus as cons
+
+    ids = ["aa", "bb", "zz-leader"]
+    p = cons.ConsensusParticipant("aa")
+    p.on_ring_members(ids)
+    poison = {
+        "type": "STATS_UPDATE", "round_id": 10**15,
+        "metrics": [cons.ParticipantMetrics("zz-leader")],
+    }
+    out = p.on_stats_update(poison, sender="zz-leader")
+    assert out is not None  # forwarding still works...
+    assert p.round_id == 0  # ...but the floor did not move
+    # non-int round ids are dropped outright
+    assert p.on_stats_update({"type": "STATS_UPDATE", "round_id": "z",
+                              "metrics": [cons.ParticipantMetrics("zz-leader")]},
+                             sender="zz-leader") is None
+
+    # result missing round_id: REJECTED ack, no exception, no adoption
+    ack = p.on_election_result({
+        "type": "RING_ELECTION_RESULT",
+        "host_id": "bb", "backup_id": "aa",
+        "metrics": [cons.ParticipantMetrics(i) for i in ids],
+    }, sender="zz-leader")
+    assert ack["ack_status"] == "REJECTED" and p.host_id is None
