@@ -60,7 +60,9 @@ class AsciiChatClient:
         self.source = source
         self.wire_caps = wire_caps or proto.WireCapabilities()
         self.capture_fps = min(capture_fps, CAPTURE_FPS_CAP)
-        self.reconnect = reconnect
+        # single source: the policy object gates retries (its `enabled` was
+        # previously stored-but-never-read while a duplicate flag decided)
+        self.reconnect = reconnect  # kept as the public constructor mirror
         self.encrypt = encrypt
         self.password = password
         self.ssh_identity = ssh_identity  # sshauth.SshIdentity | None
@@ -113,11 +115,13 @@ class AsciiChatClient:
         self._h265_enc = None
         self.h265_frames_sent = 0
         self._stop = asyncio.Event()
+        self._last_rx = time.time()
 
     async def _capture_task(self, t: Transport) -> None:
         if self.source is None:
             return
-        interval = 1.0 / self.capture_fps
+        # fps=0 means uncapped (Pacer semantics), not a ZeroDivisionError
+        interval = 1.0 / self.capture_fps if self.capture_fps else 0.0
         loop = asyncio.get_running_loop()
         while not self._stop.is_set():
             t0 = loop.time()
@@ -199,12 +203,24 @@ class AsciiChatClient:
     async def _keepalive_task(self, t: Transport) -> None:
         while not self._stop.is_set():
             await asyncio.sleep(KEEPALIVE_INTERVAL)
+            # dead-link detection (keepalive.c role, BOTH directions): a
+            # path that drops without RST leaves recv() blocked forever —
+            # the server pings us and streams frames, so prolonged silence
+            # means the link is gone; closing the transport unwinds the
+            # recv loop into the reconnect path instead of hanging until
+            # the OS TCP timeout (~15+ min)
+            if time.time() - self._last_rx > 3 * KEEPALIVE_INTERVAL + 5:
+                log.warning("server silent for %.0fs; dropping dead link",
+                            time.time() - self._last_rx)
+                await t.close()
+                return
             t.send_nowait(pkt.PacketType.PING, str(time.time()).encode())
 
     async def _recv_loop(self, t: Transport, max_frames: int | None) -> None:
         P = pkt.PacketType
         while not self._stop.is_set():
             ptype, payload = await t.recv()
+            self._last_rx = time.time()
             if ptype == P.ASCII_FRAME:
                 frame, _w, _h, _flags = pkt.unpack_ascii_frame(payload)
                 self.display.write_frame(frame)
@@ -346,7 +362,9 @@ class AsciiChatClient:
                         pass
                     except Exception:
                         log.exception("background task failed mid-session")
-                await t.send(pkt.PacketType.CLIENT_LEAVE)
+                # best-effort farewell: an awaited send can block forever on
+                # a full queue whose sender task already died
+                t.send_nowait(pkt.PacketType.CLIENT_LEAVE)
         finally:
             await t.close()
 
@@ -370,16 +388,24 @@ class AsciiChatClient:
         self.display.setup()
         try:
             while not self._stop.is_set():
+                from asciichat_tpu.net.handshake import HandshakeError
+
                 try:
                     await self._session(max_frames)
                     self.reconnect_policy.reset()
-                    if not self.reconnect:
+                    if not self.reconnect_policy.enabled:
                         return
+                except HandshakeError:
+                    # TERMINAL: wrong password / failed key auth / HOST KEY
+                    # MISMATCH (possible MITM). Retrying would reduce an
+                    # active MITM to an endlessly-repeated warning line and
+                    # re-run the 64 MiB Argon2id derivation forever.
+                    raise
                 except (ConnectionError, asyncio.IncompleteReadError, OSError,
                         ValueError) as e:
                     # ValueError = corrupt packet (CRC/framing): treat like a
                     # broken connection — disconnect + reconnect, never crash
-                    if not self.reconnect:
+                    if not self.reconnect_policy.enabled:
                         raise
                     delay = self.reconnect_policy.next_delay()
                     log.warning("connection lost (%s); reconnecting in %.1fs", e, delay)

@@ -51,7 +51,11 @@ class FrameTransform:
 
             from asciichat_tpu.ops.rain import DigitalRain
 
-            if self._rain is None or self._rain.num_columns != frame.shape[1]:
+            if (self._rain is None
+                    or self._rain.num_columns != frame.shape[1]
+                    or self._rain.num_rows != frame.shape[0]):
+                # BOTH dims: a height-only change (file source switching
+                # clips) with a stale num_rows shape-mismatches in apply()
                 self._rain = DigitalRain(frame.shape[1], frame.shape[0])
             frame = np.asarray(
                 self._rain.apply(jnp.asarray(np.ascontiguousarray(frame)),
@@ -112,8 +116,16 @@ class DisplaySink:
         self.frames_written += 1
 
     def chat_line(self, text: bytes) -> None:
-        """Inline chat below the frame (client text chat)."""
-        self.writer.stream.write(b"\x1b[0m\r\n> " + text[:200] + b"\r\n")
+        """Inline chat below the frame (client text chat). SANITIZED: the
+        bytes come from a relayed peer — raw control characters would let
+        any chat participant inject ANSI/OSC escapes into every viewer's
+        terminal (title spoofing, cursor games, emulator escape-handling
+        bugs). Printable text only; everything else becomes '?'."""
+        clean = bytes(
+            b if (0x20 <= b < 0x7F) or b >= 0x80 else 0x3F
+            for b in text[:200]
+        )
+        self.writer.stream.write(b"\x1b[0m\r\n> " + clean + b"\r\n")
         self.writer.stream.flush()
 
 

@@ -47,6 +47,25 @@ def pack_parameters(password_auth: bool) -> bytes:
     )
 
 
+_ephemeral_host_identity = None
+
+
+def _fallback_host_identity():
+    """ONE ephemeral host identity per process. Minting one per CONNECTION
+    broke TOFU completely: the first client pinned key A, the next
+    handshake presented key B, and every reconnect died as a 'possible
+    MITM'. A per-process key keeps pins valid for the server's uptime;
+    restarts still re-key (configure ASCIICHAT_HOST_KEY / --host-key for a
+    persistent identity — this fallback exists so key-auth servers work at
+    all without one)."""
+    global _ephemeral_host_identity
+    if _ephemeral_host_identity is None:
+        from asciichat_tpu.net import identity as _ident
+
+        _ephemeral_host_identity = _ident.Identity()
+    return _ephemeral_host_identity
+
+
 class HandshakeError(ValueError):
     pass
 
@@ -125,38 +144,27 @@ async def client_handshake(
         raise HandshakeError(
             "server skipped authentication despite credentials — possible MITM")
     if ptype == P.CRYPTO_AUTH_CHALLENGE:
-        if ssh_identity is not None:
+        if ssh_identity is not None or gpg_identity is not None:
             import asyncio as _asyncio
+            import os as _os
 
-            from asciichat_tpu.net import sshauth
+            # one flow for both key backends — the host-proof/TOFU steps
+            # must never drift between them
+            if ssh_identity is not None:
+                from asciichat_tpu.net import sshauth as _auth_mod
 
+                cred = ssh_identity
+            else:
+                from asciichat_tpu.net import gpgauth as _auth_mod
+
+                cred = gpg_identity
             # off the event loop: agent-backed identities do blocking UNIX-
-            # socket I/O with a 5 s timeout (SshAgent.sign), which would
-            # stall every other connection during auth
+            # socket I/O with a 5 s timeout (SshAgent.sign / gpg CLI),
+            # which would stall every other connection during auth
             resp = await _asyncio.get_running_loop().run_in_executor(
-                None, sshauth.make_auth_response,
-                ssh_identity, payload[:32], ctx.shared_key,
+                None, _auth_mod.make_auth_response,
+                cred, payload[:32], ctx.shared_key,
             )
-            import os as _os
-
-            host_challenge = _os.urandom(32)
-            await t.send(P.CRYPTO_AUTH_RESPONSE, resp + host_challenge)
-            ptype, payload = await t.recv()
-            ptype, payload = _require_host_proof(
-                ptype, payload, host_challenge, ctx, known_hosts, server_id)
-            if ptype is None:
-                ptype, payload = await t.recv()
-        elif gpg_identity is not None:
-            import asyncio as _asyncio
-
-            from asciichat_tpu.net import gpgauth
-
-            resp = await _asyncio.get_running_loop().run_in_executor(
-                None, gpgauth.make_auth_response,
-                gpg_identity, payload[:32], ctx.shared_key,
-            )
-            import os as _os
-
             host_challenge = _os.urandom(32)
             await t.send(P.CRYPTO_AUTH_RESPONSE, resp + host_challenge)
             ptype, payload = await t.recv()
@@ -259,10 +267,9 @@ async def server_handshake(
             # key mode: prove OUR host identity over the client's trailing
             # challenge (net/knownhosts.py; known_hosts.c role). Without a
             # configured identity an ephemeral one still binds this session.
-            from asciichat_tpu.net import identity as _ident
             from asciichat_tpu.net import knownhosts as kh
 
-            hid = host_identity or _ident.Identity()
+            hid = host_identity or _fallback_host_identity()
             await t.send(P.CRYPTO_SERVER_AUTH_RESP,
                          kh.sign_host_proof(hid, payload[-32:],
                                             ctx.shared_key))
@@ -290,13 +297,19 @@ class SecureChannel:
         self.t = t
         self.ctx = ctx
         self.initiator = initiator
-        # anti-replay over the ORDERED transport: per-sender-nonce-prefix
-        # highest counter seen. TCP/WS deliver in order, so a valid stream
-        # has strictly increasing counters per prefix; an equal-or-lower
-        # counter is a recorded-and-reinjected packet. Rekeys change the
-        # prefix (fresh entry). Entries only appear after a SUCCESSFUL
+        # anti-replay: per-sender-nonce-prefix sliding WINDOW (highest
+        # counter + 64-bit seen-bitmap, the IPsec/DTLS shape). Not a
+        # strictly-increasing check: counters are allocated at _wrap time
+        # in the CALLING thread, but cross-thread send_nowait enqueues are
+        # marshalled onto the loop via call_soon_threadsafe, so two
+        # legitimate packets can reach the ordered transport with their
+        # counters swapped (executor render tick vs loop-thread PONG) — a
+        # strict check tore down healthy sessions as 'replayed'. The
+        # window accepts bounded reordering while still rejecting every
+        # DUPLICATE and anything older than 64 counters. Rekeys change the
+        # prefix (fresh entry); entries only appear after a successful
         # decrypt, so the dict is bounded by rekey count.
-        self._recv_last: dict[bytes, int] = {}
+        self._recv_win: dict[bytes, tuple[int, int]] = {}
 
     def _wrap(self, ptype: int, payload: bytes) -> bytes:
         inner = pkt.pack_packet(ptype, payload)
@@ -312,13 +325,24 @@ class SecureChannel:
         if sid == self.ctx.session_id or sid == self.ctx.previous_session_id:
             raise ValueError("reflected packet (own nonce prefix)")
         inner = self.ctx.decrypt(blob)
-        # REPLAY: counters must be strictly increasing per sender prefix on
-        # an ordered transport (checked only after authentication succeeds)
-        last = self._recv_last.get(sid, 0)
-        if ctr <= last:
-            raise ValueError(
-                f"replayed encrypted packet (counter {ctr} <= {last})")
-        self._recv_last[sid] = ctr
+        # REPLAY: sliding window per sender prefix (checked only after
+        # authentication succeeds)
+        hi, bits = self._recv_win.get(sid, (0, 0))
+        if ctr > hi:
+            shift = ctr - hi
+            bits = ((bits << shift) | 1) & ((1 << 64) - 1) if shift < 64 else 1
+            hi = ctr
+        else:
+            off = hi - ctr
+            if off >= 64:
+                raise ValueError(
+                    f"replayed encrypted packet (counter {ctr} too old, "
+                    f"window at {hi})")
+            if bits & (1 << off):
+                raise ValueError(
+                    f"replayed encrypted packet (counter {ctr} duplicate)")
+            bits |= 1 << off
+        self._recv_win[sid] = (hi, bits)
         ptype, length, crc, _cid = pkt.unpack_header(inner)
         payload = inner[pkt.HEADER_SIZE : pkt.HEADER_SIZE + length]
         if not pkt.verify_payload(payload, crc):
@@ -343,6 +367,19 @@ class SecureChannel:
         await self.t.send(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+        # the rekey thresholds must gate THIS path too: all steady-state
+        # traffic (frames, audio, keepalive) flows through send_nowait, so
+        # checking only in send() made the 1M-packet/1-hour forward-security
+        # rekey effectively unreachable in a real session
+        if self.initiator:
+            if self.ctx.rekey_stalled():
+                self.ctx.abandon_rekey()
+            if self.ctx.needs_rekey() and not self.ctx.rekey.in_progress:
+                self.t.send_nowait(
+                    pkt.PacketType.ENCRYPTED,
+                    self._wrap(pkt.PacketType.CRYPTO_REKEY_REQUEST,
+                               self.ctx.start_rekey()),
+                )
         return self.t.send_nowait(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
 
     async def recv(self) -> tuple[int, bytes]:

@@ -647,3 +647,84 @@ def test_stale_envelope_rejected():
     stale = me.public_bytes + sig + old_ts + b'{"x":1}'
     with pytest.raises(ident.SignatureError, match="stale"):
         ident.open_envelope(6000, stale)
+
+
+def test_secure_channel_tolerates_bounded_reordering_and_rekeys_on_nowait():
+    """Review fixes: (a) the anti-replay check is a sliding WINDOW — two
+    legitimate packets whose counters swapped on the wire (executor-thread
+    send_nowait marshalled after a loop-thread send) must BOTH decrypt;
+    duplicates and >64-counter-old packets still die. (b) the forward-
+    security rekey thresholds gate send_nowait too — all steady-state
+    traffic flows through it, so send()-only checking made the 1M-packet/
+    1-hour rekey unreachable."""
+    import asyncio
+
+    import pytest as _pytest
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.handshake import SecureChannel
+
+    class Pipe:
+        def __init__(self):
+            self.q = asyncio.Queue()
+
+        async def send(self, ptype, payload=b""):
+            await self.peer.q.put((ptype, payload))
+
+        def send_nowait(self, ptype, payload=b""):
+            self.peer.q.put_nowait((ptype, payload))
+            return True
+
+        async def recv(self):
+            return await self.q.get()
+
+        async def close(self):
+            pass
+
+        peername = ("pipe", 0)
+
+    async def run():
+        a_t, b_t = Pipe(), Pipe()
+        a_t.peer, b_t.peer = b_t, a_t
+        actx, bctx = C.CryptoContext(), C.CryptoContext()
+        actx.compute_shared(bctx.public_key)
+        bctx.compute_shared(actx.public_key)
+        actx.handshake_complete = bctx.handshake_complete = True
+        a = SecureChannel(a_t, actx, initiator=True)
+        b = SecureChannel(b_t, bctx, initiator=False)
+
+        # (a) swap two packets on the wire
+        await a.send(pkt.PacketType.PING, b"first")
+        await a.send(pkt.PacketType.PING, b"second")
+        f1 = b_t.q.get_nowait()
+        f2 = b_t.q.get_nowait()
+        b_t.q.put_nowait(f2)  # arrives out of counter order
+        b_t.q.put_nowait(f1)
+        assert (await b.recv())[1] == b"second"
+        assert (await b.recv())[1] == b"first"
+        # duplicate of the reordered packet still dies
+        b_t.q.put_nowait(f1)
+        with _pytest.raises(ValueError, match="replayed"):
+            await b.recv()
+        # far-too-old counters die even if never seen: send 70 more, then
+        # replay an early frame from beyond the 64-wide window
+        early = f2
+        for i in range(70):
+            await a.send(pkt.PacketType.PING, b"x%d" % i)
+        for _ in range(70):
+            await b.recv()
+        b_t.q.put_nowait(early)
+        with _pytest.raises(ValueError, match="replayed"):
+            await b.recv()
+
+        # (b) crossing the packet threshold via send_nowait triggers rekey
+        actx.rekey.packet_count = actx.packet_threshold + 1  # crypto.c:143
+        assert a.send_nowait(pkt.PacketType.PING, b"tick")
+        types = []
+        while not b_t.q.empty():
+            inner_type, payload = await b.recv()
+            types.append(inner_type)
+        assert pkt.PacketType.CRYPTO_REKEY_REQUEST in types or \
+            actx.rekey.in_progress, "send_nowait never initiated the rekey"
+
+    asyncio.run(asyncio.wait_for(run(), 30))
