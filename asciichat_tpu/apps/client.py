@@ -156,7 +156,12 @@ class AsciiChatClient:
                 payload = pkt.pack_image_frame(au, w, h, pkt.PIXEL_FORMAT_HEVC)
                 t.send_nowait(pkt.PacketType.IMAGE_FRAME_H265, payload)
                 self.h265_frames_sent += 1
-        except (codecs.CodecUnavailable, OSError, BrokenPipeError) as e:
+        except (codecs.CodecUnavailable, OSError, BrokenPipeError,
+                ValueError) as e:
+            # ValueError = native encode error (avcodec_send_frame -1):
+            # without catching it here, one transient encoder failure
+            # killed the whole capture task and video stopped for the
+            # session instead of falling back as this docstring promises
             log.warning("h265 uplink failed (%s); falling back to raw RGB", e)
             self.h265_active = False
             self._h265_enc = None
@@ -184,9 +189,14 @@ class AsciiChatClient:
             if self.audio_gain != 1.0:
                 processed = np.clip(processed * self.audio_gain, -1.0, 1.0)
             if self.opus_enc is not None:
-                payload = pkt.pack_audio_batch(
-                    self.opus_enc.encode(np.asarray(processed, np.float32)), n, 1
-                )
+                try:
+                    payload = pkt.pack_audio_batch(
+                        self.opus_enc.encode(np.asarray(processed, np.float32)),
+                        n, 1)
+                except ValueError as e:
+                    # transient encode failure must not kill the audio task
+                    log.warning("opus encode failed (%s); frame skipped", e)
+                    continue
                 t.send_nowait(pkt.PacketType.AUDIO_OPUS_BATCH, payload)
             else:
                 payload = pkt.pack_audio_batch(

@@ -28,6 +28,7 @@ import dataclasses
 import functools
 
 import jax
+import math
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,8 +47,6 @@ def linear_to_db(linear):
 
 def _coeff(tau_s: float, sample_rate: float) -> float:
     """exp(-1/(tau*sr + eps)) (mixer.c:64-67, 130-133)."""
-    import math
-
     return math.exp(-1.0 / (tau_s * sample_rate + 1e-12))
 
 
@@ -114,7 +113,17 @@ class MixerState:
 
 
 def soft_clip(x, threshold: float, steepness: float):
-    """tanh knee above +-threshold (mixer.c:1030-1041)."""
+    """tanh knee above +-threshold (mixer.c:1030-1041).
+
+    KNOWN PARITY DEFECT (deliberate): the negative branch's
+    (-1.0 + threshold) coefficient is a sign error faithfully reproduced
+    from the reference's soft_clip — it makes the curve NON-MONOTONIC for
+    deep negative samples (f(-1.0) folds back toward -threshold). The
+    symmetric form would be lo = -t + (1-t)*tanh((x+t)*s). Byte-parity of
+    the mixed audio with the reference server is the project contract
+    (tests/test_audio.py validates against this exact formula), so the
+    defect ships; flip BOTH this line and the test's reference
+    implementation if parity with a fixed upstream is ever wanted."""
     hi = threshold + (1.0 - threshold) * jnp.tanh((x - threshold) * steepness)
     lo = -threshold + (-1.0 + threshold) * jnp.tanh((x + threshold) * steepness)
     return jnp.where(x > threshold, hi, jnp.where(x < -threshold, lo, x))
@@ -224,8 +233,6 @@ def noise_gate(
     hysteresis: float = 0.9,
     sample_rate: int = SAMPLE_RATE,
 ):
-    import math
-
     attack_c = 1.0 - math.exp(-1.0 / (attack_s * sample_rate + 1e-12))
     release_c = 1.0 - math.exp(-1.0 / (release_s * sample_rate + 1e-12))
     peak = jnp.max(jnp.abs(buf), axis=-1)
@@ -275,14 +282,10 @@ def lowpass(buf: jax.Array, prev_out: jax.Array, alpha: float):
 
 
 def highpass_alpha(cutoff_hz: float, sample_rate: float = SAMPLE_RATE) -> float:
-    import math
-
     return 1.0 / (1.0 + 2.0 * math.pi * cutoff_hz / sample_rate)
 
 
 def lowpass_alpha(cutoff_hz: float, sample_rate: float = SAMPLE_RATE) -> float:
-    import math
-
     dt = 1.0 / sample_rate
     rc = 1.0 / (2.0 * math.pi * cutoff_hz)
     return dt / (rc + dt)
@@ -405,8 +408,6 @@ class EchoCanceller:
         self.divergence_resets = 0
 
     def process(self, mic, far):
-        import numpy as np
-
         mic = jnp.asarray(mic, jnp.float32)
         out, self.weights, self.far_tail, self.hang, stats = echo_cancel(
             mic, jnp.asarray(far, jnp.float32),
@@ -445,9 +446,7 @@ class ClientAudioPipeline:
                  highpass_hz: float = 100.0):
         self.aec = EchoCanceller() if use_aec else None
         self.gate_threshold = gate_threshold
-        self.hp_alpha = float(
-            1.0 / (1.0 + 2.0 * 3.141592653589793 * highpass_hz / SAMPLE_RATE)
-        )  # one-pole HP coefficient form used by highpass() (mixer.c:953)
+        self.hp_alpha = highpass_alpha(highpass_hz)  # (mixer.c:953)
         self.hp_in = jnp.zeros((), jnp.float32)
         self.hp_out = jnp.zeros((), jnp.float32)
         self.gate_env = jnp.zeros((), jnp.float32)
@@ -476,7 +475,15 @@ class ClientAudioPipeline:
                 if len(self._far) >= n:
                     far, self._far = self._far[:n], self._far[n:]
                 else:
+                    # UNDERRUN: consume what's queued + pad zeros. Padding
+                    # without consuming would permanently shift the far
+                    # reference one frame behind the mic — the echo then
+                    # needs a NEGATIVE filter delay, outside the causal tap
+                    # window, and the AEC can never re-converge.
                     far = np.zeros(n, np.float32)
+                    if len(self._far):
+                        far[: len(self._far)] = self._far
+                        self._far = self._far[:0]
             x = self.aec.process(x, far)
         x, self.hp_in, self.hp_out = highpass(x, self.hp_in, self.hp_out, self.hp_alpha)
         x, self.gate_env, self.gate_open = noise_gate(

@@ -22,7 +22,10 @@ import numpy as np
 
 from asciichat_tpu.utils.syncdebug import NamedLock
 
-OPUS_FRAME_SAMPLES = 960  # 20 ms @ 48 kHz (src/server/render.c:57)
+# NOTE: this framework runs Opus at the 10 ms AUDIO tick cadence (480
+# samples, OpusCodec.frame_samples) — the reference batches 20 ms
+# (src/server/render.c:57); a module constant advertising 960 here was
+# dead AND wrong for every actual codec in this repo, so it was removed.
 
 
 class CodecUnavailable(RuntimeError):
@@ -191,8 +194,11 @@ def _split_access_units(buf: bytearray) -> list[bytes]:
 import functools
 
 
+_avshim_error: Exception | None = None
+
+
 @functools.lru_cache(maxsize=1)
-def _avshim():
+def _avshim_cached():
     """Native libavcodec shim (native/avshim.cpp): the primary H.265 path,
     matching the reference's direct libav* linkage
     (lib/video/h265/{encoder,decoder}.c)."""
@@ -222,6 +228,22 @@ def _avshim():
     return lib
 
 
+def _avshim():
+    """Compile-or-load the shim ONCE, caching failure too: lru_cache does
+    not memoize exceptions, so an uncompilable shim used to re-run a
+    multi-second g++ attempt on every codec construction — on the server
+    that is the event-loop thread, per client dims-change (a remote stall
+    lever). One attempt per process, then the cached outcome."""
+    global _avshim_error
+    if _avshim_error is not None:
+        raise CodecUnavailable(str(_avshim_error))
+    try:
+        return _avshim_cached()
+    except Exception as e:
+        _avshim_error = e
+        raise
+
+
 class NativeH265Encoder:
     """H.265 encode on the system libavcodec via native/avshim.cpp —
     the encoder.c analog. One RGB24 frame in -> zero or more Annex-B
@@ -240,11 +262,22 @@ class NativeH265Encoder:
         if not self._h:
             raise CodecUnavailable("libavcodec has no HEVC encoder")
         self._out = (ctypes.c_uint8 * (width * height * 3 + 65536))()
+        import threading
+
+        self._lock = threading.Lock()
 
     def encode(self, frame: np.ndarray) -> list[bytes]:
         import struct
 
         raw = np.ascontiguousarray(frame, np.uint8).tobytes()
+        with self._lock:
+            if self._h is None:
+                raise ValueError("encoder closed")
+            return self._encode_locked(raw)
+
+    def _encode_locked(self, raw: bytes) -> list[bytes]:
+        import struct
+
         n = self._lib.ac_h265_enc_frame(self._h, raw, self._out, len(self._out))
         # Overflow protocol: rv <= -2 means the first (-rv - 2) bytes are
         # valid records and a packet is still pending inside the shim (it is
@@ -267,9 +300,13 @@ class NativeH265Encoder:
         return pkts
 
     def close(self) -> None:
-        if self._h:
-            self._lib.ac_h265_enc_close(self._h)
-            self._h = None
+        # same close-vs-use discipline as OpusCodec: freeing the native
+        # context under a concurrent in-flight ctypes call (executor decode
+        # racing the event loop's cleanup) is a use-after-free segfault
+        with self._lock:
+            if self._h:
+                self._lib.ac_h265_enc_close(self._h)
+                self._h = None
 
 
 class NativeH265Decoder:
@@ -288,15 +325,26 @@ class NativeH265Decoder:
         if not self._h:
             raise CodecUnavailable("libavcodec has no HEVC decoder")
         self._frame_bytes = width * height * 3
-        self._out = (ctypes.c_uint8 * (self._frame_bytes * 8))()
+        # 32 frames of headroom: the shim DROPS a received frame when this
+        # buffer is full (unlike the encoder's grow-and-drain protocol), so
+        # size it well past any realistic per-packet yield (decoder flush
+        # bursts after corruption recovery; a client bundling several AUs
+        # into one payload). 32x small per-client frames is cheap.
+        self._out = (ctypes.c_uint8 * (self._frame_bytes * 32))()
+        import threading
+
+        self._lock = threading.Lock()
 
     def decode(self, au: bytes) -> list[np.ndarray]:
-        n = self._lib.ac_h265_dec_packet(self._h, au, len(au), self._out,
-                                         len(self._out))
-        if n < 0:
-            raise ValueError("h265 decode failed")
-        fb = self._frame_bytes
-        raw = bytes(self._out[: n * fb])
+        with self._lock:
+            if self._h is None:
+                raise ValueError("decoder closed")
+            n = self._lib.ac_h265_dec_packet(self._h, au, len(au), self._out,
+                                             len(self._out))
+            if n < 0:
+                raise ValueError("h265 decode failed")
+            fb = self._frame_bytes
+            raw = bytes(self._out[: n * fb])
         return [
             np.frombuffer(raw, np.uint8, fb, i * fb).reshape(
                 self.height, self.width, 3)
@@ -304,9 +352,12 @@ class NativeH265Decoder:
         ]
 
     def close(self) -> None:
-        if self._h:
-            self._lib.ac_h265_dec_close(self._h)
-            self._h = None
+        # close-vs-use discipline (see OpusCodec): never free the native
+        # context under an in-flight executor decode
+        with self._lock:
+            if self._h:
+                self._lib.ac_h265_dec_close(self._h)
+                self._h = None
 
 
 class FFmpegH265Encoder:
