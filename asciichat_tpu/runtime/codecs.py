@@ -214,6 +214,8 @@ def _avshim_cached():
     u8p = c.POINTER(c.c_uint8)
     lib.ac_h265_enc_open.restype = c.c_void_p
     lib.ac_h265_enc_open.argtypes = [c.c_int] * 5
+    lib.ac_h265_enc_open_named.restype = c.c_void_p
+    lib.ac_h265_enc_open_named.argtypes = [c.c_char_p] + [c.c_int] * 5
     lib.ac_h265_enc_frame.restype = c.c_long
     lib.ac_h265_enc_frame.argtypes = [c.c_void_p, c.c_char_p, u8p, c.c_long]
     lib.ac_h265_enc_drain.restype = c.c_long
@@ -252,15 +254,21 @@ class NativeH265Encoder:
     name = "h265"
 
     def __init__(self, width: int, height: int, fps: int = 30, crf: int = 28,
-                 keyint: int = 30):
+                 keyint: int = 30, encoder: str | None = None):
         import ctypes
 
         self._c = ctypes
         self._lib = _avshim()
         self.width, self.height = width, height
-        self._h = self._lib.ac_h265_enc_open(width, height, fps, crf, keyint)
+        # hw-first ordered probe, cached (encoder.c:67-84 lazy-open analog)
+        self.encoder_name = encoder if encoder is not None else probe_h265_encoder()
+        if self.encoder_name is None:
+            raise CodecUnavailable("no HEVC encoder opens (probe exhausted)")
+        self._h = self._lib.ac_h265_enc_open_named(
+            self.encoder_name.encode(), width, height, fps, crf, keyint)
         if not self._h:
-            raise CodecUnavailable("libavcodec has no HEVC encoder")
+            raise CodecUnavailable(
+                f"HEVC encoder {self.encoder_name!r} failed to open")
         self._out = (ctypes.c_uint8 * (width * height * 3 + 65536))()
         import threading
 
@@ -464,6 +472,63 @@ class FFmpegH265Decoder:
             self._proc.wait(timeout=5)
         except Exception:
             self._proc.kill()
+
+
+# Hardware encoders first, software last — the implementations the reference
+# probes by name (lib/video/h265/encoder.c:67-84), reordered hw-first per its
+# lazy-open intent: a found-but-unopenable hw encoder falls through at the
+# real avcodec_open2, so order costs nothing when hardware is absent.
+H265_PROBE_ORDER = ("hevc_vaapi", "hevc_nvenc", "hevc_qsv",
+                    "hevc_videotoolbox", "libx265")
+_h265_probe_cache: dict[tuple, str | None] = {}
+_h265_probe_lock = threading.Lock()
+
+
+def probe_h265_encoder(order: tuple = H265_PROBE_ORDER,
+                       try_open=None) -> str | None:
+    """First HEVC encoder implementation that actually OPENS, else None.
+
+    Each candidate is proven by a real open at a tiny size (the reference
+    defers avcodec_open2 to first use, encoder.c:116-118; here the probe IS
+    that open, cached so production pays it once). `try_open(name) -> bool`
+    is injectable for fallback-logic tests."""
+    if try_open is None:
+        with _h265_probe_lock:
+            if order in _h265_probe_cache:
+                return _h265_probe_cache[order]
+
+        def try_open(name: str) -> bool:
+            try:
+                lib = _avshim()
+            except CodecUnavailable:
+                return False
+            h = lib.ac_h265_enc_open_named(name.encode(), 64, 64, 30, 28, 30)
+            if not h:
+                return False
+            lib.ac_h265_enc_close(h)
+            return True
+
+        tried = []
+        chosen = None
+        for name in order:
+            if try_open(name):
+                chosen = name
+                break
+            tried.append(name)
+        from asciichat_tpu.utils.logsys import get_logger
+
+        get_logger("codecs").info(
+            "h265 encoder probe: %s%s",
+            chosen or "NONE",
+            f" (skipped: {', '.join(tried)})" if tried else "")
+        with _h265_probe_lock:
+            _h265_probe_cache[order] = chosen
+        return chosen
+    # injected try_open: pure fallback logic, uncached
+    for name in order:
+        if try_open(name):
+            return name
+    return None
 
 
 def H265Encoder(width: int, height: int, fps: int = 30, crf: int = 28,

@@ -43,9 +43,23 @@ struct Dec {
 
 extern "C" {
 
-void* ac_h265_enc_open(int w, int h, int fps, int crf, int keyint) {
-  const AVCodec* codec = avcodec_find_encoder_by_name("libx265");
-  if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_HEVC);
+// Open a SPECIFIC HEVC encoder implementation by name ("" => default
+// chain). The ordered hardware->software probe (hevc_vaapi -> hevc_nvenc ->
+// hevc_qsv -> hevc_videotoolbox -> libx265) lives in runtime/codecs.py,
+// mirroring the reference's by-name encoder probe + lazy open
+// (lib/video/h265/encoder.c:67-84,116-118): each candidate is proven by an
+// actual avcodec_open2, so a present-but-unusable hw encoder (no device)
+// falls through gracefully.
+void* ac_h265_enc_open_named(const char* name, int w, int h, int fps,
+                             int crf, int keyint) {
+  const AVCodec* codec = nullptr;
+  if (name && name[0]) {
+    codec = avcodec_find_encoder_by_name(name);
+    if (!codec) return nullptr;
+  } else {
+    codec = avcodec_find_encoder_by_name("libx265");
+    if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_HEVC);
+  }
   if (!codec) return nullptr;
   Enc* e = new Enc{};
   e->ctx = avcodec_alloc_context3(codec);
@@ -78,6 +92,10 @@ void* ac_h265_enc_open(int w, int h, int fps, int crf, int keyint) {
                           SWS_POINT, nullptr, nullptr, nullptr);
   e->pts = 0;
   return e;
+}
+
+void* ac_h265_enc_open(int w, int h, int fps, int crf, int keyint) {
+  return ac_h265_enc_open_named("", w, h, fps, crf, keyint);
 }
 
 // Drain encoded packets into out as u32le length-prefixed records.
