@@ -184,6 +184,18 @@ def main(argv=None) -> int:
     # on a tunnel-attached TPU the per-tick RTT exceeds the frame budget, so
     # ASCIICHAT_JAX_PLATFORM=cpu pins the math to the host.
     plat = os.environ.get("ASCIICHAT_JAX_PLATFORM")
+    # ASCIICHAT_FORCE_MESH=N: multi-device serving on an N-device virtual CPU
+    # pool (parallel/mesh.serving_mesh). The device-count flag must be in the
+    # environment BEFORE the first backend touch; it implies the cpu platform
+    # unless the user pinned one explicitly.
+    force_mesh = os.environ.get("ASCIICHAT_FORCE_MESH", "")
+    if force_mesh.isdigit() and int(force_mesh) > 1:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={force_mesh}"
+            ).strip()
+        plat = plat or "cpu"
     if plat:
         import jax
 

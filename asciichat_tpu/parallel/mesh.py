@@ -43,6 +43,37 @@ def make_mesh(n_devices: int | None = None, space: int = 1, devices=None) -> Mes
     return Mesh(devices.reshape(n), (CLIENTS_AXIS,))
 
 
+def serving_mesh() -> Mesh | None:
+    """The PRODUCTION server's mesh (apps/server.py render tick).
+
+    - ``ASCIICHAT_FORCE_MESH=N`` (N>1) forces an N-device clients-axis mesh
+      over the virtual CPU device pool (apps/main.py injects
+      ``--xla_force_host_platform_device_count=N`` before backend init) —
+      the way to exercise the sharded serving path without N real chips.
+    - Otherwise: a mesh over all visible ACCELERATOR devices when more than
+      one exists. Plain CPU multi-device pools are never auto-meshed (they
+      only exist when a test harness forces them; sharding over virtual CPU
+      devices is a correctness tool, not a speedup).
+    - None => single-device serving (the only possibility on this 1-chip box).
+    """
+    import os
+
+    force = os.environ.get("ASCIICHAT_FORCE_MESH", "")
+    if force.isdigit() and int(force) > 1:
+        n = int(force)
+        devices = jax.devices("cpu")
+        if len(devices) < n:
+            return None  # flag not injected before backend init; stay single
+        return make_mesh(n, devices=devices)
+    try:
+        devices = jax.devices()
+    except Exception:
+        return None
+    if len(devices) > 1 and devices[0].platform != "cpu":
+        return make_mesh(len(devices), devices=devices)
+    return None
+
+
 def client_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading client/batch axis; everything else replicated."""
     return NamedSharding(mesh, P(CLIENTS_AXIS))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Any
 
 
@@ -22,6 +23,7 @@ class LatestFrame:
         self._lock = threading.Lock()
         self._frame: Any = None
         self._seq = 0
+        self._ts = 0.0
         self.writes = 0
         self.reads = 0
 
@@ -29,6 +31,7 @@ class LatestFrame:
         with self._lock:
             self._frame = frame
             self._seq += 1
+            self._ts = time.monotonic()
             self.writes += 1
 
     def get_latest(self) -> tuple[Any, int]:
@@ -36,6 +39,13 @@ class LatestFrame:
         with self._lock:
             self.reads += 1
             return self._frame, self._seq
+
+    def latest(self) -> tuple[Any, int, float]:
+        """-> (frame_or_None, sequence, monotonic commit time) — the commit
+        timestamp feeds the server's capture->emit latency tracking."""
+        with self._lock:
+            self.reads += 1
+            return self._frame, self._seq, self._ts
 
 
 class FrameQueue:

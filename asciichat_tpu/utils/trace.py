@@ -8,6 +8,7 @@ ascii.c:268-382): sections accumulate wall time; `breakdown()` prints an
 
 from __future__ import annotations
 
+import collections
 import contextlib
 import threading
 import time
@@ -72,3 +73,54 @@ class Tracer:
                 self._totals.clear()
                 self._counts.clear()
         return line
+
+
+class LatencyTracker:
+    """Fixed-window latency percentile tracker (thread-safe).
+
+    The deadline observability the reference gets from its per-stage
+    ASCII_BREAKDOWN timers (lib/video/ascii/ascii.c:268-382), the >5 ms
+    SLOW_ASCII_CONVERT warning (src/server/stream.c:846-850), and the
+    16.67 ms tick deadline (src/server/render.c:4-7): callers `add()` each
+    tick's latency and export `stats_ms()` (p50/p90/p99/worst) through the
+    server stats line, the inspector, and the soak artifacts.
+    """
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._samples: collections.deque[float] = collections.deque(maxlen=window)
+        self.count = 0
+        self.worst = 0.0
+
+    def add(self, seconds: float) -> None:
+        with self._lock:
+            self._samples.append(seconds)
+            self.count += 1
+            if seconds > self.worst:
+                self.worst = seconds
+
+    def reset(self) -> None:
+        """Drop accumulated samples (e.g. jit-warmup ticks before a
+        steady-state soak window)."""
+        with self._lock:
+            self._samples.clear()
+            self.count = 0
+            self.worst = 0.0
+
+    def percentile(self, *qs: float) -> list[float]:
+        """Nearest-rank percentiles over the current window (qs in [0,100])."""
+        with self._lock:
+            if not self._samples:
+                return [0.0] * len(qs)
+            s = sorted(self._samples)
+        return [s[min(len(s) - 1, int(q / 100.0 * len(s)))] for q in qs]
+
+    def stats_ms(self) -> dict:
+        p50, p90, p99 = self.percentile(50, 90, 99)
+        return {
+            "n": self.count,
+            "p50_ms": round(p50 * 1e3, 3),
+            "p90_ms": round(p90 * 1e3, 3),
+            "p99_ms": round(p99 * 1e3, 3),
+            "worst_ms": round(self.worst * 1e3, 3),
+        }

