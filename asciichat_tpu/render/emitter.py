@@ -17,7 +17,19 @@ import numpy as np
 from asciichat_tpu.render import palette as pal
 from asciichat_tpu.runtime.native_build import emitter_lib
 
-_DEFAULT_THREADS = max(1, min(16, (os.cpu_count() or 4)))
+def _default_threads() -> int:
+    """Emitter worker threads: ASCIICHAT_EMIT_THREADS pins the count (the
+    serving-path flag — the reference parallelizes per-client render threads,
+    src/server/render.c:340; here threads split the frame batch), else one
+    per core capped at 16. Byte output is thread-count-invariant
+    (tests/test_golden_render.py::test_emit_multithreaded_byte_identical)."""
+    env = os.environ.get("ASCIICHAT_EMIT_THREADS", "")
+    if env.isdigit() and int(env) > 0:
+        return min(64, int(env))
+    return max(1, min(16, (os.cpu_count() or 4)))
+
+
+_DEFAULT_THREADS = _default_threads()
 
 # Reusable per-thread output buffers: allocating a fresh multi-MB np.empty
 # every call page-faults the whole buffer each tick (~50% of emit time at

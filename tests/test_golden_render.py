@@ -120,3 +120,41 @@ def test_batch_consistency():
     batched = renderer.convert_batch(frames, 40, 12, caps)
     singles = [renderer.convert(f, 40, 12, caps) for f in frames]
     assert batched == singles
+
+
+def test_emit_multithreaded_byte_identical():
+    """>=2-thread emit_frames must be byte-identical to 1-thread across every
+    mode and mixed content (VERDICT r03 #5: the multithreaded-emitter claim).
+    parallel_for splits the frame batch across threads (native/emitter.cpp);
+    on this 1-core box this proves correctness, and thread *scaling* is
+    measured by bench.py's host_emit_fps_mt when multi-core hardware exists."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(77)
+    B, H, W = 12, 22, 35
+    frames = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+    frames[0] = 0  # all-black (halfblock transparency runs)
+    frames[1, :, : W // 2] = frames[1, :, :1]  # long runs -> REP escapes
+    frames[2] = frames[2, :1, :1]  # constant frame (one giant run)
+
+    palette = pal.DEFAULT_PALETTE
+    ramp = cells.ramp_for_palette(palette)
+    for mode in ALL_MODES:
+        recs = cells.records_to_numpy(cells.render_cells(
+            jnp.asarray(frames), ramp, dst_h=H, dst_w=W, mode=mode))
+        one = emitter.emit_frames(recs, mode, palette, nthreads=1)
+        for n in (2, 4):
+            many = emitter.emit_frames(recs, mode, palette, nthreads=n)
+            assert many == one, f"mode {mode}: {n}-thread output differs"
+
+
+def test_emit_threads_env_flag(monkeypatch):
+    """ASCIICHAT_EMIT_THREADS pins the serving-path default thread count."""
+    from asciichat_tpu.render.emitter import _default_threads
+
+    monkeypatch.setenv("ASCIICHAT_EMIT_THREADS", "3")
+    assert _default_threads() == 3
+    monkeypatch.setenv("ASCIICHAT_EMIT_THREADS", "0")  # invalid -> per-core
+    assert _default_threads() >= 1
+    monkeypatch.delenv("ASCIICHAT_EMIT_THREADS")
+    assert _default_threads() >= 1
