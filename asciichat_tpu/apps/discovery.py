@@ -594,7 +594,9 @@ class DiscoverySession:
                 # DTLS-SCTP channels handshake after nomination; a nominated
                 # pair whose DTLS can't complete (one-way UDP) falls through
                 # to the relay rung like a failed ICE check would
-                return await ch.wait_ready(ice_timeout)
+                ch = await ch.wait_ready(ice_timeout)
+                self._attach_consent_failover(peer_id, agent)
+                return ch
             except (asyncio.TimeoutError, TimeoutError, ConnectionError):
                 if not relay_fallback:
                     raise
@@ -618,6 +620,29 @@ class DiscoverySession:
                 relay.close()
             agent.close()
             raise
+
+    def _attach_consent_failover(self, peer_id: str, agent) -> None:
+        """Mid-session path-death recovery (RFC 7675 consent + the ladder's
+        relay rung): when the agent's nominated pair loses consent AND
+        re-nomination over every known candidate (incl. promoted prflx)
+        fails, fall back to the ACDS relay — the channel object the
+        application holds is rebound, so frames keep flowing."""
+
+        def on_fail():
+            if peer_id in self._p2p_relay or self._t is None:
+                return
+            log.warning("P2P direct path to %s died mid-session; "
+                        "switching to ACDS relay", peer_id)
+            asyncio.get_running_loop().create_task(_switch())
+
+        async def _switch():
+            try:
+                await self._relay_connect(peer_id, timeout=15.0)
+            except Exception:
+                log.exception("mid-session relay fallback to %s failed",
+                              peer_id)
+
+        agent.on_pair_failed = on_fail
 
     async def _relay_connect(self, peer_id: str, timeout: float):
         """Last ladder rung: ask the peer to switch to the ACDS data relay,
@@ -655,6 +680,8 @@ class DiscoverySession:
             # finish (secretbox channels are born ready); a FAILED direct
             # channel keeps us waiting — the peer will fall back to relay
             if ch is not None and ch.ready.is_set() and not ch.failed:
+                if not ch.via_relay:
+                    self._attach_consent_failover(peer_id, agent)
                 return ch
             if loop.time() > deadline:
                 raise TimeoutError(f"no P2P channel with {peer_id}")

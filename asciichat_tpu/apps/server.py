@@ -738,8 +738,11 @@ class AsciiChatServer:
             post = None
             if webrtc_gw.available():
                 def post(path, body, _gw=webrtc_gw):
-                    if path.split("?", 1)[0] == "/webrtc/offer":
+                    route = path.split("?", 1)[0]
+                    if route == "/webrtc/offer":
                         return _gw.on_offer(body)
+                    if route == "/webrtc/candidate":  # trickle ICE
+                        return _gw.on_candidate(path, body)
                     return None
             ws_server = await serve_ws(self._handle_conn, self.host, self.ws_port,
                                        pages=make_http_handler(), post=post)

@@ -103,6 +103,7 @@ class WebRtcGateway:
         self._handler = handler  # async def handler(transport)
         self._max_pending = max_pending
         self._tasks: set[asyncio.Task] = set()
+        self._agents_by_ufrag: dict[str, object] = {}  # trickle routing
         self.closed = False
 
     def available(self) -> bool:
@@ -131,12 +132,37 @@ class WebRtcGateway:
         await agent.start()
         agent.set_remote(info.to_desc())
         answer = sdp.answer_for_agent(agent, info)
+        # trickle ICE (RFC 8838): offers may arrive with ZERO candidates —
+        # the browser trickles them via POST /webrtc/candidate, keyed by its
+        # own ufrag (on_candidate). ICE-lite needs no checks of its own, so
+        # the offer is answerable immediately either way.
+        self._agents_by_ufrag[info.ufrag] = agent
         task = asyncio.get_running_loop().create_task(self._run(agent))
         self._tasks.add(task)
         task.add_done_callback(self._tasks.discard)
+        task.add_done_callback(
+            lambda _t, u=info.ufrag: self._agents_by_ufrag.pop(u, None))
         log.info("webrtc offer accepted (ufrag %s); agent on udp:%d",
                  info.ufrag, agent.local_port)
         return ("application/sdp", answer.encode())
+
+    def on_candidate(self, path: str, body: bytes) -> tuple[str, bytes] | None:
+        """POST /webrtc/candidate?ufrag=<offer ufrag> — one trickled
+        candidate line per request (RFC 8838). The agent's live check list
+        picks it up; unknown ufrag or unusable candidate -> None (404)."""
+        from urllib.parse import parse_qs, urlsplit
+
+        from asciichat_tpu.net import sdp
+
+        ufrag = parse_qs(urlsplit(path).query).get("ufrag", [""])[0]
+        agent = self._agents_by_ufrag.get(ufrag)
+        if agent is None:
+            return None
+        cand = sdp.parse_candidate_line(body.decode("utf-8", errors="replace"))
+        if cand is not None:
+            agent.add_remote_candidate(cand)
+        # end-of-candidates / unusable lines are acknowledged, not errors
+        return ("text/plain", b"ok")
 
     async def _run(self, agent) -> None:
         try:

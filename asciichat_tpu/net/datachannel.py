@@ -90,13 +90,14 @@ class DataChannelTransport:
             self.sctp.on_packet(msg)
         self._drain_dtls()
 
-    def rebind(self, send_datagram, peername) -> None:
-        """Swap the datagram carrier (direct UDP -> ACDS relay). DTLS doesn't
-        bind to addresses and SCTP retransmits in-flight chunks, so the
-        channel — even mid-handshake — continues over the new carrier."""
+    def rebind(self, send_datagram, peername, via_relay: bool = True) -> None:
+        """Swap the datagram carrier (direct UDP -> ACDS relay, or a
+        re-nominated ICE pair after consent loss). DTLS doesn't bind to
+        addresses and SCTP retransmits in-flight chunks, so the channel —
+        even mid-handshake — continues over the new carrier."""
         self._send_datagram = send_datagram
         self.peer = peername
-        self.via_relay = True
+        self.via_relay = via_relay
         # nudge retransmission onto the new carrier immediately
         self.dtls.handle_timeout()
         self._drain_dtls()

@@ -80,6 +80,21 @@ def parse(sdp: str) -> SdpInfo:
     return info
 
 
+def parse_candidate_line(line: str) -> dict | None:
+    """One trickled candidate (RFC 8838): accepts the wire shapes browsers
+    emit — a full ``a=candidate:...`` SDP line, the JSEP ``candidate:...``
+    RTCIceCandidate.candidate string, or the bare attribute value. Returns
+    the internal {ip, port, type} dict or None for end-of-candidates /
+    unusable (TCP, IPv6/mDNS) candidates."""
+    line = line.strip()
+    for prefix in ("a=candidate:", "candidate:"):
+        if line.startswith(prefix):
+            return _parse_candidate(line[len(prefix):])
+    if line and not line.startswith("a=end-of-candidates"):
+        return _parse_candidate(line)
+    return None
+
+
 def _parse_candidate(value: str) -> dict | None:
     """candidate-attribute (RFC 8839 §5.1): foundation component transport
     priority address port 'typ' type ..."""

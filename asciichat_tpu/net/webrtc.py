@@ -41,6 +41,16 @@ SEGMENT_SIZE = 1200  # stay under typical path MTU
 RTO_S = 0.2
 WINDOW = 64
 
+# RFC 7675 consent freshness on the nominated pair (libdatachannel keeps
+# the same keepalive/consent discipline on its agent,
+# /root/reference/lib/network/webrtc/ice.c role): a STUN Binding request
+# every CONSENT_INTERVAL_S; a valid response refreshes consent; no valid
+# response for CONSENT_EXPIRY_S declares the pair dead (NAT rebind, path
+# loss) and triggers re-nomination, then the relay fallback.
+CONSENT_INTERVAL_S = 5.0
+CONSENT_EXPIRY_S = 30.0
+RENOMINATE_TIMEOUT_S = 4.0
+
 # Channel-stack default for new agents: "auto" upgrades to DTLS-SCTP
 # DataChannels when OpenSSL 3 is present AND the peer advertises a
 # fingerprint; ASCIICHAT_P2P_DTLS=0 pins the legacy secretbox stream
@@ -59,7 +69,10 @@ def _rand_token(n: int = 8) -> str:
 class IceLiteAgent(asyncio.DatagramProtocol):
     """One-socket ICE-lite agent + the reliable channel's datagram engine."""
 
-    def __init__(self, controlling: bool, dtls: bool | str | None = None):
+    def __init__(self, controlling: bool, dtls: bool | str | None = None,
+                 consent_interval: float = CONSENT_INTERVAL_S,
+                 consent_expiry: float = CONSENT_EXPIRY_S,
+                 renominate_timeout: float = RENOMINATE_TIMEOUT_S):
         self.controlling = controlling
         self.ufrag = _rand_token(3)
         self.pwd = _rand_token(11)
@@ -73,6 +86,18 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         self._superseded = False  # relay fallback won; never nominate late
         self._srflx_waiters: dict[bytes, asyncio.Future] = {}
         self.srflx_candidate: dict | None = None
+        # RFC 7675 consent freshness + re-nomination state
+        self.consent_interval = consent_interval
+        self.consent_expiry = consent_expiry
+        self.renominate_timeout = renominate_timeout
+        self.on_pair_failed = None  # callback: direct path dead, no new pair
+        self._consent_task: asyncio.Task | None = None
+        self._fail_task: asyncio.Task | None = None
+        self._consent_txids: set[bytes] = set()
+        self._last_consent = 0.0
+        self.pair_deaths = 0  # consent expiries (observability)
+        self.renominations = 0  # pairs re-nominated after a death
+        self.prflx_promoted = 0  # peer-reflexive candidates learned
         # DTLS-SCTP DataChannel upgrade (browser-grade stack): advertise a
         # certificate fingerprint when OpenSSL is available; the channel
         # type is then negotiated — both sides advertise -> DataChannel,
@@ -209,26 +234,110 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             # has no way to secure the channel — refuse up front
             raise ValueError("remote description has neither pubkey nor "
                              "dtls_fp; no secure channel possible")
-        if self.controlling and self._check_task is None:
+        if self.controlling:
+            self._start_checks()
+
+    def _start_checks(self) -> None:
+        if self._check_task is None or self._check_task.done():
             self._check_task = asyncio.get_running_loop().create_task(
                 self._run_checks()
             )
 
+    def add_remote_candidate(self, cand: dict) -> None:
+        """Trickle ICE (RFC 8838): a candidate arriving AFTER the initial
+        description joins the live check list — `_run_checks` re-reads the
+        candidate list every pass, so a late host/srflx/prflx candidate is
+        probed on the next 200 ms beat with no restart."""
+        if self.remote is None or not cand.get("ip"):
+            return
+        known = {(c["ip"], c["port"]) for c in self.remote["candidates"]}
+        if (cand["ip"], cand["port"]) in known:
+            return
+        self.remote["candidates"].append(dict(cand))
+        if self.controlling and not self.connected.is_set():
+            self._start_checks()
+
     async def _run_checks(self) -> None:
         """Connectivity checks: STUN Binding to every remote candidate until
         one answers with a valid response (RFC 8445 §7, simplified: first
-        valid pair is nominated via USE-CANDIDATE)."""
+        valid pair is nominated via USE-CANDIDATE). The candidate list is
+        re-read each pass (trickle + prflx promotion feed it live)."""
         username = f"{self.remote['ufrag']}:{self.ufrag}"
         remote_pwd = self.remote["pwd"].encode()
         for _attempt in range(25):  # ~5 s
-            if self.connected.is_set():
+            if self.connected.is_set() or self.transport is None:
                 return
-            for cand in self.remote["candidates"]:
+            for cand in list(self.remote["candidates"]):
                 txid = stun.new_transaction_id()
                 req = stun.make_binding_request(txid, username, remote_pwd,
                                                 controlling=True)
                 self.transport.sendto(req, (cand["ip"], cand["port"]))
             await asyncio.sleep(0.2)
+
+    # -- RFC 7675 consent freshness -------------------------------------------
+    def _start_consent(self) -> None:
+        if self._consent_task is None or self._consent_task.done():
+            self._consent_task = asyncio.get_running_loop().create_task(
+                self._consent_loop()
+            )
+
+    async def _consent_loop(self) -> None:
+        """Consent checks on the nominated pair: an ICE-credentialed Binding
+        request every `consent_interval`; valid responses stamp
+        `_last_consent`; a stamp older than `consent_expiry` means sustained
+        loss or a NAT rebind — tear the pair down (`_pair_dead`)."""
+        while (not self._superseded and self.transport is not None
+               and self.peer_addr is not None):
+            await asyncio.sleep(self.consent_interval)
+            if (self._superseded or self.transport is None
+                    or self.peer_addr is None):
+                return
+            if self.remote is None:
+                # controlled side nominated from an early Binding request
+                # before set_remote: no credentials to send checks with yet
+                self._last_consent = time.monotonic()
+                continue
+            txid = stun.new_transaction_id()
+            self._consent_txids.add(txid)
+            if len(self._consent_txids) > 16:  # bound: drop stale ids
+                self._consent_txids.pop()
+            req = stun.make_binding_request(
+                txid, f"{self.remote['ufrag']}:{self.ufrag}",
+                self.remote["pwd"].encode(), controlling=self.controlling,
+            )
+            self.transport.sendto(req, self.peer_addr)
+            if time.monotonic() - self._last_consent > self.consent_expiry:
+                self._pair_dead()
+                return
+
+    def _pair_dead(self) -> None:
+        """Nominated pair lost consent: un-nominate and try to repair —
+        controlling side re-runs checks over every known candidate
+        (including promoted prflx); controlled (ice-lite) side waits for the
+        peer's checks to find us again. If nothing re-nominates within
+        `renominate_timeout`, `on_pair_failed` fires (the session's cue to
+        walk down to the ACDS relay rung)."""
+        old = self.peer_addr
+        self.pair_deaths += 1
+        self.peer_addr = None
+        self.connected.clear()
+        self._consent_txids.clear()
+        log.warning("ICE consent expired on pair %s; attempting "
+                    "re-nomination", old)
+        if self.controlling:
+            self._start_checks()
+        if self._fail_task is None or self._fail_task.done():
+            self._fail_task = asyncio.get_running_loop().create_task(
+                self._fail_after(self.renominate_timeout)
+            )
+
+    async def _fail_after(self, delay: float) -> None:
+        await asyncio.sleep(delay)
+        if (self.peer_addr is None and not self._superseded
+                and self.on_pair_failed is not None):
+            cb, self.on_pair_failed = self.on_pair_failed, None
+            log.warning("ICE re-nomination failed; signaling pair failure")
+            cb()
 
     # -- datagram dispatch ----------------------------------------------------
     def datagram_received(self, data: bytes, addr) -> None:
@@ -250,6 +359,18 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             self.transport.sendto(
                 stun.make_binding_response(txid, addr, self.pwd.encode()), addr
             )
+            # peer-reflexive promotion (RFC 8445 §7.3.1.3): an authenticated
+            # request from an address the peer never advertised (its NAT
+            # mapping) becomes a checkable candidate — after a pair death,
+            # re-nomination can target the address that actually works
+            if self.remote is not None:
+                known = {(c["ip"], c["port"])
+                         for c in self.remote["candidates"]}
+                if addr[:2] not in known:
+                    self.remote["candidates"].append(
+                        {"ip": addr[0], "port": addr[1], "type": "prflx"})
+                    self.prflx_promoted += 1
+                    log.info("promoted prflx candidate %s", addr)
             self._nominate(addr)
         elif msg_type == stun.BINDING_SUCCESS:
             waiter = self._srflx_waiters.get(txid)
@@ -269,6 +390,11 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             if self.remote and stun.verify_integrity(
                 data, self.remote["pwd"].encode()
             ):
+                if txid in self._consent_txids:
+                    # answer to OUR consent check: consent refreshed
+                    self._consent_txids.discard(txid)
+                    self._last_consent = time.monotonic()
+                    return
                 self._nominate(addr)
 
     def stop_ice(self) -> None:
@@ -278,9 +404,10 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         second, unread channel after the relay rung has won, and stops the
         socket/probe-task leak on every fallback."""
         self._superseded = True
-        if self._check_task:
-            self._check_task.cancel()
-            self._check_task = None
+        for t in (self._check_task, self._consent_task, self._fail_task):
+            if t:
+                t.cancel()
+        self._check_task = self._consent_task = self._fail_task = None
         if self.transport:
             self.transport.close()
             self.transport = None
@@ -290,11 +417,21 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             return
         if self.peer_addr is None:
             self.peer_addr = addr
-            self.channel = self.make_channel(
-                lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a),
-                peername=addr,
-            )
+            self._last_consent = time.monotonic()
+            if self._fail_task is not None:
+                self._fail_task.cancel()
+                self._fail_task = None
+            sender = lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a)  # noqa: E731
+            if self.channel is None:
+                self.channel = self.make_channel(sender, peername=addr)
+            else:
+                # RE-nomination after a consent death: the application holds
+                # the live channel — swap its carrier to the new pair; ARQ/
+                # SCTP retransmit in-flight data with original sequence nums
+                self.channel.rebind(sender, addr, via_relay=False)
+                self.renominations += 1
             self.connected.set()
+            self._start_consent()
             log.info("ICE pair nominated: %s (%s, %s)", addr,
                      "controlling" if self.controlling else "controlled",
                      "dtls-sctp" if self._use_dtls() else "secretbox")
@@ -304,8 +441,9 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         return self.channel
 
     def close(self) -> None:
-        if self._check_task:
-            self._check_task.cancel()
+        for t in (self._check_task, self._consent_task, self._fail_task):
+            if t:
+                t.cancel()
         if self.channel:
             self.channel.close()
         if self.transport:
@@ -363,15 +501,16 @@ class SecureP2PChannel:
     async def wait_ready(self, timeout: float = 10.0) -> "SecureP2PChannel":
         return self
 
-    def rebind(self, send_datagram, peername) -> None:
+    def rebind(self, send_datagram, peername, via_relay: bool = True) -> None:
         """Swap the datagram carrier under a live channel (direct UDP ->
-        ACDS relay). Go-Back-N state is carrier-independent: unacked
-        segments simply retransmit over the new carrier with their original
-        sequence numbers, so a channel the application already holds keeps
-        working across the fallback."""
+        ACDS relay, or old pair -> re-nominated pair after a consent death).
+        Go-Back-N state is carrier-independent: unacked segments simply
+        retransmit over the new carrier with their original sequence
+        numbers, so a channel the application already holds keeps working
+        across the switch."""
         self._send_datagram = send_datagram
         self.peer = peername
-        self.via_relay = True
+        self.via_relay = via_relay
 
     # -- sending ---------------------------------------------------------------
     def _send_segment(self, seq: int, payload: bytes, flags: int = 0) -> None:
