@@ -372,54 +372,92 @@ def test_assets_serve_over_http():
     asyncio.run(asyncio.wait_for(run(), 30))
 
 
-def _corpus():
-    """Frames across modes for the JS<->Python equivalence run."""
-    out = []
-    for mode, (render, _) in sorted(MODES.items()):
-        rgb = next(iter(_rand_frames(seed=_mode_seed(mode), n=1)))
-        out.append(render(rgb, pal.DEFAULT_PALETTE).decode())
-    out.append("\x1b[38;2;1;2;3mA\x1b[3b\x1b[mB")
-    out.append("\x1b[97m\x1b[41mZ\x1b[2J\x1b[HX")
-    return out
+CORPUS_PATH = REPO / "tests" / "data" / "ansi_corpus.json"
+
+
+def _committed_corpus():
+    """The SHARED pinned corpus (tools/gen_ansi_corpus.py): ANSI frame text
+    -> expected cell grid, consumed by BOTH twins so they cannot drift
+    silently (VERDICT r03 #9). Regenerate with the tool after an
+    intentional grammar change — never hand-edit."""
+    return json.loads(CORPUS_PATH.read_text())["entries"]
+
+
+def test_committed_corpus_matches_python_twin():
+    """ansiparse must reproduce the committed expectations cell-for-cell.
+    A behavior change in the Python twin trips this; the same file gates
+    ansi.js under node — the twins share one contract."""
+    entries = _committed_corpus()
+    assert len(entries) >= 26  # 10 grammars x 2 frames + edge cases
+    for e in entries:
+        grid = ansiparse.AnsiGrid().parse(e["text"])
+        assert (grid.w, grid.h) == (e["w"], e["h"]), e["name"]
+        it = iter(e["cells"])
+        for y in range(grid.h):
+            for x in range(grid.w):
+                assert tuple(next(it)) == grid.cell(x, y), (e["name"], x, y)
+
+
+def test_corpus_is_regenerable_and_current():
+    """The committed JSON equals a fresh generation — catches a grammar/
+    parser change that forgot to regenerate the shared contract (and pins
+    the generator itself to determinism)."""
+    import importlib
+
+    sys_path_hack = str(REPO / "tools")
+    import sys as _sys
+
+    _sys.path.insert(0, sys_path_hack)
+    try:
+        gen = importlib.import_module("gen_ansi_corpus")
+    finally:
+        _sys.path.remove(sys_path_hack)
+    fresh = []
+    import zlib
+
+    for mode, render in sorted(gen.RENDERS.items()):
+        for i, rgb in enumerate(gen._frames(zlib.crc32(mode.encode()), n=2)):
+            fresh.append(gen.entry(f"{mode}_{i}",
+                                   render(rgb, pal.DEFAULT_PALETTE).decode()))
+    for name, text in gen.EDGES:
+        fresh.append(gen.entry(f"edge_{name}", text))
+    assert fresh == _committed_corpus(), (
+        "tests/data/ansi_corpus.json is stale — rerun tools/gen_ansi_corpus.py")
 
 
 @pytest.mark.skipif(shutil.which("node") is None,
                     reason="no node interpreter in this image")
-def test_js_parser_matches_python_twin(tmp_path):
-    """Run the ACTUAL web/ansi.js under node on the corpus and compare every
-    cell against the Python twin (line-for-line sync check)."""
-    corpus = _corpus()
+def test_js_parser_matches_committed_corpus(tmp_path):
+    """Run the ACTUAL web/ansi.js under node against the SAME committed
+    corpus the Python twin is pinned to, comparing every cell to the
+    committed expectations (not to live Python — the contract file is the
+    single source of truth for both twins)."""
+    entries = _committed_corpus()
     runner = tmp_path / "run.mjs"
     runner.write_text(
         "const m = await import('file://"
         + str(REPO / "asciichat_tpu/web/ansi.js")
         + "');\n"
         "const fs = await import('fs');\n"
-        "const corpus = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));\n"
+        "const doc = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));\n"
+        "const G = m.AnsiGrid || m.default.AnsiGrid;\n"
         "const out = [];\n"
-        "for (const text of corpus) {\n"
-        "  const g = new m.default.AnsiGrid ? new m.default.AnsiGrid() : null;\n"
-        "  const G = m.AnsiGrid || m.default.AnsiGrid;\n"
-        "  const grid = new G(); grid.parse(text);\n"
+        "for (const e of doc.entries) {\n"
+        "  const grid = new G(); grid.parse(e.text);\n"
         "  const cells = [];\n"
         "  for (let y = 0; y < grid.h; y++) for (let x = 0; x < grid.w; x++)\n"
         "    cells.push(grid.cell(x, y));\n"
-        "  out.push({w: grid.w, h: grid.h, cells});\n"
+        "  out.push({name: e.name, w: grid.w, h: grid.h, cells});\n"
         "}\n"
         "fs.writeFileSync(process.argv[3], JSON.stringify(out));\n"
     )
-    cin, cout = tmp_path / "corpus.json", tmp_path / "out.json"
-    cin.write_text(json.dumps(corpus))
-    subprocess.run(["node", str(runner), str(cin), str(cout)], check=True,
-                   timeout=60)
+    cout = tmp_path / "out.json"
+    subprocess.run(["node", str(runner), str(CORPUS_PATH), str(cout)],
+                   check=True, timeout=60)
     js = json.loads(cout.read_text())
-    for text, res in zip(corpus, js):
-        grid = ansiparse.AnsiGrid().parse(text)
-        assert (res["w"], res["h"]) == (grid.w, grid.h)
-        it = iter(res["cells"])
-        for y in range(grid.h):
-            for x in range(grid.w):
-                assert tuple(next(it)) == grid.cell(x, y), (x, y)
+    for e, res in zip(entries, js):
+        assert (res["w"], res["h"]) == (e["w"], e["h"]), e["name"]
+        assert [list(c) for c in res["cells"]] == e["cells"], e["name"]
 
 
 def test_parser_survives_garbage():
