@@ -143,6 +143,11 @@ def emit_frames(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
+    if lens.min(initial=0) < 0:
+        # a native worker threw (bad_alloc in per-frame scratch): the C side
+        # catches it at the thread barrier and marks every frame -1 rather
+        # than letting the exception terminate/unwind the process
+        raise MemoryError("native emitter worker failed (allocation)")
     if not copy:
         # zero-copy ndarray views (buffer protocol: zstd/socket/crc consume
         # them directly); valid until this thread's next emit_frames call

@@ -62,8 +62,8 @@ class ImageFileSource(FrameSource):
     def __init__(self, path: str):
         from PIL import Image
 
-        img = Image.open(path).convert("RGB")
-        self._frame = np.asarray(img, dtype=np.uint8)
+        with Image.open(path) as img:  # close the fd; lazy PIL images hold it
+            self._frame = np.asarray(img.convert("RGB"), dtype=np.uint8)
         self.height, self.width = self._frame.shape[:2]
 
     def read(self) -> np.ndarray:
@@ -114,6 +114,8 @@ class NativeVideoFileSource(FrameSource):
         self._c = c
 
     def read(self) -> np.ndarray | None:
+        if not self._h:  # closed (or reopen failed): the C side has no guard
+            return None
         ptr = self._buf.ctypes.data_as(self._c.POINTER(self._c.c_uint8))
         rc = self._lib.ac_media_read_frame(self._h, ptr)
         if rc == 0 and self.loop:
@@ -141,31 +143,16 @@ class FFmpegFileSource(FrameSource):
     matching the reference decoder's prefetch + pacing
     (lib/media/ffmpeg_decoder.c:276 prefetch thread, :316 PTS pacing)."""
 
-    def __init__(self, path: str, loop: bool = False, input_obj=None):
+    def __init__(self, path: str, loop: bool = False):
         if not shutil.which("ffmpeg") or not shutil.which("ffprobe"):
             raise RuntimeError("ffmpeg/ffprobe not available on PATH")
-        probe_target = path
-        stdin = None
-        if input_obj is not None:
-            # memory/pipe input (ffmpeg_decoder.c:160-207 custom AVIO):
-            # seekable objects are probed from the start then rewound
-            if not (hasattr(input_obj, "seekable") and input_obj.seekable()):
-                raise RuntimeError("pipe input requires a seekable file object")
-            probe_target = "pipe:0"
         probe_cmd = [
             "ffprobe", "-v", "error", "-select_streams", "v:0",
             "-show_entries", "stream=width,height,r_frame_rate",
-            "-of", "csv=p=0", probe_target,
+            "-of", "csv=p=0", path,
         ]
-        if input_obj is not None:
-            input_obj.seek(0)
-            probe = subprocess.run(probe_cmd, capture_output=True, text=True,
-                                   check=True, stdin=input_obj)
-            input_obj.seek(0)
-            stdin = input_obj
-        else:
-            probe = subprocess.run(probe_cmd, capture_output=True, text=True,
-                                   check=True)
+        probe = subprocess.run(probe_cmd, capture_output=True, text=True,
+                               check=True)
         w, h, rate = probe.stdout.strip().split(",")
         self.width, self.height = int(w), int(h)
         num, _, den = rate.partition("/")
@@ -176,9 +163,8 @@ class FFmpegFileSource(FrameSource):
         cmd = ["ffmpeg", "-v", "error"]
         if loop:
             cmd += ["-stream_loop", "-1"]
-        cmd += ["-i", "pipe:0" if input_obj is not None else path,
-                "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
-        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stdin=stdin)
+        cmd += ["-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
         self._frame_bytes = self.width * self.height * 3
 
     def read(self) -> np.ndarray | None:
@@ -188,7 +174,15 @@ class FFmpegFileSource(FrameSource):
         return np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
 
     def close(self) -> None:
+        # kill + reap: without wait() every closed source leaves a zombie
+        # ffmpeg and an open pipe fd until the Popen object is GC'd
         self._proc.kill()
+        try:
+            self._proc.wait(timeout=5)
+        except Exception:
+            pass
+        if self._proc.stdout is not None:
+            self._proc.stdout.close()
 
 
 class PrefetchSource(FrameSource):
@@ -248,6 +242,12 @@ class PrefetchSource(FrameSource):
                 self._q.get_nowait()
         except Exception:
             pass
+        # JOIN before closing the inner source: the producer may be inside
+        # inner.read() right now, and closing a native source under it is a
+        # use-after-free (ac_media_read_frame on a freed Media*). A producer
+        # stuck in a blocking pipe read won't join — fall through and let
+        # inner.close() (which kills the decoder process) unblock it.
+        self._thread.join(timeout=5.0)
         self.inner.close()
 
 
@@ -315,15 +315,31 @@ class WebcamSource(FrameSource):
         # a select timeout inside the camera is TRANSIENT (auto-exposure
         # stall, USB hiccup) — returning None here would read as
         # end-of-stream to the capture loop and kill the uplink forever;
-        # retry for a generous window before declaring the camera dead
+        # retry for a generous window before declaring the camera dead.
+        # Backend exceptions (camera unplug -> WebcamUnavailable, spurious
+        # V4L2 ioctl OSError) also mean dead: the capture loop has no
+        # try/except, so they must become the documented return-None path.
         for _ in range(15):  # ~30 s at the 2 s device timeout
-            frame = self._cam.read()
+            try:
+                frame = self._cam.read()
+            except Exception:
+                return None
             if frame is not None:
                 return frame
         return None
 
     def close(self) -> None:
         self._cam.close()
+
+
+def _gif_is_animated(path: str) -> bool:
+    try:
+        from PIL import Image
+
+        with Image.open(path) as img:
+            return getattr(img, "n_frames", 1) > 1
+    except Exception:
+        return False
 
 
 def open_source(
@@ -338,14 +354,11 @@ def open_source(
     """pace=True (live playback) wraps video decode in prefetch + PTS pacing;
     pace=False (offline rendering, e.g. --render-file) decodes flat out."""
 
-    def _video(path, input_obj=None):
-        if input_obj is None:
-            try:
-                src = NativeVideoFileSource(path, loop=loop)
-            except RuntimeError:
-                src = FFmpegFileSource(path, loop=loop)
-        else:
-            src = FFmpegFileSource(path, loop=loop, input_obj=input_obj)
+    def _video(path):
+        try:
+            src = NativeVideoFileSource(path, loop=loop)
+        except RuntimeError:
+            src = FFmpegFileSource(path, loop=loop)
         if pace:
             return PacedSource(PrefetchSource(src))
         return src
@@ -356,14 +369,24 @@ def open_source(
         lower = file.lower()
         if lower.startswith(("http://", "https://")):
             # yt-dlp URL resolution fallback (lib/media/yt_dlp.c): resolve the
-            # page URL to a direct media URL, then decode via ffmpeg
+            # page URL to a direct media URL, then decode via ffmpeg. Any
+            # resolver failure — nonzero exit OR a hung site tripping the
+            # timeout — falls through to direct ffmpeg decode of the URL.
             if shutil.which("yt-dlp"):
-                resolved = subprocess.run(
-                    ["yt-dlp", "-g", "-f", "best", file],
-                    capture_output=True, text=True, timeout=60,
-                )
-                if resolved.returncode == 0 and resolved.stdout.strip():
+                try:
+                    resolved = subprocess.run(
+                        ["yt-dlp", "-g", "-f", "best", file],
+                        capture_output=True, text=True, timeout=60,
+                    )
+                except subprocess.TimeoutExpired:
+                    resolved = None
+                if (resolved is not None and resolved.returncode == 0
+                        and resolved.stdout.strip()):
                     file = resolved.stdout.strip().split("\n")[0]
+            return _video(file)
+        if lower.endswith(".gif") and _gif_is_animated(file):
+            # animated GIFs decode through libav like the reference's --file
+            # path (a PIL still would freeze on frame 0)
             return _video(file)
         if lower.endswith((".png", ".jpg", ".jpeg", ".bmp", ".gif", ".webp")):
             return ImageFileSource(file)

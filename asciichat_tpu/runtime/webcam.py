@@ -78,7 +78,11 @@ def mjpeg_to_rgb(buf: bytes) -> np.ndarray:
 
 
 def yuyv_to_rgb(buf: bytes, width: int, height: int) -> np.ndarray:
-    """YUYV 4:2:2 -> RGB24 (BT.601), vectorized (webcam_v4l2.c conversion)."""
+    """YUYV 4:2:2 -> RGB24, limited-range BT.601 integer math — the SAME
+    298/409/516 coefficients as nv12_to_rgb (and what the reference's
+    libswscale path produces for both formats, webcam_v4l2.c:758): the same
+    scene must not change brightness depending on which format the driver
+    negotiated."""
     data = np.frombuffer(buf, np.uint8)[: width * height * 2].reshape(height, width // 2, 4)
     y0 = data[..., 0].astype(np.int32)
     u = data[..., 1].astype(np.int32) - 128
@@ -87,9 +91,10 @@ def yuyv_to_rgb(buf: bytes, width: int, height: int) -> np.ndarray:
     y = np.stack([y0, y1], axis=-1).reshape(height, width)
     u = np.repeat(u, 2, axis=-1)
     v = np.repeat(v, 2, axis=-1)
-    r = y + ((351 * v) >> 8)
-    g = y - ((179 * v + 86 * u) >> 8)
-    b = y + ((443 * u) >> 8)
+    c = y - 16
+    r = (298 * c + 409 * v + 128) >> 8
+    g = (298 * c - 100 * u - 208 * v + 128) >> 8
+    b = (298 * c + 516 * u + 128) >> 8
     return np.stack([r, g, b], axis=-1).clip(0, 255).astype(np.uint8)
 
 
@@ -105,6 +110,7 @@ class V4L2Webcam:
         self.width = width
         self.height = height
         self.pixfmt = V4L2_PIX_FMT_RGB24
+        self.stride = 0  # driver bytesperline (set at format negotiation)
         self.buffers: list[mmap.mmap] = []
         try:
             self._setup(num_buffers)
@@ -126,6 +132,10 @@ class V4L2Webcam:
         struct.pack_into("<LLLL", fmt, 8, self.width, self.height, pixfmt, 1)
         self._ioctl(VIDIOC_S_FMT, fmt)
         w, h, got_fmt = struct.unpack_from("<LLL", fmt, 8)
+        # bytesperline at pix_format offset 16 (fmt offset 24): drivers that
+        # pad rows for DMA alignment report a stride > width*bpp, and a
+        # plain reshape would shear the image diagonally
+        self.stride = struct.unpack_from("<L", fmt, 24)[0]
         return w, h, got_fmt
 
     def _setup(self, num_buffers: int) -> None:
@@ -178,18 +188,35 @@ class V4L2Webcam:
         used = struct.unpack_from("<L", qb, 8)[0]
         raw = self.buffers[index][: used or len(self.buffers[index])]
         if self.pixfmt == V4L2_PIX_FMT_YUYV:
-            frame = yuyv_to_rgb(raw, self.width, self.height)
+            frame = yuyv_to_rgb(self._destride(raw, self.width * 2,
+                                               self.height),
+                                self.width, self.height)
         elif self.pixfmt == V4L2_PIX_FMT_NV12:
-            frame = nv12_to_rgb(raw, self.width, self.height)
+            # planar: de-stride the Y plane (stride x height) and the
+            # interleaved UV plane (stride x height/2) independently
+            y = self._destride(raw, self.width, self.height)
+            uv_off = (self.stride or self.width) * self.height
+            uv = self._destride(raw[uv_off:], self.width, self.height // 2)
+            frame = nv12_to_rgb(y + uv, self.width, self.height)
         elif self.pixfmt == V4L2_PIX_FMT_MJPEG:
             frame = mjpeg_to_rgb(raw)
         else:
-            frame = np.frombuffer(raw, np.uint8)[: self.width * self.height * 3]
+            tight = self._destride(raw, self.width * 3, self.height)
+            frame = np.frombuffer(tight, np.uint8)[: self.width * self.height * 3]
             frame = frame.reshape(self.height, self.width, 3)
             if self.pixfmt == V4L2_PIX_FMT_BGR24:
                 frame = frame[..., ::-1]
         self._ioctl(VIDIOC_QBUF, qb)
         return np.ascontiguousarray(frame)
+
+    def _destride(self, raw: bytes, row_bytes: int, rows: int) -> bytes:
+        """Drop per-row DMA padding (driver-reported bytesperline) so the
+        converters see tightly packed rows."""
+        stride = self.stride
+        if not stride or stride == row_bytes or len(raw) < stride * rows:
+            return raw
+        arr = np.frombuffer(raw, np.uint8, stride * rows).reshape(rows, stride)
+        return arr[:, :row_bytes].tobytes()
 
     def close(self) -> None:
         try:
@@ -244,6 +271,7 @@ class FfmpegDeviceWebcam:
         self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=self._errfile, bufsize=0)
         self._fps = fps
+        self._pending = b""  # partial frame surviving a stall timeout
 
     def _stderr_tail(self) -> str:
         try:
@@ -260,12 +288,17 @@ class FfmpegDeviceWebcam:
         import select as _select
         import time as _time
 
-        buf = b""
+        # resume any partial frame from a previous stall: discarding the
+        # consumed bytes would desynchronize the rawvideo stream permanently
+        # (byte k of the old frame would become byte 0 of the next)
+        buf = self._pending
+        self._pending = b""
         fd = self._proc.stdout.fileno()
         deadline = _time.monotonic() + timeout
         while len(buf) < self._frame_bytes:
             left = deadline - _time.monotonic()
             if left <= 0:
+                self._pending = buf  # keep alignment across the retry
                 return None  # stalled device; caller retries / falls back
             r, _, _ = _select.select([fd], [], [], left)
             if not r:

@@ -14,6 +14,7 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <climits>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -63,6 +64,10 @@ void* ac_h265_enc_open_named(const char* name, int w, int h, int fps,
   if (!codec) return nullptr;
   Enc* e = new Enc{};
   e->ctx = avcodec_alloc_context3(codec);
+  if (!e->ctx) {
+    delete e;
+    return nullptr;
+  }
   e->ctx->width = w;
   e->ctx->height = h;
   e->ctx->time_base = AVRational{1, fps > 0 ? fps : 30};
@@ -83,13 +88,27 @@ void* ac_h265_enc_open_named(const char* name, int w, int h, int fps,
     return nullptr;
   }
   e->frame = av_frame_alloc();
-  e->frame->format = AV_PIX_FMT_YUV420P;
-  e->frame->width = w;
-  e->frame->height = h;
-  av_frame_get_buffer(e->frame, 0);
+  if (e->frame) {
+    e->frame->format = AV_PIX_FMT_YUV420P;
+    e->frame->width = w;
+    e->frame->height = h;
+  }
   e->pkt = av_packet_alloc();
   e->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
                           SWS_POINT, nullptr, nullptr, nullptr);
+  // the probe chain's graceful-fallback contract: a handle is returned
+  // ONLY fully armed — a null frame buffer / packet / SwsContext here
+  // would segfault the first ac_h265_enc_frame instead of letting the
+  // prober fall through to the next encoder
+  if (!e->frame || !e->pkt || !e->sws ||
+      av_frame_get_buffer(e->frame, 0) < 0) {
+    avcodec_free_context(&e->ctx);
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    sws_freeContext(e->sws);
+    delete e;
+    return nullptr;
+  }
   e->pts = 0;
   return e;
 }
@@ -184,6 +203,10 @@ long ac_h265_dec_packet(void* h, const uint8_t* data, long len, uint8_t* out,
                         long cap) {
   Dec* d = (Dec*)h;
   av_packet_unref(d->pkt);
+  // len is attacker-influenced (per-client server decode path): a value
+  // past INT_MAX would truncate in av_new_packet while the memcpy below
+  // still copied the full long — a heap overflow, not just a bad packet
+  if (len < 0 || len > INT_MAX) return -1;
   if (av_new_packet(d->pkt, (int)len) < 0) return -1;
   memcpy(d->pkt->data, data, len);
   if (avcodec_send_packet(d->ctx, d->pkt) < 0) return -1;
@@ -270,6 +293,7 @@ void* ac_media_open(const char* path) {
     const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
     if (!codec) goto fail;
     m->dec = avcodec_alloc_context3(codec);
+    if (!m->dec) goto fail;
     avcodec_parameters_to_context(m->dec, st->codecpar);
     if (avcodec_open2(m->dec, codec, nullptr) < 0) goto fail;
     m->w = m->dec->width;
@@ -286,6 +310,8 @@ void* ac_media_open(const char* path) {
   return m;
 fail:
   if (m->dec) avcodec_free_context(&m->dec);
+  if (m->frame) av_frame_free(&m->frame);  // alloc'd before av_image_alloc
+  if (m->pkt) av_packet_free(&m->pkt);     // can still send us here
   avformat_close_input(&m->fmt);
   delete m;
   return nullptr;
@@ -397,6 +423,7 @@ void* ac_rec_open(const char* path, int w, int h, int fps, int crf,
   if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_HEVC);
   if (!codec) goto fail;
   r->enc = avcodec_alloc_context3(codec);
+  if (!r->enc) goto fail;
   r->enc->width = w;
   r->enc->height = h;
   r->enc->time_base = AVRational{1, fps > 0 ? fps : 30};
@@ -430,38 +457,55 @@ void* ac_rec_open(const char* path, int w, int h, int fps, int crf,
       r->aenc->time_base = AVRational{1, audio_rate};
       if (r->fmt->oformat->flags & AVFMT_GLOBALHEADER)
         r->aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-      if (avcodec_open2(r->aenc, ac, nullptr) == 0) {
-        r->ast = avformat_new_stream(r->fmt, ac);
+      if (avcodec_open2(r->aenc, ac, nullptr) == 0 &&
+          (r->ast = avformat_new_stream(r->fmt, ac)) != nullptr &&
+          (r->aframe = av_frame_alloc()) != nullptr) {
         avcodec_parameters_from_context(r->ast->codecpar, r->aenc);
         r->ast->time_base = r->aenc->time_base;
         r->aframe_size = r->aenc->frame_size > 0 ? r->aenc->frame_size : 1024;
-        r->aframe = av_frame_alloc();
         r->aframe->format = AV_SAMPLE_FMT_FLTP;
         r->aframe->nb_samples = r->aframe_size;
         av_channel_layout_default(&r->aframe->ch_layout, 1);
-        av_frame_get_buffer(r->aframe, 0);
         r->abuf = (float*)av_malloc(sizeof(float) * r->aframe_size);
+        if (av_frame_get_buffer(r->aframe, 0) < 0 || !r->abuf) goto fail;
         r->abuf_len = 0;
         r->apts = 0;
       } else {
+        // audio is best-effort: a missing/unopenable AAC encoder or failed
+        // stream alloc downgrades to video-only, it must not fail the open
         avcodec_free_context(&r->aenc);
+        r->ast = nullptr;
       }
     }
   }
   if (avformat_write_header(r->fmt, nullptr) < 0) goto fail;
   r->frame = av_frame_alloc();
+  if (!r->frame) goto fail;
   r->frame->format = AV_PIX_FMT_YUV420P;
   r->frame->width = w;
   r->frame->height = h;
-  av_frame_get_buffer(r->frame, 0);
   r->pkt = av_packet_alloc();
   r->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
                           SWS_POINT, nullptr, nullptr, nullptr);
+  if (av_frame_get_buffer(r->frame, 0) < 0 || !r->pkt || !r->sws) goto fail;
   r->pts = 0;
   return r;
 fail:
+  // free EVERYTHING that may exist by any goto above — notably the opened
+  // avio handle and the audio objects, which a failed write_header (e.g. a
+  // container that rejects HEVC) previously leaked along with its open fd
   if (r->enc) avcodec_free_context(&r->enc);
-  if (r->fmt) avformat_free_context(r->fmt);
+  if (r->aenc) avcodec_free_context(&r->aenc);
+  if (r->aframe) av_frame_free(&r->aframe);
+  if (r->abuf) av_freep(&r->abuf);
+  if (r->frame) av_frame_free(&r->frame);
+  if (r->pkt) av_packet_free(&r->pkt);
+  if (r->sws) sws_freeContext(r->sws);
+  if (r->fmt) {
+    if (r->fmt->pb && !(r->fmt->oformat->flags & AVFMT_NOFILE))
+      avio_closep(&r->fmt->pb);
+    avformat_free_context(r->fmt);
+  }
   delete r;
   return nullptr;
 }

@@ -37,6 +37,10 @@ def convert(buf, src_w, src_h, out_w, out_h, color_level, render_mode, palette, 
     palette = _BP.get(palette, palette)  # names resolve; else custom chars
     r = _renderers.get(palette)
     if r is None:
+        # bounded: a client cycling distinct custom palette strings must not
+        # accrete one renderer (jit caches + glyph tables) per string forever
+        if len(_renderers) >= 32:
+            _renderers.pop(next(iter(_renderers)))
         r = _renderers[palette] = _R(palette)
     caps = _TC(_CL(color_level), _RM(render_mode))
     return r.convert(frame, out_w, out_h, caps, stretch=bool(stretch))
@@ -108,9 +112,16 @@ char* asciichat_convert(const uint8_t* rgb, int src_w, int src_h, int out_w,
   Py_ssize_t n;
   if (PyBytes_AsStringAndSize(res, &data, &n) == 0) {
     out = (char*)malloc((size_t)n + 1);
-    memcpy(out, data, (size_t)n);
-    out[n] = '\0';
-    *out_len = (size_t)n;
+    if (out) {
+      memcpy(out, data, (size_t)n);
+      out[n] = '\0';
+      *out_len = (size_t)n;
+    }
+  } else {
+    // a non-bytes result sets a TypeError; leaving the error indicator set
+    // would poison the NEXT convert call (CPython forbids calls with a
+    // pending exception)
+    PyErr_Print();
   }
   Py_DECREF(res);
   PyGILState_Release(gil);

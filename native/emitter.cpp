@@ -100,8 +100,9 @@ inline void put_u32(Buf& b, uint32_t v) {
 // component (over-write; advance by actual length). ~6 unaligned stores per
 // truecolor SGR instead of ~12 byte-wise puts — the buffer always has slack
 // (worst-case stride sizing in render/emitter.py).
-inline void sgr_tc_fg(Buf& b, uint8_t r, uint8_t g, uint8_t bl) {
-  memcpy(b.p, "\x1b[38;2", 6);
+inline void sgr_tc(Buf& b, const char* prefix6, uint8_t r, uint8_t g,
+                   uint8_t bl) {
+  memcpy(b.p, prefix6, 6);
   b.p += 6;
   memcpy(b.p, &SEMI_W[r], 4);
   b.p += SEMI_L[r];
@@ -110,32 +111,22 @@ inline void sgr_tc_fg(Buf& b, uint8_t r, uint8_t g, uint8_t bl) {
   memcpy(b.p, &SEMI_W[bl], 4);
   b.p += SEMI_L[bl];
   *b.p++ = 'm';
+}
+inline void sgr_tc_fg(Buf& b, uint8_t r, uint8_t g, uint8_t bl) {
+  sgr_tc(b, "\x1b[38;2", r, g, bl);
 }
 inline void sgr_tc_bg(Buf& b, uint8_t r, uint8_t g, uint8_t bl) {
-  memcpy(b.p, "\x1b[48;2", 6);
-  b.p += 6;
-  memcpy(b.p, &SEMI_W[r], 4);
-  b.p += SEMI_L[r];
-  memcpy(b.p, &SEMI_W[g], 4);
-  b.p += SEMI_L[g];
-  memcpy(b.p, &SEMI_W[bl], 4);
-  b.p += SEMI_L[bl];
-  *b.p++ = 'm';
+  sgr_tc(b, "\x1b[48;2", r, g, bl);
 }
-inline void sgr_256_fg(Buf& b, uint8_t idx) {
-  memcpy(b.p, "\x1b[38;5", 6);
+inline void sgr_256(Buf& b, const char* prefix6, uint8_t idx) {
+  memcpy(b.p, prefix6, 6);
   b.p += 6;
   memcpy(b.p, &SEMI_W[idx], 4);
   b.p += SEMI_L[idx];
   *b.p++ = 'm';
 }
-inline void sgr_256_bg(Buf& b, uint8_t idx) {
-  memcpy(b.p, "\x1b[48;5", 6);
-  b.p += 6;
-  memcpy(b.p, &SEMI_W[idx], 4);
-  b.p += SEMI_L[idx];
-  *b.p++ = 'm';
-}
+inline void sgr_256_fg(Buf& b, uint8_t idx) { sgr_256(b, "\x1b[38;5", idx); }
+inline void sgr_256_bg(Buf& b, uint8_t idx) { sgr_256(b, "\x1b[48;5", idx); }
 inline void sgr_16_fg(Buf& b, uint8_t idx) {
   if (idx >= 16) idx = 7;
   put(b, FG16[idx], FG16_LEN[idx]);
@@ -228,10 +219,41 @@ inline int run_end_u8(const uint8_t* row, int x, int W, uint8_t k) {
   return j;
 }
 
-void parallel_for(int B, int nthreads, const std::function<void(int)>& fn) {
+// End of the run where BOTH halfblock rows' packed RGB stay constant;
+// writes the packed colors at x. Shared by the truecolor and mono halfblock
+// emitters so a run-rule fix cannot silently diverge between them.
+inline int run_end_pair_rgb(const uint8_t* rt, const uint8_t* rb, int x,
+                            int W, int& tcol, int& bcol) {
+  tcol = rt[x * 3] << 16 | rt[x * 3 + 1] << 8 | rt[x * 3 + 2];
+  bcol = rb[x * 3] << 16 | rb[x * 3 + 1] << 8 | rb[x * 3 + 2];
+  int j = x + 1;
+  while (j < W) {
+    int t2 = rt[j * 3] << 16 | rt[j * 3 + 1] << 8 | rt[j * 3 + 2];
+    int b2 = rb[j * 3] << 16 | rb[j * 3 + 1] << 8 | rb[j * 3 + 2];
+    if (t2 != tcol || b2 != bcol) break;
+    ++j;
+  }
+  return j;
+}
+
+// Returns false if any invocation threw (e.g. bad_alloc in a per-frame
+// scratch vector). The barrier matters: an exception escaping a
+// std::thread body calls std::terminate and kills the whole embedding
+// process, and in the 1-thread path it would unwind across the
+// extern "C"/ctypes boundary (undefined behavior). Callers mark lens[b]=-1
+// so the Python wrapper can raise instead.
+bool parallel_for(int B, int nthreads, const std::function<void(int)>& fn) {
+  std::atomic<bool> ok{true};
+  auto safe = [&](int b) {
+    try {
+      fn(b);
+    } catch (...) {
+      ok.store(false);
+    }
+  };
   if (nthreads <= 1 || B <= 1) {
-    for (int b = 0; b < B; ++b) fn(b);
-    return;
+    for (int b = 0; b < B && ok.load(); ++b) safe(b);
+    return ok.load();
   }
   int T = std::min(nthreads, B);
   std::atomic<int> next{0};
@@ -240,9 +262,10 @@ void parallel_for(int B, int nthreads, const std::function<void(int)>& fn) {
   for (int t = 0; t < T; ++t)
     ts.emplace_back([&] {
       int b;
-      while ((b = next.fetch_add(1)) < B) fn(b);
+      while ((b = next.fetch_add(1)) < B && ok.load()) safe(b);
     });
   for (auto& t : ts) t.join();
+  return ok.load();
 }
 
 }  // namespace
@@ -254,7 +277,7 @@ extern "C" {
 void ac_emit_mono(const uint8_t* keys, int B, int H, int W,
                   const uint8_t* glyphs64, int pad_w, int pad_h, uint8_t* out,
                   int64_t stride, int64_t* lens, int nthreads) {
-  parallel_for(B, nthreads, [&](int b) {
+  bool ok_ = parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* base = keys + (int64_t)b * H * W;
     pad_top(buf, pad_h);
@@ -278,6 +301,8 @@ void ac_emit_mono(const uint8_t* keys, int B, int H, int W,
     }
     lens[b] = buf.p - (out + (int64_t)b * stride);
   });
+  if (!ok_)
+    for (int b = 0; b < B; ++b) lens[b] = -1;
 }
 
 // truecolor FG: image_print_color grammar (foreground.c:195-308 + RLE ctx
@@ -301,7 +326,7 @@ void ac_emit_truecolor_fg(const uint8_t* rgb, const uint8_t* luma, int B, int H,
     }
     gl1[i] = (char)e[1];
   }
-  parallel_for(B, nthreads, [&](int b) {
+  bool ok_ = parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* prgb = rgb + (int64_t)b * H * W * 3;
     const uint8_t* plum = luma + (int64_t)b * H * W;
@@ -358,6 +383,8 @@ void ac_emit_truecolor_fg(const uint8_t* rgb, const uint8_t* luma, int B, int H,
     sgr_reset(buf);
     lens[b] = buf.p - (out + (int64_t)b * stride);
   });
+  if (!ok_)
+    for (int b = 0; b < B; ++b) lens[b] = -1;
 }
 
 // 256/16-color FG: SGR every pixel + glyph + reset per row (foreground.c:433-624).
@@ -367,7 +394,7 @@ void ac_emit_indexed(const uint8_t* color, const uint8_t* gidx, int B, int H,
                      int W, int is16, const uint8_t* glyphs256, int pad_w,
                      int pad_h, uint8_t* out, int64_t stride, int64_t* lens,
                      int nthreads) {
-  parallel_for(B, nthreads, [&](int b) {
+  bool ok_ = parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* pc = color + (int64_t)b * H * W;
     const uint8_t* pg = gidx + (int64_t)b * H * W;
@@ -388,6 +415,8 @@ void ac_emit_indexed(const uint8_t* color, const uint8_t* gidx, int B, int H,
     }
     lens[b] = buf.p - (out + (int64_t)b * stride);
   });
+  if (!ok_)
+    for (int b = 0; b < B; ++b) lens[b] = -1;
 }
 
 // 16-color Floyd-Steinberg dithered (+ optional background mode): dither is
@@ -400,7 +429,7 @@ void ac_emit_16_dithered(const uint8_t* rgb, const uint8_t* luma, int B, int H,
                          const uint8_t* glyphs256, int pad_w, int pad_h,
                          uint8_t* out, int64_t stride, int64_t* lens,
                          int nthreads) {
-  parallel_for(B, nthreads, [&](int b) {
+  bool ok_ = parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* prgb = rgb + (int64_t)b * H * W * 3;
     const uint8_t* plum = luma + (int64_t)b * H * W;
@@ -459,6 +488,8 @@ void ac_emit_16_dithered(const uint8_t* rgb, const uint8_t* luma, int B, int H,
     }
     lens[b] = buf.p - (out + (int64_t)b * stride);
   });
+  if (!ok_)
+    for (int b = 0; b < B; ++b) lens[b] = -1;
 }
 
 // Truecolor halfblock (halfblock.c:48-165). top/bot u8 [B,R,W,3] (bottom row
@@ -467,7 +498,7 @@ void ac_emit_halfblock_truecolor(const uint8_t* top, const uint8_t* bot, int B,
                                  int R, int W, int pad_w, int pad_h,
                                  uint8_t* out, int64_t stride, int64_t* lens,
                                  int nthreads) {
-  parallel_for(B, nthreads, [&](int b) {
+  bool ok_ = parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* pt = top + (int64_t)b * R * W * 3;
     const uint8_t* pb = bot + (int64_t)b * R * W * 3;
@@ -479,15 +510,8 @@ void ac_emit_halfblock_truecolor(const uint8_t* top, const uint8_t* bot, int B,
       int cf = -1, cb = -1;  // packed current fg/bg (-1 = unset)
       int x = 0;
       while (x < W) {
-        int tcol = rt[x * 3] << 16 | rt[x * 3 + 1] << 8 | rt[x * 3 + 2];
-        int bcol = rb[x * 3] << 16 | rb[x * 3 + 1] << 8 | rb[x * 3 + 2];
-        int j = x + 1;
-        while (j < W) {
-          int t2 = rt[j * 3] << 16 | rt[j * 3 + 1] << 8 | rt[j * 3 + 2];
-          int b2 = rb[j * 3] << 16 | rb[j * 3 + 1] << 8 | rb[j * 3 + 2];
-          if (t2 != tcol || b2 != bcol) break;
-          ++j;
-        }
+        int tcol, bcol;
+        int j = run_end_pair_rgb(rt, rb, x, W, tcol, bcol);
         uint32_t run = (uint32_t)(j - x);
         if (tcol == 0 && bcol == 0) {
           if (cf != -1 || cb != -1) {
@@ -518,6 +542,8 @@ void ac_emit_halfblock_truecolor(const uint8_t* top, const uint8_t* bot, int B,
     }
     lens[b] = buf.p - (out + (int64_t)b * stride);
   });
+  if (!ok_)
+    for (int b = 0; b < B; ++b) lens[b] = -1;
 }
 
 // 16/256-color halfblock (halfblock.c:297-524): runs on quantized (fg,bg)
@@ -526,7 +552,7 @@ void ac_emit_halfblock_indexed(const uint8_t* fg, const uint8_t* bg,
                                const uint8_t* transparent, int B, int R, int W,
                                int is16, int pad_w, int pad_h, uint8_t* out,
                                int64_t stride, int64_t* lens, int nthreads) {
-  parallel_for(B, nthreads, [&](int b) {
+  bool ok_ = parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* pf = fg + (int64_t)b * R * W;
     const uint8_t* pg = bg + (int64_t)b * R * W;
@@ -580,6 +606,8 @@ void ac_emit_halfblock_indexed(const uint8_t* fg, const uint8_t* bg,
     }
     lens[b] = buf.p - (out + (int64_t)b * stride);
   });
+  if (!ok_)
+    for (int b = 0; b < B; ++b) lens[b] = -1;
 }
 
 // Monochrome halfblock (halfblock.c:184-286): runs on exact RGB pair
@@ -589,7 +617,7 @@ void ac_emit_halfblock_mono(const uint8_t* top, const uint8_t* bot, int B,
                             int64_t stride, int64_t* lens, int nthreads) {
   static const char* SHADES[4] = {"\xe2\x96\x91", "\xe2\x96\x92",
                                   "\xe2\x96\x93", "\xe2\x96\x88"};
-  parallel_for(B, nthreads, [&](int b) {
+  bool ok_ = parallel_for(B, nthreads, [&](int b) {
     Buf buf{out + (int64_t)b * stride};
     const uint8_t* pt = top + (int64_t)b * R * W * 3;
     const uint8_t* pb = bot + (int64_t)b * R * W * 3;
@@ -600,15 +628,8 @@ void ac_emit_halfblock_mono(const uint8_t* top, const uint8_t* bot, int B,
       const uint8_t* rb = pb + (int64_t)y * W * 3;
       int x = 0;
       while (x < W) {
-        int tcol = rt[x * 3] << 16 | rt[x * 3 + 1] << 8 | rt[x * 3 + 2];
-        int bcol = rb[x * 3] << 16 | rb[x * 3 + 1] << 8 | rb[x * 3 + 2];
-        int j = x + 1;
-        while (j < W) {
-          int t2 = rt[j * 3] << 16 | rt[j * 3 + 1] << 8 | rt[j * 3 + 2];
-          int b2 = rb[j * 3] << 16 | rb[j * 3 + 1] << 8 | rb[j * 3 + 2];
-          if (t2 != tcol || b2 != bcol) break;
-          ++j;
-        }
+        int tcol, bcol;
+        int j = run_end_pair_rgb(rt, rb, x, W, tcol, bcol);
         uint32_t run = (uint32_t)(j - x);
         int lum_top = (rt[x * 3] * 76 + rt[x * 3 + 1] * 150 + rt[x * 3 + 2] * 29) >> 8;
         int lum_bot = (rb[x * 3] * 76 + rb[x * 3 + 1] * 150 + rb[x * 3 + 2] * 29) >> 8;
@@ -629,6 +650,8 @@ void ac_emit_halfblock_mono(const uint8_t* top, const uint8_t* bot, int B,
     }
     lens[b] = buf.p - (out + (int64_t)b * stride);
   });
+  if (!ok_)
+    for (int b = 0; b < B; ++b) lens[b] = -1;
 }
 
 }  // extern "C"

@@ -1,0 +1,249 @@
+"""Regression tests for the round-4 adversarial review sweep (VERDICT r03
+#8) over runtime/{framesource,webcam}.py and the native emitter/avshim/capi
+fixes that are reachable from Python."""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_ffmpeg_device_webcam_keeps_partial_frame_across_stall(tmp_path):
+    """A stall timeout mid-frame must NOT discard consumed bytes: the
+    rawvideo stream has no framing, so dropping k bytes shifts every later
+    frame. The fake device emits half a frame, stalls past the timeout,
+    then emits the rest — the eventual frame must be correctly aligned."""
+    from asciichat_tpu.runtime.webcam import FfmpegDeviceWebcam
+
+    w, h = 16, 8
+    half = w * h * 3 // 2
+    fake = tmp_path / "ffmpeg"
+    fake.write_text(
+        "#!/bin/sh\n"
+        "python3 -c 'import sys, time\n"
+        f"sys.stdout.buffer.write(bytes([7]) * {half})\n"
+        "sys.stdout.buffer.flush()\n"
+        "time.sleep(1.2)\n"
+        f"sys.stdout.buffer.write(bytes([7]) * {half})\n"
+        f"sys.stdout.buffer.write(bytes([9]) * {w * h * 3})\n"
+        "sys.stdout.buffer.flush()\n"
+        "time.sleep(2)'\n"
+    )
+    fake.chmod(0o755)
+    old_path = os.environ["PATH"]
+    os.environ["PATH"] = f"{tmp_path}:{old_path}"
+    try:
+        cam = FfmpegDeviceWebcam("avfoundation", "0", width=w, height=h)
+        frames = []
+        stalls = 0
+        deadline = time.monotonic() + 20
+        while len(frames) < 2 and time.monotonic() < deadline:
+            f = cam.read(timeout=0.4)  # < the fake's 1.2 s mid-frame stall
+            if f is None:
+                stalls += 1
+                continue
+            frames.append(f)
+        cam.close()
+        assert len(frames) == 2
+        assert stalls >= 1, "the mid-frame stall never hit the timeout path"
+        # alignment survived: frame 0 all 7s, frame 1 all 9s
+        assert np.all(frames[0] == 7)
+        assert np.all(frames[1] == 9)
+    finally:
+        os.environ["PATH"] = old_path
+
+
+def test_yuyv_matches_nv12_limited_range():
+    """The two converters must produce the SAME RGB for the same Y/U/V
+    (limited-range BT.601 298/409/516) — the negotiated driver format must
+    not change the picture."""
+    from asciichat_tpu.runtime.webcam import nv12_to_rgb, yuyv_to_rgb
+
+    w, h = 8, 4
+    for yv, uu, vv in [(255, 128, 128), (0, 128, 128), (81, 90, 240),
+                       (128, 128, 128), (145, 54, 34), (16, 128, 128)]:
+        yuyv = bytes([yv, uu, yv, vv] * (w * h // 2))
+        nv12 = bytes([yv] * (w * h)) + bytes([uu, vv] * (w * h // 4))
+        a = yuyv_to_rgb(yuyv, w, h)
+        b = nv12_to_rgb(nv12, w, h)
+        np.testing.assert_array_equal(a, b, err_msg=f"y={yv} u={uu} v={vv}")
+    # limited-range anchors: video white saturates, video black floors
+    white = yuyv_to_rgb(bytes([235, 128, 235, 128] * (w * h // 2)), w, h)
+    assert np.all(white >= 254)
+    black = yuyv_to_rgb(bytes([16, 128, 16, 128] * (w * h // 2)), w, h)
+    assert np.all(black == 0)
+
+
+def test_v4l2_destride_drops_row_padding():
+    """bytesperline > row_bytes (DMA-aligned drivers) must de-stride, not
+    shear: rows are compacted before reshape/convert."""
+    from asciichat_tpu.runtime.webcam import V4L2Webcam
+
+    cam = V4L2Webcam.__new__(V4L2Webcam)  # no device in this image
+    cam.stride = 40  # 32 payload + 8 pad
+    rows = []
+    raw = b""
+    for r in range(4):
+        row = bytes([r] * 32)
+        rows.append(row)
+        raw += row + b"\xee" * 8
+    tight = cam._destride(raw, 32, 4)
+    assert tight == b"".join(rows)
+    # no stride / already tight / short buffer -> passthrough
+    cam.stride = 0
+    assert cam._destride(raw, 32, 4) == raw
+    cam.stride = 32
+    assert cam._destride(raw[:128], 32, 4) == raw[:128]
+    cam.stride = 40
+    assert cam._destride(raw[:100], 32, 4) == raw[:100]  # truncated: as-is
+
+
+def test_prefetch_close_joins_producer_before_inner_close():
+    """close() must join the decode-ahead thread before closing the inner
+    source — closing a native handle mid-read is a use-after-free."""
+    from asciichat_tpu.runtime.framesource import FrameSource, PrefetchSource
+
+    events = []
+
+    class Slow(FrameSource):
+        width = height = 4
+        closed = False
+
+        def read(self):
+            events.append("read-start")
+            time.sleep(0.3)
+            if self.closed:
+                events.append("READ-AFTER-CLOSE")
+            events.append("read-end")
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def close(self):
+            self.closed = True
+            events.append("close")
+
+    src = Slow()
+    p = PrefetchSource(src, depth=2)
+    assert p.read() is not None
+    p.close()
+    assert not p._thread.is_alive(), "producer not joined"
+    assert "READ-AFTER-CLOSE" not in events
+    assert events[-1] == "close"
+
+
+def test_native_video_source_read_after_close_returns_none(tmp_path):
+    """NativeVideoFileSource.read on a closed handle must return None, not
+    hand NULL to the C side."""
+    from asciichat_tpu.models.renderfile import NativeRecorder
+    from asciichat_tpu.runtime.framesource import NativeVideoFileSource
+
+    # make a tiny video with the recorder if libav is present
+    try:
+        path = str(tmp_path / "t.mp4")
+        rec = NativeRecorder(path, 32, 16, fps=10)
+        for _ in range(3):
+            rec.write_rgb(np.zeros((16, 32, 3), np.uint8))
+        rec.close()
+        src = NativeVideoFileSource(path)
+    except Exception as e:
+        pytest.skip(f"no libav recorder in this env: {e}")
+    assert src.read() is not None
+    src.close()
+    assert src.read() is None  # guarded, no segfault
+    src.close()  # idempotent
+
+
+def test_ffmpeg_file_source_close_reaps_process(tmp_path):
+    """close() must kill AND reap the decoder (no zombie, pipe closed).
+    No ffmpeg binary exists in this image, so drive the same kill/wait/
+    close contract with a fake long-running 'decoder'."""
+    import shutil
+    import subprocess
+
+    from asciichat_tpu.runtime.framesource import FFmpegFileSource
+
+    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        pytest.skip("real ffmpeg present; covered by the file-decode tests")
+    src = FFmpegFileSource.__new__(FFmpegFileSource)
+    src._proc = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(600)"],
+        stdout=subprocess.PIPE)
+    src.close()
+    assert src._proc.poll() is not None  # reaped, not zombie
+    assert src._proc.stdout.closed
+
+
+def test_animated_gif_routes_to_video_decode(tmp_path):
+    """An animated GIF must play as video (the reference decodes --file
+    media through libav), not freeze on PIL frame 0; a single-frame GIF
+    stays on the cheap still-image path."""
+    from PIL import Image
+
+    from asciichat_tpu.runtime import framesource
+
+    anim = tmp_path / "anim.gif"
+    frames = [Image.new("RGB", (16, 12), c) for c in ((255, 0, 0), (0, 255, 0))]
+    frames[0].save(anim, save_all=True, append_images=frames[1:],
+                   duration=100, loop=0)
+    still = tmp_path / "still.gif"
+    frames[0].save(still)
+
+    assert framesource._gif_is_animated(str(anim)) is True
+    assert framesource._gif_is_animated(str(still)) is False
+
+    src = framesource.open_source(file=str(still))
+    assert isinstance(src, framesource.ImageFileSource)
+    try:
+        vid = framesource.open_source(file=str(anim), pace=False)
+    except RuntimeError:
+        pytest.skip("no video decoder available for GIF")
+    assert not isinstance(vid, framesource.ImageFileSource)
+    f = vid.read()
+    assert f is not None and f.shape == (12, 16, 3)
+    vid.close()
+
+
+def test_yt_dlp_timeout_falls_back(monkeypatch, tmp_path):
+    """A hung yt-dlp resolver (TimeoutExpired) must fall through to direct
+    decode, not crash open_source."""
+    import subprocess
+
+    from asciichat_tpu.runtime import framesource
+
+    calls = []
+
+    def fake_which(name):
+        return "/usr/bin/yt-dlp" if name == "yt-dlp" else None
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 60))
+
+    monkeypatch.setattr(framesource.shutil, "which", fake_which)
+    monkeypatch.setattr(framesource.subprocess, "run", fake_run)
+
+    sentinel = object()
+    seen = {}
+
+    def fake_video(path):
+        seen["path"] = path
+        return sentinel
+
+    # _video is a closure; patch at the open_source level by intercepting
+    # NativeVideoFileSource + FFmpegFileSource construction instead
+    class Boom(RuntimeError):
+        pass
+
+    def native_raises(path, loop=False):
+        seen["path"] = path
+        raise Boom("decoder reached (fallback worked)")
+
+    monkeypatch.setattr(framesource, "NativeVideoFileSource", native_raises)
+    monkeypatch.setattr(framesource, "FFmpegFileSource", native_raises)
+    with pytest.raises(Boom):
+        framesource.open_source(file="https://example.com/clip")
+    assert calls, "yt-dlp was never attempted"
+    assert seen["path"] == "https://example.com/clip"  # unresolved URL used
