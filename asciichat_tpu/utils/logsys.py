@@ -47,12 +47,17 @@ class ColorFormatter(logging.Formatter):
 
 class JsonFormatter(logging.Formatter):
     def format(self, record):
-        return json.dumps({
+        entry = {
             "ts": record.created,
             "level": record.levelname,
             "logger": record.name,
             "msg": record.getMessage(),
-        })
+        }
+        if record.exc_info:
+            # log.exception() tracebacks must survive --log-json, or
+            # crashes in JSON-logged deployments are undiagnosable
+            entry["exc"] = self.formatException(record.exc_info)
+        return json.dumps(entry)
 
 
 class RingLogHandler(logging.Handler):
@@ -94,11 +99,20 @@ def configure(
     global _configured
     root = logging.getLogger("asciichat")
     root.handlers.clear()
+    # the asciichat tree owns its sinks: without this, a host process with
+    # root-logger handlers (logging.basicConfig anywhere) double-emits
+    # every record with unrelated formatting
+    root.propagate = False
     root.setLevel(DEV if level.upper() == "DEV" else level.upper())
     fmt = "%(asctime)s %(levelname)-7s %(name)s: %(message)s"
     stream = logging.StreamHandler(sys.stderr)
     stream.setFormatter(JsonFormatter() if json_output else ColorFormatter(fmt))
     root.addHandler(stream)
+    # ring_log is a module singleton surviving reconfigures: reset its
+    # filters or grep patterns from prior configure() calls AND together
+    # forever (the inspector/status screen would silently show only lines
+    # matching every historical grep)
+    ring_log.filters.clear()
     root.addHandler(ring_log)  # always-on in-memory ring for search/inspector
     if log_file:
         fh = logging.handlers.RotatingFileHandler(
@@ -187,8 +201,13 @@ class MmapRingLog:
             out += bytes(self._mm[self.HDR : self.HDR + n - first])
         text = out.decode(errors="replace")
         lines = [ln for ln in text.split("\n") if ln]
-        if off > cap and lines:
-            lines = lines[1:]  # first record may be a wrapped partial
+        # the first record is a partial whenever the read did not start at
+        # the true beginning of the stream: ring wrap (off > cap) OR a
+        # max_bytes window cutting mid-record — both are simply off > n.
+        # (A cut landing exactly on a boundary shows as text starting with
+        # the terminator of the previous record.)
+        if off > n and lines and not text.startswith("\n"):
+            lines = lines[1:]
         return lines
 
     def close(self) -> None:

@@ -47,6 +47,29 @@ class OptionDescriptor:
     positional: bool = False  # bare argument instead of --flag
 
     def validate(self, value: Any) -> Any:
+        if value is None:
+            # programmatic reset (publish(option=None)): None always means
+            # "unset" — str(None) would store the literal "None" and
+            # int(None) would raise despite None being a registered default
+            return None
+        if self.cli_type is not None:
+            # the CLI converter is the string codec AND validator for EVERY
+            # string source: argparse applies it on the command line
+            # (build_parser hands argparse cli_type and withholds choices),
+            # and TOML/publish strings must take the same path — a
+            # config-file stdin-size otherwise stays a raw string and
+            # StdinSource(*"640x480") explodes downstream. Choices on such
+            # descriptors document the RAW strings, so they are not checked
+            # against the converted value.
+            if isinstance(value, str):
+                try:
+                    value = self.cli_type(value)
+                except ValueError:
+                    raise
+                except Exception as e:  # argparse.ArgumentTypeError etc.
+                    raise ValueError(f"--{self.name}: {e}") from None
+            return value if self.validator is None or self.validator(value) \
+                else self._invalid(value)
         if self.type is bool and isinstance(value, str):
             value = value.lower() in ("1", "true", "yes", "on")
         value = self.type(value)
@@ -55,6 +78,9 @@ class OptionDescriptor:
         if self.validator and not self.validator(value):
             raise ValueError(f"--{self.name}: invalid value {value!r}")
         return value
+
+    def _invalid(self, value: Any):
+        raise ValueError(f"--{self.name}: invalid value {value!r}")
 
 
 class OptionsRegistry:
@@ -146,16 +172,17 @@ class OptionsStore:
                 if dom == "preset":
                     continue
                 if not isinstance(section, dict):
-                    # top-level bare key
-                    if dom in self.registry:
-                        overrides[dom] = section
+                    # top-level bare key — unknown names must fail loudly
+                    # like their in-table counterparts (a typo'd `pasword`
+                    # silently dropped means an unauthenticated server)
+                    if dom not in self.registry:
+                        raise KeyError(f"unknown option {dom!r} in {path}")
+                    overrides[dom] = section
                     continue
                 for key, value in section.items():
                     name = key if key in self.registry else f"{dom}-{key}"
                     if name in self.registry:
                         overrides[name] = value
-                    elif key in self.registry:
-                        overrides[key] = value
                     else:
                         raise KeyError(f"unknown option {dom}.{key} in {path}")
 
@@ -224,11 +251,22 @@ def generate_completions(registry: OptionsRegistry, shell: str, prog: str = "asc
             f"}}\ncomplete -F _{prog.replace('-', '_')} {prog}\n"
         )
     if shell == "zsh":
-        args = "\n  ".join(f"'{n}[{registry[n[2:]].help}]'" for n in names)
+        # help text is interpolated into a single-quoted _arguments spec:
+        # apostrophes ('\'' splice) and square brackets (spec delimiters)
+        # must be escaped or ONE flag's help breaks every completion
+        def zq(s: str) -> str:
+            return (s.replace("'", "'\\''")
+                     .replace("[", "\\[").replace("]", "\\]"))
+
+        args = "\n  ".join(f"'{n}[{zq(registry[n[2:]].help)}]'" for n in names)
         return f"#compdef {prog}\n_arguments \\\n  {args}\n"
     if shell == "fish":
+        # fish single quotes: backslash-escape embedded ' and \
+        def fq(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
         return "\n".join(
-            f"complete -c {prog} -l {d.name} -d '{d.help}'"
+            f"complete -c {prog} -l {d.name} -d '{fq(d.help)}'"
             for d in sorted(registry.descriptors(), key=lambda x: x.name)
         )
     if shell == "pwsh":
@@ -273,7 +311,10 @@ def generate_manpage(registry: OptionsRegistry, prog: str = "asciichat-tpu") -> 
             out.append(".TP")
             arg = "" if d.type is bool else f" \\fI{d.type.__name__.upper()}\\fR"
             out.append(f"\\fB--{d.name}\\fR{arg}")
-            extra = f" (default: {d.default})" if d.default not in (None, False) else ""
+            # identity checks: `0 in (None, False)` is True (0 == False),
+            # which hid the 0=auto defaults of width/height/render-mode
+            extra = ("" if d.default is None or d.default is False
+                     else f" (default: {d.default})")
             out.append(d.help.replace("-", "\\-") + extra)
     return "\n".join(out) + "\n"
 

@@ -247,3 +247,134 @@ def test_yt_dlp_timeout_falls_back(monkeypatch, tmp_path):
         framesource.open_source(file="https://example.com/clip")
     assert calls, "yt-dlp was never attempted"
     assert seen["path"] == "https://example.com/clip"  # unresolved URL used
+
+
+# ---- utils/options.py + utils/logsys.py sweep ---------------------------
+
+def test_toml_cli_type_options_convert(tmp_path):
+    """Config-file strings take the same cli_type codec as the CLI: a TOML
+    stdin-size becomes the (w, h) tuple StdinSource needs, not a raw
+    string that explodes as *\"640x480\"."""
+    from asciichat_tpu.utils import options as opt
+
+    cfg = tmp_path / "c.toml"
+    cfg.write_text('[media]\nstdin-size = "640x480"\n')
+    store = opt.OptionsStore(opt.default_registry())
+    snap = store.load_toml(str(cfg))
+    assert snap["stdin-size"] == (640, 480)
+    # invalid strings fail as ValueError on every path (not only argparse)
+    with pytest.raises(ValueError):
+        store.publish(stdin_size="banana")
+
+
+def test_publish_none_resets_option():
+    """publish(option=None) stores None (unset), never the string 'None'
+    or a TypeError from int(None)."""
+    from asciichat_tpu.utils import options as opt
+
+    store = opt.OptionsStore(opt.default_registry())
+    store.publish(file="clip.mp4", max_frames=100)
+    snap = store.publish(file=None, max_frames=None)
+    assert snap["file"] is None
+    assert snap["max-frames"] is None
+
+
+def test_toml_unknown_toplevel_key_raises(tmp_path):
+    """A typo'd top-level bare key must fail loudly like in-table typos —
+    a silently dropped `pasword` means an unauthenticated server."""
+    from asciichat_tpu.utils import options as opt
+
+    cfg = tmp_path / "c.toml"
+    cfg.write_text('pasword = "hunter2"\n')
+    store = opt.OptionsStore(opt.default_registry())
+    with pytest.raises(KeyError):
+        store.load_toml(str(cfg))
+
+
+def test_completions_escape_quotes():
+    """Help text containing apostrophes (--webrtc: \"the server's\") must
+    not break the generated zsh/fish completion syntax."""
+    from asciichat_tpu.utils import options as opt
+
+    r = opt.default_registry()
+    helps = [d.help for d in r.descriptors()]
+    assert any("'" in h for h in helps), "corpus lost its apostrophe case"
+    fish = opt.generate_completions(r, "fish")
+    for line in fish.splitlines():
+        # every -d '...' payload must contain only escaped quotes
+        body = line.split(" -d ", 1)[1]
+        assert body.startswith("'") and body.endswith("'")
+        inner = body[1:-1]
+        k = 0
+        while k < len(inner):
+            assert inner[k] != "'", f"unescaped quote in: {line}"
+            k += 2 if inner[k] == "\\" else 1
+    zsh = opt.generate_completions(r, "zsh")
+    for spec in zsh.splitlines()[1:]:
+        s = spec.strip().rstrip("\\").strip()
+        if not s.startswith("'"):
+            continue
+        # inside the single-quoted spec, ' only appears as the '\'' splice
+        # and ] only escaped (both would otherwise end the spec early)
+        inner = s[1:-1]
+        assert "'" not in inner.replace("'\\''", ""), spec
+        assert "]" not in inner.replace("\\]", "").replace("'\\''", "")[:-1] \
+            or inner.replace("\\]", "").count("]") <= 1, spec
+
+
+def test_manpage_shows_zero_defaults():
+    """Integer default 0 (width/height auto) must not be hidden by the
+    0 == False equality."""
+    from asciichat_tpu.utils import options as opt
+
+    man = opt.generate_manpage(opt.default_registry())
+    at = man.index("\\fB--width\\fR")
+    assert "(default: 0)" in man[at:at + 200]
+
+
+def test_logsys_grep_reset_and_json_exc():
+    """configure(grep=...) then configure(grep=None) must clear the ring
+    filter (filters stacked forever before); JSON formatter keeps
+    tracebacks."""
+    import logging
+
+    from asciichat_tpu.utils import logsys
+
+    logsys.configure(grep="only-this")
+    logsys.configure()  # no grep: everything must reach the ring again
+    assert logsys.ring_log.filters == []
+    log = logsys.get_logger("review-test")
+    marker = "unfiltered-after-reset-xyz"
+    log.info(marker)
+    assert any(marker in e[3] for e in logsys.ring_log.tail(10))
+    assert logging.getLogger("asciichat").propagate is False
+
+    rec = logging.LogRecord("n", logging.ERROR, "f", 1, "boom", None, None)
+    try:
+        raise RuntimeError("ka-pow")
+    except RuntimeError:
+        import sys as _sys
+
+        rec.exc_info = _sys.exc_info()
+    import json as _json
+
+    out = _json.loads(logsys.JsonFormatter().format(rec))
+    assert "ka-pow" in out["exc"] and "Traceback" in out["exc"]
+    logsys.configure()  # leave a clean config for other tests
+
+
+def test_mmap_ring_tail_truncated_window_drops_partial(tmp_path):
+    """A max_bytes window cutting mid-record must drop the partial first
+    line even before the ring ever wrapped."""
+    from asciichat_tpu.utils.logsys import MmapRingLog
+
+    ring = MmapRingLog(str(tmp_path / "ring.bin"), capacity=4096)
+    for i in range(20):
+        ring.append(f"record-{i:03d} {'x' * 50}")
+    lines = ring.tail(max_bytes=200)  # cuts mid-record, no wrap yet
+    assert lines, "window too small"
+    for ln in lines:
+        assert ln.startswith("record-"), f"partial leaked: {ln!r}"
+    # full window still returns everything intact
+    assert len(ring.tail()) == 20
+    ring.close()

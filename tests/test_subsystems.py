@@ -57,7 +57,12 @@ compress = 9
     snap = store.load_toml(str(cfg))
     assert snap["width"] == 100 and snap["palette"] == "blocks" and snap["compress"] == 5
     snap = store.load_toml(str(cfg), preset="lowbw")
-    assert snap["compress"] == 9 and snap["color-mode"] == "16"
+    # TOML strings take the SAME cli_type codec as the command line, so the
+    # snapshot carries the converted value (CLI and config agree; a raw
+    # "640x480" string for stdin-size would crash StdinSource downstream)
+    from asciichat_tpu.render.types import ColorLevel
+
+    assert snap["compress"] == 9 and snap["color-mode"] == ColorLevel.COLOR_16
     with pytest.raises(KeyError):
         store.load_toml(str(cfg), preset="nope")
 
