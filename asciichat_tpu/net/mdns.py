@@ -69,9 +69,15 @@ def build_announcement(instance: str, port: int, txt: dict[str, str],
     ptr = record(SERVICE, TYPE_PTR, _encode_name(full))
     srv = record(full, TYPE_SRV,
                  struct.pack(">HHH", 0, 0, port) + _encode_name(f"{instance}.local"))
-    txt_data = b"".join(
-        bytes([len(f"{k}={v}")]) + f"{k}={v}".encode() for k, v in txt.items()
-    ) or b"\0"
+
+    def txt_entry(k: str, v: str) -> bytes:
+        # length prefix counts ENCODED bytes (multibyte UTF-8 values shifted
+        # every following entry before); entries cap at the DNS 255-byte
+        # character-string limit instead of raising from bytes([n])
+        raw = f"{k}={v}".encode()[:255]
+        return bytes([len(raw)]) + raw
+
+    txt_data = b"".join(txt_entry(k, v) for k, v in txt.items()) or b"\0"
     txtr = record(full, TYPE_TXT, txt_data)
     a = record(f"{instance}.local", TYPE_A, socket.inet_aton(address))
     return header + ptr + srv + txtr + a
@@ -91,6 +97,10 @@ class DiscoveredService:
 
 
 def parse_response(buf: bytes, src_addr: str) -> DiscoveredService | None:
+    """Records are associated BY NAME (SRV/TXT must carry the PTR target's
+    name, the A record the SRV target host's) — a response carrying extra
+    unrelated records can no longer cross-wire another service's port or
+    address onto the returned instance."""
     try:
         _, flags, qd, an, ns, ar = struct.unpack(">HHHHHH", buf[:12])
         if not flags & 0x8000:
@@ -99,21 +109,23 @@ def parse_response(buf: bytes, src_addr: str) -> DiscoveredService | None:
         for _ in range(qd):  # skip questions
             _, off = _decode_name(buf, off)
             off += 4
-        instance = None
-        port = None
-        address = src_addr
-        txt: dict[str, str] = {}
+        ptr_target: str | None = None
+        srv: dict[str, tuple[int, str]] = {}  # name -> (port, target host)
+        txts: dict[str, dict[str, str]] = {}
+        addrs: dict[str, str] = {}
         for _ in range(an + ns + ar):
             name, off = _decode_name(buf, off)
             rtype, _cls, _ttl, rdlen = struct.unpack(">HHIH", buf[off : off + 10])
             off += 10
             rdata = buf[off : off + rdlen]
             if rtype == TYPE_PTR and name == SERVICE:
-                target, _ = _decode_name(buf, off)
-                instance = target.split(".")[0]
+                ptr_target, _ = _decode_name(buf, off)
             elif rtype == TYPE_SRV:
                 _, _, port = struct.unpack(">HHH", rdata[:6])
+                host, _ = _decode_name(buf, off + 6)
+                srv[name] = (port, host)
             elif rtype == TYPE_TXT:
+                txt: dict[str, str] = {}
                 i = 0
                 while i < len(rdata):
                     n = rdata[i]
@@ -122,11 +134,27 @@ def parse_response(buf: bytes, src_addr: str) -> DiscoveredService | None:
                         k, v = entry.split("=", 1)
                         txt[k] = v
                     i += 1 + n
+                txts[name] = txt
             elif rtype == TYPE_A and rdlen == 4:
-                address = socket.inet_ntoa(rdata)
+                addrs[name] = socket.inet_ntoa(rdata)
             off += rdlen
-        if instance and port:
-            return DiscoveredService(instance, address, port, txt)
+        if not ptr_target or ptr_target not in srv:
+            return None
+        port, host = srv[ptr_target]
+        if not port:
+            return None
+        # full instance name, not first-label truncation ("my.server" must
+        # not collapse with "my.other" in discover()'s dedupe)
+        suffix = "." + SERVICE
+        instance = (ptr_target[: -len(suffix)]
+                    if ptr_target.endswith(suffix) else ptr_target)
+        # loopback in an A record is never a usable LAN target — the packet
+        # source address is the ground truth then
+        address = addrs.get(host, src_addr)
+        if address.startswith("127."):
+            address = src_addr
+        return DiscoveredService(instance, address, port,
+                                 txts.get(ptr_target, {}))
     except (struct.error, IndexError):
         pass
     return None
@@ -142,12 +170,28 @@ def _mdns_socket() -> socket.socket:
     return sock
 
 
+def _lan_address() -> str:
+    """Outbound LAN IP (no packets sent — connect() on UDP only routes)."""
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.connect(("10.255.255.255", 1))
+        ip = s.getsockname()[0]
+        s.close()
+        return ip
+    except OSError:
+        return "127.0.0.1"
+
+
 class MdnsAnnouncer:
     """Server-side responder: announces on start + answers PTR queries."""
 
     def __init__(self, instance: str, port: int, txt: dict[str, str] | None = None,
-                 address: str = "127.0.0.1"):
-        self.announcement = build_announcement(instance, port, txt or {}, address)
+                 address: str | None = None):
+        # address defaults to the host's outbound LAN IP: announcing the
+        # old 127.0.0.1 default made every REMOTE client that honored the A
+        # record connect to itself — discovery's whole purpose defeated
+        self.announcement = build_announcement(instance, port, txt or {},
+                                               address or _lan_address())
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -169,11 +213,24 @@ class MdnsAnnouncer:
                 continue
             except OSError:
                 return
-            # answer PTR queries for our service type
-            if len(buf) > 12 and not struct.unpack(">H", buf[2:4])[0] & 0x8000:
-                name, _ = _decode_name(buf, 12)
-                if name == SERVICE:
-                    sock.sendto(self.announcement, (MDNS_GROUP, MDNS_PORT))
+            # answer PTR queries for our service type. The packet is
+            # untrusted multicast: one malformed datagram must not kill the
+            # responder thread (silent discovery DoS). Browsers batch
+            # questions (avahi/Bonjour), so check EVERY question, not just
+            # the first.
+            try:
+                if len(buf) > 12 and not struct.unpack(">H", buf[2:4])[0] & 0x8000:
+                    qd = struct.unpack(">H", buf[4:6])[0]
+                    off = 12
+                    for _ in range(min(qd, 32)):
+                        name, off = _decode_name(buf, off)
+                        off += 4
+                        if name == SERVICE:
+                            sock.sendto(self.announcement,
+                                        (MDNS_GROUP, MDNS_PORT))
+                            break
+            except (struct.error, IndexError):
+                continue
         sock.close()
 
     def stop(self) -> None:
@@ -190,7 +247,9 @@ def discover(timeout: float = 2.0) -> list[DiscoveredService]:
         return []
     sock.settimeout(0.3)
     sock.sendto(build_query(), (MDNS_GROUP, MDNS_PORT))
-    found: dict[str, DiscoveredService] = {}
+    # dedupe by (instance, address, port): N servers announcing the same
+    # instance name (the default is shared) must all stay visible
+    found: dict[tuple, DiscoveredService] = {}
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
         try:
@@ -201,6 +260,6 @@ def discover(timeout: float = 2.0) -> list[DiscoveredService]:
             break
         svc = parse_response(buf, addr[0])
         if svc:
-            found[svc.instance] = svc
+            found[(svc.instance, svc.address, svc.port)] = svc
     sock.close()
     return list(found.values())

@@ -32,12 +32,20 @@ class RateLimiter:
         self.limits = dict(DEFAULT_LIMITS)
         if limits:
             self.limits.update(limits)
+        self._ops = 0
 
     def allow(self, client: str, action: str) -> bool:
         """Record + check; False when over the window limit."""
         limit, window = self.limits.get(action, (60, 60.0))
         now = time.time()
-        self.db.execute("DELETE FROM rate_events WHERE at < ?", (now - window,))
+        # prune ONLY this (client, action): an unscoped delete keyed on the
+        # CURRENT action's window let any short-window action (10 s lookup)
+        # purge the history that long-window limits (hourly reserves)
+        # depend on — a sliding-window bypass. Scoping also turns the
+        # full-table scan into an (client, action, at) index range.
+        self.db.execute(
+            "DELETE FROM rate_events WHERE client=? AND action=? AND at < ?",
+            (client, action, now - window))
         (count,) = self.db.execute(
             "SELECT COUNT(*) FROM rate_events WHERE client=? AND action=? AND at >= ?",
             (client, action, now - window),
@@ -48,5 +56,12 @@ class RateLimiter:
         self.db.execute(
             "INSERT INTO rate_events VALUES (?,?,?)", (client, action, now)
         )
+        # periodic global sweep at the LONGEST configured window: rows from
+        # clients that never come back must still age out, and pruning past
+        # max(window) can never affect any action's live count
+        self._ops += 1
+        if self._ops % 1024 == 0:
+            horizon = now - max(w for _, w in self.limits.values())
+            self.db.execute("DELETE FROM rate_events WHERE at < ?", (horizon,))
         self.db.commit()
         return True

@@ -69,6 +69,11 @@ def ssdp_discover(timeout: float = 2.0, target=None) -> str:
 
 def _find_control_url(description_url: str) -> tuple[str, str]:
     """-> (control_url, service_type) from the device description XML."""
+    # LOCATION comes from UNAUTHENTICATED multicast: any LAN host can answer
+    # first. urllib would happily open file:// (local file read) or any
+    # attacker-chosen URL — restrict to http(s).
+    if not description_url.lower().startswith(("http://", "https://")):
+        raise NatError(f"refusing non-http IGD location {description_url!r}")
     with urllib.request.urlopen(description_url, timeout=5) as r:
         xml = r.read().decode(errors="replace")
     for service_type in WAN_SERVICES:
@@ -85,7 +90,12 @@ def _find_control_url(description_url: str) -> tuple[str, str]:
 
 def _soap(control_url: str, service_type: str, action: str,
           args: dict[str, str]) -> str:
-    body = "".join(f"<{k}>{v}</{k}>" for k, v in args.items())
+    from xml.sax.saxutils import escape
+
+    # escape values: a description like "Tom & Jerry <chat>" is otherwise
+    # malformed XML (router rejects) and a crafted one could inject sibling
+    # SOAP arguments
+    body = "".join(f"<{k}>{escape(v)}</{k}>" for k, v in args.items())
     envelope = (
         '<?xml version="1.0"?>'
         '<s:Envelope xmlns:s="http://schemas.xmlsoap.org/soap/envelope/" '
@@ -172,6 +182,11 @@ def natpmp_map(gateway_ip: str, internal_port: int, external_port: int,
         data, _ = s.recvfrom(64)
     except socket.timeout:
         raise NatError("NAT-PMP gateway did not answer") from None
+    except OSError as e:
+        # ICMP port-unreachable surfaces as ConnectionRefusedError on the
+        # recvfrom — "gateway has no NAT-PMP" is a NatError like the rest of
+        # the contract, not a raw OSError past open_external_port's callers
+        raise NatError(f"NAT-PMP unavailable: {e}") from None
     finally:
         s.close()
     if len(data) < 16:

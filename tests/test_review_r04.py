@@ -378,3 +378,173 @@ def test_mmap_ring_tail_truncated_window_drops_partial(tmp_path):
     # full window still returns everything intact
     assert len(ring.tail()) == 20
     ring.close()
+
+
+# ---- net/{mdns,upnp,rate_limit}.py sweep --------------------------------
+
+def test_mdns_announcement_carries_lan_address_and_byte_txt():
+    """Default announcements must not advertise 127.0.0.1 (remote clients
+    would connect to themselves); TXT length prefixes count ENCODED bytes;
+    oversized entries truncate instead of raising."""
+    from asciichat_tpu.net import mdns
+
+    ann = mdns.MdnsAnnouncer("srv", 27224, {"ver": "1"}).announcement
+    svc = mdns.parse_response(ann, "203.0.113.5")
+    assert svc is not None
+    # loopback A records are rejected in favor of the packet source
+    assert svc.address != "127.0.0.1"
+
+    # multibyte TXT value: length prefix = byte count, parse round-trips
+    ann = mdns.build_announcement("u", 1000, {"name": "café"}, "192.0.2.1")
+    svc = mdns.parse_response(ann, "192.0.2.1")
+    assert svc.txt == {"name": "café"}
+    # >255-byte entry truncates, does not raise
+    big = mdns.build_announcement("u", 1000, {"k": "x" * 400}, "192.0.2.1")
+    svc = mdns.parse_response(big, "192.0.2.1")
+    assert len(next(iter(svc.txt.values()))) <= 253
+
+
+def test_mdns_loopback_a_record_falls_back_to_source():
+    from asciichat_tpu.net import mdns
+
+    ann = mdns.build_announcement("local", 7000, {}, "127.0.0.1")
+    svc = mdns.parse_response(ann, "198.51.100.3")
+    assert svc.address == "198.51.100.3"
+
+
+def test_mdns_multi_question_and_malformed_queries():
+    """The responder must answer when the service question is NOT first
+    (browsers batch questions) and must survive malformed datagrams."""
+    import struct as st
+
+    from asciichat_tpu.net import mdns
+
+    # build a 2-question query with ours second
+    q2 = st.pack(">HHHHHH", 0, 0, 2, 0, 0, 0)
+    q2 += mdns._encode_name("_other._tcp.local") + st.pack(">HH", 12, 1)
+    q2 += mdns._encode_name(mdns.SERVICE) + st.pack(">HH", 12, 1)
+
+    # drive the matching logic the responder loop uses
+    def service_queried(buf):
+        if len(buf) > 12 and not st.unpack(">H", buf[2:4])[0] & 0x8000:
+            qd = st.unpack(">H", buf[4:6])[0]
+            off = 12
+            for _ in range(min(qd, 32)):
+                name, off = mdns._decode_name(buf, off)
+                off += 4
+                if name == mdns.SERVICE:
+                    return True
+        return False
+
+    assert service_queried(q2) is True
+    assert service_queried(mdns.build_query()) is True
+    # malformed: truncated compression pointer at the end — parse_response
+    # path must not raise either
+    evil = b"\x00" * 12 + b"\xc0"
+    assert mdns.parse_response(evil, "1.2.3.4") is None
+
+
+def test_mdns_instance_dedupe_and_record_name_binding():
+    """Full instance names (dots preserved) and per-name record binding:
+    an extra unrelated SRV in the packet must not override the service's
+    port."""
+    import struct as st
+
+    from asciichat_tpu.net import mdns
+
+    ann = mdns.build_announcement("my.server", 4242, {}, "192.0.2.9")
+    svc = mdns.parse_response(ann, "192.0.2.9")
+    assert svc.instance == "my.server"
+    assert svc.port == 4242
+
+    # append an unrelated SRV record with a different name+port
+    hdr = st.unpack(">HHHHHH", ann[:12])
+    extra = (mdns._encode_name("intruder.local")
+             + st.pack(">HHIH", mdns.TYPE_SRV, 1, 120, 6 + len(mdns._encode_name("x.local")))
+             + st.pack(">HHH", 0, 0, 9999) + mdns._encode_name("x.local"))
+    patched = st.pack(">HHHHHH", hdr[0], hdr[1], hdr[2], hdr[3] + 1,
+                      hdr[4], hdr[5]) + ann[12:] + extra
+    svc = mdns.parse_response(patched, "192.0.2.9")
+    assert svc.port == 4242, "unrelated SRV captured the port"
+
+
+def test_upnp_soap_escapes_and_rejects_file_location():
+    from asciichat_tpu.net import upnp
+
+    captured = {}
+
+    def fake_soap(url, stype, action, args):
+        captured.update(args)
+        return "<ok/>"
+
+    gw = upnp.UpnpGateway.__new__(upnp.UpnpGateway)
+    gw.control_url, gw.service_type = "http://r/ctl", upnp.WAN_SERVICES[0]
+    import asciichat_tpu.net.upnp as mod
+
+    orig = mod._soap
+    mod._soap = fake_soap
+    try:
+        gw.add_port_mapping(1, 2, "10.0.0.2", description="Tom & Jerry <chat>")
+    finally:
+        mod._soap = orig
+    # values were escaped by _soap itself in production; here verify the
+    # real _soap builds well-formed XML for hostile values
+    import xml.dom.minidom
+
+    class FakeResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b"<ok/>"
+
+    sent = {}
+
+    def fake_urlopen(req, timeout=None):
+        sent["data"] = req.data
+        return FakeResp()
+
+    orig_open = mod.urllib.request.urlopen
+    mod.urllib.request.urlopen = fake_urlopen
+    try:
+        mod._soap("http://r/ctl", upnp.WAN_SERVICES[0], "AddPortMapping",
+                  {"NewPortMappingDescription": "Tom & Jerry <chat>"})
+    finally:
+        mod.urllib.request.urlopen = orig_open
+    xml.dom.minidom.parseString(sent["data"])  # must be well-formed
+
+    with pytest.raises(upnp.NatError):
+        upnp._find_control_url("file:///etc/passwd")
+
+
+def test_natpmp_oserror_becomes_naterror():
+    """ICMP port-unreachable (ConnectionRefusedError) must surface as
+    NatError per the open_external_port contract."""
+    from asciichat_tpu.net import upnp
+
+    # 127.0.0.1 on a (very likely) closed UDP port: Linux reports the ICMP
+    # refusal on the connected-recvfrom path as ConnectionRefusedError
+    with pytest.raises(upnp.NatError):
+        upnp.natpmp_map("127.0.0.1", 1, 1, timeout=0.5, gateway_port=9)
+
+
+def test_rate_limiter_windows_are_independent():
+    """A short-window action must not purge a long-window action's events
+    (the sliding-window bypass)."""
+    from asciichat_tpu.net.rate_limit import RateLimiter
+
+    rl = RateLimiter(limits={"reserve": (2, 3600.0), "lookup": (100, 0.01)})
+    assert rl.allow("mallory", "reserve")
+    assert rl.allow("mallory", "reserve")
+    assert not rl.allow("mallory", "reserve")  # exhausted for an hour
+    time.sleep(0.05)  # lookup window (10 ms) fully elapses
+    for _ in range(3):
+        assert rl.allow("mallory", "lookup")
+    # the short-window lookups must NOT have purged the hour-window events
+    assert not rl.allow("mallory", "reserve"), \
+        "short-window action purged the long-window history"
+    # and other clients' state is untouched
+    assert rl.allow("alice", "reserve")
