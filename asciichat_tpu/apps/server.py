@@ -135,6 +135,10 @@ class AsciiChatServer:
         self._group_cache: dict[tuple, object] = {}
         self._renderer_cache: dict[str, AsciiRenderer] = {}
         self._stack_pool: np.ndarray | None = None  # per-tick source stack
+        self._stack_layout = None  # (shape, client ids, sizes) of the pool
+        self._stack_seqs: dict[int, int] = {}  # client id -> copied frame seq
+        self._dev_stack = None  # device-resident stack (single-device path)
+        self._dev_row_update = None  # jitted donated row updater
         self._device_failures = 0
         self._device_retry_at = 0.0
         self.tick_compute_count = 0
@@ -368,7 +372,7 @@ class AsciiChatServer:
             for c in snapshot
             if c.streaming
         ]
-        sources = [(c, f) for c, f, _, _ in raw if f is not None]
+        sources = [(c, f, seq) for c, f, seq, _ in raw if f is not None]
         for _, f, _, ts in raw:
             if f is not None and ts > 0:
                 self.frame_age.add(max(0.0, now_mono - ts))
@@ -376,9 +380,9 @@ class AsciiChatServer:
         if not sources or not receivers:
             return
 
-        sizes = tuple((f.shape[1], f.shape[0]) for _, f in sources)
-        hmax = max(f.shape[0] for _, f in sources)
-        wmax = max(f.shape[1] for _, f in sources)
+        sizes = tuple((f.shape[1], f.shape[0]) for _, f, _ in sources)
+        hmax = max(f.shape[0] for _, f, _ in sources)
+        wmax = max(f.shape[1] for _, f, _ in sources)
         # mesh serving shards the SOURCE axis too (the composite gather then
         # all-gathers over ICI): pad the stack to a shard multiple — the
         # compositor plan only ever indexes the real rows
@@ -388,27 +392,46 @@ class AsciiChatServer:
 
             n_src += -n_src % self.mesh.shape[meshlib.CLIENTS_AXIS]
         # pooled source stack: reallocating ~1.4 MB per 60 Hz tick churns
-        # pages (the reference's buffer-pool role, lib buffer_pool);
-        # re-zeroed each tick because sources only cover their own extents
+        # pages (the reference's buffer-pool role, lib buffer_pool).
+        # Incremental fill: while the layout (shape + membership + sizes)
+        # is unchanged, each source owns a constant extent of its row and
+        # everything outside it stayed zero from layout creation — only
+        # rows whose frame sequence advanced need re-copying (capture runs
+        # at ~30 fps under a 60 Hz tick, so typically half the rows skip).
         shape = (n_src, hmax, wmax, 3)
-        if self._stack_pool is None or self._stack_pool.shape != shape:
-            self._stack_pool = np.zeros(shape, np.uint8)
-        else:
-            self._stack_pool.fill(0)
+        layout = (shape, tuple(c.id for c, _, _ in sources), sizes)
+        fresh_layout = (self._stack_pool is None
+                        or self._stack_layout != layout)
+        if fresh_layout:
+            if self._stack_pool is None or self._stack_pool.shape != shape:
+                self._stack_pool = np.zeros(shape, np.uint8)
+            else:
+                self._stack_pool.fill(0)
+            self._stack_layout = layout
+            self._stack_seqs = {}
         stack = self._stack_pool
-        for i, (_, f) in enumerate(sources):
-            stack[i, : f.shape[0], : f.shape[1]] = f
+        changed: list[int] = []
+        for i, (c, f, seq) in enumerate(sources):
+            if fresh_layout or self._stack_seqs.get(c.id) != seq:
+                stack[i, : f.shape[0], : f.shape[1]] = f
+                self._stack_seqs[c.id] = seq
+                changed.append(i)
 
         done = False
         if self._device_tick and time.monotonic() >= self._device_retry_at:
             try:
-                self._render_tick_device(receivers, sizes, stack)
+                self._render_tick_device(receivers, sizes, stack,
+                                         changed, fresh_layout)
                 self._device_failures = 0
                 done = True
             except Exception:
                 # fall back for a while, then retry: a transient device error
                 # or one degenerate client must not downgrade the server
-                # forever (device path resumes after the backoff)
+                # forever (device path resumes after the backoff).
+                # The incremental device stack may be inconsistent (a donated
+                # row update can die mid-sequence) — drop it; the host pool
+                # is always complete, so the next device tick re-uploads it.
+                self._dev_stack = None
                 self._device_failures += 1
                 backoff = min(60.0, 2.0 * self._device_failures)
                 self._device_retry_at = time.monotonic() + backoff
@@ -430,14 +453,45 @@ class AsciiChatServer:
                 or "no stage data",
             )
 
-    def _render_tick_device(self, receivers, sizes, stack) -> None:
+    def _upload_stack(self, stack, changed, fresh_layout):
+        """Device upload of the source stack — incremental on the
+        single-device path: while the layout is unchanged, only rows whose
+        frame advanced are H2D-copied and spliced into the device-resident
+        stack by a donated jitted dynamic_update_slice (in-place on device).
+        At 30 fps capture under the 60 Hz tick this halves the tick's
+        largest stage (the soak breakdown showed upload > convert). The
+        mesh path keeps the full sharded device_put (row splicing across a
+        NamedSharding would insert collectives for nothing)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is not None:
+            from asciichat_tpu.parallel import mesh as meshlib
+
+            return jax.device_put(stack, meshlib.client_sharding(self.mesh))
+        if fresh_layout or self._dev_stack is None:
+            self._dev_stack = jnp.asarray(stack)
+            return self._dev_stack
+        if changed:
+            if self._dev_row_update is None:
+                self._dev_row_update = jax.jit(
+                    lambda s, row, i: jax.lax.dynamic_update_slice(
+                        s, row[None], (i, 0, 0, 0)),
+                    donate_argnums=0,
+                )
+            dev = self._dev_stack
+            for i in changed:
+                dev = self._dev_row_update(dev, stack[i], i)
+            self._dev_stack = dev
+        return self._dev_stack
+
+    def _render_tick_device(self, receivers, sizes, stack,
+                            changed=None, fresh_layout=True) -> None:
         """Production path: ONE jitted render_compute per geometry group
         (models/server.RenderGroup — composite gather + per-receiver filter +
         batched render fused on device), host emission batched per group.
         Counterpart of src/server/stream.c:958 + render.c:340 where the
         per-client fan-out is threads; here it is the batch dimension."""
-        import jax.numpy as jnp
-
         from asciichat_tpu.models.server import RenderGroup
         from asciichat_tpu.ops import cells as cells_ops
         from asciichat_tpu.render import emitter
@@ -449,14 +503,8 @@ class AsciiChatServer:
             groups.setdefault(key, []).append(c)
 
         with self.tick_tracer.section("upload"):
-            if self.mesh is not None:
-                import jax
-
-                from asciichat_tpu.parallel import mesh as meshlib
-
-                frames_dev = jax.device_put(stack, meshlib.client_sharding(self.mesh))
-            else:
-                frames_dev = jnp.asarray(stack)
+            frames_dev = self._upload_stack(
+                stack, changed if changed is not None else [], fresh_layout)
         now = time.monotonic()
         # two-phase: render + pack EVERY group first, send only after all
         # succeeded — a late-group failure otherwise falls back to the host

@@ -202,3 +202,52 @@ def test_tick_latency_observability():
     assert p50 == 0.003 and p99 == 0.100
     t.reset()
     assert t.count == 0 and t.stats_ms()["p99_ms"] == 0.0
+
+
+def test_incremental_upload_byte_identical():
+    """The incremental device-stack path (only changed rows spliced by the
+    donated row updater) must deliver frames byte-identical to a fresh
+    full-upload server at every tick: after a partial frame update, after
+    a no-change tick, and after a layout change resets the cache."""
+    from asciichat_tpu.apps import server as server_mod
+
+    specs = [("none", 56, 18), ("green", 56, 18)]
+
+    def fresh_render(frames):
+        srv = server_mod.AsciiChatServer()
+        clients = _make_clients(server_mod, specs)
+        for c, f in zip(clients, frames):
+            c.video.commit(f)
+        srv._render_tick(clients)
+        return [p[-1] for p in _frames_sent(clients)]
+
+    srv = server_mod.AsciiChatServer()
+    clients = _make_clients(server_mod, specs)
+    f0 = [synthetic_frame(40, 56, seed=10), synthetic_frame(40, 56, seed=11)]
+    for c, f in zip(clients, f0):
+        c.video.commit(f)
+    srv._render_tick(clients)  # tick 1: fresh layout, full upload
+    assert srv._device_failures == 0
+    assert [p[-1] for p in _frames_sent(clients)] == fresh_render(f0)
+
+    # tick 2: ONLY source 0 advances -> incremental row splice
+    f1 = [synthetic_frame(40, 56, seed=12), f0[1]]
+    clients[0].video.commit(f1[0])
+    srv._render_tick(clients)
+    assert srv._device_failures == 0
+    assert srv._dev_stack is not None, "incremental device cache not active"
+    got = [p[-1] for p in _frames_sent(clients)]
+    assert got == fresh_render(f1), "incremental tick diverged from full upload"
+
+    # tick 3: nothing changed -> zero rows uploaded, same bytes again
+    srv._render_tick(clients)
+    latest = [p[-1] for p in _frames_sent(clients)]
+    assert latest == got
+
+    # tick 4: layout change (a source resizes) resets and stays identical
+    f2 = [synthetic_frame(32, 48, seed=13), f1[1]]
+    clients[0].video.commit(f2[0])
+    srv._render_tick(clients)
+    assert srv._device_failures == 0
+    assert ([p[-1] for p in _frames_sent(clients)]
+            == fresh_render(f2)), "post-layout-change tick diverged"
