@@ -140,8 +140,14 @@ class WebRtcGateway:
         task = asyncio.get_running_loop().create_task(self._run(agent))
         self._tasks.add(task)
         task.add_done_callback(self._tasks.discard)
-        task.add_done_callback(
-            lambda _t, u=info.ufrag: self._agents_by_ufrag.pop(u, None))
+        def _unroute(_t, u=info.ufrag, a=agent):
+            # identity-checked: a retried offer with the SAME ufrag replaces
+            # the agent; the stale task's completion must not delete the
+            # live replacement's trickle route
+            if self._agents_by_ufrag.get(u) is a:
+                del self._agents_by_ufrag[u]
+
+        task.add_done_callback(_unroute)
         log.info("webrtc offer accepted (ufrag %s); agent on udp:%d",
                  info.ufrag, agent.local_port)
         return ("application/sdp", answer.encode())

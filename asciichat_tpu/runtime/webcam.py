@@ -192,12 +192,18 @@ class V4L2Webcam:
                                                self.height),
                                 self.width, self.height)
         elif self.pixfmt == V4L2_PIX_FMT_NV12:
-            # planar: de-stride the Y plane (stride x height) and the
-            # interleaved UV plane (stride x height/2) independently
-            y = self._destride(raw, self.width, self.height)
-            uv_off = (self.stride or self.width) * self.height
-            uv = self._destride(raw[uv_off:], self.width, self.height // 2)
-            frame = nv12_to_rgb(y + uv, self.width, self.height)
+            if not self.stride or self.stride == self.width:
+                # tightly packed (the common case): no copies
+                frame = nv12_to_rgb(raw, self.width, self.height)
+            else:
+                # planar: de-stride the Y plane (stride x height) and the
+                # interleaved UV plane (stride x height/2) independently
+                y = self._destride(raw, self.width, self.height)
+                uv_off = self.stride * self.height
+                uv = self._destride(raw[uv_off:], self.width,
+                                    self.height // 2)
+                frame = nv12_to_rgb(y[: self.width * self.height] + uv,
+                                    self.width, self.height)
         elif self.pixfmt == V4L2_PIX_FMT_MJPEG:
             frame = mjpeg_to_rgb(raw)
         else:

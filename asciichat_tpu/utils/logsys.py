@@ -201,13 +201,19 @@ class MmapRingLog:
             out += bytes(self._mm[self.HDR : self.HDR + n - first])
         text = out.decode(errors="replace")
         lines = [ln for ln in text.split("\n") if ln]
-        # the first record is a partial whenever the read did not start at
-        # the true beginning of the stream: ring wrap (off > cap) OR a
-        # max_bytes window cutting mid-record — both are simply off > n.
-        # (A cut landing exactly on a boundary shows as text starting with
-        # the terminator of the previous record.)
-        if off > n and lines and not text.startswith("\n"):
-            lines = lines[1:]
+        # The first record is a partial whenever the read did not start at
+        # the true beginning of the stream (ring wrap or a max_bytes window
+        # cutting mid-record — both are off > n) UNLESS the cut landed on a
+        # record boundary. Boundary evidence: the window starts with the
+        # previous record's '\n' terminator, or the byte logically BEFORE
+        # the window (still in the ring iff n < cap) is that terminator.
+        if off > n and lines:
+            boundary = text.startswith("\n")
+            if not boundary and n < cap:
+                prev_idx = (off - n - 1) % cap
+                boundary = self._mm[self.HDR + prev_idx] == 0x0A
+            if not boundary:
+                lines = lines[1:]
         return lines
 
     def close(self) -> None:

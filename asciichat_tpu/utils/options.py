@@ -61,9 +61,14 @@ class OptionDescriptor:
             # StdinSource(*"640x480") explodes downstream. Choices on such
             # descriptors document the RAW strings, so they are not checked
             # against the converted value.
-            if isinstance(value, str):
+            # plain scalars (TOML `color-mode = 16` is a natural mistake for
+            # "16") are stringified through the converter too — only already-
+            # converted values (tuples, enums from the argparse path) pass
+            # through. Exact type check: ColorLevel subclasses int and must
+            # NOT be re-stringified.
+            if type(value) in (str, int, float):
                 try:
-                    value = self.cli_type(value)
+                    value = self.cli_type(str(value))
                 except ValueError:
                     raise
                 except Exception as e:  # argparse.ArgumentTypeError etc.

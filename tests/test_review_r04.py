@@ -548,3 +548,87 @@ def test_rate_limiter_windows_are_independent():
         "short-window action purged the long-window history"
     # and other clients' state is untouched
     assert rl.allow("alice", "reserve")
+
+
+# ---- round-4 diff self-review findings ----------------------------------
+
+def test_toml_numeric_scalar_takes_cli_type():
+    """`color-mode = 16` (bare TOML int) must convert like the string
+    \"16\"; already-converted values (enums, tuples) pass through."""
+    from asciichat_tpu.render.types import ColorLevel
+    from asciichat_tpu.utils import options as opt
+
+    store = opt.OptionsStore(opt.default_registry())
+    snap = store.publish(color_mode=16)
+    assert snap["color-mode"] == ColorLevel.COLOR_16
+    snap = store.publish(color_mode=ColorLevel.TRUECOLOR)  # passthrough
+    assert snap["color-mode"] == ColorLevel.TRUECOLOR
+    snap = store.publish(stdin_size=(320, 200))  # converted tuple passthrough
+    assert snap["stdin-size"] == (320, 200)
+    with pytest.raises(ValueError):
+        store.publish(color_mode=99)
+
+
+def test_gateway_stale_task_does_not_unroute_replacement():
+    """A retried offer with the same ufrag replaces the agent; the stale
+    task's completion must not delete the live replacement's trickle
+    route."""
+    from asciichat_tpu.apps.webclient import WebRtcGateway
+    from asciichat_tpu.net import dtls
+
+    if not dtls.available():
+        pytest.skip("no OpenSSL: gateway requires DTLS")
+    import asyncio
+
+    from asciichat_tpu.net import sdp
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    async def run():
+        gw = WebRtcGateway(lambda t: asyncio.sleep(0))
+        browser = IceLiteAgent(controlling=True)
+        await browser.start("127.0.0.1")
+        try:
+            offer_desc = browser.local_description()
+            offer_desc["candidates"] = []
+            offer = sdp.build(offer_desc, setup="actpass",
+                              ice_lite=False).encode()
+            assert await gw.on_offer(offer) is not None
+            first = gw._agents_by_ufrag[browser.ufrag]
+            first_task = next(iter(gw._tasks))
+            assert await gw.on_offer(offer) is not None  # retry, same ufrag
+            second = gw._agents_by_ufrag[browser.ufrag]
+            assert second is not first
+            first_task.cancel()
+            try:
+                await first_task
+            except (asyncio.CancelledError, Exception):
+                pass
+            await asyncio.sleep(0)  # let done callbacks run
+            assert gw._agents_by_ufrag.get(browser.ufrag) is second, \
+                "stale task removed the live agent's trickle route"
+        finally:
+            browser.close()
+            gw.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_mmap_ring_boundary_cut_keeps_complete_record(tmp_path):
+    """A max_bytes window landing exactly on a record boundary must keep
+    the complete first record (the previous byte in the ring is the '\\n'
+    terminator)."""
+    from asciichat_tpu.utils.logsys import MmapRingLog
+
+    ring = MmapRingLog(str(tmp_path / "r.bin"), capacity=4096)
+    recs = [f"rec-{i:02d}-{'y' * 20}" for i in range(10)]
+    for r in recs:
+        ring.append(r)
+    rec_len = len(recs[0]) + 1  # + newline
+    # window covering exactly the last 4 records: cut lands one byte after
+    # a '\n', i.e. at a record start
+    lines = ring.tail(max_bytes=4 * rec_len)
+    assert lines == recs[-4:], lines
+    # mid-record cut still drops the partial
+    lines = ring.tail(max_bytes=4 * rec_len - 3)
+    assert lines == recs[-3:], lines
+    ring.close()

@@ -102,7 +102,10 @@ async def main(seconds: float) -> int:
             if task.done() and task.exception():
                 counts[name] = f"DIED: {task.exception()!r}"
             else:
-                counts[name] = counts.get(name, 0) + got
+                prev = counts.get(name, 0)
+                # a prior DIED entry is a string; a later successful join
+                # (churn loop) must not TypeError the whole soak
+                counts[name] = (prev if isinstance(prev, int) else 0) + got
         finally:
             task.cancel()
             try:
