@@ -60,7 +60,22 @@ def resize_nn(frames: jax.Array, dst_h: int, dst_w: int, method: str = "auto") -
     if (src_h, src_w) == (dst_h, dst_w):
         return frames
     if method == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
+        # decide from where the computation actually RUNS, not just the
+        # default backend: under the axon sitecustomize the default stays
+        # "axon" even for arrays committed to CPU devices (the CLAUDE.md
+        # CPU pattern), and a baked-in MXU choice there means dense bf16
+        # matmuls on a 1-core host. Concrete arrays carry their devices;
+        # tracers (inside jit) fall back to the default backend — callers
+        # jitting for a non-default backend pass `method` explicitly.
+        platform = None
+        if not isinstance(frames, jax.core.Tracer):
+            try:
+                platform = next(iter(frames.devices())).platform
+            except Exception:
+                platform = None
+        if platform is None:
+            platform = jax.default_backend()
+        on_tpu = platform not in ("cpu",)
         method = "mxu" if (on_tpu and src_h * src_w >= 256 * 256) else "gather"
     if method == "mxu":
         sy = jnp.asarray(_one_hot_select(src_h, dst_h), jnp.bfloat16)
@@ -127,12 +142,6 @@ def halfblock_split(frames: jax.Array) -> tuple[jax.Array, jax.Array]:
     return top, bot
 
 
-def grayscale_bt601(frames: jax.Array) -> jax.Array:
-    """Color-filter grayscale base (lib/video/rgba/color_filter.c): BT.601."""
-    y = luminance(frames).astype(jnp.uint8)
-    return jnp.stack([y, y, y], axis=-1)
-
-
 def flip(frames: jax.Array, flip_x: bool = False, flip_y: bool = False) -> jax.Array:
     """Horizontal/vertical mirror (session display steps, display.c:549-592)."""
     if flip_x:
@@ -144,7 +153,13 @@ def flip(frames: jax.Array, flip_x: bool = False, flip_y: bool = False) -> jax.A
 
 @functools.partial(jax.jit, static_argnames=("levels",))
 def quantize_color_levels(frames: jax.Array, levels: int) -> jax.Array:
-    """quantize_color (foreground.c:141-156): floor to 256/levels steps."""
+    """quantize_color (foreground.c:141-156): floor to 256/levels steps.
+
+    The reference rejects invalid level counts (foreground.c:141-156);
+    levels > 256 would make step 0 and integer division-by-zero on device
+    returns implementation-defined garbage SILENTLY, so guard here."""
+    if not 0 < levels <= 256:
+        raise ValueError(f"levels must be in 1..256, got {levels}")
     step = 256 // levels
     px = frames.astype(jnp.int32)
     return ((px // step) * step).astype(jnp.uint8)

@@ -73,6 +73,13 @@ class AsciiRenderer:
     ) -> list[bytes]:
         """Full conversion for a batch: [B, Hs, Ws, 3] uint8 -> B ANSI frames."""
         frames = jnp.asarray(frames, dtype=jnp.uint8)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            # a single [H,W,3] frame here would silently read W as the
+            # height and 3 as the width, and the native emitter would then
+            # walk 3x the bytes the records hold (OOB read) — fail loudly
+            raise ValueError(
+                f"convert_batch expects [B,H,W,3], got {frames.shape}; "
+                "use convert() for a single frame")
         src_h, src_w = frames.shape[1], frames.shape[2]
         plan = plan_render(src_w, src_h, width, height, caps, use_aspect_ratio, stretch)
         records = self.cells_for_plan(frames, plan)

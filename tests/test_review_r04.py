@@ -632,3 +632,38 @@ def test_mmap_ring_boundary_cut_keeps_complete_record(tmp_path):
     lines = ring.tail(max_bytes=4 * rec_len - 3)
     assert lines == recs[-3:], lines
     ring.close()
+
+
+def test_pixel_op_guards():
+    """quantize_color_levels rejects invalid level counts (device integer
+    div-by-zero is silent garbage); convert_batch rejects a single frame
+    (would drive a native OOB read); resize_nn auto picks gather for
+    CPU-committed concrete arrays even when the default backend differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from asciichat_tpu.ops import pixel
+    from asciichat_tpu.render.pipeline import AsciiRenderer
+    from asciichat_tpu.render.types import TerminalCapabilities
+
+    frames = jnp.zeros((2, 8, 8, 3), jnp.uint8)
+    with pytest.raises(ValueError):
+        pixel.quantize_color_levels(frames, 0)
+    with pytest.raises(ValueError):
+        pixel.quantize_color_levels(frames, 300)
+    assert pixel.quantize_color_levels(frames, 8).shape == frames.shape
+
+    r = AsciiRenderer()
+    with pytest.raises(ValueError):
+        r.convert_batch(np.zeros((8, 8, 3), np.uint8), 10, 5,
+                        TerminalCapabilities())
+
+    # auto on a CPU-committed concrete array must take the gather path even
+    # at MXU-eligible sizes (exactness makes them identical; this pins the
+    # *dispatch* by comparing against the explicit gather formulation)
+    big = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (1, 300, 300, 3), dtype=np.uint8),
+        device=jax.devices("cpu")[0])
+    out_auto = pixel.resize_nn(big, 64, 64)
+    out_gather = pixel.resize_nn(big, 64, 64, method="gather")
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_gather))
