@@ -81,7 +81,15 @@ class FrameWriter:
 
     def __init__(self, stream=None):
         self.stream = stream or sys.stdout.buffer
-        self.is_tty = sys.stdout.isatty()
+        # tty behavior keys to the stream being WRITTEN, not stdout: a
+        # file/devnull sink must get newline-separated frames with no
+        # clear-screen codes even when stdout happens to be a terminal
+        # (soak tools, DisplaySink captures), and vice versa
+        probe = stream if stream is not None else sys.stdout
+        try:
+            self.is_tty = probe.isatty()
+        except (AttributeError, ValueError, OSError):
+            self.is_tty = False
         self._first = True
         self.frames_written = 0
 

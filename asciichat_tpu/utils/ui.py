@@ -29,8 +29,12 @@ def splash_frames(columns: int = 60, steps: int = 8) -> list[bytes]:
     """Simple reveal animation of the banner (splash.c analog)."""
     lines = [ln for ln in SPLASH.strip("\n").split("\n")]
     frames = []
+    # reveal width must cover the LONGEST banner line (the last line carries
+    # the "tpu" suffix and is wider than lines[0]; using lines[0] left the
+    # suffix permanently truncated)
+    full = max(len(ln) for ln in lines)
     for step in range(1, steps + 1):
-        visible = int(len(lines[0]) * step / steps) + 4
+        visible = int(full * step / steps) + (0 if step == steps else 4)
         frame = "\n".join(ln[:visible].center(columns)[:columns] for ln in lines)
         frames.append(frame.encode())
     return frames
@@ -48,9 +52,8 @@ def help_overlay() -> bytes:
 
 def status_line(fps: float, frames: int, mode: str, size: tuple[int, int],
                 extra: str = "") -> bytes:
-    uptime = ""
     s = (f"\x1b[7m {fps:5.1f} fps | {frames} frames | {mode} | "
-         f"{size[0]}x{size[1]} {extra}{uptime}\x1b[0m")
+         f"{size[0]}x{size[1]} {extra}\x1b[0m")
     return s.encode()
 
 
@@ -107,11 +110,17 @@ class StatusScreen:
         for ln in self._header_lines():
             out.append("| " + ln[: w - 4].ljust(w - 4) + " |")
         out.append(bar)
-        # live log feed fills the remaining rows (status.c log feed)
-        remaining = self.height - len(out)
-        entries = (ring_log.search(self.grep, remaining) if self.grep
-                   else ring_log.tail(remaining))
-        for created, level, name, msg in entries[-remaining:]:
+        # live log feed fills the remaining rows (status.c log feed).
+        # remaining <= 0 must SKIP the fetch: tail(0) is the [-0:] slice
+        # pitfall (returns the whole ring) and a negative limit slices most
+        # of it — hundreds of entries formatted 4x/s for zero visible rows
+        remaining = max(0, self.height - len(out))
+        if remaining:
+            entries = (ring_log.search(self.grep, remaining) if self.grep
+                       else ring_log.tail(remaining))
+        else:
+            entries = []
+        for created, level, name, msg in entries[-remaining:] if remaining else []:
             ts = time.strftime("%H:%M:%S", time.localtime(created))
             out.append(f"{ts} {level[:3]} {name}: {msg}"[:w])
         while len(out) < self.height:

@@ -667,3 +667,85 @@ def test_pixel_op_guards():
     out_auto = pixel.resize_nn(big, 64, 64)
     out_gather = pixel.resize_nn(big, 64, 64, method="gather")
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_gather))
+
+
+# ---- utils/{term,ui}.py + render/validator.py sweep ---------------------
+
+def test_framewriter_keys_tty_to_its_own_stream(monkeypatch):
+    """A non-tty sink must get newline-separated frames with no clear/home
+    codes even when stdout is a terminal, and a tty-like stream gets the
+    cursor protocol even when stdout is redirected."""
+    import io
+
+    from asciichat_tpu.utils import term
+
+    class TtyStdout:
+        def isatty(self):
+            return True
+
+    monkeypatch.setattr(term.sys, "stdout", TtyStdout())
+    buf = io.BytesIO()
+    w = term.FrameWriter(buf)
+    assert w.is_tty is False
+    w.write_frame(b"frame1")
+    w.write_frame(b"frame2")
+    data = buf.getvalue()
+    assert b"\x1b[2J" not in data and b"\x1b[H" not in data
+    assert b"frame1\n" in data  # newline-separated capture format
+
+    class TtyStream(io.BytesIO):
+        def isatty(self):
+            return True
+
+    class PlainStdout:
+        def isatty(self):
+            return False
+
+    monkeypatch.setattr(term.sys, "stdout", PlainStdout())
+    t = term.FrameWriter(TtyStream())
+    assert t.is_tty is True
+
+
+def test_splash_reveals_full_banner():
+    from asciichat_tpu.utils import ui
+
+    frames = ui.splash_frames(columns=80)
+    assert b"tpu" in frames[-1], "banner suffix never revealed"
+
+
+def test_status_screen_zero_remaining_skips_log_fetch():
+    from asciichat_tpu.utils import logsys, ui
+
+    logsys.configure()
+    log = logsys.get_logger("statusfill")
+    for i in range(50):
+        log.info("entry %d", i)
+    # header alone exceeds the 1-row height -> remaining <= 0
+    scr = ui.StatusScreen("server", lambda: {"clients": 1}, width=40, height=1)
+    out = scr.render()
+    assert len(out.split(b"\n")) == 1
+    assert b"statusfill" not in out  # no log rows leaked into the frame
+
+
+def test_validator_terminal_semantics():
+    from asciichat_tpu.render import validator
+
+    # trailing newline is a terminator, not a phantom row
+    rep = validator.validate_frame(b"aa\nbb\n", expect_height=2)
+    assert rep.valid and rep.lines == 2
+    # REP default parameter is 1 (ECMA-48); zero maps to 1
+    assert validator.visual_width(b"X\x1b[b") == 2
+    assert validator.visual_width(b"X\x1b[0b") == 2
+    assert validator.visual_width(b"X\x1b[5b") == 6
+    # bare trailing ESC is invalid and not a visible column
+    rep = validator.validate_frame(b"ab\x1b")
+    assert not rep.valid and any("bare ESC" in e for e in rep.errors)
+    assert validator.visual_width(b"ab\x1b") == 2
+    # the asciigrid width is DELIBERATELY reference-byte semantics: REP
+    # ignored, bytes counted (ascii.c:527-551) — pin the divergence so a
+    # future "unification" cannot silently break grid byte parity
+    from asciichat_tpu.render import asciigrid
+
+    assert asciigrid.ansi_visual_width(b"X\x1b[5b") == 1
+    assert validator.visual_width("é".encode()) == 1
+    assert asciigrid.ansi_visual_width("é".encode()) == 2
