@@ -12,7 +12,7 @@ import argparse
 import os
 import sys
 
-from asciichat_tpu.render.types import ColorLevel, RenderMode
+from asciichat_tpu.render.types import RenderMode
 from asciichat_tpu.utils import logsys
 from asciichat_tpu.utils.options import Mode, apply_to_parser, default_registry
 
@@ -43,9 +43,13 @@ def cmd_mirror(args) -> int:
 
             audio_source = open_audio_source(tone_hz=args.tone_hz,
                                              wav=args.audio_wav)
+        # Y4M headers and the audio frame math need an integer rate >= 1:
+        # a legal fractional --fps (0 < fps <= 144) must not truncate to 0
+        # (invalid F0:1 header + ZeroDivisionError in the audio mux)
         n = render_to_file(source, args.render_file, caps, w, h,
                            _resolve_palette(args.palette),
-                           max_frames=args.max_frames or 300, fps=int(args.fps),
+                           max_frames=args.max_frames or 300,
+                           fps=max(1, round(args.fps)),
                            audio_source=audio_source)
         print(f"rendered {n} frames to {args.render_file}")
         return 0
@@ -67,9 +71,30 @@ def build_parser() -> argparse.ArgumentParser:
     registry (utils/options.default_registry — lib/options/builder/ analog),
     so CLI flags, TOML keys, help, and completions share one source of
     truth; tests assert the registry<->parser bijection per mode."""
-    ap = argparse.ArgumentParser(prog="asciichat-tpu",
-                                 description="TPU-native terminal video chat")
-    sub = ap.add_subparsers(dest="mode", required=True)
+    class _NoAbbrevParser(argparse.ArgumentParser):
+        """allow_abbrev=False everywhere: prefix abbreviations ('--wid')
+        would dodge the typed-flag detection in main() and let a TOML value
+        override an option the user explicitly passed."""
+
+        def __init__(self, *a, **kw):
+            kw.setdefault("allow_abbrev", False)
+            super().__init__(*a, **kw)
+
+    def _lazy_main(modname: str):
+        # server/client/acds/discovery drag jax + the full render stack —
+        # importing them at parser-build time makes `--help`, `strings`,
+        # `completions`, and `query` pay seconds of startup for nothing
+        def run(a):
+            import importlib
+
+            return importlib.import_module(modname).main(a)
+
+        return run
+
+    ap = _NoAbbrevParser(prog="asciichat-tpu",
+                         description="TPU-native terminal video chat")
+    sub = ap.add_subparsers(dest="mode", required=True,
+                            parser_class=_NoAbbrevParser)
     reg = default_registry()
 
     m = sub.add_parser("mirror", help="local webcam->ASCII loop, no network")
@@ -78,27 +103,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("server", help="multi-client compositing server")
     apply_to_parser(reg, s, Mode.SERVER)
-    from asciichat_tpu.apps import server as server_mod
-
-    s.set_defaults(fn=server_mod.main)
+    s.set_defaults(fn=_lazy_main("asciichat_tpu.apps.server"))
 
     c = sub.add_parser("client", help="connect to a server")
     apply_to_parser(reg, c, Mode.CLIENT)
-    from asciichat_tpu.apps import client as client_mod
-
-    c.set_defaults(fn=client_mod.main)
+    c.set_defaults(fn=_lazy_main("asciichat_tpu.apps.client"))
 
     d = sub.add_parser("discovery-service", help="ACDS rendezvous server")
     apply_to_parser(reg, d, Mode.ACDS, default_overrides={"port": 27225})
-    from asciichat_tpu.apps import acds as acds_mod
-
-    d.set_defaults(fn=acds_mod.main)
+    d.set_defaults(fn=_lazy_main("asciichat_tpu.apps.acds"))
 
     dc = sub.add_parser("discovery", help="P2P session via discovery service")
     apply_to_parser(reg, dc, Mode.DISCOVERY)
-    from asciichat_tpu.apps import discovery as discovery_mod
 
-    dc.set_defaults(fn=discovery_mod.main)
+    dc.set_defaults(fn=_lazy_main("asciichat_tpu.apps.discovery"))
 
     def cmd_bench(a) -> int:
         # bench.py lives at the repo root (driver contract), not in the
@@ -216,16 +234,17 @@ def main(argv=None) -> int:
         for tok in (argv if argv is not None else sys.argv[1:]):
             if tok.startswith("--"):
                 typed.add(tok[2:].split("=", 1)[0])
-        for key, value in snap.as_dict().items():
+        # apply ONLY keys the FILE set (store.last_toml_keys): iterating the
+        # whole snapshot would push registry defaults over CLI positionals
+        # (the client's address) and over per-mode argparse defaults (the
+        # ACDS port). Values arrive already converted through each option's
+        # cli_type — the snapshot is the same codec the CLI uses.
+        vals = snap.as_dict()
+        for key in store.last_toml_keys:
             attr = key.replace("-", "_")
             if not hasattr(args, attr) or key in typed or attr in typed:
                 continue
-            if key == "color-mode" and isinstance(value, str):
-                if value == "auto":
-                    continue
-                value = ColorLevel[{"none": "NONE", "16": "COLOR_16",
-                                    "256": "COLOR_256",
-                                    "truecolor": "TRUECOLOR"}[value]]
+            value = vals[key]
             if attr in ("width", "height") and value == 0:
                 continue  # registry 0 means auto-detect
             setattr(args, attr, value)

@@ -27,7 +27,13 @@ ATTR_XOR_MAPPED_ADDRESS = 0x0020
 ATTR_PRIORITY = 0x0024
 ATTR_USE_CANDIDATE = 0x0025
 ATTR_FINGERPRINT = 0x8028
+ATTR_ICE_CONTROLLED = 0x8029
 ATTR_ICE_CONTROLLING = 0x802A
+
+# RFC 8445 §16.1: the role tie-breaker is ONE random 64-bit value per
+# session — regenerating it per request makes a conforming peer's role-
+# conflict resolution (487 handling) flap between retransmits
+SESSION_TIEBREAKER = os.urandom(8)
 
 HEADER = struct.Struct(">HHI12s")
 
@@ -138,14 +144,21 @@ def is_stun(data: bytes) -> bool:
 
 
 def make_binding_request(txid: bytes, username: str, password: bytes,
-                         controlling: bool = True) -> bytes:
+                         controlling: bool = True,
+                         tiebreaker: bytes | None = None) -> bytes:
+    """Every request carries its role attribute (RFC 8445 §7.1.3):
+    ICE-CONTROLLING + USE-CANDIDATE when controlling, ICE-CONTROLLED
+    otherwise, both with the constant per-session tie-breaker."""
+    tb = tiebreaker or SESSION_TIEBREAKER
     attrs = [
         (ATTR_USERNAME, username.encode()),
         (ATTR_PRIORITY, struct.pack(">I", 0x7E0000FF)),
     ]
     if controlling:
-        attrs.append((ATTR_ICE_CONTROLLING, os.urandom(8)))
+        attrs.append((ATTR_ICE_CONTROLLING, tb))
         attrs.append((ATTR_USE_CANDIDATE, b""))
+    else:
+        attrs.append((ATTR_ICE_CONTROLLED, tb))
     return build(BINDING_REQUEST, txid, attrs, password=password)
 
 

@@ -197,6 +197,11 @@ class OptionsStore:
             if preset not in presets:
                 raise KeyError(f"no preset {preset!r} in {path}")
             absorb(presets[preset])
+        # which option names the FILE actually set — config layering must
+        # only apply those, never registry defaults riding in the snapshot
+        # (a default 'address'/'port' would clobber CLI positionals and
+        # per-mode argparse defaults)
+        self.last_toml_keys = frozenset(overrides)
         return self.publish(**{k.replace("-", "_"): v for k, v in overrides.items()})
 
 
