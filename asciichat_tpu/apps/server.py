@@ -643,7 +643,16 @@ class AsciiChatServer:
             self.mixer_state = audio_ops.MixerState.init(len(slots), len(slots)).astuple()
         samples = np.zeros((len(slots), n), np.float32)
         active = np.zeros(len(slots), bool)
+        # latest-audio-wins latency bound (consumer-side shedding): the
+        # SPSC ring truncates NEW writes when full, so a network burst that
+        # once filled a client's ring would otherwise play ~1.4 s late
+        # FOREVER (the tick only drains 480 samples per 10 ms). Cap the
+        # backlog at ~4 frames and discard the oldest surplus.
+        max_backlog = 4 * n
         for i, c in enumerate(snapshot):
+            excess = len(c.audio) - max_backlog
+            if excess > 0:
+                c.audio.read(excess)
             if len(c.audio) >= n:
                 samples[i] = c.audio.read(n)
                 active[i] = True

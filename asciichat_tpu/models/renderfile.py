@@ -15,6 +15,7 @@ full-range) or any container via the ffmpeg CLI when present.
 from __future__ import annotations
 
 import functools
+import os
 import shutil
 import subprocess
 
@@ -63,6 +64,7 @@ def raster_glyphs(fg: jax.Array, glyph_idx: jax.Array, atlas: jax.Array) -> jax.
               .reshape(b, h * gh, w * gw, 3).astype(jnp.uint8))
 
 
+@functools.lru_cache(maxsize=16)
 def _glyph_index_tables(palette: str) -> tuple[np.ndarray, np.ndarray]:
     """Per-palette host tables mapping records to atlas rows:
     luma_to_atlas[256] (truecolor: glyph by luminance) and
@@ -80,29 +82,70 @@ def _glyph_index_tables(palette: str) -> tuple[np.ndarray, np.ndarray]:
     return luma_to_atlas, key_to_atlas
 
 
+def _xterm256_rgb() -> np.ndarray:
+    """[256, 3] uint8 xterm palette (indices 0-15 ANSI, 16-231 cube,
+    232-255 gray ramp) — same formula as web/ansiparse.xterm256."""
+    from asciichat_tpu.ops.pixel import ANSI16_RGB
+
+    cube = [0, 95, 135, 175, 215, 255]
+    out = np.zeros((256, 3), np.uint8)
+    out[:16] = ANSI16_RGB
+    for n in range(16, 232):
+        c = n - 16
+        out[n] = (cube[c // 36], cube[(c // 6) % 6], cube[c % 6])
+    for n in range(232, 256):
+        v = 8 + (n - 232) * 10
+        out[n] = (v, v, v)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "scale"))
 def cells_to_pixels(records: dict, mode: str, scale: int = 8) -> jax.Array:
-    """Block-color fallback: cell records -> uint8 RGB frames (used for
-    half-block modes, where the block IS the glyph, and when glyph
-    rasterization is disabled)."""
-    if mode == "halfblock_truecolor":
+    """Block-color fallback: cell records -> uint8 RGB frames. EVERY render
+    mode maps here (the common non-truecolor terminals must be able to
+    --render-file too): half-block rows are the glyph itself; quantized
+    modes resolve their palette index to RGB; glyph modes approximate with
+    ink coverage (glyph-accurate rasters live in records_to_pixels)."""
+    if mode in ("halfblock_truecolor", "halfblock_mono"):
         top, bot = records["top"].astype(jnp.uint8), records["bot"].astype(jnp.uint8)
         px = jnp.stack([top, bot], axis=2)  # [B, R, 2, W, 3]
         b, r, _, w, _ = px.shape
         px = px.reshape(b, r * 2, w, 3)
-    elif mode == "truecolor_fg":
+    elif mode in ("halfblock_256", "halfblock_16"):
+        table = jnp.asarray(_xterm256_rgb())
+        top = jnp.take(table, records["fg"].astype(jnp.int32), axis=0)
+        bot = jnp.take(table, records["bg"].astype(jnp.int32), axis=0)
+        vis = (1 - records["transparent"].astype(jnp.uint8))[..., None]
+        px = jnp.stack([top * vis, bot * vis], axis=2).astype(jnp.uint8)
+        b, r, _, w, _ = px.shape
+        px = px.reshape(b, r * 2, w, 3)
+    elif mode in ("truecolor_fg", "truecolor_fg_utf8",
+                  "16color_dithered", "16color_dithered_bg"):
         rgb = records["rgb"].astype(jnp.int32)
         cov = records["luma"].astype(jnp.int32)[..., None]
         px = ((rgb * cov) // 255).astype(jnp.uint8)  # ink-coverage approx
+    elif mode == "256color":
+        table = jnp.asarray(_xterm256_rgb())
+        rgb = jnp.take(table, records["color"].astype(jnp.int32), axis=0).astype(jnp.int32)
+        cov = records["luma"].astype(jnp.int32)[..., None]
+        px = ((rgb * cov) // 255).astype(jnp.uint8)
+    elif mode == "16color":
+        table = jnp.asarray(_xterm256_rgb())
+        rgb = jnp.take(table, records["color"].astype(jnp.int32), axis=0).astype(jnp.int32)
+        cov = jnp.clip(records["key"].astype(jnp.int32) * 255 // 63,
+                       0, 255)[..., None]
+        px = ((rgb * cov) // 255).astype(jnp.uint8)
     elif mode == "mono":
         key = records["key"].astype(jnp.int32)
         v = jnp.clip(key * 255 // 63, 0, 255).astype(jnp.uint8)
         px = jnp.stack([v, v, v], axis=-1)
     else:
         raise ValueError(f"render-file unsupported for mode {mode!r}")
-    # nearest upscale so cells are visible blocks
-    px = jnp.repeat(jnp.repeat(px, scale // 2 if mode.startswith("halfblock") else scale,
-                               axis=-3), scale, axis=-2)
+    # nearest upscale so cells are visible blocks; half-block rows are
+    # already 2 px per cell, so they take half the vertical repeat (never
+    # 0: scale=1 must not produce a zero-height frame)
+    vscale = max(1, scale // 2) if mode.startswith("halfblock") else scale
+    px = jnp.repeat(jnp.repeat(px, vscale, axis=-3), scale, axis=-2)
     return px
 
 
@@ -111,19 +154,27 @@ def records_to_pixels(records: dict, mode: str, palette: str,
     """Glyph-accurate raster for glyph modes (atlas gather on device);
     block colors for half-block modes."""
     if mode in ("truecolor_fg", "mono"):
-        atlas_np, _gh, _gw = glyph_atlas()
-        luma_to_atlas, key_to_atlas = _glyph_index_tables(palette)
-        atlas = jnp.asarray(atlas_np)
+        atlas, luma_dev, key_dev = _glyph_device_tables(palette)
         if mode == "truecolor_fg":
-            gidx = jnp.take(jnp.asarray(luma_to_atlas),
-                            records["luma"].astype(jnp.int32))
+            gidx = jnp.take(luma_dev, records["luma"].astype(jnp.int32))
             fg = records["rgb"].astype(jnp.uint8)
         else:
-            gidx = jnp.take(jnp.asarray(key_to_atlas),
-                            records["key"].astype(jnp.int32))
+            gidx = jnp.take(key_dev, records["key"].astype(jnp.int32))
             fg = jnp.full((*records["key"].shape, 3), 204, jnp.uint8)  # grey text
         return raster_glyphs(fg, gidx, atlas)
     return cells_to_pixels(records, mode, scale)
+
+
+@functools.lru_cache(maxsize=16)
+def _glyph_device_tables(palette: str):
+    """Device-resident atlas + index tables, uploaded ONCE per palette —
+    the render loop calls records_to_pixels per frame, and re-issuing the
+    constant uploads cost several dispatches per frame over a ~50 ms-RTT
+    tunnel (CLAUDE.md)."""
+    atlas_np, _gh, _gw = glyph_atlas()
+    luma_to_atlas, key_to_atlas = _glyph_index_tables(palette)
+    return (jnp.asarray(atlas_np), jnp.asarray(luma_to_atlas),
+            jnp.asarray(key_to_atlas))
 
 
 @jax.jit
@@ -275,7 +326,16 @@ def render_to_file(
             recorder.close()
         if writer:
             writer.close()
-    if writer and out_path != y4m_path and shutil.which("ffmpeg"):
-        subprocess.run(["ffmpeg", "-y", "-v", "error", "-i", y4m_path, out_path],
-                       check=True)
+    if writer and out_path != y4m_path:
+        if shutil.which("ffmpeg"):
+            subprocess.run(["ffmpeg", "-y", "-v", "error", "-i", y4m_path,
+                            out_path], check=True)
+            os.remove(y4m_path)  # intermediate, not a deliverable
+        else:
+            # neither libavcodec nor the ffmpeg CLI can produce the asked-for
+            # container: FAIL LOUDLY instead of reporting success while
+            # out_path does not exist; the raw frames are preserved
+            raise RuntimeError(
+                f"no encoder available to produce {out_path!r}; raw frames "
+                f"kept at {y4m_path!r} (install ffmpeg or libavcodec)")
     return rendered

@@ -183,11 +183,14 @@ class MicSource:
 
 
 def open_audio_source(tone_hz: float | None = None, wav: str | None = None,
-                      mic: bool = False, amplitude: float = 0.2):
+                      mic: bool = False, amplitude: float = 0.2,
+                      loop: bool = True):
     """Source factory mirroring framesource.open_source: explicit WAV/tone
-    first, a real microphone when asked for, tone fallback otherwise."""
+    first, a real microphone when asked for, tone fallback otherwise.
+    `loop=False` plays a WAV once; callers can watch `.exhausted` to stop
+    muxing the zero-padded silence that follows."""
     if wav:
-        return WavFileSource(wav)
+        return WavFileSource(wav, loop=loop)
     if tone_hz is not None:
         return ToneSource(tone_hz, amplitude) if tone_hz > 0 else SilenceSource()
     if mic:
@@ -252,10 +255,25 @@ class PlaybackSink(NullSink):
 
     def write(self, buf: np.ndarray) -> None:
         super().write(buf)
-        self.proc.stdin.write(np.asarray(buf, "<f4").tobytes())
+        if self.proc.stdin is None or self.proc.stdin.closed:
+            return  # speaker already gone: degrade to the NullSink behavior
+        try:
+            self.proc.stdin.write(np.asarray(buf, "<f4").tobytes())
+        except (BrokenPipeError, ValueError, OSError):
+            # aplay died mid-session (device unplugged/busy): losing the
+            # speaker must not crash the client's packet receive loop —
+            # keep counting frames, stop writing
+            try:
+                self.proc.stdin.close()
+            except Exception:
+                pass
 
     def close(self) -> None:
-        self.proc.stdin.close()
+        try:
+            if self.proc.stdin and not self.proc.stdin.closed:
+                self.proc.stdin.close()
+        except (BrokenPipeError, OSError):
+            pass
         self.proc.terminate()
         self.proc.wait(timeout=5)
 

@@ -21,12 +21,24 @@ BUILD_DIR = NATIVE_DIR / "build"
 from asciichat_tpu.utils.syncdebug import NamedLock
 
 # two threads loading the same library concurrently would compile it twice
-# (and one could dlopen a half-written .so) — tracked in the sync registry
+# (and one could dlopen a half-written .so) — tracked in the sync registry.
+# CROSS-process safety comes from the flock in load_library plus the
+# compile-to-temp + atomic os.replace in _compile (an interrupted compile
+# can never leave a fresh-mtime corrupt .so behind).
 _build_lock = NamedLock("native_build.compile")
+
+
+def _run_gcc(cmd: list) -> subprocess.CompletedProcess:
+    return subprocess.run(cmd, capture_output=True)
 
 
 def _compile(src: Path, out: Path, extra_flags: tuple[str, ...] = ()) -> None:
     BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    # compile to a per-pid temp path, then atomically replace: g++ writing
+    # `out` in place meant a concurrent process could dlopen a half-written
+    # library, and a Ctrl-C mid-compile left a truncated .so with a fresh
+    # mtime that the staleness check would never rebuild
+    tmp = out.with_suffix(out.suffix + f".tmp{os.getpid()}")
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3",
@@ -35,18 +47,24 @@ def _compile(src: Path, out: Path, extra_flags: tuple[str, ...] = ()) -> None:
         "-fPIC",
         "-pthread",
         "-o",
-        str(out),
+        str(tmp),
         str(src),
         *extra_flags,  # -l libs must FOLLOW the source for the linker
     ]
-    # -march=native when the toolchain supports it; fall back silently.
-    native_cmd = cmd[:1] + ["-march=native"] + cmd[1:]
     try:
-        subprocess.run(native_cmd, check=True, capture_output=True)
-        return
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        pass
-    subprocess.run(cmd, check=True, capture_output=True)
+        # -march=native when the toolchain supports it; fall back silently.
+        r = _run_gcc(cmd[:1] + ["-march=native"] + cmd[1:])
+        if r.returncode != 0:
+            r = _run_gcc(cmd)
+        if r.returncode != 0:
+            # surface the ACTUAL compiler diagnostics, not a bare exit code
+            raise RuntimeError(
+                f"native build of {src.name} failed:\n"
+                f"{r.stderr.decode(errors='replace')[-4000:]}")
+        os.replace(tmp, out)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
 
 
 def _python_embed_flags() -> tuple[str, ...]:
@@ -70,12 +88,29 @@ def _lib_flags(name: str) -> tuple[str, ...]:
 
 
 def load_library(name: str) -> ctypes.CDLL:
-    """Load native/<name>.cpp as a shared library, compiling if stale."""
+    """Load native/<name>.cpp as a shared library, compiling if stale.
+
+    The in-process NamedLock serializes threads; the flock serializes
+    PROCESSES (server + client on one box, parallel pytest workers) so
+    only one compiles while the others wait and then load the result."""
     src = NATIVE_DIR / f"{name}.cpp"
     out = BUILD_DIR / f"lib{name}{sysconfig.get_config_var('SHLIB_SUFFIX') or '.so'}"
     with _build_lock:
         if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
-            _compile(src, out, extra_flags=_lib_flags(name))
+            BUILD_DIR.mkdir(parents=True, exist_ok=True)
+            lockf = open(BUILD_DIR / f".{name}.lock", "w")
+            try:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lockf, fcntl.LOCK_EX)
+                except ImportError:  # pragma: no cover - non-POSIX
+                    pass
+                # re-check under the lock: another process may have built it
+                if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
+                    _compile(src, out, extra_flags=_lib_flags(name))
+            finally:
+                lockf.close()  # releases the flock
     return ctypes.CDLL(str(out))
 
 

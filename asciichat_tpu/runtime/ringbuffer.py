@@ -1,8 +1,13 @@
 """Lock-free SPSC audio ring buffer (native) — lib/ringbuffer.c parity.
 
-Producer (network receive) and consumer (mixer tick) touch atomics only;
-overflow drops the oldest samples (latest-audio-wins). Used by the server's
-per-client audio buffering in place of Python-list chunk queues.
+Producer (network receive) and consumer (mixer tick) touch atomics only.
+On overflow the ring itself drops the NEWEST samples (the write is
+truncated, counted in `overruns`) — an SPSC ring cannot advance the tail
+from the producer side without breaking the single-consumer invariant.
+Latest-audio-wins latency bounding therefore lives at the CONSUMER: the
+server's audio tick sheds backlog past its maximum before reading
+(apps/server._audio_tick), exactly like the reference's consumer-side
+drop (lib/ringbuffer.c role).
 """
 
 from __future__ import annotations
@@ -36,6 +41,9 @@ class AudioRing:
     def __init__(self, capacity: int = 48000):
         self._lib = _lib()
         self._ring = self._lib.ac_ring_create(capacity)
+        if not self._ring:
+            # a NULL handle would be dereferenced inside the next C call
+            raise MemoryError("ac_ring_create failed (allocation)")
 
     def __del__(self):
         if getattr(self, "_ring", None):
@@ -54,9 +62,12 @@ class AudioRing:
         return int(self._lib.ac_ring_overruns(self._ring))
 
     def write(self, samples: np.ndarray) -> int:
-        buf = np.ascontiguousarray(samples, dtype=np.float32)
+        # ravel + .size: len() of a 2-D array is its first dimension, which
+        # would silently drop every sample past the first row
+        buf = np.ascontiguousarray(samples, dtype=np.float32).ravel()
         return int(self._lib.ac_ring_write(
-            self._ring, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(buf)
+            self._ring, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            buf.size
         ))
 
     def read(self, n: int) -> np.ndarray:
