@@ -134,6 +134,7 @@ class AsciiChatServer:
             _os.environ.get("ASCIICHAT_CLIENT_TIMEOUT", CLIENT_TIMEOUT_S))
         self._group_cache: dict[tuple, object] = {}
         self._renderer_cache: dict[str, AsciiRenderer] = {}
+        self._host_plan_cache: dict[tuple, object] = {}  # host-fallback plans
         self._stack_pool: np.ndarray | None = None  # per-tick source stack
         self._stack_layout = None  # (shape, client ids, sizes) of the pool
         self._stack_seqs: dict[int, int] = {}  # client id -> copied frame seq
@@ -583,7 +584,15 @@ class AsciiChatServer:
         # reference composites per client; identical composite -> shared)
         term_w = max(c.wire_caps.width for c in receivers)
         term_h = max(c.wire_caps.height for c in receivers)
-        plan = compositor.plan_composite(list(sizes), term_w, term_h)
+        # cache the plan by layout: rebuilding per tick re-ran the Python
+        # row-loop at 60 fps AND kept composite_gather's per-plan device_maps
+        # cache permanently cold (re-uploading the gather maps every tick)
+        plan_key = (tuple(sizes), term_w, term_h)
+        plan = self._host_plan_cache.get(plan_key)
+        if plan is None:
+            self._host_plan_cache.clear()  # layouts change rarely; keep one
+            plan = compositor.plan_composite(list(sizes), term_w, term_h)
+            self._host_plan_cache[plan_key] = plan
         composite = np.asarray(compositor.composite_gather(stack, plan))
 
         rendered: dict[tuple, bytes] = {}

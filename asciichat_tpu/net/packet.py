@@ -110,12 +110,6 @@ class PacketType(enum.IntEnum):
     ACIP_SETTINGS_ACK = 6064
 
 
-# Pre-compressed payloads skip zstd (packet.c:450)
-PRECOMPRESSED_TYPES = frozenset(
-    {PacketType.AUDIO_OPUS_BATCH, PacketType.IMAGE_FRAME_H265}
-)
-
-
 # ---------------------------------------------------------------------------
 # CRC32-C: native fast path, pure-Python fallback
 
@@ -216,8 +210,30 @@ def maybe_compress(payload: bytes, level: int = 1) -> tuple[bytes, bool]:
 
 
 def decompress(payload: bytes, original_size: int) -> bytes:
+    """Bounded decompress with the bad-data ValueError contract.
+
+    python-zstandard IGNORES max_output_size whenever the frame header
+    embeds a content size (verified: a 3 KB frame declaring 100 MB
+    decompresses in full past a 1000-byte cap) — so an attacker-declared
+    multi-GB size would be allocated and filled before any length check: a
+    remote unauthenticated OOM. Check the DECLARED size against the cap
+    first; unknown-size (streaming) frames are safely capped by
+    max_output_size. ZstdError converts to ValueError so corrupt frames
+    take the protocol-violation disconnect path, not an unhandled task
+    exception."""
+    import zstandard
+
     _, dec = _zstd()
-    return dec.decompress(payload, max_output_size=original_size)
+    try:
+        declared = zstandard.get_frame_parameters(payload).content_size
+        if (declared not in (zstandard.CONTENTSIZE_UNKNOWN,
+                             zstandard.CONTENTSIZE_ERROR)
+                and declared > original_size):
+            raise ValueError(
+                f"zstd declared size {declared} exceeds cap {original_size}")
+        return dec.decompress(payload, max_output_size=original_size)
+    except zstandard.ZstdError as e:
+        raise ValueError(f"zstd decompress failed: {e}") from None
 
 
 # ---------------------------------------------------------------------------

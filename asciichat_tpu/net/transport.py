@@ -56,19 +56,32 @@ class Transport:
                     break
                 self.writer.write(buf)
                 await self.writer.drain()
-        except (ConnectionError, asyncio.CancelledError):
+        except asyncio.CancelledError:
+            pass
+        except (ConnectionError, OSError, RuntimeError):
+            # drain() can raise past ConnectionError (ENOBUFS OSError, the
+            # 'transport is closing' RuntimeError); the task must exit
+            # cleanly either way — an unretrieved exception is just noise
             pass
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
-        """Queue a packet; drops the connection on overflow like the
-        reference's bounded per-client queues (drop-on-full backpressure)."""
+        """Queue a packet. A FULL queue raises ConnectionError: a stalled
+        peer (TCP zero window) must disconnect like the reference's bounded
+        per-client queues drop it — blocking here would freeze the caller's
+        recv loop behind its own slowest client."""
         _trace("send", ptype, len(payload))
         buf = pkt.pack_packet(ptype, payload)
         if self._sender_task is None:
             self.writer.write(buf)
             await self.writer.drain()
-        else:
-            await self._send_queue.put(buf)
+            return
+        if self._sender_task.done():
+            raise ConnectionError("sender task dead (peer gone)")
+        try:
+            self._send_queue.put_nowait(buf)
+        except asyncio.QueueFull:
+            raise ConnectionError(
+                "send queue overflow (stalled peer)") from None
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
         """Non-blocking enqueue; returns False when the queue is full (the
@@ -122,10 +135,16 @@ class Transport:
             return
         self.closed = True
         if self._sender_task is not None:
-            await self._send_queue.put(None)
+            # NEVER a blocking put: if the sender died with a full queue
+            # (stalled peer that then reset), put(None) would block forever
+            # and leak the connection task + Transport + StreamWriter
+            try:
+                self._send_queue.put_nowait(None)
+            except asyncio.QueueFull:
+                self._sender_task.cancel()
             with contextlib.suppress(asyncio.CancelledError):
                 await self._sender_task
-        with contextlib.suppress(ConnectionError):
+        with contextlib.suppress(ConnectionError, OSError):
             self.writer.close()
             await self.writer.wait_closed()
 

@@ -116,6 +116,11 @@ def plan_composite(
         col = i % cols
         cell_w = comp_w // cols
         cell_h = comp_h // rows
+        if cell_w <= 0 or cell_h <= 0:
+            # degenerate layout (more sources than composite rows on a tiny
+            # terminal): there is no pixel to draw this source into — skip
+            # it instead of a divide-by-zero + silently all-black frames
+            continue
         src_aspect = np.float32(src_w) / np.float32(src_h)
         cell_aspect = np.float32(cell_w) / np.float32(cell_h)
         if src_aspect > cell_aspect:
@@ -124,8 +129,11 @@ def plan_composite(
         else:
             th = cell_h
             tw = int(np.float32(cell_h) * src_aspect + np.float32(0.5))
-        tw = max(tw, 1)
-        th = max(th, 1)
+        if tw <= 0 or th <= 0:
+            # CONTAIN parity (stream.c:711): an extreme-aspect source whose
+            # fitted extent rounds to 0 px composites NOTHING — clamping to
+            # a 1-px strip would draw where the reference draws nothing
+            continue
 
         cell_x0 = col * cell_w
         cell_y0 = row * cell_h

@@ -961,3 +961,94 @@ def test_playback_sink_survives_dead_speaker(tmp_path, monkeypatch):
         sink.write(np.zeros(480, np.float32))
     assert sink.frames >= 3 if hasattr(sink, "frames") else True
     sink.close()
+
+
+# ---- net/{packet,transport} + ops/compositor sweep ----------------------
+
+def test_zstd_bomb_rejected():
+    """A frame whose zstd header declares a size past the cap must be
+    rejected BEFORE decompression — python-zstandard ignores
+    max_output_size for declared-size frames, so the old cap allocated and
+    filled the attacker-declared size (remote OOM)."""
+    import zstandard
+
+    from asciichat_tpu.net import packet as pkt
+
+    bomb = zstandard.ZstdCompressor(level=1).compress(b"\0" * (10 << 20))
+    assert len(bomb) < 20_000  # tiny wire bytes, 10 MB declared
+    with pytest.raises(ValueError, match="declared size"):
+        pkt.decompress(bomb, 1024)
+    # corrupt body -> ValueError (the bad-data disconnect contract), not
+    # a ZstdError escaping the protocol handlers
+    with pytest.raises(ValueError):
+        pkt.decompress(b"not zstd at all", 1024)
+    # honest frames still round-trip (declared <= cap)
+    data = b"x" * 5000
+    comp, was = pkt.maybe_compress(data, 1)
+    assert was and pkt.decompress(comp, 5000) == data
+    # unpack_ascii_frame end-to-end: bomb inside a frame payload
+    hdr = pkt.ASCII_FRAME_HDR.pack(10, 10, 1024, len(bomb),
+                                   pkt.crc32c(b""), 0)
+    with pytest.raises(ValueError):
+        pkt.unpack_ascii_frame(hdr + bomb)
+
+
+def test_transport_full_queue_disconnects_not_blocks():
+    """send() on a full queue (stalled peer) must raise ConnectionError —
+    blocking would freeze the caller's recv loop; close() with a dead
+    sender + full queue must not deadlock."""
+    import asyncio
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import Transport
+
+    async def run():
+        class DeadWriter:
+            def write(self, b):
+                pass
+
+            async def drain(self):
+                await asyncio.sleep(3600)  # stalled peer: never drains
+
+            def close(self):
+                pass
+
+            async def wait_closed(self):
+                pass
+
+            def get_extra_info(self, k):
+                return ("1.2.3.4", 5)
+
+        t = Transport(None, DeadWriter())
+        t.start_sender()
+        await asyncio.sleep(0.05)  # sender picks up the first packet
+        for _ in range(t._send_queue.maxsize):
+            if not t.send_nowait(pkt.PacketType.PING, b"x"):
+                break
+        assert t._send_queue.full()
+        with pytest.raises(ConnectionError):
+            await t.send(pkt.PacketType.PING, b"y")
+        # close() must return despite the full queue + stalled sender
+        await asyncio.wait_for(t.close(), 5)
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_compositor_degenerate_layouts_safe():
+    """More sources than composite rows on a tiny terminal: no div-zero,
+    no crash, overflow sources skipped; a 0-px CONTAIN fit composites
+    nothing (stream.c:711 parity), not a 1-px strip."""
+    import warnings
+
+    from asciichat_tpu.ops import compositor
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a RuntimeWarning would raise
+        plan = compositor.plan_composite([(64, 48)] * 25, 20, 10)
+    assert plan.width_px == 20
+    # extreme aspect: 800x1 source in a small cell -> fitted height 0 ->
+    # drawn NOWHERE
+    plan = compositor.plan_composite([(800, 1), (64, 48)], 40, 12)
+    assert not (plan.client_idx == 0).any(), \
+        "0-px CONTAIN fit drew a visible strip"
+    assert (plan.client_idx == 1).any()  # the normal source still renders
