@@ -242,6 +242,8 @@ class AcdsServer:
                             participant_id, req.get("address", peer),
                             req.get("port", 27224),
                             session_string=reserved,
+                            # reservations are keyed by the VERIFIED identity
+                            owner_id=(sender_pub.hex() if sender_pub else peer),
                         )
                     except ValueError as e:
                         await t.send(P.ERROR_MESSAGE, _j({"error": str(e)}))
@@ -415,6 +417,10 @@ class AcdsServer:
                     info = self.db.lookup(session_string)
                     if info is None or to_id not in info.participants:
                         continue
+                    # relayed session traffic is liveness: refresh the
+                    # inactivity clock (database.c:871 role) so an active
+                    # call never idle-expires mid-session
+                    self.db.touch(session_string)
                     target = self.clients.get(to_id)
                     if target:
                         target[0].send_nowait(ptype, raw_payload)

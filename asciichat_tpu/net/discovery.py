@@ -79,7 +79,12 @@ class SessionInfo:
     participants: list[str]
 
 
-SESSION_TTL_S = 24 * 3600
+# Sessions expire on INACTIVITY, refreshed by membership/host updates and
+# relayed traffic — the reference keys expiry on last_activity_at the same
+# way (database.c:871 refresh, :575 expiry scan), so an actively-used
+# session never vanishes mid-call and an abandoned string frees after the
+# idle window instead of squatting for a day.
+SESSION_IDLE_TTL_S = 3 * 3600
 RESERVATION_TTL_S = 300
 
 
@@ -97,7 +102,8 @@ class SessionDatabase:
                 host_address TEXT NOT NULL,
                 host_port INTEGER NOT NULL,
                 created_at REAL NOT NULL,
-                ended INTEGER DEFAULT 0
+                ended INTEGER DEFAULT 0,
+                last_activity_at REAL DEFAULT 0
             );
             CREATE TABLE IF NOT EXISTS participants (
                 session_string TEXT NOT NULL,
@@ -114,19 +120,50 @@ class SessionDatabase:
             );
             """
         )
+        try:  # migrate pre-activity-column DBs in place
+            self.db.execute(
+                "ALTER TABLE sessions ADD COLUMN last_activity_at REAL DEFAULT 0")
+        except sqlite3.OperationalError:
+            pass
+        self._last_expire = 0.0
 
     # -- sessions ---------------------------------------------------------
     def create_session(
         self, host_id: str, host_address: str, host_port: int,
-        session_string: str | None = None,
+        session_string: str | None = None, owner_id: str | None = None,
     ) -> SessionInfo:
+        """`owner_id` is the identity reservations are keyed by (the ACDS
+        reserves under the VERIFIED identity hex, not the participant id);
+        defaults to host_id for direct users of this class."""
+        self._expire()
+        if owner_id is None:
+            owner_id = host_id
+        if session_string is not None:
+            # explicit strings come from untrusted SESSION_CREATE payloads:
+            # enforce the word-list contract (an arbitrary multi-MB blob
+            # must not become a PRIMARY KEY echoed in broadcasts), and an
+            # ACTIVE reservation held by someone else blocks the create
+            if not validate_session_string(session_string):
+                raise ValueError(f"invalid session string {session_string!r}")
+            holder = self.reservation_owner(session_string)
+            if holder is not None and holder != owner_id:
+                raise ValueError(
+                    f"session string {session_string!r} reserved by another")
         for _ in range(32):
             s = session_string or generate_session_string()
+            if session_string is None:
+                # a random draw must not steal someone's live reservation
+                holder = self.db.execute(
+                    "SELECT owner_id FROM reservations WHERE session_string=?",
+                    (s,)).fetchone()
+                if holder and holder[0] != owner_id:
+                    continue
             session_id = secrets.token_hex(8)
+            now = time.time()
             try:
                 self.db.execute(
-                    "INSERT INTO sessions VALUES (?,?,?,?,?,?,0)",
-                    (s, session_id, host_id, host_address, host_port, time.time()),
+                    "INSERT INTO sessions VALUES (?,?,?,?,?,?,0,?)",
+                    (s, session_id, host_id, host_address, host_port, now, now),
                 )
                 break
             except sqlite3.IntegrityError:
@@ -135,12 +172,24 @@ class SessionDatabase:
                 continue
         else:
             raise RuntimeError("could not allocate a session string")
+        # a reservation is single-use: consumed by the create that used it
+        self.db.execute(
+            "DELETE FROM reservations WHERE session_string=? AND owner_id=?",
+            (s, owner_id))
         self.db.execute(
             "INSERT OR REPLACE INTO participants VALUES (?,?,?,?,?)",
             (s, host_id, host_address, host_port, time.time()),
         )
         self.db.commit()
         return self.lookup(s)
+
+    def touch(self, session_string: str) -> None:
+        """Refresh the inactivity clock (database.c:871 role): membership
+        changes, host migration, and relayed session traffic all count."""
+        self.db.execute(
+            "UPDATE sessions SET last_activity_at=? WHERE session_string=?",
+            (time.time(), session_string))
+        self.db.commit()
 
     def lookup(self, session_string: str) -> SessionInfo | None:
         self._expire()
@@ -171,6 +220,7 @@ class SessionDatabase:
             (session_string, participant_id, address, port, time.time()),
         )
         self.db.commit()
+        self.touch(session_string)
         return self.lookup(session_string)
 
     def leave(self, session_string: str, participant_id: str) -> None:
@@ -179,12 +229,21 @@ class SessionDatabase:
             (session_string, participant_id),
         )
         self.db.commit()
+        self.touch(session_string)
 
     def end_session(self, session_string: str, host_id: str) -> bool:
+        # DELETE, not a tombstone: an ended=1 row kept the PRIMARY KEY
+        # occupied (lookup/reserve reported the string free while create
+        # failed on the PK), and its participants rows resurfaced as ghost
+        # members when the string was reused
         cur = self.db.execute(
-            "UPDATE sessions SET ended=1 WHERE session_string=? AND host_id=?",
+            "DELETE FROM sessions WHERE session_string=? AND host_id=?",
             (session_string, host_id),
         )
+        if cur.rowcount:
+            self.db.execute(
+                "DELETE FROM participants WHERE session_string=?",
+                (session_string,))
         self.db.commit()
         return cur.rowcount > 0
 
@@ -192,9 +251,9 @@ class SessionDatabase:
                  address: str, port: int) -> None:
         """Host migration after consensus election / failover."""
         self.db.execute(
-            "UPDATE sessions SET host_id=?, host_address=?, host_port=?"
-            " WHERE session_string=?",
-            (host_id, address, port, session_string),
+            "UPDATE sessions SET host_id=?, host_address=?, host_port=?,"
+            " last_activity_at=? WHERE session_string=?",
+            (host_id, address, port, time.time(), session_string),
         )
         self.db.commit()
 
@@ -233,9 +292,13 @@ class SessionDatabase:
         return row[0] if row else None
 
     def renew_string(self, session_string: str, owner_id: str) -> bool:
+        # deterministic expiry: a lapsed reservation cannot be renewed even
+        # if no other traffic happened to run the expiry sweep first
+        now = time.time()
         cur = self.db.execute(
-            "UPDATE reservations SET reserved_at=? WHERE session_string=? AND owner_id=?",
-            (time.time(), session_string, owner_id),
+            "UPDATE reservations SET reserved_at=? WHERE session_string=?"
+            " AND owner_id=? AND reserved_at >= ?",
+            (now, session_string, owner_id, now - RESERVATION_TTL_S),
         )
         self.db.commit()
         return cur.rowcount > 0
@@ -248,8 +311,20 @@ class SessionDatabase:
         self.db.commit()
 
     def _expire(self) -> None:
+        # throttled: lookup() sits on the per-relayed-packet hot path, and
+        # unthrottled this ran 2 table-scan DELETEs + fsync per packet
         now = time.time()
-        self.db.execute("DELETE FROM sessions WHERE created_at < ?", (now - SESSION_TTL_S,))
+        if now - self._last_expire < 2.0:
+            return
+        self._last_expire = now
+        horizon = now - SESSION_IDLE_TTL_S
+        dead = [r[0] for r in self.db.execute(
+            "SELECT session_string FROM sessions WHERE"
+            " max(last_activity_at, created_at) < ?", (horizon,))]
+        for s in dead:
+            self.db.execute("DELETE FROM sessions WHERE session_string=?", (s,))
+            self.db.execute(
+                "DELETE FROM participants WHERE session_string=?", (s,))
         self.db.execute(
             "DELETE FROM reservations WHERE reserved_at < ?", (now - RESERVATION_TTL_S,)
         )

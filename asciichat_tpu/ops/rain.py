@@ -50,14 +50,21 @@ class DigitalRain:
 
     def __post_init__(self):
         cols = np.arange(self.num_columns, dtype=np.float32)
-        self.time_offset = (_random_float(cols) * 1000.0).astype(np.float32)
-        self.speed_multiplier = (_random_float(cols + np.float32(0.1)) * 0.5 + 0.5).astype(np.float32)
+        # device-resident constants, uploaded ONCE: apply() runs per frame
+        # in the interactive mirror path, and a per-call jnp.asarray is a
+        # fresh H2D transfer + dispatch over the ~50 ms tunnel RTT
+        # (CLAUDE.md forbids per-call transfers in interactive paths)
+        self.time_offset = jnp.asarray(
+            (_random_float(cols) * 1000.0).astype(np.float32))
+        self.speed_multiplier = jnp.asarray(
+            (_random_float(cols + np.float32(0.1)) * 0.5 + 0.5).astype(np.float32))
+        self._color_dev = jnp.asarray(self.color, jnp.float32)
 
     def brightness_field(self, sim_time: float) -> jax.Array:
         """[rows, cols] float32 brightness at sim_time (device)."""
         return _brightness(
-            jnp.asarray(self.time_offset),
-            jnp.asarray(self.speed_multiplier),
+            self.time_offset,
+            self.speed_multiplier,
             self.num_rows,
             jnp.float32(sim_time),
             self.fall_speed,
@@ -67,8 +74,7 @@ class DigitalRain:
     def apply(self, frame: jax.Array, sim_time: float) -> jax.Array:
         """Overlay rain on an RGB frame uint8 [H, W, 3] (pixel rows = cells)."""
         b = self.brightness_field(sim_time)
-        return _overlay(frame, b, jnp.asarray(self.color, jnp.float32),
-                        self.cursor_brightness)
+        return _overlay(frame, b, self._color_dev, self.cursor_brightness)
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows", "fall_speed", "drop_len"))
@@ -83,8 +89,11 @@ def _brightness(offset, speed, num_rows: int, t, fall_speed: float, drop_len: fl
 
 @functools.partial(jax.jit, static_argnames=("cursor",))
 def _overlay(frame, brightness, color, cursor: float):
-    """Blend: dim source by brightness field, add rain-colored glow; cells
-    near the drop head (brightness ~ 1) flash toward white (cursor boost)."""
+    """Matrix recoloring: the output is RAIN-COLORED monochrome — the
+    source contributes only its LUMA (scene structure shows through as
+    glyph intensity; source chroma is deliberately discarded, matching the
+    reference's green-on-black recolor, digital_rain.c role). Cells near
+    the drop head (brightness ~ 1) flash toward white (cursor boost)."""
     h = frame.shape[0]
     b = jax.image.resize(brightness, (h, frame.shape[1]), "nearest") \
         if brightness.shape != frame.shape[:2] else brightness

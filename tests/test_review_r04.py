@@ -1052,3 +1052,82 @@ def test_compositor_degenerate_layouts_safe():
     assert not (plan.client_idx == 0).any(), \
         "0-px CONTAIN fit drew a visible strip"
     assert (plan.client_idx == 1).any()  # the normal source still renders
+
+
+# ---- net/discovery session lifecycle sweep ------------------------------
+
+def test_session_lifecycle_end_frees_string_and_participants():
+    """Ending a session frees its string immediately (no tombstone PK
+    squat) and deletes its participants (no ghost members on reuse)."""
+    from asciichat_tpu.net.discovery import SessionDatabase
+
+    db = SessionDatabase()
+    info = db.create_session("host-a", "1.2.3.4", 27224)
+    s = info.session_string
+    db.join(s, "peer-b", "5.6.7.8", 1)
+    assert db.end_session(s, "host-a") is True
+    assert db.lookup(s) is None
+    # the string is reusable NOW, and old participants do not resurface
+    info2 = db.create_session("host-c", "9.9.9.9", 27224, session_string=s)
+    assert info2.participants == ["host-c"]
+
+
+def test_session_idle_expiry_and_activity_refresh(monkeypatch):
+    """Expiry keys on ACTIVITY (database.c:871 semantics): an old-but-active
+    session survives past the idle TTL; an idle one expires with its
+    participants."""
+    import asciichat_tpu.net.discovery as disc
+
+    db = disc.SessionDatabase()
+    t = [1000.0]
+    monkeypatch.setattr(disc.time, "time", lambda: t[0])
+    info = db.create_session("h", "1.1.1.1", 1)
+    s = info.session_string
+    # 2x the idle TTL passes, but activity keeps refreshing
+    for _ in range(4):
+        t[0] += disc.SESSION_IDLE_TTL_S * 0.5
+        db.touch(s)
+        db._last_expire = 0.0  # defeat the throttle for the test
+        assert db.lookup(s) is not None, "active session expired"
+    # now it goes idle past the TTL
+    t[0] += disc.SESSION_IDLE_TTL_S + 1
+    db._last_expire = 0.0
+    assert db.lookup(s) is None
+    # participants were cleaned with it
+    n = db.db.execute("SELECT COUNT(*) FROM participants").fetchone()[0]
+    assert n == 0
+
+
+def test_session_string_validation_and_reservation_safety():
+    """create_session validates explicit strings (an arbitrary blob must
+    not become a broadcast PK), refuses strings reserved by another owner,
+    and consumes the owner's reservation on use."""
+    from asciichat_tpu.net.discovery import SessionDatabase
+
+    db = SessionDatabase()
+    with pytest.raises(ValueError, match="invalid"):
+        db.create_session("h", "1.1.1.1", 1, session_string="A" * 100000)
+    assert db.reserve_string("swift-river-oak", "alice")
+    with pytest.raises(ValueError, match="reserved"):
+        db.create_session("bob", "1.1.1.1", 1,
+                          session_string="swift-river-oak")
+    info = db.create_session("alice", "1.1.1.1", 1,
+                             session_string="swift-river-oak")
+    assert info.session_string == "swift-river-oak"
+    # reservation consumed: after the session ends, anyone may take it
+    db.end_session("swift-river-oak", "alice")
+    assert db.reservation_owner("swift-river-oak") is None
+
+
+def test_reservation_renew_respects_expiry(monkeypatch):
+    import asciichat_tpu.net.discovery as disc
+
+    db = disc.SessionDatabase()
+    t = [5000.0]
+    monkeypatch.setattr(disc.time, "time", lambda: t[0])
+    assert db.reserve_string("brave-cloud-fox", "alice")
+    t[0] += disc.RESERVATION_TTL_S - 1
+    assert db.renew_string("brave-cloud-fox", "alice") is True
+    t[0] += disc.RESERVATION_TTL_S + 1
+    # lapsed: renew must fail even though no sweep ran in between
+    assert db.renew_string("brave-cloud-fox", "alice") is False
