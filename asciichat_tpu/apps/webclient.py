@@ -85,8 +85,7 @@ def make_http_handler(extra: dict | None = None):
 
 # Back-compat: the full single-request page is gone; serving "/" through
 # make_http_handler is the supported path.
-def index_html() -> str:
-    return web.get_asset("/")[1].decode()
+
 
 
 class WebRtcGateway:
@@ -120,8 +119,11 @@ class WebRtcGateway:
         if self.closed or len(self._tasks) >= self._max_pending:
             return None
         try:
+            # sdp.parse raises ValueError on malformed numeric attributes
+            # (a=sctp-port:junk) — the documented contract is 404, not a
+            # dead TCP connection with no HTTP response
             info = sdp.parse(body.decode("utf-8", errors="strict"))
-        except UnicodeDecodeError:
+        except (UnicodeDecodeError, ValueError):
             return None
         if not (info.ufrag and info.pwd and info.fingerprint):
             return None  # not a DataChannel offer this stack can secure
@@ -129,7 +131,11 @@ class WebRtcGateway:
         if agent.dtls_identity is None:
             agent.close()
             return None  # no OpenSSL on this host
-        await agent.start()
+        try:
+            await agent.start()
+        except OSError:  # fd exhaustion etc.: answer 404, don't leak the conn
+            agent.close()
+            return None
         agent.set_remote(info.to_desc())
         answer = sdp.answer_for_agent(agent, info)
         # trickle ICE (RFC 8838): offers may arrive with ZERO candidates —

@@ -58,7 +58,10 @@ async def _read_http_headers(reader: asyncio.StreamReader) -> tuple[str, dict[st
         if not line:
             break
         k, _, v = line.partition(":")
-        headers[k.strip().lower()] = v.strip()
+        k = k.strip().lower()
+        # RFC 7230 §3.2.2: repeated header fields combine as a comma list —
+        # overwriting dropped all but the last Sec-WebSocket-Extensions line
+        headers[k] = f"{headers[k]}, {v.strip()}" if k in headers else v.strip()
     else:
         raise ValueError("too many http headers")
     return request_line, headers
@@ -162,7 +165,15 @@ class WebSocketConnection:
                 if compressed and not self.deflate:
                     raise ValueError("compressed frame without negotiated deflate")
             elif opcode == OP_CONT:
+                if message_op is None:
+                    # a continuation with nothing to continue (RFC 6455 §5.4)
+                    raise ValueError("websocket continuation without start")
                 message += payload
+            else:
+                # reserved opcodes (3-7, 11-15) MUST fail the connection
+                # (RFC 6455 §5.2) — falling through would return a partial
+                # fragmented message as if complete
+                raise ValueError(f"reserved websocket opcode {opcode}")
             if fin:
                 data = bytes(message)
                 if compressed:
@@ -184,9 +195,16 @@ class WebSocketConnection:
     async def close(self) -> None:
         if not self.closed:
             self.closed = True
-            with contextlib.suppress(ConnectionError, asyncio.IncompleteReadError):
-                await self.send_message(struct.pack(">H", 1000), OP_CLOSE)
-        with contextlib.suppress(ConnectionError):
+            with contextlib.suppress(ConnectionError, OSError, RuntimeError,
+                                     asyncio.TimeoutError,
+                                     asyncio.IncompleteReadError):
+                # the polite CLOSE frame is best-effort and BOUNDED: a
+                # stalled peer with full TCP buffers parks drain() forever,
+                # which would hang every on_conn finally and leak the
+                # connection — after 1 s just drop the socket
+                await asyncio.wait_for(
+                    self.send_message(struct.pack(">H", 1000), OP_CLOSE), 1.0)
+        with contextlib.suppress(ConnectionError, OSError):
             self.writer.close()
             await self.writer.wait_closed()
 
@@ -214,15 +232,28 @@ class WebSocketTransport:
                 if buf is None:
                     return
                 await self.ws.send_message(buf)
-        except (ConnectionError, asyncio.CancelledError):
+        except asyncio.CancelledError:
+            pass
+        except (ConnectionError, OSError, RuntimeError):
+            # drain() raises past ConnectionError while a transport closes
+            # (RuntimeError) or under ENOBUFS (OSError) — exit cleanly
             pass
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
+        """TCP-twin parity (net/transport.Transport.send): a FULL queue or
+        dead sender raises ConnectionError — blocking would freeze the
+        caller's recv loop behind its own stalled browser tab."""
         buf = pkt.pack_packet(ptype, payload)
         if self._sender_task is None:
             await self.ws.send_message(buf)
-        else:
-            await self._send_queue.put(buf)
+            return
+        if self._sender_task.done():
+            raise ConnectionError("ws sender task dead (peer gone)")
+        try:
+            self._send_queue.put_nowait(buf)
+        except asyncio.QueueFull:
+            raise ConnectionError(
+                "ws send queue overflow (stalled peer)") from None
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
         # thread-safe like net.transport.Transport.send_nowait: executor
@@ -328,9 +359,11 @@ def parse_deflate_response(value: str):
     """Client-side: the server's agreed extension -> (accepted, tx_wbits,
     tx_no_ctx) for OUR compressor. client_max_window_bits=N in the
     response caps our window; client_no_context_takeover makes us reset
-    per message. A response demanding something unsupportable (window < 9)
-    -> not accepted (we then speak uncompressed, which is always legal for
-    a sender)."""
+    per message. A response demanding something unsupportable, or carrying
+    an unknown parameter, must FAIL THE HANDSHAKE (RFC 7692 §7.1): the
+    server believes deflate is negotiated, so "speaking uncompressed" on
+    our side still dies the moment the server sends its first compressed
+    frame — raising here lets connect_ws fail cleanly instead."""
     for part in value.split(","):
         tokens = [p.strip() for p in part.split(";")]
         if not tokens or tokens[0] != "permessage-deflate":
@@ -345,36 +378,56 @@ def parse_deflate_response(value: str):
                 try:
                     n = int(v)
                 except ValueError:
-                    return False, 15, False
+                    raise ConnectionError(
+                        f"bad deflate response param {p!r}") from None
                 if not 9 <= n <= 15:
-                    return False, 15, False
+                    raise ConnectionError(
+                        f"unsupportable deflate window {n}")
                 tx_wbits = n
-            # server_* params describe the SERVER's compressor: our 15-bit
-            # inflater handles anything, nothing to do
+            elif k in ("client_max_window_bits",
+                       "server_no_context_takeover",
+                       "server_max_window_bits"):
+                # server_* params describe the SERVER's compressor: our
+                # 15-bit inflater handles anything; valueless
+                # client_max_window_bits is a no-op hint
+                continue
+            else:
+                raise ConnectionError(
+                    f"unknown deflate response param {p!r}")
         return True, tx_wbits, tx_no_ctx
     return False, 15, False
 
 
 async def connect_ws(host: str, port: int, path: str = "/",
-                     deflate: bool = True) -> WebSocketTransport:
+                     deflate: bool = True,
+                     handshake_timeout: float = 15.0) -> WebSocketTransport:
     reader, writer = await asyncio.open_connection(host, port)
-    key = base64.b64encode(os.urandom(16)).decode()
-    ext = "Sec-WebSocket-Extensions: permessage-deflate\r\n" if deflate else ""
-    writer.write(
-        (
-            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
-            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n{ext}\r\n"
-        ).encode()
-    )
-    await writer.drain()
-    status, headers = await _read_http_headers(reader)
-    if "101" not in status or headers.get("sec-websocket-accept") != _accept_key(key):
-        raise ConnectionError(f"websocket handshake failed: {status}")
-    negotiated, tx_wbits, tx_no_ctx = (False, 15, False)
-    if deflate:
-        negotiated, tx_wbits, tx_no_ctx = parse_deflate_response(
-            headers.get("sec-websocket-extensions", ""))
+    try:
+        key = base64.b64encode(os.urandom(16)).decode()
+        ext = "Sec-WebSocket-Extensions: permessage-deflate\r\n" if deflate else ""
+        writer.write(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n{ext}\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        # bounded handshake: a server that accepts and never answers must
+        # not park the client in readline() forever
+        status, headers = await asyncio.wait_for(
+            _read_http_headers(reader), handshake_timeout)
+        if "101" not in status or headers.get("sec-websocket-accept") != _accept_key(key):
+            raise ConnectionError(f"websocket handshake failed: {status}")
+        negotiated, tx_wbits, tx_no_ctx = (False, 15, False)
+        if deflate:
+            negotiated, tx_wbits, tx_no_ctx = parse_deflate_response(
+                headers.get("sec-websocket-extensions", ""))
+    except BaseException:
+        # a failed/timed-out handshake must not leak the socket (reconnect
+        # loops would accumulate one fd per attempt)
+        writer.close()
+        raise
     t = WebSocketTransport(
         WebSocketConnection(reader, writer, is_client=True, deflate=negotiated,
                             tx_wbits=tx_wbits, tx_no_ctx=tx_no_ctx)
@@ -395,7 +448,11 @@ async def serve_ws(handler, host: str, port: int,
 
     async def on_conn(reader, writer):
         try:
-            status, headers = await _read_http_headers(reader)
+            # bounded header read: a slowloris peer (one byte a minute, or
+            # nothing at all) must not hold an fd + task forever on the
+            # public port
+            status, headers = await asyncio.wait_for(
+                _read_http_headers(reader), 15.0)
             key = headers.get("sec-websocket-key")
             if not key or "upgrade" not in headers.get("connection", "").lower():
                 page = None
@@ -445,7 +502,8 @@ async def serve_ws(handler, host: str, port: int,
             )
             await writer.drain()
         except (asyncio.IncompleteReadError, asyncio.LimitOverrunError,
-                ConnectionError, ValueError):
+                asyncio.TimeoutError, ConnectionError, OSError, RuntimeError,
+                ValueError):
             with contextlib.suppress(Exception):
                 writer.close()
             return

@@ -129,6 +129,13 @@
             }
           } else if (fin === 0x62) { // 'b' — REP: repeat last glyph n times
             let n = p0 < 0 ? 0 : p0;
+            // REP triggers the same grid-doubling realloc a literal glyph
+            // gets — truncating at capW lost the right side of uniform
+            // rows wider than the initial capacity (lockstep with
+            // ansiparse.py — shared corpus contract)
+            if (n > 0 && col + Math.min(n, 4096) > capW && row < capH) {
+              this.capW = capW * 2; this._alloc(); return this.parse(text);
+            }
             while (n-- > 0 && col < capW && row < capH) {
               const at = row * capW + col;
               glyphs[at] = lastGlyph; fgArr[at] = lastFg; bgArr[at] = lastBg;

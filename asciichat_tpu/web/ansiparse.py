@@ -118,6 +118,15 @@ class AnsiGrid:
                                 bg = ANSI16[p - 100 + 8]
                 elif fin == "b":  # REP: repeat last glyph
                     reps = params[0] if params else 0
+                    # REP must trigger the same grid-doubling realloc a
+                    # literal glyph gets: silently truncating at cap_w lost
+                    # the right side of uniform rows wider than the initial
+                    # capacity (kept in lockstep with ansi.js — shared
+                    # corpus contract)
+                    if reps > 0 and col + min(reps, 4096) > cap_w and row < cap_h:
+                        self.cap_w = cap_w * 2
+                        self._alloc()
+                        return self.parse(text)
                     while reps > 0 and col < cap_w and row < cap_h:
                         at = row * cap_w + col
                         glyphs[at] = last_glyph

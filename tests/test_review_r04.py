@@ -1131,3 +1131,135 @@ def test_reservation_renew_respects_expiry(monkeypatch):
     t[0] += disc.RESERVATION_TTL_S + 1
     # lapsed: renew must fail even though no sweep ran in between
     assert db.renew_string("brave-cloud-fox", "alice") is False
+
+
+# ---- websocket/webclient/ansiparse sweep --------------------------------
+
+def test_ws_transport_full_queue_parity():
+    """WebSocketTransport.send mirrors the TCP twin: full queue / dead
+    sender -> ConnectionError, never an indefinite block."""
+    import asyncio
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.websocket import WebSocketConnection, WebSocketTransport
+
+    async def run():
+        class StallWriter:
+            def write(self, b):
+                pass
+
+            async def drain(self):
+                await asyncio.sleep(3600)
+
+            def close(self):
+                pass
+
+            async def wait_closed(self):
+                pass
+
+            def get_extra_info(self, k):
+                return ("1.2.3.4", 5)
+
+        ws = WebSocketConnection(None, StallWriter(), is_client=False)
+        t = WebSocketTransport(ws)
+        t.start_sender()
+        await asyncio.sleep(0.05)
+        while t.send_nowait(pkt.PacketType.PING, b"x"):
+            pass
+        with pytest.raises(ConnectionError):
+            await t.send(pkt.PacketType.PING, b"y")
+        await asyncio.wait_for(t.close(), 5)
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_ws_reserved_opcode_and_orphan_cont_fail():
+    """Reserved opcodes and orphan continuations fail the connection
+    (RFC 6455 5.2/5.4) instead of returning partial messages."""
+    import asyncio
+    import struct as st
+
+    from asciichat_tpu.net.websocket import WebSocketConnection
+
+    async def run(frames: bytes):
+        r = asyncio.StreamReader()
+        r.feed_data(frames)
+        r.feed_eof()
+        ws = WebSocketConnection(r, None, is_client=False)
+        return await ws.recv_message()
+
+    # TEXT (no FIN) then a reserved-opcode FIN frame
+    frag = st.pack(">BB", 0x01, 2) + b"ab" + st.pack(">BB", 0x83, 0)
+    with pytest.raises(ValueError, match="reserved"):
+        asyncio.run(run(frag))
+    # orphan continuation
+    orphan = st.pack(">BB", 0x80, 2) + b"xy"
+    with pytest.raises(ValueError, match="continuation"):
+        asyncio.run(run(orphan))
+
+
+def test_ws_duplicate_headers_comma_join():
+    import asyncio
+
+    from asciichat_tpu.net.websocket import _read_http_headers
+
+    async def run():
+        r = asyncio.StreamReader()
+        r.feed_data(b"GET / HTTP/1.1\r\n"
+                    b"Sec-WebSocket-Extensions: permessage-deflate\r\n"
+                    b"Sec-WebSocket-Extensions: other-ext\r\n\r\n")
+        r.feed_eof()
+        return await _read_http_headers(r)
+
+    _, headers = asyncio.run(run())
+    assert headers["sec-websocket-extensions"] == \
+        "permessage-deflate, other-ext"
+
+
+def test_deflate_response_unsupportable_fails_handshake():
+    from asciichat_tpu.net.websocket import parse_deflate_response
+
+    ok, w, nc = parse_deflate_response(
+        "permessage-deflate; client_max_window_bits=12; "
+        "client_no_context_takeover")
+    assert (ok, w, nc) == (True, 12, True)
+    with pytest.raises(ConnectionError):
+        parse_deflate_response("permessage-deflate; client_max_window_bits=8")
+    with pytest.raises(ConnectionError):
+        parse_deflate_response("permessage-deflate; foo=bar")
+    assert parse_deflate_response("x-unknown-ext")[0] is False
+
+
+def test_gateway_malformed_offer_is_404():
+    """sdp.parse ValueError (a=sctp-port:junk) must yield None (404), not
+    escape and kill the HTTP connection."""
+    import asyncio
+
+    from asciichat_tpu.apps.webclient import WebRtcGateway
+
+    async def run():
+        gw = WebRtcGateway(lambda t: None)
+        bad = (b"v=0\r\no=- 1 1 IN IP4 0.0.0.0\r\ns=-\r\n"
+               b"m=application 9 UDP/DTLS/SCTP webrtc-datachannel\r\n"
+               b"a=ice-ufrag:ab\r\na=ice-pwd:xy\r\n"
+               b"a=fingerprint:sha-256 AA:BB\r\na=sctp-port:junk\r\n")
+        assert await gw.on_offer(bad) is None
+        gw.close()
+
+    asyncio.run(run())
+
+
+def test_ansiparse_rep_grows_grid_past_initial_capacity():
+    """A uniform row emitted as glyph+REP wider than the initial capacity
+    must realloc like literal glyphs do, not silently truncate at 256."""
+    from asciichat_tpu.web import ansiparse
+
+    wide = 300
+    text = "X\x1b[%db" % (wide - 1)
+    g = ansiparse.AnsiGrid().parse(text)
+    assert g.w == wide, f"REP row truncated at {g.w}"
+    for x in range(wide):
+        assert g.cell(x, 0)[0] == ord("X"), x
+    # flood stays memory-bounded (capacity clamp, not unbounded realloc)
+    flood = ansiparse.AnsiGrid().parse("X\x1b[2000000000b")
+    assert flood.w <= flood.cap_w <= 16384
