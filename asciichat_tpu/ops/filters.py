@@ -1,6 +1,6 @@
 """Color filters: grayscale + monochromatic tint, batched and per-client.
 
-Exact integer re-derivation of lib/video/rgba/color_filter.c: 12-entry filter
+Exact integer re-derivation of lib/video/rgba/color_filter.c: 13-entry filter
 registry (color_filter.c:23-142), grayscale (77,150,29)>>8 with NO rounding
 constant (color_filter.h:172-174), colorize modes (color_filter.c:257-271):
 
@@ -16,7 +16,6 @@ one fused select instead of the reference's per-client branchy loop.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
@@ -39,17 +38,22 @@ FILTER_REGISTRY: dict[str, tuple[tuple[int, int, int], bool]] = {
     "rainbow": ((255, 0, 0), False),  # color computed from time
 }
 FILTER_NAMES = list(FILTER_REGISTRY)
-RAINBOW_INDEX = FILTER_NAMES.index("rainbow")
 RAINBOW_MIN_BRIGHTNESS = 179  # 70% of 255 (color_filter.c:301)
 
 
 def rainbow_color(time_s: float) -> tuple[int, int, int]:
-    """HSV sweep over 3.5 s + min-luminance 120 boost (color_filter.c:169-243)."""
-    phase = math.fmod(time_s, 3.5) / 3.5
-    h = phase * 360.0 / 60.0
-    i = int(math.floor(h))
-    f = h - i
-    q, t = 1.0 - f, f
+    """HSV sweep over 3.5 s + min-luminance 120 boost (color_filter.c:169-243).
+
+    Evaluated in float32 like the C ground truth (fmodf / float arithmetic):
+    float64 lands on the other side of a rounding/segment boundary for some
+    timestamps, so a reference client and this server would tint the same
+    moment differently by +-1 per channel."""
+    f32 = np.float32
+    phase = f32(np.fmod(f32(time_s), f32(3.5))) / f32(3.5)
+    h = f32(phase * f32(360.0) / f32(60.0))
+    i = int(np.floor(h))
+    f = f32(h - f32(i))
+    q, t = f32(1.0) - f, f
     seg = i % 6
     if seg == 0:
         r, g, b = 255, int(t * 255.0 + 0.5), 0
@@ -63,12 +67,15 @@ def rainbow_color(time_s: float) -> tuple[int, int, int]:
         r, g, b = int(t * 255.0 + 0.5), 0, 255
     else:
         r, g, b = 255, 0, int(q * 255.0 + 0.5)
-    lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
-    if lum < 120.0:
-        boost = (120.0 - lum) / 3.0
-        r = int(min(255.0, r + boost))
-        g = int(min(255.0, g + boost))
-        b = int(min(255.0, b + boost))
+    # min-luminance boost, also float32 (0.2126f*r + ... , fminf):
+    # np binary ops on two float32 scalars round to float32 at every step,
+    # matching the C left-to-right evaluation
+    lum = f32(0.2126) * f32(r) + f32(0.7152) * f32(g) + f32(0.0722) * f32(b)
+    if lum < f32(120.0):
+        boost = (f32(120.0) - lum) / f32(3.0)
+        r = int(min(f32(255.0), f32(r) + boost))
+        g = int(min(f32(255.0), f32(g) + boost))
+        b = int(min(f32(255.0), f32(b) + boost))
     return r, g, b
 
 

@@ -19,6 +19,7 @@ split in two:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -45,10 +46,14 @@ def install_dump_handlers():
         flags |= getattr(os, "O_NOFOLLOW", 0)
         fd = os.open(dump_path(), flags, 0o600)
         st = os.fstat(fd)
-        if (st.st_uid != os.getuid() or stat.S_ISLNK(st.st_mode)
-                or not stat.S_ISREG(st.st_mode)):
+        if st.st_uid != os.getuid() or not stat.S_ISREG(st.st_mode):
             os.close(fd)
             return None  # foreign/planted file: no dump channel
+        # the 0o600 mode only applies at CREATION: a pre-existing same-uid
+        # file with a permissive mode (old version + default umask) would
+        # keep receiving private thread stacks world-readable
+        with contextlib.suppress(OSError):
+            os.fchmod(fd, 0o600)
         f = os.fdopen(fd, "a")
         faulthandler.register(signal.SIGUSR1, file=f, all_threads=True,
                               chain=False)

@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import os
 
-_done = False
-
 
 def _topology_key() -> str:
     """Partition the cache by the execution topology knobs this repo
@@ -42,32 +40,48 @@ def _topology_key() -> str:
     return f"{plats}-hd{hostdev}"
 
 
+_key_applied: str | None = None
+
+
 def ensure() -> None:
-    """Idempotently point JAX at a persistent compilation cache dir.
+    """Point JAX at a persistent compilation cache dir for the CURRENT
+    topology.
 
     Called ONLY from the real-device entry points (bench.py,
     __graft_entry__) — the cache exists to keep tunneled-TPU compiles
     from repeating, not to micro-optimize CPU test runs, and the smaller
-    the population surface the smaller the contamination surface."""
-    global _done
-    if _done:
+    the population surface the smaller the contamination surface.
+
+    Re-entrant with a topology re-check: entry() then dryrun_multichip(8)
+    in ONE process changes platform + device count, and a once-latched
+    directory would persist the 8-device executables into the 1-device
+    partition — the exact poisoning incident the key exists to prevent."""
+    global _key_applied
+    if "PYTEST_CURRENT_TEST" in os.environ:
+        # the CPU test suite must stay out entirely: one test calling
+        # entry() would otherwise enable the cross-run cache for the whole
+        # session, making test results order- and ~/.cache-dependent
         return
-    _done = True
     try:
         import jax
 
-        if jax.config.jax_compilation_cache_dir:
-            return  # operator already configured one
+        key = _topology_key()
+        if key == _key_applied:
+            return
+        if _key_applied is None and jax.config.jax_compilation_cache_dir:
+            _key_applied = key
+            return  # operator already configured one; never fight it
         path = os.path.join(
             os.environ.get(
                 "ASCIICHAT_JAX_CACHE",
                 os.path.join(os.path.expanduser("~"), ".cache",
                              "asciichat_jax")),
-            _topology_key())
+            key)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took meaningful compile time; tiny CPU
         # test graphs stay out (they recompile faster than disk I/O)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _key_applied = key
     except Exception:
         pass  # never let cache plumbing break a compute path

@@ -137,3 +137,49 @@ def test_python_stacks_never_kills_unregistered_process():
     finally:
         child.kill()
         child.wait()
+
+
+def test_dump_file_mode_tightened_on_reuse(monkeypatch, tmp_path):
+    """A pre-existing same-uid dump file with a permissive mode (written by
+    an old version under a default umask) must be fchmod'd back to 0600 —
+    the O_CREAT mode only applies at creation, and thread stacks are
+    private."""
+    import os
+    import stat
+
+    from asciichat_tpu.utils import dumps
+
+    monkeypatch.setattr(dumps.tempfile, "gettempdir", lambda: str(tmp_path))
+    p = dumps.dump_path()
+    with open(p, "w") as fh:
+        fh.write("old dump\n")
+    os.chmod(p, 0o644)
+    f = dumps.install_dump_handlers()
+    assert f is not None
+    try:
+        assert stat.S_IMODE(os.stat(p).st_mode) == 0o600
+    finally:
+        import faulthandler
+        import signal
+
+        faulthandler.unregister(signal.SIGUSR1)
+        f.close()
+
+
+def test_dump_channel_refuses_foreign_file(monkeypatch, tmp_path):
+    """A same-name file planted by a different uid gets no dump channel."""
+    import os
+
+    import pytest as _pytest
+
+    if os.getuid() != 0:
+        _pytest.skip("needs root to chown a foreign-uid file")
+
+    from asciichat_tpu.utils import dumps
+
+    monkeypatch.setattr(dumps.tempfile, "gettempdir", lambda: str(tmp_path))
+    p = dumps.dump_path()
+    with open(p, "w") as fh:
+        fh.write("planted\n")
+    os.chown(p, 12345, 12345)
+    assert dumps.install_dump_handlers() is None

@@ -240,3 +240,133 @@ def test_fuzz_vs_compiled_c(refc):
             f"seed={seed} src={src_w}x{src_h} dst={width}x{height} "
             f"caps={caps.renderer_key()} stretch={stretch} palette={palette!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Color filters vs the compiled reference color_filter.c
+# ---------------------------------------------------------------------------
+
+def _build_filter_driver() -> Path:
+    import shutil
+
+    if not shutil.which("g++"):
+        pytest.skip("no g++")
+    if not REFERENCE.is_dir():
+        pytest.skip("reference tree not present")
+    exe = BUILD_DIR / "refc_filter_driver"
+    src = REFC_DIR / "filter_driver.c"
+    if exe.exists() and exe.stat().st_mtime >= src.stat().st_mtime:
+        return exe
+    BUILD_DIR.mkdir(exist_ok=True)
+    san = ["-fsanitize=address,undefined", "-fno-sanitize-recover=all"]
+    # compile-then-link like _build_driver: g++'s one-shot compile+link
+    # ignores `-x c` and runs cc1plus on the reference C
+    base = ["g++", "-x", "c", "-std=gnu17", "-O1", "-g", *san,
+            f"-I{REFC_DIR / 'stubinc'}", f"-I{REFERENCE / 'include'}"]
+    objdir = BUILD_DIR / "refc_obj"
+    objdir.mkdir(exist_ok=True)
+    try:
+        objs = []
+        for label, path in (("filter_driver", src),
+                            ("color_filter", REFERENCE / "lib/video/rgba/color_filter.c")):
+            obj = objdir / f"fd_{label}.o"
+            subprocess.run([*base, "-c", "-o", str(obj), str(path)],
+                           check=True, capture_output=True, timeout=300)
+            objs.append(str(obj))
+        subprocess.run(["g++", *san, "-o", str(exe), *objs, "-lm"],
+                       check=True, capture_output=True, timeout=300)
+    except subprocess.CalledProcessError as e:
+        pytest.skip(f"reference color_filter.c not buildable: "
+                    f"{e.stderr.decode()[-500:]}")
+    return exe
+
+
+FD_MAGIC = 0x31464652  # "RFF1"
+
+
+class RefFilter:
+    def __init__(self, exe: Path):
+        env = {**os.environ,
+               "LSAN_OPTIONS": f"suppressions={REFC_DIR / 'lsan_suppressions.txt'}"}
+        self.proc = subprocess.Popen([str(exe)], stdin=subprocess.PIPE,
+                                     stdout=subprocess.PIPE, env=env)
+
+    def rainbow(self, time_s: float) -> tuple:
+        self.proc.stdin.write(struct.pack("<IBf", FD_MAGIC, 0,
+                                          np.float32(time_s)))
+        self.proc.stdin.flush()
+        out = self.proc.stdout.read(3)
+        assert len(out) == 3, "filter driver died (sanitizer abort?)"
+        return tuple(out)
+
+    def apply(self, name: str, frame: np.ndarray, time_s: float = 0.0) -> np.ndarray:
+        h, w = frame.shape[:2]
+        nb = name.encode()
+        req = (struct.pack("<IBH", FD_MAGIC, 1, len(nb)) + nb
+               + struct.pack("<IIf", w, h, np.float32(time_s))
+               + np.ascontiguousarray(frame, np.uint8).tobytes())
+        self.proc.stdin.write(req)
+        self.proc.stdin.flush()
+        hdr = self.proc.stdout.read(4)
+        assert len(hdr) == 4, "filter driver died (sanitizer abort?)"
+        (n,) = struct.unpack("<I", hdr)
+        assert n == w * h * 3, "reference apply_color_filter failed"
+        buf = self.proc.stdout.read(n)
+        return np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+
+    def close(self) -> int:
+        self.proc.stdin.close()
+        return self.proc.wait(timeout=60)
+
+
+@pytest.fixture(scope="module")
+def reff():
+    c = RefFilter(_build_filter_driver())
+    yield c
+    assert c.close() == 0, "sanitizers flagged the reference filter run"
+
+
+def test_rainbow_color_vs_c(reff):
+    """rainbow_color must reproduce color_filter_calculate_rainbow's float32
+    arithmetic bit-for-bit (fmodf/floorf segments, +0.5f rounding, fminf
+    luminance boost) — float64 evaluation diverges +-1 on boundary
+    timestamps (color_filter.c:169-243)."""
+    from asciichat_tpu.ops.filters import rainbow_color
+
+    rng = np.random.default_rng(77)
+    times = [0.0, 0.5833333, 1.1666666, 1.75, 2.3333333, 2.9166666, 3.4999999,
+             3.5, 7.0, 1e6 + 0.25]
+    times += list(rng.uniform(0, 3.5, 400))
+    times += list(rng.uniform(0, 1e5, 100))
+    for t in times:
+        want = reff.rainbow(t)
+        got = rainbow_color(t)
+        assert got == want, f"time={t!r}: py={got} c={want}"
+
+
+def test_apply_color_filter_vs_c(reff):
+    """The batched device kernel AND the numpy reference vs the compiled C
+    per-pixel loop, every registered filter (apply_color_filter,
+    color_filter.c:274-345)."""
+    import jax.numpy as jnp
+
+    from asciichat_tpu.ops import filters
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+              for _ in range(2)]
+    frames.append(np.zeros((8, 8, 3), np.uint8))
+    frames.append(np.full((8, 8, 3), 255, np.uint8))
+    t = 1.234
+    names = filters.FILTER_NAMES
+    for frame in frames:
+        want_c = np.stack([reff.apply(n, frame, t) for n in names])
+        got_np = np.stack(
+            [filters.apply_color_filter_reference(frame, n, t) for n in names])
+        np.testing.assert_array_equal(got_np, want_c)
+        tint, fg, rb, en = filters.filter_params(names, time_s=t)
+        got_dev = np.asarray(filters.apply_color_filter(
+            jnp.broadcast_to(jnp.asarray(frame), (len(names),) + frame.shape),
+            jnp.asarray(tint), jnp.asarray(fg), jnp.asarray(rb),
+            jnp.asarray(en)))
+        np.testing.assert_array_equal(got_dev, want_c)

@@ -1263,3 +1263,41 @@ def test_ansiparse_rep_grows_grid_past_initial_capacity():
     # flood stays memory-bounded (capacity clamp, not unbounded realloc)
     flood = ansiparse.AnsiGrid().parse("X\x1b[2000000000b")
     assert flood.w <= flood.cap_w <= 16384
+
+
+def test_jaxcache_repartitions_on_topology_change(monkeypatch, tmp_path):
+    """entry() then dryrun_multichip(8) in one process changes the topology
+    key; a once-latched cache dir would persist 8-device executables into
+    the 1-device partition (the round-3 poisoning incident). ensure() must
+    re-point the dir when the key changes, and stay inert under pytest."""
+    import jax
+
+    from asciichat_tpu.utils import jaxcache
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_key = jaxcache._key_applied
+    try:
+        # under pytest (PYTEST_CURRENT_TEST set): hard no-op
+        monkeypatch.setenv("ASCIICHAT_JAX_CACHE", str(tmp_path))
+        jaxcache._key_applied = None
+        jaxcache.ensure()
+        assert jax.config.jax_compilation_cache_dir == old_dir
+        assert jaxcache._key_applied is None
+
+        # outside pytest: applies, then re-applies on a topology change
+        monkeypatch.delenv("PYTEST_CURRENT_TEST")
+        monkeypatch.setattr(jaxcache, "_topology_key", lambda: "topoA")
+        jaxcache.ensure()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "topoA")
+        monkeypatch.setattr(jaxcache, "_topology_key", lambda: "topoB")
+        jaxcache.ensure()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "topoB")
+
+        # operator-configured dir is never overridden
+        jaxcache._key_applied = None
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "op"))
+        jaxcache.ensure()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "op")
+    finally:
+        jaxcache._key_applied = old_key
+        jax.config.update("jax_compilation_cache_dir", old_dir)
