@@ -95,7 +95,10 @@ def argon2id(password: bytes, salt: bytes, t: int = 2, m_kib: int = 65536,
 
 def secretbox(message: bytes, nonce: bytes, key: bytes) -> bytes:
     """-> MAC(16) || ciphertext (crypto_secretbox_easy format)."""
-    assert len(nonce) == NONCE_SIZE and len(key) == KEY_SIZE
+    # real raises, not asserts: these guard fixed-size native reads and must
+    # survive `python -O` (a short buffer would be an OOB read in sodium.cpp)
+    if len(nonce) != NONCE_SIZE or len(key) != KEY_SIZE:
+        raise ValueError("bad nonce/key length")
     out = (ctypes.c_uint8 * (MAC_SIZE + len(message)))()
     _lib().ac_secretbox_easy(out, message, len(message), nonce, key)
     return bytes(out)
@@ -103,7 +106,8 @@ def secretbox(message: bytes, nonce: bytes, key: bytes) -> bytes:
 
 def secretbox_open(boxed: bytes, nonce: bytes, key: bytes) -> bytes:
     """Verify + decrypt; raises ValueError on MAC failure."""
-    assert len(nonce) == NONCE_SIZE and len(key) == KEY_SIZE
+    if len(nonce) != NONCE_SIZE or len(key) != KEY_SIZE:
+        raise ValueError("bad nonce/key length")
     if len(boxed) < MAC_SIZE:
         raise ValueError("ciphertext too short")
     out = (ctypes.c_uint8 * (len(boxed) - MAC_SIZE))()
@@ -233,6 +237,7 @@ class CryptoContext:
         self._previous_key_expiry = 0.0
         self._pending_key: bytes | None = None
         self._last_incoming_rekey = 0.0
+        self.auth_nonce: bytes | None = None
 
     # -- key exchange ----------------------------------------------------
     def compute_shared(self, peer_public: bytes) -> None:
@@ -259,17 +264,22 @@ class CryptoContext:
         return key
 
     # -- nonce + packet encryption ----------------------------------------
-    def _next_nonce(self) -> bytes:
+    def encrypt(self, plaintext: bytes) -> bytes:
+        """-> nonce(24) || MAC(16) || ct (crypto_encrypt, crypto.c:486-505).
+
+        The (nonce, key) pair is read atomically under _nonce_lock:
+        _commit_pending swaps session_id/counter/key under the same lock, so
+        an executor-thread encrypt can never pair an old-session nonce with
+        the new key (or re-issue old_session||1, which the peer's replay
+        window would reject, tearing down a healthy session at rekey time)."""
         with self._nonce_lock:
-            n = self.session_id + struct.pack(">Q", self.nonce_counter)
+            nonce = self.session_id + struct.pack(">Q", self.nonce_counter)
             self.nonce_counter += 1
             self.rekey.packet_count += 1
-        return n
-
-    def encrypt(self, plaintext: bytes) -> bytes:
-        """-> nonce(24) || MAC(16) || ct (crypto_encrypt, crypto.c:486-505)."""
-        nonce = self._next_nonce()
-        return nonce + secretbox(plaintext, nonce, self._key)
+            key = self.shared_key or self.password_key
+        if key is None:
+            raise ValueError("no encryption key (handshake incomplete)")
+        return nonce + secretbox(plaintext, nonce, key)
 
     def decrypt(self, ciphertext: bytes) -> bytes:
         if len(ciphertext) < NONCE_SIZE + MAC_SIZE:
@@ -324,6 +334,9 @@ class CryptoContext:
         return hmac_mod.new(key, data, hashlib.sha256).digest()
 
     def verify_challenge_answer(self, answer: bytes) -> bool:
+        if self.auth_nonce is None:
+            return False  # answer without a prior challenge: auth failure,
+            # not an AttributeError crash
         want = self.answer_challenge(self.auth_nonce)
         return hmac_mod.compare_digest(want, answer)
 
@@ -382,18 +395,22 @@ class CryptoContext:
         return temp.public_key().public_bytes_raw()
 
     def _commit_pending(self) -> None:
-        self.previous_key = self.shared_key
-        self._previous_key_expiry = time.monotonic() + self.PREVIOUS_KEY_GRACE_S
-        self.shared_key = self._pending_key
-        self._pending_key = None
-        self._temp_private = None
-        self.rekey = RekeyState(count=self.rekey.count + 1)
-        self.nonce_counter = 1
-        # remember the outgoing nonce prefix we used before the rekey: the
-        # channel's reflection check must keep rejecting our own OLD packets
-        # bounced back during the previous-key grace window
-        self.previous_session_id = self.session_id
-        self.session_id = os.urandom(SESSION_ID_SIZE)
+        # under _nonce_lock: encrypt() reads (session_id, counter, key) as
+        # one atomic snapshot, so the whole swap must be one atomic write
+        with self._nonce_lock:
+            self.previous_key = self.shared_key
+            self._previous_key_expiry = (time.monotonic()
+                                         + self.PREVIOUS_KEY_GRACE_S)
+            self.shared_key = self._pending_key
+            self._pending_key = None
+            self._temp_private = None
+            self.rekey = RekeyState(count=self.rekey.count + 1)
+            self.nonce_counter = 1
+            # remember the outgoing nonce prefix we used before the rekey:
+            # the channel's reflection check must keep rejecting our own OLD
+            # packets bounced back during the previous-key grace window
+            self.previous_session_id = self.session_id
+            self.session_id = os.urandom(SESSION_ID_SIZE)
 
     def finish_rekey(self, peer_new_public: bytes) -> None:
         """Initiator side: install the new shared key (crypto.c:1298-1341).

@@ -224,6 +224,17 @@ struct Params {
   uint32_t t, m_kib, p, tag_len, type;  // type: 0=d 1=i 2=id
 };
 
+// memset through a volatile function pointer: the compiler cannot prove the
+// callee is memset, so the store survives -O3 dead-store elimination — a
+// plain memset-before-free is silently deleted, defeating the wipe.
+// Guarded: sanitize_harness.cpp includes this file and sodium.cpp into one
+// translation unit.
+#ifndef AC_SECURE_MEMZERO_DEFINED
+#define AC_SECURE_MEMZERO_DEFINED
+void* (*const volatile memset_v)(void*, int, size_t) = memset;
+inline void secure_memzero(void* p, size_t n) { memset_v(p, 0, n); }
+#endif
+
 int argon2_core(uint8_t* out, const Params& prm, const uint8_t* pwd,
                 uint32_t pwdlen, const uint8_t* salt, uint32_t saltlen,
                 const uint8_t* secret, uint32_t secretlen, const uint8_t* ad,
@@ -231,6 +242,9 @@ int argon2_core(uint8_t* out, const Params& prm, const uint8_t* pwd,
   const uint32_t VERSION = 0x13;
   uint32_t p = prm.p;
   if (p == 0 || prm.t == 0 || prm.m_kib < 8 * p) return -1;
+  // RFC 9106 §3.1: tagLen >= 4, saltLen >= 8 — silently accepting less
+  // would hand back a degenerate/undefined tag with a success return code
+  if (prm.tag_len < 4 || saltlen < 8) return -1;
   uint32_t mblocks = prm.m_kib / (4 * p) * (4 * p);  // m' (RFC §3.2 step 3)
   uint32_t q = mblocks / p;                          // lane length
   uint32_t seg = q / 4;                              // segment length
@@ -341,8 +355,12 @@ int argon2_core(uint8_t* out, const Params& prm, const uint8_t* pwd,
     block_xor(c, c, mem[(size_t)lane * q + (q - 1)]);
   hprime(out, prm.tag_len, (uint8_t*)c.v, 1024);
 
-  // wipe + free (secure_memzero discipline, crypto.c:200)
-  memset(mem, 0, (size_t)mblocks * sizeof(Block));
+  // wipe + free (secure_memzero discipline, crypto.c:200): h0 holds
+  // password-derived material, c derives the tag, mem is the whole
+  // password-dependent working set — all via the DSE-proof memzero
+  secure_memzero(h0, sizeof(h0));
+  secure_memzero(&c, sizeof(c));
+  secure_memzero(mem, (size_t)mblocks * sizeof(Block));
   free(mem);
   return 0;
 }

@@ -130,21 +130,32 @@ void hsalsa20(uint8_t out[32], const uint8_t key[32], const uint8_t n[16]) {
   store32(out + 28, x[9]);
 }
 
-// XSalsa20 keystream XOR starting at block `block0` of the derived stream.
-void xsalsa20_xor(uint8_t* out, const uint8_t* in, size_t len,
-                  const uint8_t nonce[24], const uint8_t key[32],
-                  uint64_t block0) {
-  uint8_t subkey[32];
-  hsalsa20(subkey, key, nonce);
+// memset through a volatile function pointer so the wipe of dead stack
+// buffers survives -O3 dead-store elimination. Guarded: sanitize_harness.cpp
+// includes this file and argon2.cpp into one translation unit.
+#ifndef AC_SECURE_MEMZERO_DEFINED
+#define AC_SECURE_MEMZERO_DEFINED
+void* (*const volatile memset_v)(void*, int, size_t) = memset;
+inline void secure_memzero(void* p, size_t n) { memset_v(p, 0, n); }
+#endif
+
+// Salsa20 keystream XOR under an already-derived subkey, starting at block
+// `block0`. Taking the subkey (instead of re-running HSalsa20 on the outer
+// key) halves the per-packet key-setup cost: the secretbox entry points
+// already derived it for the Poly1305 key block.
+void salsa20_xor(uint8_t* out, const uint8_t* in, size_t len,
+                 const uint8_t subkey[32], const uint8_t n8[8],
+                 uint64_t block0) {
   uint8_t block[64];
   uint64_t counter = block0;
   size_t off = 0;
   while (off < len) {
-    salsa20_block(block, subkey, nonce + 16, counter++);
+    salsa20_block(block, subkey, n8, counter++);
     size_t n = len - off < 64 ? len - off : 64;
     for (size_t i = 0; i < n; ++i) out[off + i] = in[off + i] ^ block[i];
     off += n;
   }
+  secure_memzero(block, sizeof(block));
 }
 
 // Poly1305 (RFC 8439 §2.5), 64-bit limb implementation.
@@ -257,6 +268,7 @@ void poly1305_mac(uint8_t tag[16], const uint8_t* m, size_t len,
   Poly1305 p;
   p.init(key);
   p.finish(m, len, tag);
+  secure_memzero(&p, sizeof(p));  // r/s are one-time key material
 }
 
 }  // namespace
@@ -289,8 +301,12 @@ int ac_secretbox_easy(uint8_t* out, const uint8_t* m, uint64_t len,
   size_t head = len < 32 ? (size_t)len : 32;
   for (size_t i = 0; i < head; ++i) c[i] = m[i] ^ block0[32 + i];
   if (len > 32)
-    xsalsa20_xor(c + 32, m + 32, (size_t)len - 32, nonce, key, 1);
+    salsa20_xor(c + 32, m + 32, (size_t)len - 32, subkey, nonce + 16, 1);
   poly1305_mac(out, c, (size_t)len, block0);
+  // subkey decrypts the whole stream for this nonce prefix, block0 holds
+  // the Poly1305 key + keystream — neither may linger in dead stack memory
+  secure_memzero(subkey, sizeof(subkey));
+  secure_memzero(block0, sizeof(block0));
   return 0;
 }
 
@@ -307,13 +323,19 @@ int ac_secretbox_open_easy(uint8_t* out, const uint8_t* in, uint64_t in_len,
   poly1305_mac(tag, in + 16, (size_t)clen, block0);
   uint8_t diff = 0;
   for (int i = 0; i < 16; ++i) diff |= tag[i] ^ in[i];
-  if (diff) return -1;
-  const uint8_t* c = in + 16;
-  size_t head = clen < 32 ? (size_t)clen : 32;
-  for (size_t i = 0; i < head; ++i) out[i] = c[i] ^ block0[32 + i];
-  if (clen > 32)
-    xsalsa20_xor(out + 32, c + 32, (size_t)clen - 32, nonce, key, 1);
-  return 0;
+  int rc = 0;
+  if (diff) {
+    rc = -1;
+  } else {
+    const uint8_t* c = in + 16;
+    size_t head = clen < 32 ? (size_t)clen : 32;
+    for (size_t i = 0; i < head; ++i) out[i] = c[i] ^ block0[32 + i];
+    if (clen > 32)
+      salsa20_xor(out + 32, c + 32, (size_t)clen - 32, subkey, nonce + 16, 1);
+  }
+  secure_memzero(subkey, sizeof(subkey));
+  secure_memzero(block0, sizeof(block0));
+  return rc;
 }
 
 }  // extern "C"

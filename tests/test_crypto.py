@@ -728,3 +728,94 @@ def test_secure_channel_tolerates_bounded_reordering_and_rekeys_on_nowait():
             actx.rekey.in_progress, "send_nowait never initiated the rekey"
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_secretbox_length_guards_are_raises():
+    """FFI-boundary length checks must be real ValueErrors, not asserts —
+    asserts vanish under `python -O` and a short nonce/key would become an
+    out-of-bounds native read in sodium.cpp."""
+    import pytest
+
+    from asciichat_tpu.net import crypto
+
+    with pytest.raises(ValueError):
+        crypto.secretbox(b"m", b"\x00" * 16, b"\x00" * 32)
+    with pytest.raises(ValueError):
+        crypto.secretbox(b"m", b"\x00" * 24, b"\x00" * 16)
+    with pytest.raises(ValueError):
+        crypto.secretbox_open(b"\x00" * 32, b"\x00" * 16, b"\x00" * 32)
+
+
+def test_argon2id_rejects_rfc_invalid_params():
+    """RFC 9106 §3.1: tagLen >= 4 and saltLen >= 8. Accepting less would
+    return a degenerate tag with rc=0 (the exported ac_blake2b already
+    guards its own outlen for the same reason)."""
+    import pytest
+
+    from asciichat_tpu.net import crypto
+
+    with pytest.raises(ValueError):
+        crypto.argon2id(b"pw", b"\x00" * 16, t=1, m_kib=8, outlen=0)
+    with pytest.raises(ValueError):
+        crypto.argon2id(b"pw", b"\x00" * 16, t=1, m_kib=8, outlen=3)
+    with pytest.raises(ValueError):
+        crypto.argon2id(b"pw", b"\x00" * 7, t=1, m_kib=8, outlen=32)
+    # smallest valid combination still works
+    assert len(crypto.argon2id(b"pw", b"\x00" * 8, t=1, m_kib=8, outlen=4)) == 4
+
+
+def test_answer_without_challenge_is_auth_failure():
+    """verify_challenge_answer before make_challenge must fail auth cleanly,
+    not crash with AttributeError (auth_nonce was never initialized)."""
+    from asciichat_tpu.net import crypto
+
+    a = crypto.CryptoContext()
+    b = crypto.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    assert a.verify_challenge_answer(b"\x00" * 32) is False
+
+
+def test_encrypt_is_atomic_across_rekey_commit():
+    """encrypt() must take its (session_id, counter, key) snapshot under the
+    same lock _commit_pending swaps them under: an interleaving used to
+    re-issue old_session||1 (already consumed), which the peer's replay
+    window rejects — tearing down a healthy session at rekey time."""
+    import threading
+
+    from asciichat_tpu.net import crypto
+
+    a = crypto.CryptoContext()
+    b = crypto.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+
+    seen: list[bytes] = []
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            seen.append(a.encrypt(b"x"))
+
+    th = threading.Thread(target=hammer)
+    th.start()
+    try:
+        for _ in range(50):
+            pub = a.start_rekey()
+            # drive the real responder path so keys stay in sync
+            resp_pub = b.respond_rekey(pub)
+            a.finish_rekey(resp_pub)
+            # proof-of-possession packet commits b's pending key
+            b.decrypt(a.encrypt(b"proof"))
+    finally:
+        stop.set()
+        th.join()
+
+    # invariant: per nonce prefix, (counter unique) and (exactly one key
+    # was used) — a torn snapshot shows up as a duplicate (prefix, counter)
+    per_prefix: dict[bytes, set[int]] = {}
+    for ct in seen:
+        sid, ctr = ct[:16], int.from_bytes(ct[16:24], "big")
+        assert ctr not in per_prefix.setdefault(sid, set()), \
+            "duplicate (session_id, counter) — nonce reuse across rekey"
+        per_prefix[sid].add(ctr)
