@@ -93,7 +93,9 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         self.on_pair_failed = None  # callback: direct path dead, no new pair
         self._consent_task: asyncio.Task | None = None
         self._fail_task: asyncio.Task | None = None
-        self._consent_txids: set[bytes] = set()
+        # insertion-ordered (dict) so the bound evicts the OLDEST txid —
+        # set.pop() removes an arbitrary one, possibly the in-flight check's
+        self._consent_txids: dict[bytes, None] = {}
         self._last_consent = 0.0
         self.pair_deaths = 0  # consent expiries (observability)
         self.renominations = 0  # pairs re-nominated after a death
@@ -253,6 +255,8 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         known = {(c["ip"], c["port"]) for c in self.remote["candidates"]}
         if (cand["ip"], cand["port"]) in known:
             return
+        if len(self.remote["candidates"]) >= 64:
+            return  # bound the check fan-out (a full agent offers ~dozens)
         self.remote["candidates"].append(dict(cand))
         if self.controlling and not self.connected.is_set():
             self._start_checks()
@@ -298,9 +302,9 @@ class IceLiteAgent(asyncio.DatagramProtocol):
                 self._last_consent = time.monotonic()
                 continue
             txid = stun.new_transaction_id()
-            self._consent_txids.add(txid)
-            if len(self._consent_txids) > 16:  # bound: drop stale ids
-                self._consent_txids.pop()
+            self._consent_txids[txid] = None
+            if len(self._consent_txids) > 16:  # bound: drop OLDEST stale id
+                del self._consent_txids[next(iter(self._consent_txids))]
             req = stun.make_binding_request(
                 txid, f"{self.remote['ufrag']}:{self.ufrag}",
                 self.remote["pwd"].encode(), controlling=self.controlling,
@@ -364,14 +368,30 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             # mapping) becomes a checkable candidate — after a pair death,
             # re-nomination can target the address that actually works
             if self.remote is not None:
-                known = {(c["ip"], c["port"])
-                         for c in self.remote["candidates"]}
+                cands = self.remote["candidates"]
+                known = {(c["ip"], c["port"]) for c in cands}
                 if addr[:2] not in known:
-                    self.remote["candidates"].append(
+                    cands.append(
                         {"ip": addr[0], "port": addr[1], "type": "prflx"})
                     self.prflx_promoted += 1
                     log.info("promoted prflx candidate %s", addr)
-            self._nominate(addr)
+                    # a port-churning NAT must not grow the list (and the
+                    # post-death check spray) without bound: evict the
+                    # oldest prflx entry, never an advertised candidate
+                    if len(cands) > 24:
+                        for i, c in enumerate(cands):
+                            if c.get("type") == "prflx":
+                                del cands[i]
+                                break
+            # Nomination follows the CONTROLLING agent (RFC 8445 §7.3.1.5):
+            # as the controlled/lite side, only a request carrying
+            # USE-CANDIDATE nominates — a full agent (browser) probes many
+            # pairs with ordinary checks first, and pinning the first
+            # check's source address could pick a one-way-viable path while
+            # ignoring the pair the browser actually nominates.
+            if not self.controlling:
+                if stun.ATTR_USE_CANDIDATE in attrs:
+                    self._nominate(addr)
         elif msg_type == stun.BINDING_SUCCESS:
             waiter = self._srflx_waiters.get(txid)
             if waiter is not None:
@@ -392,7 +412,7 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             ):
                 if txid in self._consent_txids:
                     # answer to OUR consent check: consent refreshed
-                    self._consent_txids.discard(txid)
+                    self._consent_txids.pop(txid, None)
                     self._last_consent = time.monotonic()
                     return
                 self._nominate(addr)
@@ -414,6 +434,21 @@ class IceLiteAgent(asyncio.DatagramProtocol):
 
     def _nominate(self, addr) -> None:
         if self._superseded:
+            return
+        if self.peer_addr is not None:
+            # Already nominated. The controlled side still follows the
+            # controlling agent if it MOVES the nomination (USE-CANDIDATE
+            # from a new source = its old path died on its side only):
+            # swap the live channel's carrier to the new pair.
+            if self.controlling or tuple(addr[:2]) == tuple(self.peer_addr[:2]):
+                return
+            self.peer_addr = addr
+            self._last_consent = time.monotonic()
+            sender = lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a)  # noqa: E731
+            if self.channel is not None:
+                self.channel.rebind(sender, addr, via_relay=False)
+            self.renominations += 1
+            log.info("controlling peer moved nomination to %s", addr)
             return
         if self.peer_addr is None:
             self.peer_addr = addr
@@ -460,14 +495,21 @@ class SecureP2PChannel:
     direct-TCP -> ICE -> TURN connect ladder, parallel_connect.c:1-321) —
     segments stay end-to-end encrypted, so the relay host is blind.
 
-    Segment plaintext: u32 seq | u32 ack | u8 flags | payload. Each segment
-    is encrypted as one secretbox datagram (nonce||MAC||ct) under the ICE
+    Segment plaintext: u64 seq | u64 ack | u8 flags | payload (64-bit byte
+    offsets: a u32 would overflow after 4 GiB ≈ 1.9 h of 5 Mbit/s video and
+    kill the channel with a struct.error mid-call). Each segment is
+    encrypted as one secretbox datagram (nonce||MAC||ct) under the ICE
     session's X25519 key, so an on-path attacker (including the TURN-role
     relay) can neither read nor forge segments or acks. Go-Back-N:
     cumulative acks, RTO retransmission."""
 
-    HDR = struct.Struct(">IIB")
+    HDR = struct.Struct(">QQB")
     FLAG_ACK_ONLY = 1
+    # receive-side backpressure: past this, in-order data is refused (not
+    # acked) so the sender's window fills and IT stalls instead of our
+    # buffer growing without bound while the app drains slowly. Must exceed
+    # MAX_PACKET_SIZE or a maximal packet could never complete.
+    RCV_BUF_CAP = pkt.MAX_PACKET_SIZE + 64 * 1024
 
     def __init__(self, crypto: CryptoContext, send_datagram, peername,
                  via_relay: bool = False):
@@ -482,14 +524,19 @@ class SecureP2PChannel:
         self._rcv_buf = bytearray()
         self._ooo: dict[int, bytes] = {}  # out-of-order segments by seq
         self._recv_waiter: asyncio.Event = asyncio.Event()
-        self._retx_task = asyncio.get_running_loop().create_task(self._retx_loop())
-        # Last DATA (re)transmission time. Deliberately excludes ACK-only
-        # segments: in a duplex session the peer's inbound traffic makes us
-        # emit acks every few ms, and if those refreshed this stamp the RTO
-        # check below would never fire and a lost outgoing segment would
-        # never be retransmitted (send() would then block forever on a full
-        # window).
-        self._last_data_send = 0.0
+        self._loop = asyncio.get_running_loop()
+        self._retx_task = self._loop.create_task(self._retx_loop())
+        # serializes send(): a window-full await yields mid-packet, and a
+        # concurrent send interleaving its bytes at that offset corrupts
+        # the byte stream permanently (CRC mismatch on the receiver)
+        self._send_lock = asyncio.Lock()
+        # Earliest-outstanding retransmission timer (the SCTP T3-rtx rule
+        # this repo has twice gotten wrong): restarted ONLY when the head of
+        # the in-flight queue changes (new head sent, or acks advanced past
+        # the old head) — NEVER refreshed by new data sends or by ACK-only
+        # traffic, either of which would starve retransmission of a lost
+        # head under continuous traffic.
+        self._t3_start = 0.0
         self.closed = False
         self.retransmits = 0
         # interface parity with DataChannelTransport: a secretbox channel
@@ -516,33 +563,58 @@ class SecureP2PChannel:
     def _send_segment(self, seq: int, payload: bytes, flags: int = 0) -> None:
         plain = self.HDR.pack(seq, self.rcv_next, flags) + payload
         self._send_datagram(self.crypto.encrypt(plain))
-        if not flags & self.FLAG_ACK_ONLY:
-            self._last_data_send = time.monotonic()
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
         data = pkt.pack_packet(ptype, payload)
-        at = 0
-        while at < len(data):
-            while self.snd_next - self.snd_base > WINDOW * SEGMENT_SIZE:
-                await asyncio.sleep(0.01)  # window full: wait for acks
-            chunk = data[at : at + SEGMENT_SIZE]
-            self._inflight.append((self.snd_next, chunk))
-            self._send_segment(self.snd_next, chunk)
-            self.snd_next += len(chunk)
-            at += len(chunk)
+        async with self._send_lock:  # one packet's bytes stay contiguous
+            at = 0
+            while at < len(data):
+                while self.snd_next - self.snd_base > WINDOW * SEGMENT_SIZE:
+                    if self.closed:
+                        raise ConnectionError("P2P channel closed")
+                    await asyncio.sleep(0.01)  # window full: wait for acks
+                if self.closed:
+                    raise ConnectionError("P2P channel closed")
+                chunk = data[at : at + SEGMENT_SIZE]
+                if not self._inflight:
+                    self._t3_start = time.monotonic()  # new head outstanding
+                self._inflight.append((self.snd_next, chunk))
+                self._send_segment(self.snd_next, chunk)
+                self.snd_next += len(chunk)
+                at += len(chunk)
 
     def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
-        if self.snd_next - self.snd_base > WINDOW * SEGMENT_SIZE:
+        """Non-blocking enqueue with overload shedding. THREAD-SAFE like
+        DataChannelTransport.send_nowait: the server's render/audio ticks
+        call this from executor threads (the two channel types are
+        negotiated interchangeably behind one transport surface), so
+        off-loop callers marshal via call_soon_threadsafe."""
+        if self.closed or self.snd_next - self.snd_base > WINDOW * SEGMENT_SIZE:
             return False  # shed load like the TCP transport's bounded queue
-        asyncio.get_running_loop().create_task(self.send(ptype, payload))
+        try:
+            running = asyncio.get_running_loop()
+        except RuntimeError:
+            running = None
+        if running is not self._loop:
+            try:
+                self._loop.call_soon_threadsafe(self._spawn_send, ptype, payload)
+            except RuntimeError:
+                return False  # loop shut down under us
+            return True
+        self._spawn_send(ptype, payload)
         return True
+
+    def _spawn_send(self, ptype: int, payload: bytes) -> None:
+        if not self.closed:
+            self._loop.create_task(self.send(ptype, payload))
 
     async def _retx_loop(self) -> None:
         while not self.closed:
             await asyncio.sleep(RTO_S)
-            if self._inflight and time.monotonic() - self._last_data_send >= RTO_S / 2:
+            if self._inflight and time.monotonic() - self._t3_start >= RTO_S / 2:
                 seq, chunk = self._inflight[0]  # Go-Back-N: oldest first
                 self._send_segment(seq, chunk)
+                self._t3_start = time.monotonic()  # timer restarts on retx
                 self.retransmits += 1
 
     # -- receiving ---------------------------------------------------------------
@@ -561,14 +633,20 @@ class SecureP2PChannel:
             return
         seq, ack, flags = self.HDR.unpack(plain[: self.HDR.size])
         payload = plain[self.HDR.size :]
-        # ack processing: drop fully-acked segments
+        # ack processing: drop fully-acked segments; the T3 timer restarts
+        # ONLY when the head actually advances (earliest-outstanding rule) —
+        # a no-progress ack must leave it running
+        acked_head = False
         while self._inflight and self._inflight[0][0] + len(self._inflight[0][1]) <= ack:
             self._inflight.pop(0)
+            acked_head = True
+        if acked_head and self._inflight:
+            self._t3_start = time.monotonic()
         self.snd_base = max(self.snd_base, ack)
         if flags & self.FLAG_ACK_ONLY:
             return
         if payload:
-            if seq == self.rcv_next:
+            if seq == self.rcv_next and len(self._rcv_buf) < self.RCV_BUF_CAP:
                 self._rcv_buf += payload
                 self.rcv_next += len(payload)
                 while self.rcv_next in self._ooo:  # drain buffered successors
@@ -578,14 +656,20 @@ class SecureP2PChannel:
                 self._recv_waiter.set()
             elif seq > self.rcv_next and len(self._ooo) < 4 * WINDOW:
                 self._ooo[seq] = payload
-            # ack everything contiguous (also re-acks duplicates)
+            # ack everything contiguous (also re-acks duplicates; a segment
+            # refused by the RCV_BUF_CAP backpressure is simply NOT acked —
+            # the sender's window fills and it stalls until recv() drains)
             self._send_segment(self.snd_next, b"", flags=self.FLAG_ACK_ONLY)
 
     async def recv(self) -> tuple[int, bytes]:
-        """Next ACIP packet from the stream (blocks until complete)."""
+        """Next ACIP packet from the stream (blocks until complete; raises
+        ConnectionError once the channel is closed and drained)."""
         while True:
             if len(self._rcv_buf) >= pkt.HEADER_SIZE:
-                ptype, length, crc, _cid = pkt.unpack_header(bytes(self._rcv_buf))
+                # slice only the header: copying the whole buffer per wake
+                # is O(n^2) while a multi-MB frame accumulates
+                ptype, length, crc, _cid = pkt.unpack_header(
+                    bytes(self._rcv_buf[: pkt.HEADER_SIZE]))
                 if len(self._rcv_buf) >= pkt.HEADER_SIZE + length:
                     payload = bytes(
                         self._rcv_buf[pkt.HEADER_SIZE : pkt.HEADER_SIZE + length]
@@ -594,6 +678,8 @@ class SecureP2PChannel:
                     if not pkt.verify_payload(payload, crc):
                         raise ValueError("P2P packet CRC mismatch")
                     return ptype, payload
+            if self.closed:
+                raise ConnectionError("P2P channel closed")
             self._recv_waiter.clear()
             await self._recv_waiter.wait()
 
@@ -604,3 +690,6 @@ class SecureP2PChannel:
     def close(self) -> None:
         self.closed = True
         self._retx_task.cancel()
+        # unblock parked readers (they observe .closed and raise); a send()
+        # stuck in the window-full loop observes .closed on its next poll
+        self._recv_waiter.set()

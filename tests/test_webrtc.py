@@ -636,3 +636,273 @@ def test_relay_budget_throttles_flood(monkeypatch):
                 srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 120))
+
+
+async def _connected_pair(**kw):
+    from tests.test_webrtc import _mk_agents  # self-import safe under pytest
+
+    a, b = _mk_agents(**kw)
+    await a.start("127.0.0.1")
+    await b.start("127.0.0.1")
+    b.set_remote(a.local_description())
+    a.set_remote(b.local_description())
+    ch_a = await a.wait_connected(10)
+    ch_b = await b.wait_connected(10)
+    return a, b, ch_a, ch_b
+
+
+def test_p2p_retransmit_not_starved_by_continuous_sends():
+    """The T3 twin of the duplex-acks regression: the retransmit timer must
+    track the EARLIEST OUTSTANDING segment, not the last data send — under
+    a continuous small-packet send cadence (< RTO/2), a lost head segment
+    previously retransmitted only after the window filled seconds later."""
+
+    async def run():
+        a, b, ch_a, ch_b = await _connected_pair(dtls=False)
+        try:
+            dropped = []
+            real = a.transport.sendto
+
+            def drop_first_data(data, addr):
+                # first non-STUN datagram (the head DATA segment) is lost
+                if not dropped and not stun.is_stun(data):
+                    dropped.append(True)
+                    return
+                real(data, addr)
+
+            a.transport.sendto = drop_first_data
+            ch_a.send_nowait(pkt.PacketType.PING, b"head")
+
+            # keep sending on a sub-RTO cadence the whole time: the old
+            # last-data-send timer never expires under this traffic
+            stop = asyncio.Event()
+
+            async def ticker():
+                while not stop.is_set():
+                    ch_a.send_nowait(pkt.PacketType.PING, b"tick")
+                    await asyncio.sleep(0.01)
+
+            t = asyncio.create_task(ticker())
+            try:
+                ptype, payload = await asyncio.wait_for(ch_b.recv(), 2.5)
+                assert payload == b"head"  # ordered stream: head first
+                assert ch_a.retransmits > 0
+            finally:
+                stop.set()
+                t.cancel()
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_p2p_concurrent_sends_do_not_interleave():
+    """send() must serialize whole packets: a window-full await yields
+    mid-packet, and an unserialized concurrent send could splice its bytes
+    into the middle of another packet (receiver CRC mismatch)."""
+
+    async def run():
+        a, b, ch_a, ch_b = await _connected_pair(dtls=False)
+        try:
+            blobs = [bytes([i]) * 120_000 for i in range(3)]  # each > window
+            await asyncio.gather(*[
+                ch_a.send(pkt.PacketType.IMAGE_FRAME, bl) for bl in blobs])
+            got = []
+            for _ in blobs:
+                _, payload = await asyncio.wait_for(ch_b.recv(), 30)
+                got.append(payload)
+            assert sorted(got) == sorted(blobs)
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_p2p_offsets_survive_4gib(monkeypatch):
+    """Byte offsets are u64 on the wire: a u32 header dies with struct.error
+    once a long session crosses 4 GiB. Simulated by pre-aligning both ends'
+    stream offsets past 2^32."""
+
+    async def run():
+        a, b, ch_a, ch_b = await _connected_pair(dtls=False)
+        try:
+            far = (1 << 33) + 12345
+            ch_a.snd_base = ch_a.snd_next = far
+            ch_b.rcv_next = far
+            # and the reverse direction (acks ride data segments)
+            ch_b.snd_base = ch_b.snd_next = far
+            ch_a.rcv_next = far
+            blob = os.urandom(5000)
+            await ch_a.send(pkt.PacketType.IMAGE_FRAME, blob)
+            _, payload = await asyncio.wait_for(ch_b.recv(), 10)
+            assert payload == blob
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_p2p_close_unblocks_recv_and_send():
+    """close() must wake a parked recv() (ConnectionError) and stop a
+    window-full send() — previously both waited forever."""
+
+    async def run():
+        a, b, ch_a, ch_b = await _connected_pair(dtls=False)
+        try:
+            recv_task = asyncio.create_task(ch_b.recv())
+            await asyncio.sleep(0.05)
+            # jam a's window so its send() parks in the window-full loop
+            a.transport.sendto = lambda data, addr: None  # acks never return
+            send_task = asyncio.create_task(
+                ch_a.send(pkt.PacketType.IMAGE_FRAME, b"x" * 200_000))
+            await asyncio.sleep(0.1)
+            ch_b.close()
+            ch_a.close()
+            with pytest.raises(ConnectionError):
+                await asyncio.wait_for(recv_task, 5)
+            with pytest.raises(ConnectionError):
+                await asyncio.wait_for(send_task, 5)
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_p2p_send_nowait_threadsafe():
+    """send_nowait from an executor thread must marshal to the loop (its
+    DTLS twin documents the same contract) — not crash on
+    get_running_loop() in a loop-less thread."""
+
+    async def run():
+        a, b, ch_a, ch_b = await _connected_pair(dtls=False)
+        try:
+            import threading
+
+            ok = []
+
+            def from_thread():
+                ok.append(ch_a.send_nowait(pkt.PacketType.PING, b"from-thread"))
+
+            th = threading.Thread(target=from_thread)
+            th.start()
+            th.join()
+            assert ok == [True]
+            _, payload = await asyncio.wait_for(ch_b.recv(), 10)
+            assert payload == b"from-thread"
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_p2p_receiver_backpressure_bounds_buffer():
+    """A slow application must stall the SENDER, not grow _rcv_buf without
+    bound: past RCV_BUF_CAP, in-order data is refused (and not acked) until
+    recv() drains."""
+
+    async def run():
+        a, b, ch_a, ch_b = await _connected_pair(dtls=False)
+        try:
+            ch_b.RCV_BUF_CAP = 2400  # instance override for the test
+            send_task = asyncio.create_task(
+                ch_a.send(pkt.PacketType.IMAGE_FRAME, b"y" * 50_000))
+            await asyncio.sleep(0.8)
+            # buffer refused growth beyond cap (+1 in-flight segment slack
+            # and the bounded _ooo drain overshoot)
+            assert len(ch_b._rcv_buf) <= 2400 + 1200
+            assert ch_a.snd_base < ch_a.snd_next  # sender actually stalled
+            del ch_b.RCV_BUF_CAP  # restore class cap: flow resumes via retx
+            await asyncio.wait_for(send_task, 30)
+            _, payload = await asyncio.wait_for(ch_b.recv(), 30)
+            assert payload == b"y" * 50_000
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_ice_controlled_nomination_requires_use_candidate():
+    """RFC 8445 §7.3.1.5: the controlled/lite side nominates only on a
+    USE-CANDIDATE request — an ordinary connectivity check (a full agent
+    probing pairs) must NOT pin the pair; and a later USE-CANDIDATE from a
+    NEW source moves the nomination (controlling agent re-nominated)."""
+
+    async def run():
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        b = IceLiteAgent(controlling=False, dtls=False)
+        await b.start("127.0.0.1")
+        try:
+            # minimal remote description (no checks started: b is lite)
+            a_probe = IceLiteAgent(controlling=True, dtls=False)
+            b.set_remote({"ufrag": a_probe.ufrag, "pwd": a_probe.pwd,
+                          "pubkey": a_probe.crypto.public_key.hex(),
+                          "candidates": []})
+            username = f"{b.ufrag}:{a_probe.ufrag}"
+
+            # ordinary check (ICE-CONTROLLED role attr → no USE-CANDIDATE)
+            txid = stun.new_transaction_id()
+            probe = stun.make_binding_request(txid, username,
+                                              b.pwd.encode(),
+                                              controlling=False)
+            b._on_stun(probe, ("127.0.0.1", 50001))
+            assert b.peer_addr is None  # not nominated
+
+            # nominating check (USE-CANDIDATE)
+            txid = stun.new_transaction_id()
+            nom = stun.make_binding_request(txid, username, b.pwd.encode(),
+                                            controlling=True)
+            b._on_stun(nom, ("127.0.0.1", 50002))
+            assert b.peer_addr[:2] == ("127.0.0.1", 50002)
+
+            # controlling agent moves the nomination: channel follows
+            txid = stun.new_transaction_id()
+            nom2 = stun.make_binding_request(txid, username, b.pwd.encode(),
+                                             controlling=True)
+            b._on_stun(nom2, ("127.0.0.1", 50003))
+            assert b.peer_addr[:2] == ("127.0.0.1", 50003)
+            assert b.renominations == 1
+            assert b.channel.peer[:2] == ("127.0.0.1", 50003)
+        finally:
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_ice_prflx_candidate_list_bounded():
+    """A port-churning NAT (many authenticated sources) must not grow the
+    candidate list unboundedly — prflx entries are evicted oldest-first,
+    advertised candidates never."""
+
+    async def run():
+        from asciichat_tpu.net.webrtc import IceLiteAgent
+
+        b = IceLiteAgent(controlling=False, dtls=False)
+        await b.start("127.0.0.1")
+        try:
+            a_probe = IceLiteAgent(controlling=True, dtls=False)
+            adv = [{"ip": "10.0.0.1", "port": 1000}]
+            b.set_remote({"ufrag": a_probe.ufrag, "pwd": a_probe.pwd,
+                          "pubkey": a_probe.crypto.public_key.hex(),
+                          "candidates": list(adv)})
+            username = f"{b.ufrag}:{a_probe.ufrag}"
+            for port in range(40000, 40100):
+                txid = stun.new_transaction_id()
+                req = stun.make_binding_request(txid, username,
+                                                b.pwd.encode(),
+                                                controlling=True)
+                b._on_stun(req, ("127.0.0.1", port))
+            cands = b.remote["candidates"]
+            assert len(cands) <= 25
+            assert {"ip": "10.0.0.1", "port": 1000} in [
+                {"ip": c["ip"], "port": c["port"]} for c in cands]
+        finally:
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
