@@ -41,6 +41,7 @@ from asciichat_tpu.utils.ui import Stats
 log = get_logger("server")
 
 MAX_CLIENTS = 32  # include/ascii-chat/common/limits.h:26
+HANDSHAKE_TIMEOUT_S = 15.0  # pre-registration deadline (unsweepable phase)
 MAX_UPLOAD_W, MAX_UPLOAD_H = 800, 600  # client capture cap (capture.c:41-44)
 # Clamp client-declared terminal dims (u16 on the wire) so a hostile client
 # can't force giant composites / per-shape jit recompiles (reference clamps
@@ -72,6 +73,7 @@ class ClientState:
         self.pending_first: tuple[int, bytes] | None = None
         self.h265 = None  # per-client decoder ctx (session/h265/server.c:14-25)
         self.opus = None  # per-client Opus ctx (render.c:57 per-client codec)
+        self.next_frame_due = 0.0  # desired_fps pacing (sub-tick-rate only)
 
     @property
     def size_key(self):
@@ -103,6 +105,8 @@ class AsciiChatServer:
         self.compression_level = compression_level
         self.clients: dict[int, ClientState] = {}
         self._ids = itertools.count(1)
+        self._pending_conns = 0  # handshaking, not yet in self.clients
+        self._age_seqs: dict[int, int] = {}  # frame_age: last counted seq
         self.renderer = AsciiRenderer(palette)
         self.mixer_state: tuple | None = None
         self.mixer_slots: list[int] = []
@@ -162,49 +166,24 @@ class AsciiChatServer:
     # Connection handling
 
     async def _handle_conn(self, t: Transport) -> None:
-        if len(self.clients) >= MAX_CLIENTS:
+        # slot reservation is check-then-INCREMENT with no await between:
+        # counting only self.clients let a burst of concurrent connections
+        # all pass the check mid-handshake and blow straight past the cap
+        if len(self.clients) + self._pending_conns >= MAX_CLIENTS:
             await t.send(pkt.PacketType.ERROR_MESSAGE,
                          proto.pack_error(1, "server full"))
             return
-        cid = next(self._ids)
-        # Crypto negotiation: the first packet decides (handshake packets are
-        # plaintext, packet.h:304); anything else proceeds unencrypted.
-        chan = t
+        self._pending_conns += 1
         try:
-            first = await t.recv()
-            # A server requiring auth (password or SSH keys) requires the
-            # FULL handshake: both non-crypto first packets AND an explicit
-            # CRYPTO_NO_ENCRYPTION opt-out are rejected
-            # (lib/crypto/handshake/server.c:177-189 — no plaintext downgrade
-            # when auth is required).
-            auth_required = (bool(self.password) or self.allowed_keys is not None
-                             or self.gpg_keyring is not None)
-            if auth_required and (
-                not (1000 <= first[0] <= 1199)
-                or first[0] == pkt.PacketType.CRYPTO_NO_ENCRYPTION
-            ):
-                await t.send(pkt.PacketType.ERROR_MESSAGE,
-                             proto.pack_error(2, "encryption required"))
-                return
-            if 1000 <= first[0] <= 1199:
-                ctx = CryptoContext()
-                if self.password:
-                    ctx.set_password(self.password)
-                if await server_handshake(t, ctx, first,
-                                          require_auth=auth_required,
-                                          allowed_keys=self.allowed_keys,
-                                          gpg_keyring=self.gpg_keyring,
-                                          host_identity=self.host_identity):
-                    chan = SecureChannel(t, ctx, initiator=False)
-                first = None
-        except (HandshakeError, asyncio.IncompleteReadError, ValueError) as e:
-            log.warning("handshake with %s failed: %s", t.peername, e)
+            state = await self._negotiate_conn(t)
+        finally:
+            self._pending_conns -= 1
+        if state is None:
             return
-        state = ClientState(cid, chan)
-        state.pending_first = first
+        cid = state.id
         self.clients[cid] = state
         log.info("client %d connected from %s%s", cid, t.peername,
-                 " (encrypted)" if chan is not t else "")
+                 " (encrypted)" if state.transport is not t else "")
         await self._broadcast_state()
         try:
             await self._recv_loop(state)
@@ -221,6 +200,58 @@ class AsciiChatServer:
                 state.opus.close()
             log.info("client %d disconnected", cid)
             await self._broadcast_state()
+
+    async def _negotiate_conn(self, t: Transport) -> "ClientState | None":
+        """First-packet crypto negotiation + handshake, under a deadline.
+
+        The whole pre-registration phase is bounded by HANDSHAKE_TIMEOUT_S:
+        connections parked here are NOT in self.clients, so the keepalive
+        sweep cannot reclaim them — without the deadline, an attacker who
+        connects and sends nothing (or half a handshake) holds an fd and a
+        task forever (half-open slot/fd exhaustion)."""
+        cid = next(self._ids)
+        # Crypto negotiation: the first packet decides (handshake packets are
+        # plaintext, packet.h:304); anything else proceeds unencrypted.
+        chan = t
+        try:
+            async with asyncio.timeout(HANDSHAKE_TIMEOUT_S):
+                first = await t.recv()
+                # A server requiring auth (password or SSH keys) requires the
+                # FULL handshake: both non-crypto first packets AND an
+                # explicit CRYPTO_NO_ENCRYPTION opt-out are rejected
+                # (lib/crypto/handshake/server.c:177-189 — no plaintext
+                # downgrade when auth is required).
+                auth_required = (bool(self.password)
+                                 or self.allowed_keys is not None
+                                 or self.gpg_keyring is not None)
+                if auth_required and (
+                    not (1000 <= first[0] <= 1199)
+                    or first[0] == pkt.PacketType.CRYPTO_NO_ENCRYPTION
+                ):
+                    await t.send(pkt.PacketType.ERROR_MESSAGE,
+                                 proto.pack_error(2, "encryption required"))
+                    return None
+                if 1000 <= first[0] <= 1199:
+                    ctx = CryptoContext()
+                    if self.password:
+                        ctx.set_password(self.password)
+                    if await server_handshake(t, ctx, first,
+                                              require_auth=auth_required,
+                                              allowed_keys=self.allowed_keys,
+                                              gpg_keyring=self.gpg_keyring,
+                                              host_identity=self.host_identity):
+                        chan = SecureChannel(t, ctx, initiator=False)
+                    first = None
+        except TimeoutError:
+            log.warning("handshake with %s timed out after %.0fs",
+                        t.peername, HANDSHAKE_TIMEOUT_S)
+            return None
+        except (HandshakeError, asyncio.IncompleteReadError, ValueError) as e:
+            log.warning("handshake with %s failed: %s", t.peername, e)
+            return None
+        state = ClientState(cid, chan)
+        state.pending_first = first
+        return state
 
     async def _recv_loop(self, c: ClientState) -> None:
         P = pkt.PacketType
@@ -291,7 +322,15 @@ class AsciiChatServer:
                     c.video.commit(frame)
                 await self._set_streaming(c, True)
             elif ptype == P.AUDIO_BATCH:
-                body, _bc, total, _rate, _ch = pkt.unpack_audio_batch(payload)
+                body, _bc, total, rate, ch = pkt.unpack_audio_batch(payload)
+                # the mixer is fixed 48 kHz mono (audio.h:85-91); feeding it
+                # 44.1 kHz or interleaved stereo as-is would mix pitch-
+                # shifted/interleaved garbage into every listener — reject
+                # as a protocol violation (bad-data disconnect)
+                if rate != audio_ops.SAMPLE_RATE or ch != 1:
+                    raise ValueError(
+                        f"unsupported audio format {rate}Hz/{ch}ch "
+                        f"(need {audio_ops.SAMPLE_RATE}/mono)")
                 c.audio.write(np.frombuffer(body, "<f4")[:total])
             elif ptype == P.PING:
                 await c.transport.send(P.PONG, payload)
@@ -362,6 +401,24 @@ class AsciiChatServer:
     # ------------------------------------------------------------------
     # Render tick: composite once, convert once per caps-group
 
+    def _frame_paced_out(self, c: ClientState, now: float) -> bool:
+        """Per-client desired_fps pacing (sub-tick-rate only).
+
+        The reference paces per-client sends (protocol.py:37 carries the
+        client's desired_fps); dumping 60 fps on a 10 fps receiver wastes
+        ~6x bandwidth AND fills its bounded send queue so drops land on the
+        NEWEST frames — the client sees maximally stale output. Clients at
+        or above the 60 Hz tick rate are untouched (pacing jitter must not
+        skip ticks for default desired_fps=60 clients)."""
+        fps = c.wire_caps.desired_fps
+        if not 0 < fps < round(1 / VIDEO_TICK):
+            return False
+        if now < c.next_frame_due:
+            return True
+        # token-bucket: at most one frame per 1/fps, no burst after a gap
+        c.next_frame_due = max(c.next_frame_due, now) + 1.0 / fps
+        return False
+
     def _render_tick(self, snapshot: list[ClientState]) -> None:
         # `snapshot` is taken on the event-loop thread; this method runs in an
         # executor and must not iterate self.clients (mutated on connect/
@@ -374,9 +431,17 @@ class AsciiChatServer:
             if c.streaming
         ]
         sources = [(c, f, seq) for c, f, seq, _ in raw if f is not None]
-        for _, f, _, ts in raw:
-            if f is not None and ts > 0:
-                self.frame_age.add(max(0.0, now_mono - ts))
+        # frame_age samples only when the frame ADVANCED: re-counting a
+        # stale frame every 60 Hz tick inflates the upload->pickup metric
+        # with ages that just measure the client's capture cadence (or a
+        # paused capture), not pickup latency
+        age_seqs: dict[int, int] = {}
+        for c, f, seq, ts in raw:
+            if f is not None:
+                age_seqs[c.id] = seq
+                if ts > 0 and self._age_seqs.get(c.id) != seq:
+                    self.frame_age.add(max(0.0, now_mono - ts))
+        self._age_seqs = age_seqs
         receivers = [c for c in snapshot if c.has_caps]
         if not sources or not receivers:
             return
@@ -556,8 +621,11 @@ class AsciiChatServer:
                 )
             # per-slot packing cache: compress once per unique rendered frame
             packed: dict[tuple[int, bool], bytes] = {}
+            pace_now = time.monotonic()
             with self.tick_tracer.section("pack"):
                 for i, c in enumerate(members):
+                    if self._frame_paced_out(c, pace_now):
+                        continue
                     no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
                     pk = (member_slot[i], no_compress)
                     payload = packed.get(pk)
@@ -596,7 +664,10 @@ class AsciiChatServer:
         composite = np.asarray(compositor.composite_gather(stack, plan))
 
         rendered: dict[tuple, bytes] = {}
+        pace_now = time.monotonic()
         for c in receivers:
+            if self._frame_paced_out(c, pace_now):
+                continue
             key = c.size_key
             if key not in rendered:
                 wc = c.wire_caps
@@ -704,9 +775,35 @@ class AsciiChatServer:
 
     # ------------------------------------------------------------------
 
+    async def _audio_loop(self) -> None:
+        """Independent 100 Hz audio cadence (render.c:42 dedicated audio
+        thread): awaiting the video render inline ahead of the audio tick
+        meant any slow render (worst: a first-time RenderGroup jit compile,
+        seconds) silenced audio for everyone."""
+        loop = asyncio.get_running_loop()
+        next_audio = loop.time()
+        while True:
+            now = loop.time()
+            if now >= next_audio:
+                try:
+                    snapshot = list(self.clients.values())
+                    await loop.run_in_executor(None, self._audio_tick, snapshot)
+                except Exception:
+                    log.exception("audio tick failed")
+                next_audio = max(next_audio + AUDIO_TICK, now)
+            await asyncio.sleep(max(0.0, next_audio - loop.time()))
+
     async def _tick_loop(self) -> None:
         loop = asyncio.get_running_loop()
-        next_video = next_audio = loop.time()
+        audio_task = loop.create_task(self._audio_loop())
+        try:
+            await self._video_loop()
+        finally:
+            audio_task.cancel()
+
+    async def _video_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        next_video = loop.time()
         next_stats = loop.time() + 30.0
         next_sweep = loop.time() + 5.0
         while True:
@@ -718,13 +815,6 @@ class AsciiChatServer:
                 except Exception:
                     log.exception("render tick failed")
                 next_video = max(next_video + VIDEO_TICK, now)
-            if now >= next_audio:
-                try:
-                    snapshot = list(self.clients.values())
-                    await loop.run_in_executor(None, self._audio_tick, snapshot)
-                except Exception:
-                    log.exception("audio tick failed")
-                next_audio = max(next_audio + AUDIO_TICK, now)
             if now >= next_stats:
                 lat = self.tick_latency.stats_ms()
                 log.info("stats: %s tick_latency p50=%.2fms p99=%.2fms "
@@ -736,7 +826,7 @@ class AsciiChatServer:
             if now >= next_sweep:
                 await self._sweep_stalled()
                 next_sweep = now + 5.0
-            await asyncio.sleep(max(0.0, min(next_video, next_audio) - loop.time()))
+            await asyncio.sleep(max(0.0, next_video - loop.time()))
 
     async def _sweep_stalled(self) -> None:
         """Probe quiet clients, disconnect silent ones (see CLIENT_TIMEOUT_S)."""

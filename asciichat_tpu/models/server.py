@@ -173,13 +173,11 @@ class RenderGroup:
         self.collectives = 0  # collective-op count in the compiled sharded step
         self._compiled = None  # AOT executable (mesh path only)
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
             from asciichat_tpu.parallel import mesh as meshlib
 
             self._n_shards = mesh.shape[meshlib.CLIENTS_AXIS]
-            self._sh_cl = NamedSharding(mesh, PartitionSpec(meshlib.CLIENTS_AXIS))
-            self._sh_rep = NamedSharding(mesh, PartitionSpec())
+            self._sh_cl = meshlib.client_sharding(mesh)
+            self._sh_rep = meshlib.replicated(mesh)
         self.ramp = cells.ramp_for_palette(palette)
         # ONE source for the background-cell encoding + plan-cached uploads
         self.cidx, self.src_y, self.src_x, self.comp_mask = (

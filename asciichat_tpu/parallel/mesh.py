@@ -90,5 +90,3 @@ def client_space_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(CLIENTS_AXIS))
 
 
-def shard_batch(x: jax.Array | np.ndarray, mesh: Mesh) -> jax.Array:
-    return jax.device_put(x, client_sharding(mesh))

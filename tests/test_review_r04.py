@@ -1301,3 +1301,190 @@ def test_jaxcache_repartitions_on_topology_change(monkeypatch, tmp_path):
     finally:
         jaxcache._key_applied = old_key
         jax.config.update("jax_compilation_cache_dir", old_dir)
+
+
+# ---- apps/server.py serving-path sweep ----------------------------------
+
+
+class _FakeServerTransport:
+    """Minimal async Transport double for AsciiChatServer tests."""
+
+    def __init__(self, packets=(), block=False):
+        self._packets = list(packets)
+        self._block = block
+        self.sent = []
+        self.peername = ("127.0.0.1", 1)
+
+    async def send(self, ptype, payload=b""):
+        self.sent.append((int(ptype), payload))
+
+    def send_nowait(self, ptype, payload=b""):
+        self.sent.append((int(ptype), payload))
+        return True
+
+    async def recv(self):
+        import asyncio
+
+        if self._packets:
+            return self._packets.pop(0)
+        if self._block:
+            await asyncio.Event().wait()  # half-open: never completes
+        raise asyncio.IncompleteReadError(b"", 1)
+
+    async def close(self):
+        pass
+
+
+def test_server_cap_counts_pending_handshakes():
+    """MAX_CLIENTS must count connections still mid-handshake: the cap
+    check was check-then-act across awaits, so a concurrent burst all
+    passed while self.clients was still small."""
+    import asyncio
+
+    from asciichat_tpu.apps import server as server_mod
+    from asciichat_tpu.net import packet as pkt
+
+    srv = server_mod.AsciiChatServer()
+    srv._pending_conns = server_mod.MAX_CLIENTS  # a burst mid-handshake
+    t = _FakeServerTransport()
+    asyncio.run(asyncio.wait_for(srv._handle_conn(t), 10))
+    assert not srv.clients
+    assert srv._pending_conns == server_mod.MAX_CLIENTS  # reject didn't touch it
+    assert t.sent and t.sent[0][0] == int(pkt.PacketType.ERROR_MESSAGE)
+
+
+def test_server_half_open_handshake_times_out(monkeypatch):
+    """A connection that sends nothing is not in self.clients, so the
+    keepalive sweep can never reclaim it — the pre-registration phase
+    needs its own deadline or fds leak forever."""
+    import asyncio
+
+    from asciichat_tpu.apps import server as server_mod
+
+    monkeypatch.setattr(server_mod, "HANDSHAKE_TIMEOUT_S", 0.05)
+    srv = server_mod.AsciiChatServer()
+    t = _FakeServerTransport(block=True)
+    asyncio.run(asyncio.wait_for(srv._handle_conn(t), 10))
+    assert not srv.clients
+    assert srv._pending_conns == 0  # reservation released on timeout
+
+
+def test_server_audio_batch_validates_format():
+    """AUDIO_BATCH with a non-48k/mono header must be a bad-data
+    disconnect, not silently mixed as pitch-shifted/interleaved noise."""
+    import asyncio
+
+    from asciichat_tpu.apps import server as server_mod
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.ops import audio as audio_ops
+
+    srv = server_mod.AsciiChatServer()
+    body = np.zeros(480, np.float32).tobytes()
+
+    bad = pkt.pack_audio_batch(body, 480, 1, sample_rate=44_100, channels=1)
+    c = server_mod.ClientState(
+        1, _FakeServerTransport([(int(pkt.PacketType.AUDIO_BATCH), bad)]))
+    with pytest.raises(ValueError, match="audio format"):
+        asyncio.run(asyncio.wait_for(srv._recv_loop(c), 10))
+    assert len(c.audio) == 0  # nothing reached the mixer ring
+
+    stereo = pkt.pack_audio_batch(body, 480, 1,
+                                  sample_rate=audio_ops.SAMPLE_RATE, channels=2)
+    c2 = server_mod.ClientState(
+        2, _FakeServerTransport([(int(pkt.PacketType.AUDIO_BATCH), stereo)]))
+    with pytest.raises(ValueError, match="audio format"):
+        asyncio.run(asyncio.wait_for(srv._recv_loop(c2), 10))
+
+    good = pkt.pack_audio_batch(body, 480, 1,
+                                sample_rate=audio_ops.SAMPLE_RATE, channels=1)
+    c3 = server_mod.ClientState(
+        3, _FakeServerTransport([(int(pkt.PacketType.AUDIO_BATCH), good)]))
+    with pytest.raises(asyncio.IncompleteReadError):  # clean end-of-stream
+        asyncio.run(asyncio.wait_for(srv._recv_loop(c3), 10))
+    assert len(c3.audio) == 480
+
+
+def test_frame_age_counts_only_advancing_frames():
+    """frame_age re-sampled a STALE frame on every 60 Hz tick, so the
+    upload->pickup metric grew with the client's capture cadence (or a
+    paused capture), not pickup latency: gate on sequence advance."""
+    from asciichat_tpu.apps import server as server_mod
+
+    srv = server_mod.AsciiChatServer()
+    c = server_mod.ClientState(1, _FakeServerTransport())
+    c.streaming = True  # streaming but has_caps=False: age sampling runs,
+    # then the tick returns early at the no-receivers check (no jit work)
+    c.video.commit(np.zeros((8, 8, 3), np.uint8))
+    srv._render_tick([c])
+    srv._render_tick([c])
+    srv._render_tick([c])
+    assert srv.frame_age.count == 1  # stale frame counted once, not 3x
+    c.video.commit(np.zeros((8, 8, 3), np.uint8))
+    srv._render_tick([c])
+    assert srv.frame_age.count == 2  # advancing seq counts again
+
+
+def test_desired_fps_pacing_is_sub_tick_only():
+    """desired_fps below the 60 Hz tick paces sends; >= tick rate (the
+    default 60) is never paced so existing clients see every tick."""
+    from asciichat_tpu.apps import server as server_mod
+
+    srv = server_mod.AsciiChatServer()
+
+    slow = server_mod.ClientState(1, _FakeServerTransport())
+    slow.wire_caps.desired_fps = 10
+    assert not srv._frame_paced_out(slow, 100.0)   # first frame sends
+    assert srv._frame_paced_out(slow, 100.02)      # paced out (< 100 ms gap)
+    assert srv._frame_paced_out(slow, 100.09)
+    assert not srv._frame_paced_out(slow, 100.11)  # next 10 Hz slot
+    # ~1 s of 60 Hz ticks delivers ~10 frames, not 60
+    sent = sum(
+        not srv._frame_paced_out(slow, 101.0 + i / 60.0) for i in range(60)
+    )
+    assert 9 <= sent <= 11
+
+    default = server_mod.ClientState(2, _FakeServerTransport())
+    assert default.wire_caps.desired_fps == 60
+    assert all(
+        not srv._frame_paced_out(default, 200.0 + i / 60.0) for i in range(10)
+    )
+
+    unset = server_mod.ClientState(3, _FakeServerTransport())
+    unset.wire_caps.desired_fps = 0  # "no preference" never paces
+    assert not srv._frame_paced_out(unset, 300.0)
+    assert not srv._frame_paced_out(unset, 300.001)
+
+
+def test_audio_cadence_survives_slow_render_tick(monkeypatch):
+    """The 100 Hz audio tick ran inline after the video render await, so
+    a slow render (worst: a first-time RenderGroup jit compile) silenced
+    audio for everyone; the audio loop must be an independent task."""
+    import asyncio
+
+    from asciichat_tpu.apps import server as server_mod
+
+    srv = server_mod.AsciiChatServer()
+    ticks = {"audio": 0}
+
+    def slow_render(snapshot):
+        time.sleep(0.25)  # a render tick far past the audio deadline
+
+    def count_audio(snapshot):
+        ticks["audio"] += 1
+
+    monkeypatch.setattr(srv, "_render_tick", slow_render)
+    monkeypatch.setattr(srv, "_audio_tick", count_audio)
+
+    async def run():
+        task = asyncio.get_running_loop().create_task(srv._tick_loop())
+        await asyncio.sleep(0.6)
+        task.cancel()
+        try:
+            await task
+        except asyncio.CancelledError:
+            pass
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+    # inline cadence got ~2-3 audio ticks behind two 250 ms renders; the
+    # dedicated loop gets dozens — assert well above the broken ceiling
+    assert ticks["audio"] >= 10

@@ -188,7 +188,9 @@ def test_tick_latency_observability():
     assert srv.tick_latency.count == 2
     lat = srv.tick_latency.stats_ms()
     assert lat["p99_ms"] >= lat["p50_ms"] > 0
-    assert srv.frame_age.count == 4  # 2 sources x 2 ticks
+    # 2 sources counted ONCE each: frame_age is gated on seq advance, and
+    # no new frames were committed between the ticks
+    assert srv.frame_age.count == 2
     stages = srv.tick_tracer.snapshot()
     for stage in ("upload", "convert", "fetch", "emit", "pack", "send"):
         assert stage in stages, f"missing stage timer {stage!r}"
