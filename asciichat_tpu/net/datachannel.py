@@ -55,6 +55,7 @@ class DataChannelTransport:
         self.expected_fingerprint = expected_fingerprint
         self.via_relay = via_relay
         self.closed = False
+        self._closing = False  # _close_sync in progress (farewell drain)
         self.failed: str | None = None
         self.ready = asyncio.Event()
         self.retransmits = 0  # interface parity; SCTP tracks per-chunk
@@ -88,6 +89,13 @@ class DataChannelTransport:
             self._start_sctp()
         for msg in self.dtls.read():
             self.sctp.on_packet(msg)
+        if self.dtls.closed and not self.closed:
+            # peer's close_notify: with nothing in flight the SCTP
+            # no-progress abort never arms, so without observing this the
+            # remote clean close would go undetected forever (recv() blocks,
+            # the server keeps a ghost client)
+            self._peer_closed()
+            return
         self._drain_dtls()
 
     def rebind(self, send_datagram, peername, via_relay: bool = True) -> None:
@@ -178,8 +186,12 @@ class DataChannelTransport:
             return 0
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
-        if self.failed:
-            raise ConnectionError(self.failed)
+        if self.failed or self.closed:
+            # closed must raise like failed: after a clean local close()
+            # _sctp_out drops everything, so a "successful" send here
+            # would silently black-hole the packet (send_nowait already
+            # returns False in this state — the two paths must agree)
+            raise ConnectionError(self.failed or "channel closed")
         while self._buffered() > _SEND_BUF_CAP:
             if self.closed or self.failed:
                 raise ConnectionError(self.failed or "channel closed")
@@ -229,8 +241,11 @@ class DataChannelTransport:
 
     async def recv(self) -> tuple[int, bytes]:
         while True:
-            if self.failed and self._rx.empty():
-                raise ConnectionError(self.failed)
+            if (self.failed or self.closed) and self._rx.empty():
+                # closed without failure (clean local close()) must also
+                # terminate the loop, or a concurrent recv() task spins on
+                # 0.5 s timeouts forever
+                raise ConnectionError(self.failed or "channel closed")
             try:
                 return await asyncio.wait_for(self._rx.get(), 0.5)
             except asyncio.TimeoutError:
@@ -260,6 +275,15 @@ class DataChannelTransport:
         self.ready.set()  # unblock waiters; wait_ready raises
         self.close()
 
+    def _peer_closed(self) -> None:
+        """Remote clean close (DTLS close_notify): not a failure, but recv()
+        and wait_ready() must still unblock with ConnectionError."""
+        if self.failed is None:
+            self.failed = "closed by peer"
+            log.info("DataChannel closed by peer %s", self.peer)
+        self.ready.set()
+        self.close()
+
     def close(self):
         """Close the channel. Callable from sync code (P2P paths) AND
         awaitable (the server's `await transport.close()` path): the work
@@ -269,16 +293,22 @@ class DataChannelTransport:
         return _Awaitable()
 
     def _close_sync(self) -> None:
-        if self.closed:
+        if self.closed or self._closing:
             return
-        self.closed = True
+        # farewell first, THEN flip self.closed: _sctp_out drops all SCTP
+        # output once closed is set, so setting it before sctp.shutdown()
+        # silently discarded the SHUTDOWN chunk (the peer never learned of
+        # the close and kept a ghost association). _closing guards against
+        # re-entry if the farewell drain itself fails into _fail()->close().
+        self._closing = True
         try:
             if self.sctp.state == "established":
                 self.sctp.shutdown()
             self.dtls.close()
-            self._drain_dtls_best_effort()
         except Exception:
             pass
+        self.closed = True
+        self._drain_dtls_best_effort()
         self._timer_task.cancel()
         owner = getattr(self, "_owner_agent", None)
         if owner is not None:

@@ -138,10 +138,13 @@ _BIO_C_SET_BUF_MEM_EOF_RETURN = 130
 
 _RECORD_HDR = 13  # type(1) version(2) epoch(2) seq(6) length(2)
 
-# Keep verify callbacks alive for the lifetime of their contexts (ctypes
-# callbacks are garbage-collected otherwise and OpenSSL would call freed code)
+# Keep the verify callback alive for the process lifetime (ctypes callbacks
+# are garbage-collected otherwise and OpenSSL would call freed code). It is
+# stateless (accept any chain; trust is the pinned fingerprint), so ONE
+# callback serves every context — a per-endpoint callback appended to a list
+# was an unbounded per-connection leak on a long-running server.
 _VERIFY_CB_TYPE = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int, ctypes.c_void_p)
-_verify_cb_refs: list = []
+_verify_cb = None
 # DTLS_timer_cb: unsigned int (*)(SSL *, unsigned int timer_us)
 _TIMER_CB_TYPE = ctypes.CFUNCTYPE(ctypes.c_uint, ctypes.c_void_p, ctypes.c_uint)
 
@@ -175,6 +178,15 @@ class DtlsIdentity:
         self.cert_pem = cert_pem
         self.key_pem = key_pem
         self.fingerprint = _fingerprint_of_pem(cert_pem)
+        self._ssl_ctx = None  # shared SSL_CTX, built lazily (one per identity)
+
+    def __del__(self):  # free the shared context with the identity
+        try:
+            if getattr(self, "_ssl_ctx", None) and _ssl is not None:
+                _ssl.SSL_CTX_free(self._ssl_ctx)
+                self._ssl_ctx = None
+        except Exception:
+            pass
 
     @classmethod
     def generate(cls, common_name: str = "asciichat") -> "DtlsIdentity":
@@ -275,6 +287,50 @@ def _x509_fingerprint(x509_ptr) -> str:
     return ":".join(f"{b:02X}" for b in buf.raw[: n.value])
 
 
+def _ctx_for_identity(identity: DtlsIdentity):
+    """Build (once) and return the identity's shared SSL_CTX: min-version
+    DTLS 1.2, certificate + key loaded, verify = require-any-cert. The
+    context lives as long as the identity (freed in DtlsIdentity.__del__);
+    SSL objects created from it hold their own reference."""
+    global _verify_cb
+    if identity._ssl_ctx:
+        return identity._ssl_ctx
+    ctx = _ssl.SSL_CTX_new(_ssl.DTLS_method())
+    if not ctx:
+        raise DtlsError(f"SSL_CTX_new: {_ssl_errors()}")
+    try:
+        _ssl.SSL_CTX_ctrl(ctx, _SSL_CTRL_SET_MIN_PROTO_VERSION,
+                          _DTLS1_2_VERSION, None)
+        bio = _crypto.BIO_new_mem_buf(identity.cert_pem,
+                                      len(identity.cert_pem))
+        x509 = _crypto.PEM_read_bio_X509(bio, None, None, None)
+        _crypto.BIO_free(bio)
+        bio = _crypto.BIO_new_mem_buf(identity.key_pem, len(identity.key_pem))
+        pkey = _crypto.PEM_read_bio_PrivateKey(bio, None, None, None)
+        _crypto.BIO_free(bio)
+        if not x509 or not pkey:
+            raise DtlsError(f"bad identity PEM: {_ssl_errors()}")
+        ok1 = _ssl.SSL_CTX_use_certificate(ctx, x509)
+        ok2 = _ssl.SSL_CTX_use_PrivateKey(ctx, pkey)
+        _crypto.X509_free(x509)
+        _crypto.EVP_PKEY_free(pkey)
+        if ok1 != 1 or ok2 != 1:
+            raise DtlsError(f"identity rejected: {_ssl_errors()}")
+        # Require a peer certificate but accept ANY chain: authentication is
+        # the SHA-256 fingerprint against the (Ed25519-signed) signaling
+        # blob, the WebRTC trust model (RFC 8827 §6.2) — not the Web PKI.
+        if _verify_cb is None:
+            _verify_cb = _VERIFY_CB_TYPE(lambda _preverify, _store_ctx: 1)
+        _ssl.SSL_CTX_set_verify(
+            ctx, _SSL_VERIFY_PEER | _SSL_VERIFY_FAIL_IF_NO_PEER_CERT,
+            _verify_cb)
+    except Exception:
+        _ssl.SSL_CTX_free(ctx)
+        raise
+    identity._ssl_ctx = ctx
+    return ctx
+
+
 # --- endpoint ----------------------------------------------------------------
 
 
@@ -306,20 +362,10 @@ class DtlsEndpoint:
         self.closed = False
         self.peer_fingerprint: str | None = None
 
-        self._ctx = _ssl.SSL_CTX_new(_ssl.DTLS_method())
-        if not self._ctx:
-            raise DtlsError(f"SSL_CTX_new: {_ssl_errors()}")
-        _ssl.SSL_CTX_ctrl(self._ctx, _SSL_CTRL_SET_MIN_PROTO_VERSION,
-                          _DTLS1_2_VERSION, None)
-        self._load_identity()
-        # Require a peer certificate but accept ANY chain: authentication is
-        # the SHA-256 fingerprint against the (Ed25519-signed) signaling blob,
-        # the WebRTC trust model (RFC 8827 §6.2) — not the Web PKI.
-        cb = _VERIFY_CB_TYPE(lambda _preverify, _store_ctx: 1)
-        _verify_cb_refs.append(cb)
-        _ssl.SSL_CTX_set_verify(
-            self._ctx, _SSL_VERIFY_PEER | _SSL_VERIFY_FAIL_IF_NO_PEER_CERT, cb
-        )
+        # the SSL_CTX is shared per identity (the per-PeerConnection-factory
+        # pattern): certificate/key load + PEM parse happen once, not per
+        # connection, and SSL objects reference-count the context
+        self._ctx = _ctx_for_identity(identity)
 
         self._ssl = _ssl.SSL_new(self._ctx)
         if not self._ssl:
@@ -349,24 +395,6 @@ class DtlsEndpoint:
             _ssl.SSL_set_accept_state(self._ssl)
         else:
             _ssl.SSL_set_connect_state(self._ssl)
-
-    def _load_identity(self) -> None:
-        bio = _crypto.BIO_new_mem_buf(self.identity.cert_pem,
-                                      len(self.identity.cert_pem))
-        x509 = _crypto.PEM_read_bio_X509(bio, None, None, None)
-        _crypto.BIO_free(bio)
-        bio = _crypto.BIO_new_mem_buf(self.identity.key_pem,
-                                      len(self.identity.key_pem))
-        pkey = _crypto.PEM_read_bio_PrivateKey(bio, None, None, None)
-        _crypto.BIO_free(bio)
-        if not x509 or not pkey:
-            raise DtlsError(f"bad identity PEM: {_ssl_errors()}")
-        ok1 = _ssl.SSL_CTX_use_certificate(self._ctx, x509)
-        ok2 = _ssl.SSL_CTX_use_PrivateKey(self._ctx, pkey)
-        _crypto.X509_free(x509)
-        _crypto.EVP_PKEY_free(pkey)
-        if ok1 != 1 or ok2 != 1:
-            raise DtlsError(f"identity rejected: {_ssl_errors()}")
 
     # -- datagram side --------------------------------------------------------
     def start(self) -> None:
@@ -491,8 +519,7 @@ class DtlsEndpoint:
             if getattr(self, "_ssl", None):
                 _ssl.SSL_free(self._ssl)  # frees owned BIOs
                 self._ssl = None
-            if getattr(self, "_ctx", None):
-                _ssl.SSL_CTX_free(self._ctx)
-                self._ctx = None
+            # self._ctx is the identity's shared context — NOT freed here
+            self._ctx = None
         except Exception:
             pass

@@ -207,6 +207,12 @@ class SctpAssociation:
         # fast-recovery exit point: cwnd halves at most once per loss
         # window (RFC 9260 §7.2.4), not once per triggering SACK
         self._fr_exit: int | None = None
+        # highest cumulative TSN the peer has acked (the Cumulative TSN Ack
+        # Point, §6.2.1): SACKs older than this are reordered-UDP stragglers
+        # and must be dropped whole — processing one would overwrite
+        # peer_rwnd with stale data and re-run miss counters on chunks that
+        # are not missing (spurious fast retransmit + cwnd halving)
+        self._cum_acked: int | None = None
 
         # receiver
         self._sack_owed = 0  # packets-with-DATA since the last SACK
@@ -502,8 +508,14 @@ class SctpAssociation:
     def send(self, sid: int, ppid: int, data: bytes,
              unordered: bool = False) -> None:
         """Queue one user message (fragmented as needed) and try to flush."""
-        if self.state in ("done",):
-            raise ConnectionError("SCTP association closed")
+        if self.state in ("shutdown-pending", "shutdown-sent",
+                          "shutdown-received", "done"):
+            # §9.2: no new user data once a graceful shutdown is underway —
+            # queueing here would black-hole it (_flush never transmits in
+            # shutdown-sent/received, and shutdown-pending only DRAINS what
+            # was queued before the close)
+            raise ConnectionError(
+                f"SCTP association closing ({self.state})")
         ssn = 0
         if not unordered:
             ssn = self._ssn_out.get(sid, 0)
@@ -585,6 +597,9 @@ class SctpAssociation:
         if len(value) < _SACK_HDR.size:
             return
         cum, rwnd, n_gaps, _n_dups = _SACK_HDR.unpack_from(value)
+        if self._cum_acked is not None and _tsn_lt(cum, self._cum_acked):
+            return  # §6.2.1: older than the current ack point — drop whole
+        self._cum_acked = cum
         self.peer_rwnd = rwnd
         now = self._now()
         earliest = self._out_order[0] if self._out_order else None

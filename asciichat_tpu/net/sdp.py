@@ -35,6 +35,10 @@ class SdpInfo:
     max_message_size: int = 262144
     ice_lite: bool = False
     candidates: list[dict] = field(default_factory=list)  # {ip, port, type}
+    # every m-section of the offer, in order: {kind, proto, fmts, mid,
+    # is_app}. A JSEP answer must mirror the offer's m-line count and order
+    # (rejecting the ones it doesn't use), or setRemoteDescription fails.
+    msections: list[dict] = field(default_factory=list)
 
     def to_desc(self) -> dict:
         """The internal signaling-blob shape (webrtc.set_remote input)."""
@@ -51,32 +55,69 @@ class SdpInfo:
 def parse(sdp: str) -> SdpInfo:
     """Parse the attributes this stack needs from an offer/answer. Tolerates
     session-level vs media-level placement (browsers put ice/fingerprint at
-    either) and ignores everything it doesn't know."""
+    either) and ignores everything it doesn't know.
+
+    M-section aware: in a BUNDLE offer carrying media m-lines alongside the
+    datachannel one (a browser sharing one RTCPeerConnection for media +
+    data), the datachannel attributes (mid, sctp-port, setup) are taken from
+    the m=application section, not from whichever section happened to be
+    parsed last. Candidates are accepted from any section (under BUNDLE they
+    ride the first m-section only, RFC 9143 §7.4)."""
     info = SdpInfo()
+    cur: dict | None = None  # None = session level
+    app_seen = False
     for raw in sdp.replace("\r\n", "\n").split("\n"):
         line = raw.strip()
-        if line.startswith("a=ice-ufrag:"):
-            info.ufrag = line.split(":", 1)[1]
-        elif line.startswith("a=ice-pwd:"):
-            info.pwd = line.split(":", 1)[1]
+        if line.startswith("m="):
+            parts = line[2:].split()
+            kind = parts[0] if parts else ""
+            proto = parts[2] if len(parts) > 2 else ""
+            is_app = (kind == "application" and "SCTP" in proto.upper()
+                      and not app_seen)
+            app_seen = app_seen or is_app
+            cur = {"kind": kind, "proto": proto, "fmts": parts[3:],
+                   "mid": None, "is_app": is_app}
+            info.msections.append(cur)
+            continue
+        # datachannel-scoped attributes: session level or the application
+        # m-section (browsers repeat ice creds/fingerprint per section with
+        # identical values under BUNDLE, so this loses nothing)
+        in_scope = cur is None or cur["is_app"]
+        if line.startswith("a=mid:"):
+            if cur is not None:
+                cur["mid"] = line.split(":", 1)[1]
+                if cur["is_app"]:
+                    info.mid = cur["mid"]
+            else:
+                info.mid = line.split(":", 1)[1]
         elif line == "a=ice-lite":
             info.ice_lite = True
+        elif line.startswith("a=candidate:"):
+            cand = _parse_candidate(line[len("a=candidate:"):])
+            if cand is not None and cand not in info.candidates:
+                info.candidates.append(cand)
+        elif line.startswith("a=ice-ufrag:"):
+            # shared transport attributes: the app section wins; a value from
+            # another bundled section fills in only if none was seen (RFC 8843
+            # puts them on the bundle-tagged section, which may be m=audio)
+            if in_scope or not info.ufrag:
+                info.ufrag = line.split(":", 1)[1]
+        elif line.startswith("a=ice-pwd:"):
+            if in_scope or not info.pwd:
+                info.pwd = line.split(":", 1)[1]
         elif line.startswith("a=fingerprint:"):
             algo_fp = line.split(":", 1)[1].split(None, 1)
-            if len(algo_fp) == 2 and algo_fp[0].lower() == "sha-256":
+            if (len(algo_fp) == 2 and algo_fp[0].lower() == "sha-256"
+                    and (in_scope or not info.fingerprint)):
                 info.fingerprint = algo_fp[1].strip().upper()
+        elif not in_scope:
+            continue
         elif line.startswith("a=setup:"):
             info.setup = line.split(":", 1)[1]
-        elif line.startswith("a=mid:"):
-            info.mid = line.split(":", 1)[1]
         elif line.startswith("a=sctp-port:"):
             info.sctp_port = int(line.split(":", 1)[1])
         elif line.startswith("a=max-message-size:"):
             info.max_message_size = int(line.split(":", 1)[1])
-        elif line.startswith("a=candidate:"):
-            cand = _parse_candidate(line[len("a=candidate:"):])
-            if cand is not None:
-                info.candidates.append(cand)
     return info
 
 
@@ -124,11 +165,18 @@ def _format_candidates(cands: list[dict]) -> list[str]:
 
 
 def build(desc: dict, *, setup: str, ice_lite: bool,
-          sctp_port: int = 5000, mid: str = "0") -> str:
+          sctp_port: int = 5000, mid: str = "0",
+          offer_sections: list[dict] | None = None) -> str:
     """SDP text from an internal signaling blob (agent.local_description()).
     `setup` is the DTLS role offer/answer: 'actpass' in offers, 'passive'
     or 'active' in answers (RFC 8842). `mid` must ECHO the offer's mid in
-    an answer (JSEP; browsers reject a mismatched mid)."""
+    an answer (JSEP; browsers reject a mismatched mid).
+
+    `offer_sections` (SdpInfo.msections from the parsed offer): when given,
+    the answer mirrors the offer's m-line count and order — the application
+    section is answered in full, every other section is REJECTED with port 0
+    and its mid echoed (JSEP §5.3.1; a single-m-line answer to a bundled
+    media+data offer fails setRemoteDescription with an m-line mismatch)."""
     lines = [
         "v=0",
         _O_LINE,
@@ -137,9 +185,7 @@ def build(desc: dict, *, setup: str, ice_lite: bool,
     ]
     if ice_lite:
         lines.append("a=ice-lite")
-    lines += [
-        f"a=group:BUNDLE {mid}",
-        "a=msid-semantic: WMS",
+    app_lines = [
         "m=application 9 UDP/DTLS/SCTP webrtc-datachannel",
         "c=IN IP4 0.0.0.0",
         f"a=ice-ufrag:{desc['ufrag']}",
@@ -150,7 +196,29 @@ def build(desc: dict, *, setup: str, ice_lite: bool,
         f"a=sctp-port:{sctp_port}",
         "a=max-message-size:262144",
     ]
-    lines += _format_candidates(desc.get("candidates", []))
+    app_lines += _format_candidates(desc.get("candidates", []))
+    sections = [s for s in (offer_sections or []) if s.get("mid") is not None
+                or s.get("is_app")]
+    if not any(s.get("is_app") for s in sections):
+        sections = []  # no recognizable datachannel section: single-section
+    lines.append(f"a=group:BUNDLE {mid}")  # only accepted mids (RFC 8843 §7.2)
+    lines.append("a=msid-semantic: WMS")
+    if not sections:
+        lines += app_lines
+        return "\r\n".join(lines) + "\r\n"
+    for s in sections:
+        if s.get("is_app"):
+            lines += app_lines
+            continue
+        # rejected m-section: port 0, proto + formats echoed, mid echoed,
+        # no transport attributes (RFC 8866 §5.14 / JSEP rejection shape)
+        fmts = " ".join(s.get("fmts") or ["0"])
+        lines += [
+            f"m={s['kind']} 0 {s['proto']} {fmts}",
+            "c=IN IP4 0.0.0.0",
+            f"a=mid:{s['mid']}",
+            "a=inactive",
+        ]
     return "\r\n".join(lines) + "\r\n"
 
 
@@ -169,7 +237,8 @@ def answer_for_agent(agent, offer: "SdpInfo | None" = None, *,
             cands.append({"ip": public_ip, "port": port, "type": "host"})
         desc["candidates"] = cands
     return build(desc, setup="passive", ice_lite=True,
-                 mid=offer.mid if offer else "0")
+                 mid=offer.mid if offer else "0",
+                 offer_sections=offer.msections if offer else None)
 
 
 def offer_for_agent(agent) -> str:

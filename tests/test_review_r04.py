@@ -1488,3 +1488,229 @@ def test_audio_cadence_survives_slow_render_tick(monkeypatch):
     # inline cadence got ~2-3 audio ticks behind two 250 ms renders; the
     # dedicated loop gets dozens — assert well above the broken ceiling
     assert ticks["audio"] >= 10
+
+
+# ---- DTLS/SCTP/DataChannel/SDP sweep ------------------------------------
+
+
+def _sctp_pair_established():
+    """Establish an in-memory SCTP association pair (no DTLS)."""
+    from asciichat_tpu.net.sctp import SctpAssociation
+
+    now = [0.0]
+    qa, qb = [], []
+    a = SctpAssociation(qb.append, client=True, now_fn=lambda: now[0])
+    b = SctpAssociation(qa.append, client=False, now_fn=lambda: now[0])
+
+    def pump(iters=100):
+        for _ in range(iters):
+            moved = False
+            while qb:
+                b.on_packet(qb.pop(0))
+                moved = True
+            while qa:
+                a.on_packet(qa.pop(0))
+                moved = True
+            now[0] += 0.05
+            a.tick()
+            b.tick()
+            if not moved and not qa and not qb:
+                break
+
+    a.connect()
+    pump()
+    assert a.state == b.state == "established"
+    return a, b, qa, qb, now, pump
+
+
+def test_sctp_drops_stale_reordered_sack():
+    """RFC 9260 §6.2.1: a SACK whose cumulative TSN is OLDER than the
+    current ack point (UDP reordering) must be dropped whole — processing
+    it overwrote peer_rwnd with stale data (a stale rwnd=0 stalls the
+    sender until the next SACK) and re-ran miss counters."""
+    import struct
+
+    from asciichat_tpu.net import sctp as sctp_mod
+
+    a, b, qa, qb, now, pump = _sctp_pair_established()
+    a.send(0, sctp_mod.PPID_BINARY, b"x" * 100)
+    a.send(0, sctp_mod.PPID_BINARY, b"y" * 100)
+    pump()
+    assert not a._outstanding  # everything acked
+    cur = a._cum_acked
+    assert cur is not None
+    fresh_rwnd = a.peer_rwnd
+    # craft a stale SACK: cum one older, advertising rwnd=0
+    stale = sctp_mod._SACK_HDR.pack(sctp_mod._u32(cur - 1), 0, 0, 0)
+    a._on_sack(stale)
+    assert a.peer_rwnd == fresh_rwnd  # stale SACK fully ignored
+    assert a._cum_acked == cur
+    # an equal-or-newer SACK still processes
+    a._on_sack(sctp_mod._SACK_HDR.pack(cur, 12345, 0, 0))
+    assert a.peer_rwnd == 12345
+
+
+def test_sctp_send_raises_during_shutdown():
+    """send() in shutdown states must raise, not queue silently: _flush
+    never transmits in shutdown-sent/received, so queued data was
+    black-holed with a success return."""
+    from asciichat_tpu.net import sctp as sctp_mod
+
+    a, b, qa, qb, now, pump = _sctp_pair_established()
+    a.shutdown()
+    assert a.state == "shutdown-sent"
+    with pytest.raises(ConnectionError):
+        a.send(0, sctp_mod.PPID_BINARY, b"late")
+    # deliver the SHUTDOWN to b: shutdown-received must also reject sends
+    while qb:
+        b.on_packet(qb.pop(0))
+    assert b.state in ("shutdown-received", "done")
+    if b.state == "shutdown-received":
+        with pytest.raises(ConnectionError):
+            b.send(0, sctp_mod.PPID_BINARY, b"late")
+
+
+def test_dtls_context_shared_per_identity():
+    """Each endpoint built its own SSL_CTX and appended a fresh ctypes
+    verify callback to a never-pruned list — an unbounded per-connection
+    leak. The context is now shared per identity with ONE process-wide
+    callback, and the handshake still completes."""
+    from asciichat_tpu.net import dtls as dtls_mod
+
+    if not dtls_mod.available():
+        pytest.skip("no OpenSSL 3")
+    ident = dtls_mod.DtlsIdentity.generate("ctx-share")
+    srv = dtls_mod.DtlsEndpoint(ident, server=True)
+    cli = dtls_mod.DtlsEndpoint(ident, server=False)
+    assert srv._ctx == cli._ctx  # one SSL_CTX per identity
+    assert ident._ssl_ctx
+    assert not hasattr(dtls_mod, "_verify_cb_refs")  # the leak list is gone
+    from tests.test_datachannel import _pump_dtls
+
+    cli.start()
+    assert _pump_dtls(cli, srv)
+    assert srv.peer_fingerprint == ident.fingerprint
+    cli.write(b"ping")
+    for dg in cli.outgoing():
+        srv.incoming(dg)
+    assert srv.read() == [b"ping"]
+
+
+def test_datachannel_close_sends_farewell_and_peer_detects():
+    """Graceful close: (a) the SCTP SHUTDOWN / DTLS close_notify must
+    actually reach the wire (self.closed was set BEFORE sctp.shutdown(),
+    so _sctp_out dropped the farewell), and (b) the peer must detect the
+    clean close (dtls.closed was never observed — recv() blocked forever
+    on a dead association with nothing in flight)."""
+    import asyncio
+
+    from asciichat_tpu.net import dtls as dtls_mod
+
+    if not dtls_mod.available():
+        pytest.skip("no OpenSSL 3")
+    from tests.test_datachannel import _mk_agents
+
+    async def run():
+        a, b = _mk_agents()
+        await a.start("127.0.0.1")
+        await b.start("127.0.0.1")
+        try:
+            b.set_remote(a.local_description())
+            a.set_remote(b.local_description())
+            ch_a = await (await a.wait_connected(10)).wait_ready(10)
+            ch_b = await (await b.wait_connected(10)).wait_ready(10)
+            await ch_a.send(3000, b"hello")
+            assert (await ch_b.recv())[1] == b"hello"
+            # count farewell datagrams leaving a's carrier during close
+            sent = []
+            real = ch_a._send_datagram
+            ch_a._send_datagram = lambda dg: (sent.append(len(dg)),
+                                              real(dg))[-1]
+            await ch_a.close()
+            assert sent, "close() put no farewell datagram on the wire"
+            # after a clean local close, send/recv must raise (not hang
+            # or silently black-hole)
+            with pytest.raises(ConnectionError):
+                await ch_a.send(3000, b"late")
+            with pytest.raises(ConnectionError):
+                await asyncio.wait_for(ch_a.recv(), 5)
+            # the peer observes the close: recv() unblocks with an error
+            with pytest.raises(ConnectionError):
+                await asyncio.wait_for(ch_b.recv(), 10)
+            assert ch_b.closed
+        finally:
+            a.close()
+            b.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_sdp_bundled_media_offer_answer():
+    """A browser sharing one RTCPeerConnection for media + data sends a
+    BUNDLE offer with m=audio/m=video/m=application. Parsing line-by-line
+    with no m-section awareness took whichever a=mid came last and the
+    answer had ONE m-line — JSEP rejects that (m-line count/order must
+    match, rejected sections use port 0)."""
+    from asciichat_tpu.net import sdp
+
+    offer = "\r\n".join([
+        "v=0",
+        "o=- 1 2 IN IP4 127.0.0.1",
+        "s=-",
+        "t=0 0",
+        "a=group:BUNDLE 0 1 2",
+        "a=msid-semantic: WMS",
+        "m=audio 9 UDP/TLS/RTP/SAVPF 111",
+        "c=IN IP4 0.0.0.0",
+        "a=ice-ufrag:BUNDLEUFRAG",
+        "a=ice-pwd:bundlepassword1234567890",
+        "a=fingerprint:sha-256 " + ":".join(["AB"] * 32),
+        "a=setup:actpass",
+        "a=mid:0",
+        "a=candidate:1 1 udp 2130706431 192.0.2.7 50000 typ host",
+        "m=video 9 UDP/TLS/RTP/SAVPF 96 97",
+        "c=IN IP4 0.0.0.0",
+        "a=mid:1",
+        "m=application 9 UDP/DTLS/SCTP webrtc-datachannel",
+        "c=IN IP4 0.0.0.0",
+        "a=ice-ufrag:BUNDLEUFRAG",
+        "a=ice-pwd:bundlepassword1234567890",
+        "a=fingerprint:sha-256 " + ":".join(["AB"] * 32),
+        "a=setup:actpass",
+        "a=mid:2",
+        "a=sctp-port:5000",
+        "a=max-message-size:262144",
+    ]) + "\r\n"
+    info = sdp.parse(offer)
+    assert info.mid == "2"  # the APP section's mid, not the last-seen "1"...
+    assert info.sctp_port == 5000
+    assert info.ufrag == "BUNDLEUFRAG"
+    # candidates ride the bundle-tagged (first) section — still collected
+    assert info.candidates == [
+        {"ip": "192.0.2.7", "port": 50000, "type": "host"}]
+    assert [s["kind"] for s in info.msections] == [
+        "audio", "video", "application"]
+
+    desc = {"ufrag": "srvfrag", "pwd": "srvpassword1234567890123",
+            "dtls_fp": ":".join(["CD"] * 32),
+            "candidates": [{"ip": "198.51.100.1", "port": 4000,
+                            "type": "host"}]}
+    answer = sdp.build(desc, setup="passive", ice_lite=True, mid=info.mid,
+                       offer_sections=info.msections)
+    mlines = [ln for ln in answer.split("\r\n") if ln.startswith("m=")]
+    # JSEP: same count, same order; non-data sections rejected with port 0
+    assert len(mlines) == 3
+    assert mlines[0].startswith("m=audio 0 UDP/TLS/RTP/SAVPF 111")
+    assert mlines[1].startswith("m=video 0 UDP/TLS/RTP/SAVPF 96 97")
+    assert mlines[2].startswith("m=application 9 UDP/DTLS/SCTP")
+    assert "a=group:BUNDLE 2\r\n" in answer  # only the accepted mid
+    assert "a=mid:0\r\n" in answer and "a=mid:1\r\n" in answer
+    back = sdp.parse(answer)
+    assert back.mid == "2" and back.ufrag == "srvfrag"
+    assert back.setup == "passive" and back.sctp_port == 5000
+
+    # single-section offers (native peers) keep the one-m-line shape
+    single = sdp.build(desc, setup="actpass", ice_lite=False)
+    assert [ln for ln in single.split("\r\n")
+            if ln.startswith("m=")] == [
+        "m=application 9 UDP/DTLS/SCTP webrtc-datachannel"]
