@@ -130,7 +130,13 @@ class AsciiChatClient:
                 break
             frame = self.transform(frame)
             if self.h265_active:
-                self._send_h265(t, frame)
+                # x265 encode is 5-15 ms per frame: inline it and the event
+                # loop stalls every frame, starving the 10 ms audio capture
+                # cadence in this same process (observed: the uplink tone
+                # turns to gaps/silence on a 1-core host the moment --h265
+                # switches on). Encode in the executor; send_nowait is
+                # thread-safe like the server's tick sends.
+                await loop.run_in_executor(None, self._send_h265, t, frame)
             else:
                 payload = pkt.pack_image_frame(
                     frame.tobytes(), frame.shape[1], frame.shape[0]

@@ -69,6 +69,12 @@ def _load_libopus():
                                       c.POINTER(c.c_float), c.c_int, c.c_int]
     lib.opus_encoder_destroy.argtypes = [c.c_void_p]
     lib.opus_decoder_destroy.argtypes = [c.c_void_p]
+    # variadic ctl: declare the FIXED parameters (ctx, request) so ctypes
+    # uses the platform's variadic convention for the value argument — on
+    # macOS arm64 the variadic args go on the stack, and with no argtypes
+    # at all libopus would read register garbage for the bitrate/DTX value
+    lib.opus_encoder_ctl.restype = c.c_int
+    lib.opus_encoder_ctl.argtypes = [c.c_void_p, c.c_int]
     return lib
 
 
@@ -101,11 +107,15 @@ class OpusCodec:
         self._dec = self._lib.opus_decoder_create(48000, 1, ctypes.byref(err))
         if err.value != 0 or not self._dec:
             raise CodecUnavailable(f"opus decoder create failed ({err.value})")
-        # varargs ctl: declare per call
-        self._lib.opus_encoder_ctl(ctypes.c_void_p(self._enc),
-                                   self.SET_BITRATE, ctypes.c_int(bitrate))
-        self._lib.opus_encoder_ctl(ctypes.c_void_p(self._enc),
-                                   self.SET_DTX, ctypes.c_int(1 if dtx else 0))
+        for req, val in ((self.SET_BITRATE, bitrate),
+                         (self.SET_DTX, 1 if dtx else 0)):
+            rc = self._lib.opus_encoder_ctl(ctypes.c_void_p(self._enc),
+                                            req, ctypes.c_int(val))
+            if rc != 0:  # OPUS_OK: a failed ctl is degraded quality, not fatal
+                from asciichat_tpu.utils.logsys import get_logger
+
+                get_logger("codecs").warning(
+                    "opus_encoder_ctl(%d, %d) failed: %d", req, val, rc)
 
     def encode(self, samples: np.ndarray) -> bytes:
         pcm = np.ascontiguousarray(samples, np.float32)
@@ -270,13 +280,17 @@ class NativeH265Encoder:
             raise CodecUnavailable(
                 f"HEVC encoder {self.encoder_name!r} failed to open")
         self._out = (ctypes.c_uint8 * (width * height * 3 + 65536))()
-        import threading
-
         self._lock = threading.Lock()
 
     def encode(self, frame: np.ndarray) -> list[bytes]:
-        import struct
-
+        if frame.shape != (self.height, self.width, 3):
+            # the native side reads height*width*3 bytes via sws_scale with
+            # no length information — an undersized frame is a heap overread
+            # (SIGSEGV, not a catchable exception), so gate the ctypes
+            # boundary here where it IS catchable
+            raise ValueError(
+                f"frame shape {frame.shape} != "
+                f"({self.height}, {self.width}, 3)")
         raw = np.ascontiguousarray(frame, np.uint8).tobytes()
         with self._lock:
             if self._h is None:
@@ -293,12 +307,14 @@ class NativeH265Encoder:
         # keyframe). Grow the buffer and drain the remainder.
         chunks = []
         while n <= -2:
-            chunks.append(bytes(self._out[: -n - 2]))
+            # string_at = one memcpy; slicing a ctypes array first builds a
+            # Python list of ints (megabytes of churn on the per-frame path)
+            chunks.append(self._c.string_at(self._out, -n - 2))
             self._out = (self._c.c_uint8 * (len(self._out) * 2))()
             n = self._lib.ac_h265_enc_drain(self._h, self._out, len(self._out))
         if n < 0:
             raise ValueError("h265 encode failed")
-        chunks.append(bytes(self._out[:n]))
+        chunks.append(self._c.string_at(self._out, n))
         buf = b"".join(chunks)
         pkts, at = [], 0
         while at + 4 <= len(buf):
@@ -333,14 +349,16 @@ class NativeH265Decoder:
         if not self._h:
             raise CodecUnavailable("libavcodec has no HEVC decoder")
         self._frame_bytes = width * height * 3
-        # 32 frames of headroom: the shim DROPS a received frame when this
-        # buffer is full (unlike the encoder's grow-and-drain protocol), so
-        # size it well past any realistic per-packet yield (decoder flush
-        # bursts after corruption recovery; a client bundling several AUs
-        # into one payload). 32x small per-client frames is cheap.
-        self._out = (ctypes.c_uint8 * (self._frame_bytes * 32))()
-        import threading
-
+        # Headroom for multi-frame yields (decoder flush bursts after
+        # corruption recovery; a client bundling several AUs into one
+        # payload). On overflow the shim leaves the surplus frames QUEUED in
+        # the codec — they surface on the next call, but one received frame
+        # is lost per overflow and SUSTAINED overflow backs avcodec up into
+        # an EAGAIN decode failure — so keep the headroom generous, but cap
+        # by BYTES: 32 frames at the server's 800x600 upload cap would pin
+        # 44 MB per client (allocated on the event-loop thread).
+        frames_cap = min(32, max(8, (16 << 20) // self._frame_bytes))
+        self._out = (ctypes.c_uint8 * (self._frame_bytes * frames_cap))()
         self._lock = threading.Lock()
 
     def decode(self, au: bytes) -> list[np.ndarray]:
@@ -352,7 +370,7 @@ class NativeH265Decoder:
             if n < 0:
                 raise ValueError("h265 decode failed")
             fb = self._frame_bytes
-            raw = bytes(self._out[: n * fb])
+            raw = self._c.string_at(self._out, n * fb)  # one memcpy
         return [
             np.frombuffer(raw, np.uint8, fb, i * fb).reshape(
                 self.height, self.width, 3)
@@ -408,18 +426,38 @@ class FFmpegH265Encoder:
     def encode(self, frame: np.ndarray) -> list[bytes]:
         """Feed one RGB24 frame; -> the complete encoded AUs available so far
         (zerolatency: normally one per call after the first)."""
-        self._proc.stdin.write(np.ascontiguousarray(frame, np.uint8).tobytes())
-        self._proc.stdin.flush()
+        try:
+            self._proc.stdin.write(
+                np.ascontiguousarray(frame, np.uint8).tobytes())
+            self._proc.stdin.flush()
+        except (ValueError, OSError) as e:
+            # racing close() ("write to closed file") or a dead ffmpeg
+            # (BrokenPipeError): surface the codec-failure contract, not an
+            # unhandled exception in the caller's executor task
+            raise ValueError(f"h265 encoder pipe closed: {e}") from None
         with self._lock:
             return _split_access_units(self._buf)
 
     def close(self) -> None:
+        _close_pipe_codec(self._proc, self._reader)
         self._lock.unregister()
+
+
+def _close_pipe_codec(proc, reader: threading.Thread) -> None:
+    """Shut down an ffmpeg pipe codec WITHOUT leaking a zombie: kill()
+    alone leaves the child un-reaped until the Popen object is GC'd (a
+    long-lived server accumulates defunct processes), and the drain
+    thread must be joined once stdout closes."""
+    try:
+        proc.stdin.close()
+        proc.wait(timeout=5)
+    except Exception:
+        proc.kill()
         try:
-            self._proc.stdin.close()
-            self._proc.wait(timeout=5)
+            proc.wait(timeout=5)
         except Exception:
-            self._proc.kill()
+            pass
+    reader.join(timeout=5)
 
 
 class FFmpegH265Decoder:
@@ -453,8 +491,11 @@ class FFmpegH265Decoder:
 
     def decode(self, au: bytes) -> list[np.ndarray]:
         """Feed one encoded AU; -> decoded RGB24 frames available so far."""
-        self._proc.stdin.write(au)
-        self._proc.stdin.flush()
+        try:
+            self._proc.stdin.write(au)
+            self._proc.stdin.flush()
+        except (ValueError, OSError) as e:
+            raise ValueError(f"h265 decoder pipe closed: {e}") from None
         frames = []
         with self._lock:
             while len(self._buf) >= self._frame_bytes:
@@ -466,12 +507,8 @@ class FFmpegH265Decoder:
         return frames
 
     def close(self) -> None:
+        _close_pipe_codec(self._proc, self._reader)
         self._lock.unregister()
-        try:
-            self._proc.stdin.close()
-            self._proc.wait(timeout=5)
-        except Exception:
-            self._proc.kill()
 
 
 # Hardware encoders first, software last — the implementations the reference

@@ -16,6 +16,8 @@ import time
 import jax
 import numpy as np
 
+from asciichat_tpu.runtime.double_buffer import LatestFrame
+
 
 class DeviceFrameStager:
     """Two-slot H2D pipeline: upload of batch N overlaps compute on N-1."""
@@ -79,9 +81,11 @@ class OverlappedRenderPipeline:
         self._k = k
         self._fetch_slice = fetch_slice
         self._stop = threading.Event()
-        self._records_dev = None  # latest completed device records
-        self._records_host = None  # latest fetched host records
-        self._lock = threading.Lock()
+        # latest-value handoffs between the stages (the same swap the
+        # serving path uses — double_buffer.LatestFrame — instead of a
+        # hand-rolled lock + field pair per hop)
+        self._dev = LatestFrame()  # latest completed device records
+        self._host = LatestFrame()  # latest fetched host records
         self.converted = 0  # frames converted on device
         self.fetched = 0  # frames worth of records copied to host
         self.fetched_bytes = 0
@@ -99,8 +103,7 @@ class OverlappedRenderPipeline:
                 if len(inflight) >= 2:  # double-buffer: wait for the older
                     recs0, chk0 = inflight.pop(0)
                     chk0.block_until_ready()
-                    with self._lock:
-                        self._records_dev = recs0
+                    self._dev.commit(recs0)
                     self.converted += self._batch * self._k
             for recs0, chk0 in inflight:
                 chk0.block_until_ready()
@@ -113,8 +116,7 @@ class OverlappedRenderPipeline:
         try:
             n = self._fetch_slice
             while not self._stop.is_set():
-                with self._lock:
-                    recs = self._records_dev
+                recs, _seq, _ts = self._dev.latest()
                 if recs is None:
                     time.sleep(0.002)
                     continue
@@ -122,8 +124,7 @@ class OverlappedRenderPipeline:
                     k: np.ascontiguousarray(jax.device_get(v[:n]))
                     for k, v in recs.items()
                 }
-                with self._lock:
-                    self._records_host = host
+                self._host.commit(host)
                 # count ROWS ACTUALLY COPIED: with batch < fetch_slice the
                 # [:n] slice clamps, and crediting n would overstate d2h_fps
                 self.fetched += min(a.shape[0] for a in host.values())
@@ -135,8 +136,7 @@ class OverlappedRenderPipeline:
     def _emit_loop(self) -> None:
         try:
             while not self._stop.is_set():
-                with self._lock:
-                    host = self._records_host
+                host, _seq, _ts = self._host.latest()
                 if host is None:
                     time.sleep(0.002)
                     continue
@@ -152,11 +152,18 @@ class OverlappedRenderPipeline:
         steady-state window (post-warmup). Reusable: each call starts a
         fresh measurement (a second run on a finished pipeline used to
         observe the stale stop flag and silently report all-zero rates)."""
+        stale = [t for t in self._threads if t.is_alive()]
+        if stale:
+            # a thread from a previous run that outlived its join timeout
+            # (e.g. wedged in block_until_ready on a dead tunnel) would wake
+            # when _stop clears and double-count into this run's counters
+            raise RuntimeError(
+                f"previous run's threads still alive: "
+                f"{[t.name for t in stale]}")
         self._stop.clear()
         self.errors.clear()
-        with self._lock:
-            self._records_dev = None
-            self._records_host = None
+        self._dev = LatestFrame()
+        self._host = LatestFrame()
         self._threads = [
             threading.Thread(target=f, daemon=True, name=n)
             for f, n in ((self._convert_loop, "pipeline-convert"),

@@ -1,7 +1,7 @@
 """Latest-frame double buffer + bounded frame queues.
 
 Python equivalents of the reference's lock-free producer/consumer machinery:
-- video_frame double buffer (begin_write/commit/get_latest,
+- video_frame double buffer (begin_write/commit/latest,
   lib/video/rgba/video_frame.c:214-264): the consumer always sees the most
   recent complete frame; stale frames are dropped, never queued.
 - bounded drop-on-full frame queue (src/common/session/pipeline.c:72-80):
@@ -33,12 +33,6 @@ class LatestFrame:
             self._seq += 1
             self._ts = time.monotonic()
             self.writes += 1
-
-    def get_latest(self) -> tuple[Any, int]:
-        """-> (frame_or_None, sequence). Sequence lets callers skip repeats."""
-        with self._lock:
-            self.reads += 1
-            return self._frame, self._seq
 
     def latest(self) -> tuple[Any, int, float]:
         """-> (frame_or_None, sequence, monotonic commit time) — the commit

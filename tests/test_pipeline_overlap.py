@@ -58,7 +58,7 @@ def test_all_stages_progress_concurrently():
     assert rates["emit_fps"] > 0, rates
     # the emitted output under concurrency is still byte-exact: re-emit the
     # last fetched records and compare one frame against the oracle
-    host = pipe._records_host
+    host, _seq, _ts = pipe._host.latest()
     out = emitter.emit_frames(host, plan.mode, pal.DEFAULT_PALETTE,
                               pad_w=plan.pad_w, pad_h=plan.pad_h)
     caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)

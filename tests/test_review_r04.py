@@ -1714,3 +1714,172 @@ def test_sdp_bundled_media_offer_answer():
     assert [ln for ln in single.split("\r\n")
             if ln.startswith("m=")] == [
         "m=application 9 UDP/DTLS/SCTP webrtc-datachannel"]
+
+
+# ---- runtime codecs / device_stream / double_buffer sweep ----------------
+
+
+def test_h265_encoder_rejects_wrong_shape_frame():
+    """The native shim reads height*width*3 bytes via sws_scale with no
+    length info: an undersized frame (e.g. 2-D grayscale) was a heap
+    overread / SIGSEGV at the ctypes boundary, not a catchable error."""
+    from asciichat_tpu.runtime import codecs
+
+    try:
+        enc = codecs.NativeH265Encoder(64, 48)
+    except codecs.CodecUnavailable:
+        pytest.skip("no libavcodec shim")
+    try:
+        with pytest.raises(ValueError, match="shape"):
+            enc.encode(np.zeros((48, 64), np.uint8))  # grayscale, 1/3 bytes
+        with pytest.raises(ValueError, match="shape"):
+            enc.encode(np.zeros((24, 64, 3), np.uint8))  # undersized
+        assert isinstance(enc.encode(np.zeros((48, 64, 3), np.uint8)), list)
+    finally:
+        enc.close()
+
+
+def test_h265_decoder_buffer_capped_by_bytes():
+    """32 eager frames of headroom at the server's 800x600 upload cap was
+    a 44 MB allocation per client on the event-loop thread; headroom is
+    now byte-capped (>=8 frames, <=16 MB-ish) without shrinking small
+    frames."""
+    from asciichat_tpu.runtime import codecs
+
+    try:
+        big = codecs.NativeH265Decoder(800, 600)
+    except codecs.CodecUnavailable:
+        pytest.skip("no libavcodec shim")
+    try:
+        assert len(big._out) <= 20 << 20  # was 44 MB
+        assert len(big._out) >= 8 * big._frame_bytes
+        small = codecs.NativeH265Decoder(64, 48)
+        assert len(small._out) == 32 * small._frame_bytes
+        small.close()
+    finally:
+        big.close()
+
+
+def test_opus_ctl_declares_fixed_argtypes():
+    """opus_encoder_ctl is variadic: with no argtypes at all, macOS arm64
+    passes the value in the wrong place (stack vs register) and bitrate/
+    DTX ctls silently set garbage. The fixed params are now declared and
+    ctl return codes checked."""
+    import ctypes
+
+    from asciichat_tpu.runtime import codecs
+
+    try:
+        lib = codecs._load_libopus()
+    except codecs.CodecUnavailable:
+        pytest.skip("no libopus")
+    assert lib.opus_encoder_ctl.argtypes == [ctypes.c_void_p, ctypes.c_int]
+    assert lib.opus_encoder_ctl.restype == ctypes.c_int
+    c = codecs.OpusCodec()  # ctls run in __init__ without error
+    try:
+        assert len(c.encode(np.zeros(480, np.float32))) > 0
+    finally:
+        c.close()
+
+
+def test_ffmpeg_pipe_codec_close_reaps_process():
+    """close() killed ffmpeg without a follow-up wait(): the child stayed
+    a zombie until Popen GC, and the drain thread was never joined."""
+    from asciichat_tpu.runtime import codecs
+
+    try:
+        enc = codecs.FFmpegH265Encoder(64, 48)
+    except codecs.CodecUnavailable:
+        pytest.skip("no ffmpeg")
+    enc.encode(np.zeros((48, 64, 3), np.uint8))
+    enc.close()
+    assert enc._proc.poll() is not None  # reaped, not a zombie
+    assert not enc._reader.is_alive()
+    # post-close encode surfaces the codec-failure contract, not a raw
+    # "write to closed file" ValueError from the pipe internals
+    with pytest.raises(ValueError, match="pipe closed"):
+        enc.encode(np.zeros((48, 64, 3), np.uint8))
+
+
+def test_pipeline_run_refuses_stale_threads():
+    """run() is reusable, but a thread from a previous run that outlived
+    its join timeout would wake when _stop clears and double-count into
+    the new run's counters — restarting must refuse instead."""
+    import threading
+
+    from asciichat_tpu.runtime.device_stream import OverlappedRenderPipeline
+
+    pipe = OverlappedRenderPipeline(lambda f, r: (None, None), None, None,
+                                    lambda h: [], batch=1, k=1)
+    gate = threading.Event()
+    t = threading.Thread(target=gate.wait, name="stale-convert", daemon=True)
+    t.start()
+    pipe._threads = [t]
+    try:
+        with pytest.raises(RuntimeError, match="still alive"):
+            pipe.run(0.1, warmup=0.0)
+    finally:
+        gate.set()
+
+
+def test_latest_frame_single_read_api():
+    """get_latest() was an unused near-duplicate of latest() with a
+    different tuple shape (no commit timestamp — callers picking it lose
+    the latency tracking input); one read path remains."""
+    from asciichat_tpu.runtime.double_buffer import LatestFrame
+
+    assert not hasattr(LatestFrame, "get_latest")
+    lf = LatestFrame()
+    lf.commit("x")
+    frame, seq, ts = lf.latest()
+    assert (frame, seq) == ("x", 1) and ts > 0
+
+
+def test_client_h265_encode_runs_off_event_loop():
+    """x265 encode took 5-15 ms per frame INLINE on the client's event
+    loop, starving the 10 ms audio capture cadence in the same process —
+    on a 1-core host the uplink tone turned to gaps/silence the moment
+    --h265 switched on. The encode must run in the executor so other
+    tasks keep their cadence."""
+    import asyncio
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+
+    class _Src:
+        def read(self):
+            return np.zeros((48, 64, 3), np.uint8)
+
+    class _T:
+        def send_nowait(self, *a):
+            return True
+
+    async def run():
+        c = AsciiChatClient("127.0.0.1", 1, source=_Src(), capture_fps=30,
+                            reconnect=False)
+        c.h265_active = True
+        c._send_h265 = lambda t, frame: time.sleep(0.05)  # worst-case encode
+        ticks = {"n": 0}
+
+        async def heartbeat():  # the audio task's 10 ms cadence stand-in
+            while True:
+                ticks["n"] += 1
+                await asyncio.sleep(0.01)
+
+        loop = asyncio.get_running_loop()
+        hb = loop.create_task(heartbeat())
+        cap = loop.create_task(c._capture_task(_T()))
+        await asyncio.sleep(1.0)
+        c._stop.set()
+        for task in (hb, cap):
+            task.cancel()
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
+        return ticks["n"]
+
+    n = asyncio.run(asyncio.wait_for(run(), 30))
+    # inline 50 ms encodes at 30 fps would hold the loop ~60% of the
+    # time, capping the 10 ms heartbeat near ~25/s; off-loop it stays
+    # close to the full ~95/s
+    assert n >= 60, f"event loop starved: {n} heartbeats in 1 s"
