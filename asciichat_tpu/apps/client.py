@@ -18,7 +18,9 @@ from asciichat_tpu.net import packet as pkt
 from asciichat_tpu.net import protocol as proto
 from asciichat_tpu.net.crypto import CryptoContext
 from asciichat_tpu.net.handshake import SecureChannel, client_handshake
-from asciichat_tpu.models.session import DisplaySink, FrameTransform, ReconnectPolicy
+from asciichat_tpu.models.session import (
+    DisplaySink, FrameTransform, Pacer, ReconnectPolicy,
+)
 from asciichat_tpu.net.transport import Transport, connect_tcp
 from asciichat_tpu.runtime.framesource import FrameSource
 from asciichat_tpu.utils import term
@@ -75,9 +77,11 @@ class AsciiChatClient:
         self.transform = FrameTransform(flip_x=flip_x, flip_y=flip_y,
                                         max_upload=(MAX_UPLOAD_W, MAX_UPLOAD_H))
         self.display = DisplaySink(show_fps=show_fps)
-        if wire_caps is not None:
-            self.display.set_meta(wire_caps.caps.renderer_key(),
-                                  (wire_caps.width, wire_caps.height))
+        # from self.wire_caps (never None — defaults applied above), not the
+        # constructor arg: gating on the arg left the fps status line empty
+        # for callers using the default capabilities
+        self.display.set_meta(self.wire_caps.caps.renderer_key(),
+                              (self.wire_caps.width, self.wire_caps.height))
         self.reconnect_policy = ReconnectPolicy(enabled=reconnect)
         self.frames_received = 0
         self.frames_sent = 0
@@ -115,13 +119,14 @@ class AsciiChatClient:
         self._h265_enc = None
         self.h265_frames_sent = 0
         self._stop = asyncio.Event()
+        self._loop: asyncio.AbstractEventLoop | None = None  # set in run()
+        self._password_key: bytes | None = None  # Argon2id cache (reconnects)
         self._last_rx = time.time()
 
     async def _capture_task(self, t: Transport) -> None:
         if self.source is None:
             return
-        # fps=0 means uncapped (Pacer semantics), not a ZeroDivisionError
-        interval = 1.0 / self.capture_fps if self.capture_fps else 0.0
+        pacer = Pacer(self.capture_fps)  # fps=0 means uncapped
         loop = asyncio.get_running_loop()
         while not self._stop.is_set():
             t0 = loop.time()
@@ -129,6 +134,13 @@ class AsciiChatClient:
             if frame is None:
                 break
             frame = self.transform(frame)
+            if not self.h265_active and self._h265_enc is not None:
+                # the capture task is the encoder's sole owner: the recv
+                # loop only flips h265_active (closing here, between
+                # encodes, avoids freeing the native context under a
+                # concurrent executor encode)
+                enc, self._h265_enc = self._h265_enc, None
+                await loop.run_in_executor(None, enc.close)
             if self.h265_active:
                 # x265 encode is 5-15 ms per frame: inline it and the event
                 # loop stalls every frame, starving the 10 ms audio capture
@@ -143,8 +155,7 @@ class AsciiChatClient:
                 )
                 t.send_nowait(pkt.PacketType.IMAGE_FRAME, payload)
             self.frames_sent += 1
-            dt = loop.time() - t0
-            await asyncio.sleep(max(0.0, interval - dt))
+            await asyncio.sleep(pacer.sleep_for(t0, loop.time()))
 
     def _send_h265(self, t: Transport, frame: np.ndarray) -> None:
         """Encode + ship one frame as IMAGE_FRAME_H265 access units; any
@@ -170,7 +181,13 @@ class AsciiChatClient:
             # session instead of falling back as this docstring promises
             log.warning("h265 uplink failed (%s); falling back to raw RGB", e)
             self.h265_active = False
-            self._h265_enc = None
+            enc, self._h265_enc = self._h265_enc, None
+            if enc is not None:
+                try:
+                    enc.close()  # dropping without close leaked the native
+                    #              context / ffmpeg child until exit
+                except Exception:
+                    pass
 
     async def _audio_capture_task(self, t: Transport) -> None:
         """10 ms cadence: read a 480-sample frame, run the client DSP
@@ -180,7 +197,7 @@ class AsciiChatClient:
         from asciichat_tpu.ops.audio import AUDIO_FRAME_SAMPLES, SAMPLE_RATE
 
         n = AUDIO_FRAME_SAMPLES
-        interval = n / SAMPLE_RATE
+        pacer = Pacer(SAMPLE_RATE / n)  # the 10 ms frame cadence
         loop = asyncio.get_running_loop()
         while not self._stop.is_set():
             t0 = loop.time()
@@ -210,7 +227,7 @@ class AsciiChatClient:
                 )
                 t.send_nowait(pkt.PacketType.AUDIO_BATCH, payload)
             self.audio_frames_sent += 1
-            await asyncio.sleep(max(0.0, interval - (loop.time() - t0)))
+            await asyncio.sleep(pacer.sleep_for(t0, loop.time()))
 
     async def send_text(self, t, message: str) -> None:
         """Text chat (PACKET_TYPE_TEXT_MESSAGE, relayed by the server)."""
@@ -288,15 +305,23 @@ class AsciiChatClient:
                 self.display.chat_line(payload)
             elif ptype == P.ERROR_MESSAGE:
                 code, msg = proto.unpack_error(payload)
-                if code == 3 and self.h265_active:
+                if code == 3:
                     # server cannot decode our H.265 uplink: fall back to
                     # raw RGB instead of dying (capability mismatch is
-                    # recoverable; the session continues)
-                    log.warning("server refused h265 (%s); raw RGB fallback", msg)
-                    self.h265_active = False
-                    if self._h265_enc is not None:
-                        self._h265_enc.close()
-                        self._h265_enc = None
+                    # recoverable; the session continues). The server sends
+                    # one error per in-flight H.265 frame, so DUPLICATES
+                    # arriving after the fallback must be ignored — gating
+                    # on h265_active sent the second error down the fatal
+                    # branch and killed the client mid-fallback. The
+                    # encoder is owned by the capture task (it may be
+                    # mid-encode in an executor thread right now): only
+                    # flip the flag here; the capture loop closes it.
+                    if self.h265_active:
+                        log.warning("server refused h265 (%s); "
+                                    "raw RGB fallback", msg)
+                        self.h265_active = False
+                    else:
+                        log.debug("repeated h265 refusal ignored: %s", msg)
                 else:
                     log.error("server error %d: %s", code, msg)
                     self._stop.set()
@@ -321,7 +346,15 @@ class AsciiChatClient:
             if self.encrypt:
                 ctx = CryptoContext()
                 if self.password:
-                    ctx.set_password(self.password)
+                    # derive the Argon2id key ONCE per client: the salt is
+                    # deterministic so the key never changes, and re-running
+                    # the 64 MiB derivation on every reconnect attempt adds
+                    # seconds of CPU to each retry on a small host
+                    if self._password_key is None:
+                        ctx.set_password(self.password)
+                        self._password_key = ctx.password_key
+                    else:
+                        ctx.password_key = self._password_key
                 known_hosts = None
                 if self.ssh_identity is not None or self.gpg_identity is not None:
                     from asciichat_tpu.net.knownhosts import KnownHosts
@@ -341,6 +374,11 @@ class AsciiChatClient:
             # the handshake + caps exchange succeeded: this connection is
             # good, so the NEXT failure starts the backoff schedule fresh
             self.reconnect_policy.reset()
+            # fresh dead-link clock for THIS session: carrying the previous
+            # session's _last_rx across a reconnect let the keepalive
+            # declare the new healthy link dead before the server's first
+            # packet arrived (silence + backoff + handshake > threshold)
+            self._last_rx = time.time()
             tasks = [
                 asyncio.create_task(self._capture_task(t)),
                 asyncio.create_task(self._audio_capture_task(t)),
@@ -353,6 +391,8 @@ class AsciiChatClient:
             def on_winch():
                 w, h = term.terminal_size(None, None)
                 self.wire_caps.width, self.wire_caps.height = w, h
+                self.display.set_meta(self.wire_caps.caps.renderer_key(),
+                                      (w, h))  # keep the fps overlay honest
                 t.send_nowait(pkt.PacketType.SIZE_MESSAGE, proto.pack_size(w, h))
 
             loop = asyncio.get_running_loop()
@@ -388,7 +428,14 @@ class AsciiChatClient:
         """Live client keybindings (keyboard_handler.c analog): quit, help
         overlay, fps overlay, horizontal flip of the uplink."""
         if key in ("q", "\x03"):
-            self._stop.set()
+            # runs on the KeyboardReader THREAD: asyncio.Event.set() is not
+            # thread-safe (works today only because nothing awaits _stop;
+            # the first `await _stop.wait()` added later would race) —
+            # marshal onto the loop
+            if self._loop is not None:
+                self._loop.call_soon_threadsafe(self._stop.set)
+            else:
+                self._stop.set()
         elif key == "?":
             self.display.show_help = not self.display.show_help
         elif key == "s":
@@ -399,6 +446,7 @@ class AsciiChatClient:
     async def run(self, max_frames: int | None = None) -> None:
         from asciichat_tpu.utils.keyboard import KeyboardReader
 
+        self._loop = asyncio.get_running_loop()
         keyboard = KeyboardReader(self._on_key)
         keyboard.start()
         self.display.setup()

@@ -120,11 +120,15 @@ class DisplaySink:
         bytes come from a relayed peer — raw control characters would let
         any chat participant inject ANSI/OSC escapes into every viewer's
         terminal (title spoofing, cursor games, emulator escape-handling
-        bugs). Printable text only; everything else becomes '?'."""
-        clean = bytes(
-            b if (0x20 <= b < 0x7F) or b >= 0x80 else 0x3F
-            for b in text[:200]
-        )
+        bugs). Filtering must happen at the CODEPOINT level: a byte-level
+        `b >= 0x80` allowlist passed C1 controls (raw 0x80-0x9F AND the
+        UTF-8-encoded U+009B CSI, b'\\xc2\\x9b'), which terminals honoring
+        8-bit controls execute exactly like ESC[. Printable text only;
+        everything else becomes '?'."""
+        s = text[:200].decode("utf-8", errors="replace")
+        clean = "".join(
+            ch if ch.isprintable() else "?" for ch in s
+        ).encode("utf-8")
         self.writer.stream.write(b"\x1b[0m\r\n> " + clean + b"\r\n")
         self.writer.stream.flush()
 

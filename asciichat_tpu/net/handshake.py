@@ -310,6 +310,31 @@ class SecureChannel:
         # prefix (fresh entry); entries only appear after a successful
         # decrypt, so the dict is bounded by rekey count.
         self._recv_win: dict[bytes, tuple[int, int]] = {}
+        # rekey decision lock: send() (loop thread) and send_nowait()
+        # (executor threads) both run the needs_rekey/in_progress
+        # check-then-start — unsynchronized, two threads could both pass
+        # and double-start, leaving _temp_private holding the SECOND
+        # ephemeral key while the (rate-limited) peer answers the FIRST:
+        # the initiator commits a key the peer doesn't have and the
+        # session tears down on the next packet
+        import threading
+
+        self._rekey_lock = threading.Lock()
+
+    def _maybe_start_rekey(self) -> bytes | None:
+        """Atomically decide whether a rekey is due and start it; returns
+        the REKEY_REQUEST body to send, or None."""
+        if not self.initiator:
+            return None
+        with self._rekey_lock:
+            if self.ctx.rekey_stalled():
+                # a lost/rate-limited REKEY_RESPONSE must not latch
+                # in_progress forever and silently disable the
+                # forward-security thresholds
+                self.ctx.abandon_rekey()
+            if self.ctx.needs_rekey() and not self.ctx.rekey.in_progress:
+                return self.ctx.start_rekey()
+        return None
 
     def _wrap(self, ptype: int, payload: bytes) -> bytes:
         inner = pkt.pack_packet(ptype, payload)
@@ -350,11 +375,8 @@ class SecureChannel:
         return ptype, payload
 
     async def send(self, ptype: int, payload: bytes = b"") -> None:
-        if self.initiator and self.ctx.rekey_stalled():
-            # a lost/rate-limited REKEY_RESPONSE must not latch in_progress
-            # forever and silently disable the forward-security thresholds
-            self.ctx.abandon_rekey()
-        if self.initiator and self.ctx.needs_rekey() and not self.ctx.rekey.in_progress:
+        req = self._maybe_start_rekey()
+        if req is not None:
             # rekey messages travel INSIDE the encrypted channel: an on-path
             # attacker without the current session key can neither inject a
             # request nor read the response's ephemeral key (a plaintext
@@ -362,7 +384,7 @@ class SecureChannel:
             # knows and take over the session)
             await self.t.send(
                 pkt.PacketType.ENCRYPTED,
-                self._wrap(pkt.PacketType.CRYPTO_REKEY_REQUEST, self.ctx.start_rekey()),
+                self._wrap(pkt.PacketType.CRYPTO_REKEY_REQUEST, req),
             )
         await self.t.send(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
 
@@ -371,15 +393,12 @@ class SecureChannel:
         # traffic (frames, audio, keepalive) flows through send_nowait, so
         # checking only in send() made the 1M-packet/1-hour forward-security
         # rekey effectively unreachable in a real session
-        if self.initiator:
-            if self.ctx.rekey_stalled():
-                self.ctx.abandon_rekey()
-            if self.ctx.needs_rekey() and not self.ctx.rekey.in_progress:
-                self.t.send_nowait(
-                    pkt.PacketType.ENCRYPTED,
-                    self._wrap(pkt.PacketType.CRYPTO_REKEY_REQUEST,
-                               self.ctx.start_rekey()),
-                )
+        req = self._maybe_start_rekey()
+        if req is not None:
+            self.t.send_nowait(
+                pkt.PacketType.ENCRYPTED,
+                self._wrap(pkt.PacketType.CRYPTO_REKEY_REQUEST, req),
+            )
         return self.t.send_nowait(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
 
     async def recv(self) -> tuple[int, bytes]:

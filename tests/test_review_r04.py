@@ -1883,3 +1883,305 @@ def test_client_h265_encode_runs_off_event_loop():
     # time, capping the 10 ms heartbeat near ~25/s; off-loop it stays
     # close to the full ~95/s
     assert n >= 60, f"event loop starved: {n} heartbeats in 1 s"
+
+
+# ---- client / session / handshake sweep ----------------------------------
+
+
+def test_chat_line_strips_c1_controls():
+    """The byte-level `b >= 0x80` allowlist passed C1 controls — raw
+    0x80-0x9F and UTF-8-encoded U+009B (b'\\xc2\\x9b'), which terminals
+    honoring 8-bit controls execute exactly like ESC[ — straight to every
+    viewer's terminal. Sanitization must happen at the codepoint level."""
+    import io
+
+    from asciichat_tpu.models.session import DisplaySink
+
+    sink = DisplaySink(stream=io.BytesIO())
+    out = sink.writer.stream
+
+    sink.chat_line(b"\xc2\x9b31mEVIL")  # UTF-8 U+009B CSI
+    data = out.getvalue()
+    assert b"\xc2\x9b" not in data and b"\x9b" not in data
+    assert b"?31mEVIL" in data
+
+    out.seek(0), out.truncate()
+    sink.chat_line(b"\x9d0;title\x07")  # raw 8-bit OSC
+    assert b"\x9d" not in out.getvalue()
+
+    out.seek(0), out.truncate()
+    sink.chat_line("héllo wörld".encode())  # real UTF-8 passes
+    assert "héllo wörld".encode() in out.getvalue()
+
+    out.seek(0), out.truncate()
+    sink.chat_line(b"\x1b[31mred")  # C0 ESC still stripped
+    assert b"\x1b[31m" not in out.getvalue()[5:]  # (prefix has its own SGR)
+
+
+def test_secure_channel_rekey_single_start_under_race():
+    """send() (loop thread) and send_nowait() (executor threads) both ran
+    the needs_rekey/in_progress check-then-start unsynchronized: two
+    threads could double-start a rekey, leaving _temp_private holding the
+    SECOND ephemeral key while the peer answers the FIRST — the initiator
+    commits a key the peer doesn't have and the session dies."""
+    import threading
+    import types
+
+    from asciichat_tpu.net.handshake import SecureChannel
+
+    class _Ctx:
+        session_id = b"\x01" * 16
+        previous_session_id = None
+
+        def __init__(self):
+            self.rekey = types.SimpleNamespace(in_progress=False)
+            self.starts = 0
+            self.barrier = threading.Barrier(2)
+
+        def rekey_stalled(self):
+            return False
+
+        def abandon_rekey(self):
+            pass
+
+        def needs_rekey(self):
+            # rendezvous: both threads reach the decision point together
+            # (under the fix, the second thread is held out by the lock
+            # and the barrier times out harmlessly)
+            try:
+                self.barrier.wait(timeout=0.3)
+            except threading.BrokenBarrierError:
+                pass
+            return not self.rekey.in_progress
+
+        def start_rekey(self):
+            self.starts += 1
+            time.sleep(0.02)  # widen the would-be race window
+            self.rekey.in_progress = True
+            return b"\x02" * 32
+
+        def encrypt(self, inner):
+            return b"x" * 64
+
+    class _T:
+        def send_nowait(self, *a):
+            return True
+
+    ctx = _Ctx()
+    ch = SecureChannel(_T(), ctx, initiator=True)
+    threads = [threading.Thread(target=lambda: ch.send_nowait(42, b"p"))
+               for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert ctx.starts == 1, f"rekey double-started ({ctx.starts}x)"
+
+
+class _ScriptedTransport:
+    """Yields scripted packets then end-of-stream; records sends."""
+
+    def __init__(self, packets=()):
+        self._packets = list(packets)
+        self.sent = []
+        self.peername = ("127.0.0.1", 9)
+
+    async def send(self, ptype, payload=b""):
+        self.sent.append((int(ptype), payload))
+
+    def send_nowait(self, ptype, payload=b""):
+        self.sent.append((int(ptype), payload))
+        return True
+
+    async def recv(self):
+        import asyncio
+
+        if self._packets:
+            return self._packets.pop(0)
+        raise asyncio.IncompleteReadError(b"", 1)
+
+    async def close(self):
+        pass
+
+
+def test_client_survives_repeated_h265_refusals():
+    """The server re-sends ERROR code 3 for every in-flight H.265 frame
+    while its decoder is unavailable; gating the fallback on h265_active
+    sent the SECOND error down the fatal branch and killed the client
+    mid-fallback. Duplicates must be ignored, and the recv loop must not
+    close the encoder (the capture task owns it, possibly mid-encode)."""
+    import asyncio
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import protocol as proto
+
+    err3 = proto.pack_error(3, "no decoder")
+    t = _ScriptedTransport([(int(pkt.PacketType.ERROR_MESSAGE), err3)] * 3)
+    c = AsciiChatClient("127.0.0.1", 1, reconnect=False)
+    c.h265_active = True
+
+    class _Enc:
+        closed = False
+
+        def close(self):
+            self.closed = True
+
+    enc = _Enc()
+    c._h265_enc = enc
+    with pytest.raises(asyncio.IncompleteReadError):
+        asyncio.run(asyncio.wait_for(c._recv_loop(t, None), 10))
+    assert not c._stop.is_set()  # duplicates did NOT kill the session
+    assert not c.h265_active
+    assert c._h265_enc is enc and not enc.closed  # capture task's job
+
+
+def test_client_capture_task_closes_encoder_after_fallback():
+    """After the recv loop flips h265_active off, the capture task (the
+    encoder's sole owner) closes it between encodes — never the recv
+    loop, which could free the native context under a concurrent
+    executor encode."""
+    import asyncio
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+
+    class _Enc:
+        closed = False
+
+        def close(self):
+            self.closed = True
+
+    class _Src:
+        def __init__(self):
+            self.reads = 0
+
+        def read(self):
+            self.reads += 1
+            return np.zeros((8, 8, 3), np.uint8) if self.reads == 1 else None
+
+    c = AsciiChatClient("127.0.0.1", 1, source=_Src(), reconnect=False)
+    enc = _Enc()
+    c._h265_enc = enc
+    c.h265_active = False  # recv loop already fell back
+    asyncio.run(asyncio.wait_for(c._capture_task(_ScriptedTransport()), 10))
+    assert enc.closed and c._h265_enc is None
+
+
+def test_client_h265_fallback_closes_encoder_on_encode_error():
+    """The transient-encode-failure fallback dropped the encoder with
+    `_h265_enc = None` and no close(): the native context (or the ffmpeg
+    child) leaked until interpreter exit."""
+    from asciichat_tpu.apps.client import AsciiChatClient
+
+    class _Enc:
+        width, height = 8, 8
+        closed = False
+
+        def encode(self, frame):
+            raise ValueError("avcodec_send_frame -1")
+
+        def close(self):
+            self.closed = True
+
+    c = AsciiChatClient("127.0.0.1", 1, reconnect=False)
+    enc = _Enc()
+    c._h265_enc = enc
+    c.h265_active = True
+    c._send_h265(_ScriptedTransport(), np.zeros((8, 8, 3), np.uint8))
+    assert not c.h265_active
+    assert enc.closed and c._h265_enc is None
+
+
+def test_client_session_resets_dead_link_clock(monkeypatch):
+    """_last_rx survived across reconnects: after a silent-death close,
+    the NEW session's keepalive compared against the pre-reconnect
+    timestamp and could kill the healthy link before the server's first
+    packet arrived."""
+    import asyncio
+
+    from asciichat_tpu.apps import client as client_mod
+
+    t = _ScriptedTransport()
+
+    async def fake_connect(host, port):
+        return t
+
+    monkeypatch.setattr(client_mod, "connect_tcp", fake_connect)
+    c = client_mod.AsciiChatClient("127.0.0.1", 1, reconnect=False)
+    c._last_rx = time.time() - 100  # stale from a dead previous session
+    with pytest.raises(asyncio.IncompleteReadError):  # scripted end-of-stream
+        asyncio.run(asyncio.wait_for(c._session(None), 10))
+    assert time.time() - c._last_rx < 10  # fresh clock for the session
+
+
+def test_client_caches_argon2_password_key(monkeypatch):
+    """Every reconnect re-ran the full 64 MiB Argon2id derivation for an
+    identical deterministic-salt key; it is now derived once per client
+    and reused across sessions."""
+    import asyncio
+
+    from asciichat_tpu.apps import client as client_mod
+
+    derivations = {"n": 0}
+
+    def fake_set_password(self, password):
+        derivations["n"] += 1
+        self.password_key = b"k" * 32
+
+    async def fake_handshake(*a, **kw):
+        return False  # proceed unencrypted (no SecureChannel needed)
+
+    monkeypatch.setattr(client_mod.CryptoContext, "set_password",
+                        fake_set_password)
+    monkeypatch.setattr(client_mod, "client_handshake", fake_handshake)
+
+    c = client_mod.AsciiChatClient("127.0.0.1", 1, reconnect=False,
+                                   encrypt=True, password="hunter2")
+
+    async def run_twice():
+        for _ in range(2):
+            t = _ScriptedTransport()
+
+            async def fake_connect(host, port, _t=t):
+                return _t
+
+            monkeypatch.setattr(client_mod, "connect_tcp", fake_connect)
+            try:
+                await c._session(None)
+            except asyncio.IncompleteReadError:
+                pass  # scripted end-of-stream
+
+    asyncio.run(asyncio.wait_for(run_twice(), 20))
+    assert derivations["n"] == 1  # derived once, reused on reconnect
+
+
+def test_client_quit_key_marshals_to_loop():
+    """_on_key runs on the KeyboardReader thread; asyncio.Event.set() is
+    not thread-safe, so quit must marshal via call_soon_threadsafe."""
+    import asyncio
+    import threading
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+
+    async def run():
+        c = AsciiChatClient("127.0.0.1", 1, reconnect=False)
+        c._loop = asyncio.get_running_loop()
+        threading.Thread(target=c._on_key, args=("q",)).start()
+        for _ in range(100):
+            if c._stop.is_set():
+                return True
+            await asyncio.sleep(0.01)
+        return False
+
+    assert asyncio.run(asyncio.wait_for(run(), 10))
+
+
+def test_client_default_caps_populate_fps_meta():
+    """Display metadata was only set when wire_caps was PASSED; the
+    default-caps constructor left the fps status line with an empty
+    renderer key and 0x0 size."""
+    from asciichat_tpu.apps.client import AsciiChatClient
+
+    c = AsciiChatClient("127.0.0.1", 1, reconnect=False)
+    key, size = c.display._meta
+    assert key != "" and size != (0, 0)
