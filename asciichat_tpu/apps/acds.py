@@ -102,6 +102,37 @@ class AcdsServer:
         self.metrics: dict[str, dict[str, cons.ParticipantMetrics]] = {}
         self.identity = ident.Identity()
         self.pins = ident.KnownPeers()  # participant_id -> pinned pubkey
+        # relay hot-path caches: membership lookups (2 SELECTs) and touch
+        # (UPDATE+commit/fsync) per relayed media segment would melt a
+        # file-backed SQLite on this box — the same reason _expire is
+        # throttled (discovery.py). Seconds-stale membership is fine: the
+        # authoritative check still runs on every cache refresh.
+        self._session_cache: dict[str, tuple[float, object]] = {}
+        self._last_touch: dict[str, float] = {}
+
+    def _session_info_cached(self, session_string: str, max_age: float = 2.0):
+        import time as _time
+
+        now = _time.monotonic()
+        ent = self._session_cache.get(session_string)
+        if ent is not None and now - ent[0] < max_age:
+            return ent[1]
+        if len(self._session_cache) >= 4096:
+            self._session_cache.clear()  # bound on a long-lived service
+        info = self.db.lookup(session_string)
+        self._session_cache[session_string] = (now, info)
+        return info
+
+    def _touch_throttled(self, session_string: str,
+                         min_interval: float = 5.0) -> None:
+        import time as _time
+
+        now = _time.monotonic()
+        if now - self._last_touch.get(session_string, 0.0) >= min_interval:
+            if len(self._last_touch) >= 4096:
+                self._last_touch.clear()
+            self._last_touch[session_string] = now
+            self.db.touch(session_string)
 
     def _signed_send(self, t: Transport, ptype: int, body: bytes) -> None:
         t.send_nowait(ptype, self.identity.sign(ptype, body))
@@ -186,6 +217,7 @@ class AcdsServer:
                     info = self.db.lookup(session_string)
                     was_host = bool(info and info.host_id == participant_id)
                     self.db.leave(session_string, participant_id)
+                    self._session_cache.pop(session_string, None)
                     self.metrics.get(session_string, {}).pop(participant_id, None)
                     await self._broadcast_participants(session_string)
                     if was_host:
@@ -218,6 +250,14 @@ class AcdsServer:
                         continue
                     req = _uj(payload)
                     new_pid = req.get("participant_id") or secrets.token_hex(8)
+                    if len(new_pid.encode()) > 16:
+                        # the participant_metrics_t wire field is 16 bytes:
+                        # a longer id would join fine yet be silently
+                        # excluded from every election (its own metrics
+                        # pack() raises; truncated ids fail the spoof check)
+                        await t.send(P.ERROR_MESSAGE, _j(
+                            {"error": "participant_id too long (max 16 bytes)"}))
+                        continue
                     try:
                         self.pins.check(new_pid, sender_pub)
                     except ident.SignatureError:
@@ -234,8 +274,12 @@ class AcdsServer:
                             await t.send(P.ERROR_MESSAGE, _j(
                                 {"error": "string reserved by another identity"}))
                             continue
-                    if participant_id and participant_id != new_pid:
-                        await _unbind()  # re-identification: no ghost member
+                    if participant_id:
+                        # re-identification OR creating a new session while
+                        # bound to another: either way the OLD registration
+                        # must be torn down, or it lingers as a ghost
+                        # member/host in the previous session
+                        await _unbind()
                     participant_id = new_pid
                     try:
                         info = self.db.create_session(
@@ -249,6 +293,7 @@ class AcdsServer:
                         await t.send(P.ERROR_MESSAGE, _j({"error": str(e)}))
                         continue
                     session_string = info.session_string
+                    self._session_cache.pop(session_string, None)
                     self.clients[participant_id] = (t, session_string)
                     self._signed_send(t, P.ACIP_SESSION_CREATED, _j({
                         "session_string": info.session_string,
@@ -279,18 +324,29 @@ class AcdsServer:
                         continue
                     req = _uj(payload)
                     new_pid = req.get("participant_id") or secrets.token_hex(8)
+                    if len(new_pid.encode()) > 16:
+                        await t.send(P.ERROR_MESSAGE, _j(
+                            {"error": "participant_id too long (max 16 bytes)"}))
+                        continue
                     try:
                         self.pins.check(new_pid, sender_pub)
                     except ident.SignatureError:
                         await t.send(P.ERROR_MESSAGE, _j({"error": "identity key mismatch"}))
                         await _unbind()
                         continue
-                    if participant_id and participant_id != new_pid:
-                        await _unbind()  # re-identification: no ghost member
+                    if participant_id and (
+                            participant_id != new_pid
+                            or session_string != req.get("session_string")):
+                        # re-identification or SESSION SWITCH: tear down the
+                        # old binding (same-session reconnects skip this —
+                        # unbinding the host there would trigger a spurious
+                        # re-election)
+                        await _unbind()
                     participant_id = new_pid
                     try:
                         info = self.db.join(req["session_string"], participant_id,
                                             req.get("address", peer), req.get("port", 0))
+                        self._session_cache.pop(req["session_string"], None)
                     except KeyError:
                         await t.send(P.ERROR_MESSAGE, _j({"error": "session not found"}))
                         await _unbind()  # no half-bound identity
@@ -313,11 +369,21 @@ class AcdsServer:
                 elif ptype == P.ACIP_SESSION_END:
                     if participant_id and session_string:
                         ended = session_string
-                        self.db.end_session(ended, participant_id)
-                        self.metrics.pop(ended, None)
-                        self.clients.pop(participant_id, None)
-                        participant_id = None
-                        session_string = None
+                        # end_session is HOST-authenticated (WHERE host_id):
+                        # ignoring its result let any participant wipe the
+                        # session's election metrics and linger in the DB as
+                        # a ghost member (its local unbind skipped db.leave)
+                        if self.db.end_session(ended, participant_id):
+                            self.metrics.pop(ended, None)
+                            self._session_cache.pop(ended, None)
+                            self.clients.pop(participant_id, None)
+                            participant_id = None
+                            session_string = None
+                        else:
+                            # non-host END degrades to a clean LEAVE
+                            log.warning("SESSION_END from non-host %s "
+                                        "treated as leave", participant_id)
+                            await _unbind()
                 elif ptype in (P.ACIP_STRING_RESERVE, P.ACIP_STRING_RENEW,
                                P.ACIP_STRING_RELEASE):
                     req = _uj(payload)
@@ -344,8 +410,22 @@ class AcdsServer:
                         log.warning("metrics id-spoof dropped: %s claimed by %s",
                                     m.participant_id, participant_id)
                     elif session_string:
-                        self.metrics.setdefault(session_string, {})[m.participant_id] = m
+                        # membership re-checked: a stale binding (session
+                        # ended, string recreated) must not inject metrics
+                        # into the successor session's elections
+                        info = self._session_info_cached(session_string)
+                        if info and participant_id in info.participants:
+                            self.metrics.setdefault(
+                                session_string, {})[m.participant_id] = m
                 elif ptype == P.ACIP_HOST_ANNOUNCEMENT:
+                    # rate-limited: the empty-body form fans out to a full
+                    # election (2 DB lookups + a signed broadcast to every
+                    # member) per packet — unmetered, one client could
+                    # saturate a large session's control plane
+                    if not self.limiter.allow(peer, "host_announce"):
+                        await t.send(P.ERROR_MESSAGE,
+                                     _j({"error": "rate limited"}))
+                        continue
                     if session_string:
                         req = {}
                         if payload:
@@ -402,9 +482,14 @@ class AcdsServer:
                     except ident.SignatureError:
                         log.warning("relay key mismatch for %s", claimed_from)
                         continue
-                    if (ptype == P.ACIP_WEBRTC_RELAY
-                            and not self.relay_budget.allow(
-                                participant_id, len(raw_payload))):
+                    # the bandwidth budget covers EVERY blind-forwarded
+                    # type: metering only ACIP_WEBRTC_RELAY let colluders
+                    # tunnel unlimited bulk data in SDP/ICE/RING/SETTINGS
+                    # bodies — the exact amplifier abuse the budget exists
+                    # to stop (signaling is tiny, so the budget is
+                    # invisible to legitimate use)
+                    if not self.relay_budget.allow(participant_id,
+                                                   len(raw_payload)):
                         self.relay_dropped += 1
                         if self.relay_dropped % 500 == 1:
                             log.warning("relay budget exceeded by %s "
@@ -414,13 +499,20 @@ class AcdsServer:
                     # targets are restricted to the SENDER'S OWN session —
                     # the relay must not bridge unrelated sessions
                     to_id = req.get("to", "")
-                    info = self.db.lookup(session_string)
-                    if info is None or to_id not in info.participants:
+                    info = self._session_info_cached(session_string)
+                    # the SENDER must still be a member too: a stale
+                    # binding (its session ended, the string recreated by
+                    # strangers) would otherwise let a ghost signal/relay
+                    # into — and keep alive — a session it never joined
+                    if (info is None or participant_id not in info.participants
+                            or to_id not in info.participants):
                         continue
                     # relayed session traffic is liveness: refresh the
                     # inactivity clock (database.c:871 role) so an active
-                    # call never idle-expires mid-session
-                    self.db.touch(session_string)
+                    # call never idle-expires mid-session. Throttled: an
+                    # UPDATE+fsync per relayed media segment would melt a
+                    # file-backed DB on the relay hot path.
+                    self._touch_throttled(session_string)
                     target = self.clients.get(to_id)
                     if target:
                         target[0].send_nowait(ptype, raw_payload)
@@ -441,14 +533,21 @@ class AcdsServer:
     async def _election_loop(self) -> None:
         while True:
             await asyncio.sleep(self.election_interval)
-            for s in list(self.metrics):
-                if self.db.lookup(s) is None:
-                    # ended/expired session: evict, or a long-lived public
-                    # ACDS accumulates a metrics dict (and a per-cycle DB
-                    # lookup here) for every session it EVER served
-                    self.metrics.pop(s, None)
-                    continue
-                await self._run_election(s)
+            try:
+                for s in list(self.metrics):
+                    if self.db.lookup(s) is None:
+                        # ended/expired session: evict, or a long-lived
+                        # public ACDS accumulates a metrics dict (and a
+                        # per-cycle DB lookup here) for every session it
+                        # EVER served
+                        self.metrics.pop(s, None)
+                        continue
+                    await self._run_election(s)
+            except Exception:
+                # a transient DB error (e.g. locked file) must not silently
+                # kill the periodic fallback-election task for the rest of
+                # the server's life — the exception would never surface
+                log.exception("election loop cycle failed; continuing")
 
     async def run(self) -> None:
         server = await serve_tcp(self._handle, self.host, self.port)

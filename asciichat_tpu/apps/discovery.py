@@ -97,6 +97,8 @@ def _encode_ring_msg(msg: dict) -> dict:
     out = dict(msg)
     if "metrics" in out:
         out["metrics"] = [m.pack().hex() for m in out["metrics"]]
+    if "sigs" in out:
+        out["sigs"] = [s.hex() if s else None for s in out["sigs"]]
     return out
 
 
@@ -106,6 +108,8 @@ def _decode_ring_msg(msg: dict) -> dict:
         out["metrics"] = [
             cons.ParticipantMetrics.unpack(bytes.fromhex(h)) for h in out["metrics"]
         ]
+    if "sigs" in out:
+        out["sigs"] = [bytes.fromhex(s) if s else None for s in out["sigs"]]
     return out
 
 
@@ -123,14 +127,45 @@ class RingRunner:
     election from the included metrics and rejects a forged result.
     """
 
+    # domain constant binding per-entry metric signatures (distinct from
+    # any real packet type's envelope so one can't be replayed as the other)
+    METRICS_ENTRY_PTYPE = 6999
+
     def __init__(self, sess: "DiscoverySession",
                  interval_s: float = RING_COLLECTION_INTERVAL_S):
         self.sess = sess
-        self.cp = cons.ConsensusParticipant(sess.participant_id, sess.metrics)
+        self.cp = cons.ConsensusParticipant(
+            sess.participant_id, sess.metrics,
+            entry_signer=self._sign_entry,
+            entry_verifier=self._verify_entry)
         self.interval = interval_s
         self.rounds_completed = 0
         self.results_verified = 0
         self.results_rejected = 0
+
+    def _sign_entry(self, m: cons.ParticipantMetrics) -> bytes:
+        """Bind our metrics entry to our Ed25519 identity: without this a
+        malicious ring leader can forge every OTHER member's metric values
+        in a result that honest verifiers accept (the recompute matches
+        the forged inputs)."""
+        return self.sess.identity.sign(self.METRICS_ENTRY_PTYPE, m.pack())
+
+    def _verify_entry(self, m: cons.ParticipantMetrics,
+                      sig: bytes | None) -> bool:
+        pinned = self.sess.pins.get(m.participant_id)
+        if m.participant_id == self.sess.participant_id:
+            pinned = self.sess.identity.public_bytes  # my own entry: my key
+        if sig is None:
+            # unsigned entries are tolerated ONLY while the owner's key is
+            # unknown (bootstrap before the first ACDS participant list)
+            return pinned is None
+        try:
+            pub, body = ident.open_envelope(self.METRICS_ENTRY_PTYPE, sig)
+        except ident.SignatureError:
+            return False
+        if body != m.pack():
+            return False  # signature is for DIFFERENT metric values
+        return pinned is None or pub == pinned
 
     # -- wiring -------------------------------------------------------------
     def _send(self, to_pid: str, msg: dict) -> None:

@@ -141,16 +141,45 @@ class ConsensusParticipant:
     as (to_participant_id_or_None_for_broadcast, message_dict).
     """
 
-    def __init__(self, my_id: str, metrics_provider=None):
+    def __init__(self, my_id: str, metrics_provider=None,
+                 entry_signer=None, entry_verifier=None):
         self.my_id = my_id
         self.metrics_provider = metrics_provider or (
             lambda: ParticipantMetrics(participant_id=self.my_id)
         )
+        # Per-entry metric signatures (optional, wired by RingRunner):
+        # entry_signer(m) -> sig bytes over m.pack(); entry_verifier(m, sig)
+        # -> bool. Without them a malicious ring LEADER can forge every
+        # OTHER participant's metric values in a result that verifiers then
+        # accept (the recompute matches the forged inputs); with them each
+        # entry is bound to its owner's pinned Ed25519 key, so a leader —
+        # including one that grabbed leadership with a lexicographically-
+        # last self-chosen id — can only lie about its OWN metrics.
+        self.entry_signer = entry_signer
+        self.entry_verifier = entry_verifier
         self.positions: dict[str, RingPosition] = {}
         self.phase = Phase.IDLE
         self.round_id = 0
         self.host_id: str | None = None
         self.backup_id: str | None = None
+
+    def _my_entry(self) -> tuple[ParticipantMetrics, bytes | None]:
+        m = self.metrics_provider()
+        if not m.measured_at_ms:
+            # pin the timestamp NOW: pack() stamps lazily, so a signature
+            # over pack() would not match a later re-pack of the same entry
+            m = dataclasses.replace(
+                m, measured_at_ms=int(time.time() * 1000))
+        sig = self.entry_signer(m) if self.entry_signer else None
+        return m, sig
+
+    def _entries_verify(self, metrics: list[ParticipantMetrics],
+                        sigs) -> bool:
+        if self.entry_verifier is None:
+            return True
+        if not isinstance(sigs, list) or len(sigs) != len(metrics):
+            sigs = [None] * len(metrics)
+        return all(self.entry_verifier(m, s) for m, s in zip(metrics, sigs))
 
     @property
     def is_leader(self) -> bool:
@@ -174,11 +203,12 @@ class ConsensusParticipant:
         assert self.is_leader, "only the ring leader starts collection"
         self.round_id += 1
         self.phase = Phase.COLLECTING
-        me = self.metrics_provider()
+        me, sig = self._my_entry()
         msg = {
             "type": "STATS_UPDATE",
             "round_id": self.round_id,
             "metrics": [me],
+            "sigs": [sig],
         }
         return self.positions[self.my_id].next_id, msg
 
@@ -216,12 +246,24 @@ class ConsensusParticipant:
         if not metrics or len(set(ids)) != len(ids) or not (
                 set(ids) <= set(self.positions)):
             return None
+        sigs = msg.get("sigs")
+        sigs = list(sigs) if isinstance(sigs, list) and len(sigs) == len(
+            metrics) else [None] * len(metrics)
+        if not self._entries_verify(metrics, sigs):
+            return None  # an entry not signed by its owner's pinned key
         if any(m.participant_id == self.my_id for m in metrics):
             # collection returned to the leader: everyone measured
             if not self.is_leader:
                 return None
             if self.phase != Phase.COLLECTING or rid != self.round_id:
                 return None  # a round we never started
+            if set(ids) != set(self.positions):
+                # EXACT coverage to close, mirroring on_election_result: a
+                # predecessor that stripped members would otherwise have
+                # the leader elect from a shrunken electorate — a result
+                # every honest member then rejects (split-brain that the
+                # ACDS, trusting the leader, would ratify)
+                return None
             host, backup = elect(metrics)
             self.host_id, self.backup_id = host, backup
             self.phase = Phase.DECIDED
@@ -231,11 +273,13 @@ class ConsensusParticipant:
                 "host_id": host,
                 "backup_id": backup,
                 "metrics": metrics,
+                "sigs": sigs,
             }
-        metrics.append(self.metrics_provider())
+        me, sig = self._my_entry()
         return (
             self.positions[self.my_id].next_id,
-            {"type": "STATS_UPDATE", "round_id": rid, "metrics": metrics},
+            {"type": "STATS_UPDATE", "round_id": rid,
+             "metrics": metrics + [me], "sigs": sigs + [sig]},
         )
 
     def on_election_result(self, msg: dict, sender: str | None = None) -> dict:
@@ -250,10 +294,13 @@ class ConsensusParticipant:
           rejected;
         - the recomputed election over those metrics matches the claim.
 
-        (A malicious LEADER can still forge metric VALUES — per-participant
-        metric signatures would be needed to close that, and the reference
-        protocol has the same property; leadership itself is deterministic
-        and rotates with membership.)"""
+        With entry_signer/entry_verifier wired (RingRunner does), each
+        metrics entry is additionally bound to its owner's pinned Ed25519
+        key, so a malicious leader — including one that grabbed the
+        deterministic leadership with a lexicographically-last self-chosen
+        id — can only misreport its OWN metrics. (The reference protocol
+        accepts leader-reported values unsigned; this is a hardening on
+        top of it.)"""
         leader = next(
             (pid for pid, p in self.positions.items() if p.is_leader), None)
         rid = msg.get("round_id")
@@ -265,6 +312,11 @@ class ConsensusParticipant:
             ok = bool(ids) and ids == ring_order(list(self.positions))
         if ok:
             ok = rid >= self.round_id
+        if ok:
+            # per-entry ownership: each metrics entry must carry its
+            # owner's signature (when verification is wired) — a malicious
+            # leader can then only misreport its OWN metrics
+            ok = self._entries_verify(list(msg["metrics"]), msg.get("sigs"))
         if ok:
             host, backup = elect(msg["metrics"])
             ok = host == msg.get("host_id") and backup == msg.get("backup_id")

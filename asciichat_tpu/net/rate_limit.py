@@ -16,6 +16,8 @@ DEFAULT_LIMITS = {
     "session_join": (30, 60.0),
     "string_reserve": (5, 60.0),
     "connection": (30, 60.0),
+    # election triggers fan out to N signed sends + DB writes per packet
+    "host_announce": (12, 60.0),
 }
 
 

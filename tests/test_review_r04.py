@@ -2185,3 +2185,333 @@ def test_client_default_caps_populate_fps_meta():
     c = AsciiChatClient("127.0.0.1", 1, reconnect=False)
     key, size = c.display._meta
     assert key != "" and size != (0, 0)
+
+
+# ---- ACDS / ring consensus sweep ------------------------------------------
+
+
+def test_consensus_leader_requires_exact_coverage_to_close():
+    """The leader closed the collection loop on a SUBSET of the ring
+    (set <= check): a predecessor could strip members and have the leader
+    elect from a shrunken electorate — a result every honest member's
+    exact-coverage on_election_result then rejects (split-brain the ACDS
+    would ratify via the leader's announcement)."""
+    from asciichat_tpu.net import consensus as cons
+
+    c = cons.ConsensusParticipant("c")
+    c.on_ring_members(["a", "b", "c"])
+    assert c.is_leader
+    to, msg = c.start_collection()
+    # predecessor 'b' returns the loop WITHOUT a's entry
+    stripped = {
+        "type": "STATS_UPDATE", "round_id": msg["round_id"],
+        "metrics": [cons.ParticipantMetrics("c"),
+                    cons.ParticipantMetrics("b")],
+    }
+    assert c.on_stats_update(stripped, sender="b") is None
+    assert c.phase == cons.Phase.COLLECTING  # round NOT closed
+    # full coverage closes normally
+    full = {
+        "type": "STATS_UPDATE", "round_id": msg["round_id"],
+        "metrics": [cons.ParticipantMetrics("c"),
+                    cons.ParticipantMetrics("a"),
+                    cons.ParticipantMetrics("b")],
+    }
+    out = c.on_stats_update(full, sender="b")
+    assert out is not None and out[1]["type"] == "RING_ELECTION_RESULT"
+
+
+def test_consensus_signed_entries_defeat_leader_forgery():
+    """With per-entry Ed25519 signatures wired, a malicious leader cannot
+    forge OTHER participants' metric values: an entry signed by the wrong
+    key (or unsigned with a pinned owner) rejects the whole result."""
+    from asciichat_tpu.net import consensus as cons
+    from asciichat_tpu.net import identity as ident
+
+    keys = {pid: ident.Identity() for pid in ("a", "b", "c")}
+    PT = 6999
+
+    def sign_as(pid, m):
+        return keys[pid].sign(PT, m.pack())
+
+    def verifier(m, sig):
+        if sig is None:
+            return False
+        try:
+            pub, body = ident.open_envelope(PT, sig)
+        except ident.SignatureError:
+            return False
+        return body == m.pack() and pub == keys[m.participant_id].public_bytes
+
+    a = cons.ConsensusParticipant("a", entry_verifier=verifier)
+    a.on_ring_members(["a", "b", "c"])
+    now_ms = int(time.time() * 1000)
+    mk = lambda pid, up: cons.ParticipantMetrics(
+        pid, upload_kbps=up, measured_at_ms=now_ms)
+    ms = [mk("a", 50_000), mk("b", 20_000), mk("c", 1_000)]
+    host, backup = cons.elect(ms)
+
+    good = {"type": "RING_ELECTION_RESULT", "round_id": 1,
+            "host_id": host, "backup_id": backup, "metrics": ms,
+            "sigs": [sign_as(m.participant_id, m) for m in ms]}
+    assert a.on_election_result(good, sender="c")["ack_status"] == "ACCEPTED"
+
+    # leader 'c' forges a's metrics (tanks them so c wins) and signs the
+    # forged entry with ITS OWN key
+    forged_ms = [mk("a", 1), mk("b", 2), mk("c", 99_000)]
+    fh, fb = cons.elect(forged_ms)
+    forged = {"type": "RING_ELECTION_RESULT", "round_id": 2,
+              "host_id": fh, "backup_id": fb, "metrics": forged_ms,
+              "sigs": [sign_as("c", m) for m in forged_ms]}
+    assert a.on_election_result(forged, sender="c")["ack_status"] == "REJECTED"
+
+    # unsigned entries with known owners: also rejected
+    unsigned = dict(good, round_id=3, sigs=None)
+    assert a.on_election_result(unsigned, sender="c")["ack_status"] == "REJECTED"
+
+
+def test_acds_relay_budget_covers_all_forwarded_types():
+    """The bandwidth budget only metered ACIP_WEBRTC_RELAY: colluders
+    could tunnel unlimited bulk data through SDP/ICE/RING/SETTINGS
+    bodies on the same blind-forward path."""
+    import asyncio
+    import json
+
+    from asciichat_tpu.apps import acds as acds_mod
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = acds_mod.AcdsServer("127.0.0.1", 0)
+        acds.relay_budget = acds_mod._RelayBudget(
+            rate_bps=10.0, burst_bytes=4000.0)  # tiny budget
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="p-one")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="p-two")
+        await s1.connect()
+        await s2.connect()
+        ss = await s1.create(my_port=15001)
+        await s2.join(ss, "127.0.0.1", 15002)
+        bulk = "x" * 2000
+        for _ in range(10):
+            s1._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
+                "to": "p-two", "from": "p-one", "sdp": bulk}).encode())
+        for _ in range(100):
+            if acds.relay_dropped > 0:
+                break
+            await asyncio.sleep(0.05)
+        assert acds.relay_dropped > 0, "SDP bulk rode the relay unmetered"
+        await s1.leave()
+        await s2.leave()
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_acds_non_host_session_end_degrades_to_leave():
+    """ACIP_SESSION_END from a non-host deleted nothing in the DB (the
+    host-scoped WHERE matched no row) but the handler still wiped the
+    session's election metrics and left the sender as a ghost DB member."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import consensus as cons
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="p-host")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="p-member")
+        await s1.connect()
+        await s2.connect()
+        ss = await s1.create(my_port=15001)
+        await s2.join(ss, "127.0.0.1", 15002)
+        acds.metrics[ss] = {"p-host": cons.ParticipantMetrics("p-host")}
+        # non-host END
+        s2._t.send_nowait(pkt.PacketType.ACIP_SESSION_END, b"")
+        for _ in range(100):
+            info = acds.db.lookup(ss)
+            if info and "p-member" not in info.participants:
+                break
+            await asyncio.sleep(0.05)
+        info = acds.db.lookup(ss)
+        assert info is not None, "non-host END destroyed the session"
+        assert "p-member" not in info.participants  # degraded to LEAVE
+        assert "p-host" in info.participants
+        assert acds.metrics.get(ss), "non-host END wiped election metrics"
+        await s1.leave()
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_acds_stale_binding_cannot_inject_after_session_end():
+    """After the host ends the session, a participant whose handler still
+    holds the old session_string must not relay into it or inject
+    metrics (ghost acting in a recreated/dead session)."""
+    import asyncio
+    import json
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import consensus as cons
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="p-host")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="p-ghost")
+        await s1.connect()
+        await s2.connect()
+        ss = await s1.create(my_port=15001)
+        await s2.join(ss, "127.0.0.1", 15002)
+        # HOST ends the session; s2's server-side binding goes stale
+        s1._t.send_nowait(pkt.PacketType.ACIP_SESSION_END, b"")
+        for _ in range(100):
+            if acds.db.lookup(ss) is None:
+                break
+            await asyncio.sleep(0.05)
+        assert acds.db.lookup(ss) is None
+        # ghost tries to inject metrics + relay into the dead session
+        s2._t.send_nowait(pkt.PacketType.ACIP_NETWORK_QUALITY,
+                          cons.ParticipantMetrics("p-ghost").pack())
+        s2._t.send_nowait(pkt.PacketType.ACIP_WEBRTC_SDP, json.dumps({
+            "to": "p-host", "from": "p-ghost", "sdp": "v=0"}).encode())
+        await asyncio.sleep(0.5)
+        assert "p-ghost" not in acds.metrics.get(ss, {})
+        await s2.leave()
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_acds_session_switch_unbinds_previous_membership():
+    """Joining a DIFFERENT session under the same participant_id skipped
+    _unbind (the guard only fired on re-identification): the old session
+    kept a ghost member/host forever."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s1 = DiscoverySession("127.0.0.1", port, participant_id="p-move")
+        s2 = DiscoverySession("127.0.0.1", port, participant_id="p-anchor")
+        await s1.connect()
+        await s2.connect()
+        ss1 = await s1.create(my_port=15001)
+        ss2 = await s2.create(my_port=15002)
+        # s1 switches sessions on the SAME connection + same pid
+        await s1.join(ss2, "127.0.0.1", 15003)
+        info1 = acds.db.lookup(ss1)
+        assert info1 is None or "p-move" not in info1.participants, \
+            "ghost membership left in the abandoned session"
+        info2 = acds.db.lookup(ss2)
+        assert "p-move" in info2.participants
+        await s1.leave()
+        await s2.leave()
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_acds_rejects_oversized_participant_id():
+    """participant_id is capped at the 16-byte participant_metrics_t wire
+    field: a longer id used to join fine yet was silently excluded from
+    every election (its own pack() raises)."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        s = DiscoverySession("127.0.0.1", port,
+                             participant_id="way-too-long-participant-id")
+        await s.connect()
+        with pytest.raises(Exception):
+            await asyncio.wait_for(s.create(my_port=15001), 5)
+        assert not acds.clients  # never registered
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_acds_touch_throttled_and_membership_cached():
+    """The relay hot path issued 2 SELECTs + an UPDATE/fsync per relayed
+    segment; touch is now throttled and membership lookups cached for a
+    couple of seconds."""
+    from asciichat_tpu.apps.acds import AcdsServer
+
+    acds = AcdsServer("127.0.0.1", 0)
+    calls = {"touch": 0, "lookup": 0}
+    real_lookup = acds.db.lookup
+    acds.db.touch = lambda s: calls.__setitem__("touch", calls["touch"] + 1)
+    acds.db.lookup = lambda s: (
+        calls.__setitem__("lookup", calls["lookup"] + 1) or real_lookup(s))
+    for _ in range(50):
+        acds._touch_throttled("some-session")
+        acds._session_info_cached("some-session")
+    assert calls["touch"] == 1  # throttled
+    assert calls["lookup"] == 1  # cached
+
+
+def test_acds_election_loop_survives_db_error():
+    """A transient DB error killed the periodic fallback-election task
+    silently for the rest of the server's life."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+
+    acds = AcdsServer("127.0.0.1", 0, election_interval=0.05)
+    acds.metrics["boom-session"] = {}
+    fails = {"n": 0}
+
+    def exploding_lookup(s):
+        fails["n"] += 1
+        raise RuntimeError("db locked")
+
+    acds.db.lookup = exploding_lookup
+
+    async def run():
+        task = asyncio.get_running_loop().create_task(acds._election_loop())
+        await asyncio.sleep(0.4)
+        alive = not task.done()
+        task.cancel()
+        try:
+            await task
+        except asyncio.CancelledError:
+            pass
+        return alive
+
+    assert asyncio.run(asyncio.wait_for(run(), 10))
+    assert fails["n"] >= 2  # kept cycling after the first failure
+
+
+def test_rate_limiter_gates_host_announce():
+    """The empty-body ACIP_HOST_ANNOUNCEMENT fans out to a full election
+    per packet; it now has a dedicated rate-limit action."""
+    from asciichat_tpu.net.rate_limit import DEFAULT_LIMITS, RateLimiter
+
+    assert "host_announce" in DEFAULT_LIMITS
+    rl = RateLimiter()
+    limit = DEFAULT_LIMITS["host_announce"][0]
+    for _ in range(limit):
+        assert rl.allow("1.2.3.4", "host_announce")
+    assert not rl.allow("1.2.3.4", "host_announce")
