@@ -193,15 +193,33 @@ def mixer_process(
         target = jnp.where(jnp.logical_and(is_speaking, ~is_leader), db_to_linear(p.duck_atten_db), 1.0)
         duck_gain = _gain_smooth(duck_gain, target, p.duck_attack_coeff, p.duck_release_coeff)
 
-        crowd = jnp.where(speaking_count > 0, 1.0 / jnp.power(jnp.maximum(speaking_count, 1.0), p.crowd_alpha), 1.0)
-        combined = duck_gain * activef * (p.base_gain * crowd)  # [S]
-
-        weighted = chunk * combined[:, None]  # [S, frame]
-        full_mix = jnp.sum(weighted, axis=0)  # [frame]
+        # Pre-crowd weighting (duck * active only); crowd/base applied per
+        # LISTENER below so the exclude-self path counts speakers the way
+        # the reference does.
+        weighted0 = chunk * (duck_gain * activef)[:, None]  # [S, frame]
+        full0 = jnp.sum(weighted0, axis=0)  # [frame]
         if exclude_self:
-            mixes = full_mix[None, :] - weighted  # [S, frame]: drop own contribution
+            # mixer_process_excluding_source masks the LISTENER out of the
+            # active set BEFORE counting speakers (mixer.c:663-665,780-787):
+            # listener c's crowd gain is 1/count(speakers != c)^alpha, not
+            # the full-mix 1/count^alpha — the old global factor made every
+            # speaker hear the others sqrt((k-1)/k) quieter than the C
+            # server. (Remaining documented divergence: ducking leadership
+            # is computed over ALL sources once per tick, where the
+            # reference recomputes it per exclude call over each masked
+            # subset, mutating shared envelopes C times per tick.)
+            count_excl = speaking_count - speaking.astype(jnp.float32)  # [S]
+            crowd = jnp.where(
+                count_excl > 0,
+                1.0 / jnp.power(jnp.maximum(count_excl, 1.0), p.crowd_alpha),
+                1.0)
+            mixes = (full0[None, :] - weighted0) * (p.base_gain * crowd)[:, None]
         else:
-            mixes = full_mix[None, :]  # [1, frame]
+            crowd = jnp.where(
+                speaking_count > 0,
+                1.0 / jnp.power(jnp.maximum(speaking_count, 1.0), p.crowd_alpha),
+                1.0)
+            mixes = full0[None, :] * (p.base_gain * crowd)
 
         # Per-client frame-peak compression (mixer.c:608-628)
         frame_peak = jnp.max(jnp.abs(mixes), axis=1)  # [C]
@@ -215,6 +233,14 @@ def mixer_process(
 
     new_state, outs = jax.lax.scan(step, state, chunks)
     out = outs.transpose(1, 0, 2).reshape(outs.shape[1], -1)[:, :n]
+    # active_count == 0: the C mixer returns silence WITHOUT touching state
+    # (mixer.c:509-512) — advancing it here would let compressor/duck gains
+    # recover during a silent stretch, so the first ~100 ms after speech
+    # resumes would diverge from the reference's frozen-gain trajectory
+    any_active = jnp.any(active)
+    out = jnp.where(any_active, out, 0.0)
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(any_active, new, old), new_state, state)
     return out, new_state
 
 
@@ -297,9 +323,14 @@ def lowpass_alpha(cutoff_hz: float, sample_rate: float = SAMPLE_RATE) -> float:
 
 @functools.partial(jax.jit, static_argnames=("out_len",))
 def resample_linear(buf: jax.Array, out_len: int) -> jax.Array:
-    """[..., N] -> [..., out_len] linear interpolation."""
+    """[..., N] -> [..., out_len] linear interpolation.
+
+    Position mapping matches the C resampler: stride = src/dst sample-count
+    ratio (audio.c:586 `ratio = src_rate / dst_rate`, positions `i * ratio`
+    with end-clamp) — NOT endpoint-matched (n-1)/(out_len-1), which samples
+    different interior source positions than the reference."""
     n = buf.shape[-1]
-    ratio = (n - 1) / max(out_len - 1, 1)
+    ratio = n / max(out_len, 1)
     pos = jnp.arange(out_len, dtype=jnp.float32) * ratio
     i0 = jnp.clip(pos.astype(jnp.int32), 0, n - 1)
     i1 = jnp.clip(i0 + 1, 0, n - 1)
@@ -435,6 +466,29 @@ class EchoCanceller:
 # with all carried DSP state threaded across 10 ms frames.
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "use_aec", "taps", "mu", "geigel_t", "hangover", "gate_threshold"))
+def _client_pipeline_step(mic, far, weights, far_tail, hang,
+                          hp_in, hp_out, gate_env, gate_open, hp_alpha,
+                          *, use_aec, taps, mu, geigel_t, hangover,
+                          gate_threshold):
+    """The full capture chain (AEC -> highpass -> gate) as ONE compiled
+    graph: dispatched separately, each 10 ms frame paid three dispatches
+    and two host-device syncs (the AEC stats fetch landed mid-chain) —
+    roughly double the per-frame host overhead on a 1-core box."""
+    if use_aec:
+        x, weights, far_tail, hang, stats = echo_cancel(
+            mic, far, weights, far_tail, hang,
+            taps=taps, mu=mu, geigel_t=geigel_t, hangover=hangover)
+    else:
+        x = mic
+        stats = jnp.zeros((3,), jnp.float32)
+    x, hp_in, hp_out = highpass(x, hp_in, hp_out, hp_alpha)
+    x, gate_env, gate_open = noise_gate(x, gate_env, gate_open,
+                                        threshold=gate_threshold)
+    return x, weights, far_tail, hang, hp_in, hp_out, gate_env, gate_open, stats
+
+
 class ClientAudioPipeline:
     """Stateful per-client capture chain (src/client/audio.c:276 capture path).
 
@@ -470,7 +524,8 @@ class ClientAudioPipeline:
     def process(self, mic: np.ndarray) -> np.ndarray:
         n = len(mic)
         x = jnp.asarray(mic, jnp.float32)
-        if self.aec is not None:
+        aec = self.aec
+        if aec is not None:
             with self._far_lock:
                 if len(self._far) >= n:
                     far, self._far = self._far[:n], self._far[n:]
@@ -484,9 +539,29 @@ class ClientAudioPipeline:
                     if len(self._far):
                         far[: len(self._far)] = self._far
                         self._far = self._far[:0]
-            x = self.aec.process(x, far)
-        x, self.hp_in, self.hp_out = highpass(x, self.hp_in, self.hp_out, self.hp_alpha)
-        x, self.gate_env, self.gate_open = noise_gate(
-            x, self.gate_env, self.gate_open, threshold=self.gate_threshold
-        )
-        return np.asarray(x, np.float32)
+            w, ft, hg = aec.weights, aec.far_tail, aec.hang
+            taps, mu, gg, ho = aec.taps, aec.mu, aec.geigel_t, aec.hangover
+        else:
+            far = np.zeros(0, np.float32)
+            w = ft = jnp.zeros((0,), jnp.float32)
+            hg = jnp.zeros((), jnp.int32)
+            taps, mu, gg, ho = 1, 0.0, 0.0, 0
+        (x, w, ft, hg, self.hp_in, self.hp_out, self.gate_env,
+         self.gate_open, stats) = _client_pipeline_step(
+            x, jnp.asarray(far, jnp.float32), w, ft, hg,
+            self.hp_in, self.hp_out, self.gate_env, self.gate_open,
+            self.hp_alpha,
+            use_aec=aec is not None, taps=taps, mu=mu, geigel_t=gg,
+            hangover=ho, gate_threshold=self.gate_threshold)
+        out = np.asarray(x, np.float32)  # the single sync point per frame
+        if aec is not None:
+            aec.weights, aec.far_tail, aec.hang = w, ft, hg
+            dt_frac, out_e, mic_e = np.asarray(stats)  # already computed
+            aec.double_talk_frac = float(dt_frac)
+            # Divergence control (EchoCanceller.process semantics): a
+            # residual carrying well above the mic energy means the echo
+            # model is ADDING energy — halve the weights for the next frame
+            if out_e > 2.0 * mic_e + 1e-9:
+                aec.weights = aec.weights * 0.5
+                aec.divergence_resets += 1
+        return out

@@ -116,16 +116,28 @@ class WavFileSource:
                 is_float = fmt_tag == 3  # fmt 1 = integer PCM, decode as such
             except Exception:
                 raise AudioSourceUnavailable(f"cannot read WAV {path!r}: {e}") from None
-        if is_float and width == 4:
-            data = np.frombuffer(raw, "<f4").astype(np.float32)
-        elif width == 2:
-            data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-        elif width == 4:
-            data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
-        else:
-            raise AudioSourceUnavailable(f"unsupported WAV sample width {width}")
-        if ch > 1:
-            data = data.reshape(-1, ch).mean(axis=1)
+        except Exception as e:
+            # wave.open raises more than wave.Error on malformed input
+            # (EOFError on a truncated header, struct.error, ...) — every
+            # unreadable file must surface the AudioSourceUnavailable
+            # contract the factory and callers handle
+            raise AudioSourceUnavailable(f"cannot read WAV {path!r}: {e}") from None
+        try:
+            if is_float and width == 4:
+                data = np.frombuffer(raw, "<f4").astype(np.float32)
+            elif width == 2:
+                data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+            elif width == 4:
+                data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+            else:
+                raise AudioSourceUnavailable(
+                    f"unsupported WAV sample width {width}")
+            if ch > 1:
+                data = data.reshape(-1, ch).mean(axis=1)
+        except ValueError as e:
+            # a data chunk that is not a multiple of the sample size, or a
+            # multichannel stream with a partial trailing frame
+            raise AudioSourceUnavailable(f"corrupt WAV {path!r}: {e}") from None
         if rate != SAMPLE_RATE:
             out_len = int(len(data) * SAMPLE_RATE / rate)
             x = np.linspace(0.0, len(data) - 1, out_len)

@@ -56,11 +56,23 @@ def _np_mixer(samples, active, params: A.MixerParams, exclude_self=True):
             is_leader = is_speak and env_db[i] >= max_db - p.duck_margin_db
             tgt = d2l(p.duck_atten_db) if (is_speak and not is_leader) else 1.0
             duck[i] = gs(duck[i], tgt, p.duck_attack_coeff, p.duck_release_coeff)
-        crowd = 1.0 / (speaking_count ** p.crowd_alpha) if speaking_count > 0 else 1.0
-        combined = duck * active * (p.base_gain * crowd)
-        weighted = chunk * combined[:, None]
-        full = weighted.sum(axis=0)
-        mixes = full[None, :] - weighted if exclude_self else full[None, :]
+        speaking = [bool(active[i]) and env[i] > d2l(-60.0)
+                    for i in range(s_count)]
+        weighted0 = chunk * (duck * active)[:, None]
+        full0 = weighted0.sum(axis=0)
+        if exclude_self:
+            # reference exclude path: the LISTENER is masked out before
+            # counting speakers (mixer.c:663-665,780-787), so listener c's
+            # crowd gain is 1/count(speakers != c)^alpha
+            mixes = np.zeros((c_count, f1 - f0))
+            for c in range(c_count):
+                cnt = speaking_count - (1 if speaking[c] else 0)
+                crowd_c = 1.0 / (cnt ** p.crowd_alpha) if cnt > 0 else 1.0
+                mixes[c] = (full0 - weighted0[c]) * (p.base_gain * crowd_c)
+        else:
+            crowd = (1.0 / (speaking_count ** p.crowd_alpha)
+                     if speaking_count > 0 else 1.0)
+            mixes = full0[None, :] * (p.base_gain * crowd)
         for c in range(c_count):
             fp = np.max(np.abs(mixes[c]))
             cenv[c] = ar(cenv[c], fp, p.comp_attack_coeff, p.comp_release_coeff)
@@ -146,8 +158,10 @@ def test_resample_linear_endpoints():
 
     buf = jnp.asarray(np.arange(10, dtype=np.float32))
     out = np.asarray(A.resample_linear(buf, 19))
+    # reference stride semantics (audio.c:586): pos[i] = i * n/out_len with
+    # end-clamp — NOT endpoint-matched interpolation
     assert out[0] == 0.0 and abs(out[-1] - 9.0) < 1e-5
-    np.testing.assert_allclose(out[1], 0.5, atol=1e-5)
+    np.testing.assert_allclose(out[1], 10.0 / 19.0, atol=1e-5)
 
 
 def test_filters_impulse():

@@ -2515,3 +2515,122 @@ def test_rate_limiter_gates_host_announce():
     for _ in range(limit):
         assert rl.allow("1.2.3.4", "host_announce")
     assert not rl.allow("1.2.3.4", "host_announce")
+
+
+# ---- audio DSP / audio device sweep ---------------------------------------
+
+
+def test_mixer_exclude_self_crowd_counts_others_only():
+    """Reference parity: with A and B both speaking, A's mix contains B at
+    crowd gain 1/1^alpha = 1.0 (the listener is masked out BEFORE counting
+    speakers, mixer.c:663-665) — the old global 1/sqrt(2) factor made
+    every speaker hear the others ~1.5 dB quieter than the C server."""
+    import jax.numpy as jnp
+
+    from asciichat_tpu.ops import audio as A
+
+    S, N = 2, 480
+    rng = np.random.default_rng(11)
+    sig = rng.normal(0, 0.25, (S, N)).astype(np.float32)
+    state2 = A.MixerState.init(S, S).astuple()
+    both, _ = A.mixer_process(jnp.asarray(sig), jnp.ones(S, bool), state2)
+
+    # same tick with ONLY B active: A's mix of B should carry the SAME
+    # crowd factor (count excluding A is 1 either way)
+    solo_state = A.MixerState.init(S, S).astuple()
+    only_b = sig.copy()
+    only_b[0] = 0.0
+    solo, _ = A.mixer_process(jnp.asarray(only_b),
+                              jnp.asarray([False, True]), solo_state)
+    # ducking state differs slightly (A's envelope exists in `both`), so
+    # compare energy ratio rather than exact bytes: within a few percent,
+    # NOT the sqrt(2) (~29%) gap the old global crowd factor produced
+    e_both = float(np.sqrt(np.mean(np.asarray(both)[0] ** 2)))
+    e_solo = float(np.sqrt(np.mean(np.asarray(solo)[0] ** 2)))
+    assert abs(e_both - e_solo) / e_solo < 0.1, (e_both, e_solo)
+
+
+def test_mixer_state_frozen_when_all_inactive():
+    """mixer.c:509-512 returns silence WITHOUT touching state when no
+    source is active; advancing it let compressor/duck gains recover
+    during silence, diverging the first ~100 ms after speech resumes."""
+    import jax.numpy as jnp
+
+    from asciichat_tpu.ops import audio as A
+
+    S, N = 3, 480
+    rng = np.random.default_rng(12)
+    loud = rng.normal(0, 0.8, (S, N)).astype(np.float32)
+    state = A.MixerState.init(S, S).astuple()
+    _, state = A.mixer_process(jnp.asarray(loud), jnp.ones(S, bool), state)
+    ref = [np.asarray(s).copy() for s in state]
+    # ten silent ticks: state must stay bit-frozen, output silent
+    for _ in range(10):
+        out, state = A.mixer_process(
+            jnp.asarray(loud), jnp.zeros(S, bool), state)
+    assert not np.any(np.asarray(out))
+    for got, want in zip(state, ref):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_wav_source_malformed_files_raise_unavailable(tmp_path):
+    """Malformed WAVs escaped as raw EOFError/ValueError (truncated
+    header; data not a multiple of the sample size) instead of the
+    AudioSourceUnavailable contract the factory handles."""
+    from asciichat_tpu.runtime import audiodev
+
+    truncated = tmp_path / "t.wav"
+    truncated.write_bytes(b"RIFF\x10\x00\x00\x00WAVE")  # header only
+    with pytest.raises(audiodev.AudioSourceUnavailable):
+        audiodev.WavFileSource(str(truncated))
+
+    # IEEE-float WAV (fmt 3, rides the raw RIFF parser) whose data chunk
+    # is not a multiple of the 4-byte sample size
+    import struct
+
+    odd = tmp_path / "odd.wav"
+    fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+    data = b"\x00" * 10  # 2.5 float32 samples
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    odd.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                    + body)
+    with pytest.raises(audiodev.AudioSourceUnavailable):
+        audiodev.WavFileSource(str(odd))
+
+
+def test_client_pipeline_fused_matches_separate_stages():
+    """The capture chain now runs as ONE compiled graph (one dispatch +
+    one sync per 10 ms frame instead of three dispatches + two syncs);
+    output must be identical to composing the stages separately."""
+    import jax.numpy as jnp
+
+    from asciichat_tpu.ops import audio as A
+
+    rng = np.random.default_rng(13)
+    n = A.AUDIO_FRAME_SAMPLES
+    far = rng.normal(0, 0.3, 4 * n).astype(np.float32)
+    mic = 0.5 * np.concatenate([np.zeros(40, np.float32),
+                                far[: 4 * n - 40]])  # delayed echo
+    fused = A.ClientAudioPipeline()
+    manual = A.ClientAudioPipeline()
+
+    for i in range(4):
+        frame_far = far[i * n:(i + 1) * n]
+        frame_mic = mic[i * n:(i + 1) * n]
+        fused.add_far(frame_far)
+        got = fused.process(frame_mic)
+
+        # the separate-stage composition the pipeline used to run
+        manual.add_far(frame_far)
+        with manual._far_lock:
+            mfar, manual._far = manual._far[:n], manual._far[n:]
+        x = manual.aec.process(jnp.asarray(frame_mic, jnp.float32), mfar)
+        x, manual.hp_in, manual.hp_out = A.highpass(
+            x, manual.hp_in, manual.hp_out, manual.hp_alpha)
+        x, manual.gate_env, manual.gate_open = A.noise_gate(
+            x, manual.gate_env, manual.gate_open,
+            threshold=manual.gate_threshold)
+        want = np.asarray(x, np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    assert fused.aec.double_talk_frac == manual.aec.double_talk_frac
