@@ -86,21 +86,28 @@ class GpgKeyring:
                claimed_fpr: str) -> bool:
         with tempfile.TemporaryDirectory() as td:
             sig_path = os.path.join(td, "sig")
-            data_path = os.path.join(td, "data")
-            open(sig_path, "wb").write(signature)
-            open(data_path, "wb").write(data)
-            out = _gpg(["--status-fd", "1", "--verify", sig_path, data_path],
-                       self.gnupghome)
-        status = out.stdout.decode(errors="replace")
-        if "GOODSIG" not in status:
+            with open(sig_path, "wb") as f:
+                f.write(signature)
+            # the signed data (challenge || DH SESSION KEY) rides stdin:
+            # writing it to a temp file put live session-key material on
+            # disk, forensically recoverable from the journal long after
+            # the unlink
+            out = _gpg(["--status-fd", "1", "--verify", sig_path, "-"],
+                       self.gnupghome, input_bytes=data)
+        lines = out.stdout.decode(errors="replace").splitlines()
+        goodsigs = [ln for ln in lines if ln.startswith("[GNUPG:] GOODSIG")]
+        validsigs = [ln for ln in lines if ln.startswith("[GNUPG:] VALIDSIG")]
+        bad = [ln for ln in lines
+               if ln.startswith(("[GNUPG:] BADSIG", "[GNUPG:] ERRSIG"))]
+        # exactly ONE signature, and it must be good: a multi-signature
+        # file could couple key A's GOODSIG with key B's VALIDSIG
+        # fingerprint (and older gpg could be steered into verifying an
+        # embedded inline-signed message instead of the detached data)
+        if len(goodsigs) != 1 or len(validsigs) != 1 or bad:
             return False
         # bind the claimed fingerprint: VALIDSIG carries the full fpr
-        for line in status.splitlines():
-            if line.startswith("[GNUPG:] VALIDSIG"):
-                parts = line.split()
-                return claimed_fpr.upper() in (parts[2].upper(),
-                                               parts[-1].upper())
-        return False
+        parts = validsigs[0].split()
+        return claimed_fpr.upper() in (parts[2].upper(), parts[-1].upper())
 
 
 def make_auth_response(identity: GpgIdentity, challenge: bytes,

@@ -69,6 +69,13 @@ class Identity:
         sig = self._private.sign(struct.pack(">H", ptype & 0xFFFF) + ts + body)
         return self.public_bytes + sig + ts + body
 
+    def raw_sign(self, data: bytes) -> bytes:
+        """Plain Ed25519 signature over raw bytes (no envelope framing) —
+        for protocols with their own message format (the known_hosts host
+        proof). Keeps _private an implementation detail so the key can
+        move behind an agent/HSM signer without breaking callers."""
+        return self._private.sign(data)
+
     @property
     def id_hex(self) -> str:
         return self.public_bytes.hex()

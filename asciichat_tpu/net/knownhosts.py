@@ -31,7 +31,7 @@ class HostKeyError(ValueError):
 def sign_host_proof(identity, client_challenge: bytes, shared_key: bytes) -> bytes:
     """Server side: identity is net/identity.Identity (Ed25519)."""
     msg = CONTEXT + client_challenge + shared_key
-    sig = identity._private.sign(msg)
+    sig = identity.raw_sign(msg)
     return identity.public_bytes + sig
 
 
@@ -57,12 +57,20 @@ class KnownHosts:
             path or os.environ.get("ASCIICHAT_KNOWN_HOSTS", DEFAULT_PATH)))
         self._pins: dict[str, bytes] = {}
         try:
-            for line in self.path.read_text().splitlines():
-                parts = line.split()
-                if len(parts) == 3 and parts[1] == "ed25519":
+            lines = self.path.read_text().splitlines()
+        except OSError:
+            lines = []
+        for line in lines:
+            parts = line.split()
+            if len(parts) == 3 and parts[1] == "ed25519":
+                try:
                     self._pins[parts[0]] = bytes.fromhex(parts[2])
-        except (OSError, ValueError):
-            pass
+                except ValueError:
+                    # ONE corrupt line must not abort loading the rest: a
+                    # loop-wide except dropped every later pin, and the
+                    # next _save rewrote the file without them — silently
+                    # re-opening the TOFU window for those servers
+                    continue
 
     def check(self, server_id: str, pubkey: bytes) -> str:
         """'ok' for a matching pin, 'new' after pinning a first-seen server;
@@ -83,6 +91,25 @@ class KnownHosts:
     def _save(self) -> None:
         try:
             self.path.parent.mkdir(parents=True, exist_ok=True)
+            # re-read and MERGE before the atomic replace: two processes
+            # that both loaded the file before either saved would otherwise
+            # clobber each other's first-seen pins (last writer wins),
+            # silently re-TOFU-ing the lost server on its next connect.
+            # Our in-memory pins win conflicts (we may have just verified a
+            # legitimate key change); disk-only pins are preserved.
+            merged: dict[str, bytes] = {}
+            try:
+                for line in self.path.read_text().splitlines():
+                    parts = line.split()
+                    if len(parts) == 3 and parts[1] == "ed25519":
+                        try:
+                            merged[parts[0]] = bytes.fromhex(parts[2])
+                        except ValueError:
+                            continue
+            except OSError:
+                pass
+            merged.update(self._pins)
+            self._pins = merged
             tmp = self.path.with_suffix(".tmp")
             tmp.write_text("".join(
                 f"{sid} ed25519 {key.hex()}\n" for sid, key in self._pins.items()))

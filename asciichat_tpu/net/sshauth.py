@@ -21,7 +21,7 @@ import os
 import socket
 import struct
 
-from cryptography.exceptions import InvalidSignature
+from cryptography.exceptions import InvalidSignature, UnsupportedAlgorithm
 from cryptography.hazmat.primitives.asymmetric.ed25519 import (
     Ed25519PrivateKey,
     Ed25519PublicKey,
@@ -102,12 +102,18 @@ class SshAgent:
             raise SshAuthError(f"cannot connect to ssh-agent: {e}") from None
 
     def _rpc(self, msg: bytes) -> bytes:
-        self._sock.sendall(struct.pack(">I", len(msg)) + msg)
-        hdr = self._recv_exact(4)
-        (n,) = struct.unpack(">I", hdr)
-        if n > 1 << 20:
-            raise SshAuthError("oversized agent response")
-        return self._recv_exact(n)
+        try:
+            self._sock.sendall(struct.pack(">I", len(msg)) + msg)
+            hdr = self._recv_exact(4)
+            (n,) = struct.unpack(">I", hdr)
+            if n > 1 << 20:
+                raise SshAuthError("oversized agent response")
+            return self._recv_exact(n)
+        except OSError as e:
+            # a hung agent (socket.timeout) or dead socket must surface as
+            # the auth-failure contract, not an unhandled exception in the
+            # handshake executor
+            raise SshAuthError(f"ssh-agent I/O failed: {e}") from None
 
     def _recv_exact(self, n: int) -> bytes:
         buf = b""
@@ -123,6 +129,9 @@ class SshAgent:
         resp = self._rpc(bytes([SSH2_AGENTC_REQUEST_IDENTITIES]))
         if not resp or resp[0] != SSH2_AGENT_IDENTITIES_ANSWER:
             raise SshAuthError("agent refused identity listing")
+        if len(resp) < 5:
+            # a malformed answer must not escape as raw struct.error
+            raise SshAuthError("truncated agent identities answer")
         (count,) = struct.unpack(">I", resp[1:5])
         at = 5
         out = []
@@ -151,35 +160,65 @@ class SshAgent:
 
 
 class SshIdentity:
-    """One usable SSH identity: sign(data) + its pubkey blob."""
+    """One usable SSH identity: sign(data) + its pubkey blob. `agent` is
+    set for agent-backed identities so the caller can close() the agent
+    socket when done (it is otherwise held for the identity's lifetime)."""
 
-    def __init__(self, key_blob: bytes, signer):
+    def __init__(self, key_blob: bytes, signer, agent: "SshAgent | None" = None):
         self.key_blob = key_blob
         self._signer = signer
+        self.agent = agent
 
     def sign(self, data: bytes) -> bytes:
         return self._signer(data)
+
+    def close(self) -> None:
+        if self.agent is not None:
+            self.agent.close()
+            self.agent = None
 
     @staticmethod
     def from_private_key_file(path: str, password: bytes | None = None) -> "SshIdentity":
         """OpenSSH private key file (ssh_keys.c key-file path)."""
         from cryptography.hazmat.primitives.serialization import load_ssh_private_key
 
-        key = load_ssh_private_key(open(path, "rb").read(), password)
+        try:
+            with open(path, "rb") as f:
+                key = load_ssh_private_key(f.read(), password)
+        except TypeError:
+            # cryptography's signal for an encrypted key with no password
+            raise SshAuthError(
+                f"SSH key {path!r} is passphrase-protected — load it into "
+                "ssh-agent or provide the passphrase") from None
+        except (ValueError, OSError, UnsupportedAlgorithm) as e:
+            # wrong passphrase / unreadable / not an OpenSSH key: surface
+            # the auth-failure contract, not a raw traceback at the CLI
+            raise SshAuthError(f"cannot load SSH key {path!r}: {e}") from None
         if not isinstance(key, Ed25519PrivateKey):
             raise SshAuthError("only ed25519 SSH keys are supported")
         return SshIdentity(pubkey_blob(key.public_key()), key.sign)
 
     @staticmethod
     def from_agent(agent: SshAgent | None = None) -> "SshIdentity":
-        """First ed25519 identity held by the agent."""
+        """First ed25519 identity held by the agent. When this function
+        creates the agent connection itself, it owns it until success —
+        error paths close it (a leaked AF_UNIX socket per reconnect
+        otherwise) — and hands it to the identity on success."""
         ag = agent or SshAgent()
-        for blob, _comment in ag.list_identities():
-            try:
-                parse_pubkey_blob(blob)
-            except SshAuthError:
-                continue
-            return SshIdentity(blob, lambda data, b=blob: ag.sign(b, data))
+        try:
+            for blob, _comment in ag.list_identities():
+                try:
+                    parse_pubkey_blob(blob)
+                except SshAuthError:
+                    continue
+                return SshIdentity(blob, lambda data, b=blob: ag.sign(b, data),
+                                   agent=ag)
+        except SshAuthError:
+            if agent is None:
+                ag.close()
+            raise
+        if agent is None:
+            ag.close()
         raise SshAuthError("agent holds no ed25519 identities")
 
 
@@ -188,25 +227,42 @@ class SshIdentity:
 
 
 def parse_authorized_keys(text: str) -> list[bytes]:
-    """authorized_keys lines ('<type> <base64> [comment]') -> raw ed25519
-    key blobs. Comments, blanks, and non-KEY_TYPE lines are skipped. The
-    ONE parser for both file-loaded (AuthorizedKeys.load) and
-    forge-fetched (net/httpskeys.py) whitelists — they must never accept
-    different sets."""
+    """authorized_keys lines ('[options] <type> <base64> [comment]') ->
+    raw ed25519 key blobs. Comments, blanks, and non-KEY_TYPE lines are
+    skipped (with a log line — silently dropping a real key strands its
+    client with no server-side hint). The ONE parser for both file-loaded
+    (AuthorizedKeys.load) and forge-fetched (net/httpskeys.py) whitelists
+    — they must never accept different sets."""
     import base64
+    import re
+
+    from asciichat_tpu.utils.logsys import get_logger
 
     blobs = []
+    skipped = 0
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        parts = line.split()
-        if len(parts) < 2 or parts[0] != KEY_TYPE.decode():
+        # real OpenSSH files carry an optional options prefix (restrict,
+        # from="...", command="..."); strip quoted sections first so a
+        # quoted command can't smuggle a fake keytype token, then find
+        # the keytype + base64 pair wherever it sits on the line
+        unquoted = re.sub(r'"[^"]*"', "", line)
+        m = re.search(r"(?:^|[ \t])" + re.escape(KEY_TYPE.decode())
+                      + r"[ \t]+([A-Za-z0-9+/=]+)", " " + unquoted)
+        if not m:
+            skipped += 1
             continue
         try:
-            blobs.append(base64.b64decode(parts[1]))
+            blobs.append(base64.b64decode(m.group(1)))
         except Exception:
+            skipped += 1
             continue
+    if skipped:
+        get_logger("sshauth").warning(
+            "authorized_keys: skipped %d non-ed25519/unparsable line(s)",
+            skipped)
     return blobs
 
 

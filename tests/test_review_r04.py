@@ -2634,3 +2634,177 @@ def test_client_pipeline_fused_matches_separate_stages():
         want = np.asarray(x, np.float32)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
     assert fused.aec.double_talk_frac == manual.aec.double_talk_frac
+
+
+# ---- SSH/GPG/known-hosts auth sweep ---------------------------------------
+
+
+def test_known_hosts_corrupt_line_keeps_later_pins(tmp_path):
+    """One malformed known_hosts line aborted loading ALL later pins (the
+    except wrapped the loop), and the next save rewrote the file without
+    them — silently re-opening the TOFU window for those servers."""
+    from asciichat_tpu.net.knownhosts import KnownHosts
+
+    kh_path = tmp_path / "known_hosts"
+    key_a, key_b = b"\x01" * 32, b"\x02" * 32
+    kh_path.write_text(
+        f"a:1 ed25519 {key_a.hex()}\n"
+        "broken ed25519 zz-not-hex\n"
+        f"b:2 ed25519 {key_b.hex()}\n")
+    kh = KnownHosts(str(kh_path))
+    assert kh.check("a:1", key_a) == "ok"
+    assert kh.check("b:2", key_b) == "ok"  # was lost -> 'new' (MITM window)
+    # a save must preserve b's pin
+    kh.check("c:3", b"\x03" * 32)
+    assert f"b:2 ed25519 {key_b.hex()}" in kh_path.read_text()
+
+
+def test_known_hosts_concurrent_instances_merge_on_save(tmp_path):
+    """Two KnownHosts instances that both loaded before either saved used
+    to clobber each other (last writer wins, full-file rewrite); saves
+    now merge with what's on disk."""
+    from asciichat_tpu.net.knownhosts import KnownHosts
+
+    kh_path = str(tmp_path / "known_hosts")
+    kh1 = KnownHosts(kh_path)
+    kh2 = KnownHosts(kh_path)  # loaded the same (empty) file
+    kh1.check("server-one:27224", b"\x0a" * 32)  # pins + saves
+    kh2.check("server-two:27224", b"\x0b" * 32)  # used to erase server-one
+    kh3 = KnownHosts(kh_path)
+    assert kh3.check("server-one:27224", b"\x0a" * 32) == "ok"
+    assert kh3.check("server-two:27224", b"\x0b" * 32) == "ok"
+
+
+def test_identity_raw_sign_api():
+    """knownhosts reached into Identity._private; the raw-sign API keeps
+    the private key an implementation detail."""
+    from asciichat_tpu.net import identity as ident
+    from asciichat_tpu.net import knownhosts as kh
+
+    i = ident.Identity()
+    proof = kh.sign_host_proof(i, b"c" * 32, b"k" * 32)
+    assert kh.verify_host_proof(proof, b"c" * 32, b"k" * 32) == i.public_bytes
+
+
+def test_ssh_agent_malformed_responses_raise_auth_error(tmp_path):
+    """Short agent answers escaped as raw struct.error and a hung agent as
+    socket.timeout — neither was the SshAuthError contract the handshake
+    executor handles."""
+    import socket
+    import threading
+
+    from asciichat_tpu.net import sshauth
+
+    sock_path = str(tmp_path / "agent.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sock_path)
+    srv.listen(1)
+
+    def agent_short_answer():
+        conn, _ = srv.accept()
+        conn.recv(4096)
+        # IDENTITIES_ANSWER type byte but only 2 payload bytes (< the
+        # 4-byte count): used to raise struct.error in list_identities
+        conn.sendall(b"\x00\x00\x00\x03" + bytes([12]) + b"\x00\x00")
+        conn.close()
+
+    t = threading.Thread(target=agent_short_answer, daemon=True)
+    t.start()
+    ag = sshauth.SshAgent(sock_path)
+    with pytest.raises(sshauth.SshAuthError, match="truncated"):
+        ag.list_identities()
+    ag.close()
+    t.join(timeout=5)
+    srv.close()
+
+
+def test_ssh_key_file_errors_raise_auth_error(tmp_path):
+    """A passphrase-protected key (TypeError) or garbage file (ValueError)
+    surfaced raw tracebacks at the CLI instead of SshAuthError."""
+    from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+        Ed25519PrivateKey,
+    )
+    from cryptography.hazmat.primitives.serialization import (
+        BestAvailableEncryption,
+        Encoding,
+        PrivateFormat,
+    )
+
+    from asciichat_tpu.net import sshauth
+
+    try:
+        import bcrypt  # noqa: F401 — OpenSSH key encryption needs it
+
+        have_bcrypt = True
+    except ImportError:
+        have_bcrypt = False
+    if have_bcrypt:
+        protected = tmp_path / "id_ed25519"
+        protected.write_bytes(Ed25519PrivateKey.generate().private_bytes(
+            Encoding.PEM, PrivateFormat.OpenSSH,
+            BestAvailableEncryption(b"hunter2")))
+        with pytest.raises(sshauth.SshAuthError, match="passphrase"):
+            sshauth.SshIdentity.from_private_key_file(str(protected))
+        # right password still works
+        ident = sshauth.SshIdentity.from_private_key_file(
+            str(protected), password=b"hunter2")
+        assert ident.key_blob.startswith(b"\x00\x00\x00\x0bssh-ed25519")
+
+    garbage = tmp_path / "junk"
+    garbage.write_bytes(b"not a key at all")
+    with pytest.raises(sshauth.SshAuthError, match="cannot load"):
+        sshauth.SshIdentity.from_private_key_file(str(garbage))
+    with pytest.raises(sshauth.SshAuthError, match="cannot load"):
+        sshauth.SshIdentity.from_private_key_file(str(tmp_path / "absent"))
+
+
+def test_authorized_keys_options_prefix_parsed():
+    """Standard authorized_keys entries with an options prefix
+    ('restrict,command="..." ssh-ed25519 AAAA...') were silently dropped,
+    stranding those clients with no server-side hint."""
+    import base64
+
+    from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+        Ed25519PrivateKey,
+    )
+
+    from asciichat_tpu.net import sshauth
+
+    blob = sshauth.pubkey_blob(Ed25519PrivateKey.generate().public_key())
+    b64 = base64.b64encode(blob).decode()
+    text = "\n".join([
+        f'restrict,command="echo hi" ssh-ed25519 {b64} alice@host',
+        f"no-pty,from=\"10.0.0.0/8\" ssh-ed25519 {b64} bob",
+        f"ssh-ed25519 {b64} plain",
+        "ssh-rsa AAAAB3NzaC1yc2E= legacy",  # skipped (wrong type), logged
+        # a quoted command must not smuggle a fake key
+        f'command="ssh-ed25519 {b64}" ssh-rsa AAAA= evil',
+    ])
+    blobs = sshauth.parse_authorized_keys(text)
+    assert blobs == [blob, blob, blob]
+
+
+def test_gpg_verify_requires_exactly_one_signature(tmp_path):
+    """A signature file carrying TWO signatures could couple one key's
+    GOODSIG with another's VALIDSIG fingerprint; verification now
+    requires exactly one good signature. Also: the signed data (which
+    includes the DH session key) now rides stdin, never a disk file."""
+    import shutil as _shutil
+
+    from asciichat_tpu.net import gpgauth
+
+    if _shutil.which("gpg") is None:
+        pytest.skip("no gpg")
+    home = tmp_path / "gnupg"
+    home.mkdir(mode=0o700)
+    gen = gpgauth._gpg(["--pinentry-mode", "loopback", "--passphrase", "",
+                        "--quick-gen-key", "one@test", "ed25519", "sign"],
+                       str(home))
+    assert gen.returncode == 0, gen.stderr.decode()[-300:]
+    ident = gpgauth.GpgIdentity(gnupghome=str(home))
+    data = b"challenge" + b"k" * 32
+    sig = ident.sign(data)
+    ring = gpgauth.GpgKeyring(str(home))
+    assert ring.verify(data, sig, ident.fingerprint)
+    assert not ring.verify(data, sig + sig, ident.fingerprint)  # two sigs
+    assert not ring.verify(b"other data", sig, ident.fingerprint)
