@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from asciichat_tpu.ops import audio as audio_ops
-from asciichat_tpu.ops import cells, compositor, filters
+from asciichat_tpu.ops import cells, compositor, filters, pixel
 from asciichat_tpu.render import palette as pal
 from asciichat_tpu.render.pipeline import RenderPlan, plan_render
 from asciichat_tpu.render.types import RenderMode, TerminalCapabilities
@@ -85,10 +85,10 @@ def render_compute(
     batch = jnp.broadcast_to(composite, (c, *composite.shape))
     batch = filters.apply_color_filter(batch, tint, fg_on_bg, is_rainbow, filter_on)
     # 3. batched ASCII cell render at the receivers' terminal geometry
-    resized = cells.pixel.resize_nn(batch, dst_h, dst_w)
+    resized = pixel.resize_nn(batch, dst_h, dst_w)
     if resized_hook is not None:
         resized = resized_hook(resized)
-    return cells._records_for_mode(resized, mode, ramp)
+    return cells.records_for_mode(resized, mode, ramp)
 
 
 def tick_compute(
@@ -165,31 +165,39 @@ class RenderGroup:
         palette: str = pal.DEFAULT_PALETTE,
         mesh=None,
     ):
-        comp = compositor.plan_composite(source_sizes, term_w, term_h)
-        req_h = term_h * 2 if caps.render_mode == RenderMode.HALF_BLOCK else term_h
-        self.render = plan_render(comp.width_px, comp.height_px, term_w, req_h, caps)
+        # ONE geometry source of truth: plan_tick owns the HALF_BLOCK
+        # height-doubling rule (stream.c:831) — duplicating it here once
+        # let the two copies drift
+        plan = plan_tick(source_sizes, term_w, term_h, caps,
+                         num_clients=len(filter_names))
+        comp = plan.composite
+        self.render = plan.render
         self.palette = palette
         self.mesh = mesh
         self.collectives = 0  # collective-op count in the compiled sharded step
         self._compiled = None  # AOT executable (mesh path only)
+        self._compiled_c = 0  # padded receiver count it was built for
         if mesh is not None:
             from asciichat_tpu.parallel import mesh as meshlib
 
             self._n_shards = mesh.shape[meshlib.CLIENTS_AXIS]
             self._sh_cl = meshlib.client_sharding(mesh)
             self._sh_rep = meshlib.replicated(mesh)
-        self.ramp = cells.ramp_for_palette(palette)
-        # ONE source for the background-cell encoding + plan-cached uploads
-        self.cidx, self.src_y, self.src_x, self.comp_mask = (
-            compositor.device_maps(comp))
-        if mesh is not None:
-            # constants ride replicated on the mesh: mixing committed sharded
-            # params with default-device constants is a placement error
-            self.ramp = jax.device_put(np.asarray(self.ramp), self._sh_rep)
-            self.cidx = jax.device_put(np.asarray(self.cidx), self._sh_rep)
-            self.src_y = jax.device_put(np.asarray(self.src_y), self._sh_rep)
-            self.src_x = jax.device_put(np.asarray(self.src_x), self._sh_rep)
-            self.comp_mask = jax.device_put(np.asarray(self.comp_mask), self._sh_rep)
+            # constants ride replicated on the mesh (mixing committed
+            # sharded params with default-device constants is a placement
+            # error); placed straight from the plan's HOST arrays — going
+            # through device_maps would pay a default-device upload plus a
+            # blocking D2H fetch over the tunnel per group build
+            self.ramp = jax.device_put(
+                np.asarray(cells.ramp_for_palette(palette)), self._sh_rep)
+            self.cidx, self.src_y, self.src_x, self.comp_mask = (
+                jax.device_put(a, self._sh_rep)
+                for a in compositor.host_maps(comp))
+        else:
+            self.ramp = cells.ramp_for_palette(palette)
+            # ONE source for the background-cell encoding + plan-cached uploads
+            self.cidx, self.src_y, self.src_x, self.comp_mask = (
+                compositor.device_maps(comp))
         self.filter_names: list[str] = []
         self.n_real = 0
         self.has_rainbow = False
@@ -208,6 +216,12 @@ class RenderGroup:
             # pad the receiver batch to the shard count ("none" filters render
             # the plain composite; rows >= n_real are dropped before emission)
             padded += ["none"] * (-len(names) % self._n_shards)
+            if self._compiled is not None and len(padded) != self._compiled_c:
+                # the AOT executable is shape-specialized to the padded
+                # receiver count: serving it a different batch raises a
+                # signature mismatch instead of recompiling
+                self._compiled = None
+        self._padded_names = padded
         tint, fg_on_bg, is_rainbow, enabled = filters.filter_params(padded, time_s)
         if self.mesh is not None:
             self.tint = jax.device_put(np.asarray(tint), self._sh_cl)
@@ -219,6 +233,16 @@ class RenderGroup:
             self.fg_on_bg = jnp.asarray(fg_on_bg)
             self.is_rainbow = jnp.asarray(is_rainbow)
             self.filter_on = jnp.asarray(enabled)
+
+    def _refresh_rainbow_tint(self, time_s: float) -> None:
+        """Per-tick rainbow refresh: only `tint` depends on time
+        (color_filter.c:169) — re-uploading all four param arrays per 60 Hz
+        tick paid 3 needless sharded H2D dispatches behind the tunnel."""
+        tint, _, _, _ = filters.filter_params(self._padded_names, time_s)
+        if self.mesh is not None:
+            self.tint = jax.device_put(np.asarray(tint), self._sh_cl)
+        else:
+            self.tint = jnp.asarray(tint)
 
     def _step_args(self, frames):
         return (frames, self.ramp, self.tint, self.fg_on_bg, self.is_rainbow,
@@ -239,10 +263,16 @@ class RenderGroup:
 
         compiled = jax.jit(fn).lower(*self._step_args(frames)).compile()
         hlo = compiled.as_text()
-        self.collectives = sum(
-            hlo.count(op)
-            for op in ("all-gather", "all-reduce", "collective-permute", "all-to-all")
-        )
+        # count INSTRUCTIONS whose opcode is a collective — a plain
+        # substring count also hit SSA result names, operand references,
+        # and both halves of async start/done pairs, overstating the
+        # inspector's mesh_collectives severalfold
+        import re
+
+        self.collectives = len(re.findall(
+            r"= \S+ (?:all-gather|all-reduce|collective-permute|all-to-all)"
+            r"(?:-start)?\(", hlo))
+        self._compiled_c = self.tint.shape[0]
         return compiled
 
     def step(self, frames: jax.Array, time_s: float = 0.0) -> cells.RecordDict:
@@ -251,7 +281,7 @@ class RenderGroup:
         Mesh path: S must be a multiple of the client shards (the server pads
         the source stack) and frames must carry the clients-axis sharding."""
         if self.has_rainbow:
-            self.set_filters(self.filter_names, time_s)
+            self._refresh_rainbow_tint(time_s)
         if self.mesh is not None:
             if self._compiled is None:
                 self._compiled = self._compile_sharded(frames)

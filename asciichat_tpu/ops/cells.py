@@ -48,8 +48,12 @@ MODES = (
 )
 
 
-def _records_for_mode(resized: jax.Array, mode: str, ramp: jax.Array) -> RecordDict:
-    """resized: uint8 [B, Hpx, W, 3] (already at renderer pixel dims)."""
+def records_for_mode(resized: jax.Array, mode: str, ramp: jax.Array) -> RecordDict:
+    """resized: uint8 [B, Hpx, W, 3] (already at renderer pixel dims).
+
+    Public: models/server.render_compute builds records from its own
+    resized batch (it inserts a sharding hook between resize and here), so
+    this is cross-module API, not a private helper."""
     if mode == "mono":
         return {"key": pixel.mono_keys(resized, ramp)}
     if mode == "truecolor_fg":
@@ -88,7 +92,10 @@ def render_cells(
     ascii_convert_with_capabilities, ascii.c:229-232).
     """
     resized = pixel.resize_nn(frames, dst_h, dst_w)
-    return _records_for_mode(resized, mode, ramp)
+    return records_for_mode(resized, mode, ramp)
+
+
+_records_for_mode = records_for_mode  # backwards-compat alias
 
 
 def ramp_for_palette(palette: str) -> jax.Array:

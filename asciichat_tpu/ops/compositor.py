@@ -158,6 +158,15 @@ def plan_composite(
     return CompositePlan(comp_w, comp_h, cols, rows, cidx, sy, sx)
 
 
+def host_maps(plan: CompositePlan) -> tuple[np.ndarray, ...]:
+    """Host (numpy) gather maps in device_maps order: (cidx, sy, sx, mask) —
+    for callers that place them with their OWN sharding (the mesh path),
+    which would otherwise pay a default-device upload plus a blocking D2H
+    fetch over the tunnel just to re-upload replicated."""
+    return (np.maximum(plan.client_idx, 0), plan.src_y, plan.src_x,
+            (plan.client_idx >= 0)[..., None])
+
+
 def device_maps(plan: CompositePlan) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Cached device copies of the gather maps: (cidx, sy, sx, mask).
 
@@ -168,12 +177,7 @@ def device_maps(plan: CompositePlan) -> tuple[jax.Array, jax.Array, jax.Array, j
     maps when CPython reuses the id of a collected plan."""
     cached = getattr(plan, "_device_maps", None)
     if cached is None:
-        cached = (
-            jnp.asarray(np.maximum(plan.client_idx, 0)),
-            jnp.asarray(plan.src_y),
-            jnp.asarray(plan.src_x),
-            jnp.asarray((plan.client_idx >= 0)[..., None]),
-        )
+        cached = tuple(jnp.asarray(a) for a in host_maps(plan))
         object.__setattr__(plan, "_device_maps", cached)
     return cached
 

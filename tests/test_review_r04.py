@@ -2808,3 +2808,119 @@ def test_gpg_verify_requires_exactly_one_signature(tmp_path):
     assert ring.verify(data, sig, ident.fingerprint)
     assert not ring.verify(data, sig + sig, ident.fingerprint)  # two sigs
     assert not ring.verify(b"other data", sig, ident.fingerprint)
+
+
+# ---- device tick core sweep (models/server.py + ops/{cells,compositor}) ----
+
+
+def test_render_group_geometry_matches_plan_tick():
+    """RenderGroup duplicated plan_tick's HALF_BLOCK height-doubling rule
+    (stream.c:831); the two copies could drift. It now derives its geometry
+    from plan_tick itself — for every render mode the group's RenderPlan must
+    equal the plan the model-level API hands out."""
+    from asciichat_tpu.models.server import RenderGroup, plan_tick
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    sizes = [(32, 24), (48, 36)]
+    for mode in (RenderMode.FOREGROUND, RenderMode.BACKGROUND,
+                 RenderMode.HALF_BLOCK):
+        caps = TerminalCapabilities(ColorLevel.TRUECOLOR, mode)
+        grp = RenderGroup(sizes, 64, 20, caps, ["none"])
+        plan = plan_tick(sizes, 64, 20, caps, num_clients=1)
+        assert grp.render == plan.render, mode
+
+
+def test_compositor_host_maps_match_device_maps():
+    """host_maps (the mesh path's tunnel-cheap placement source) must stay
+    value-identical to device_maps (the single-device cache)."""
+    from asciichat_tpu.ops import compositor
+
+    plan = compositor.plan_composite([(32, 24), (40, 30), (24, 18)], 80, 24)
+    host = compositor.host_maps(plan)
+    dev = compositor.device_maps(plan)
+    assert len(host) == len(dev) == 4
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(d))
+
+
+def test_render_group_aot_recompiles_on_receiver_count_change():
+    """The mesh path's AOT executable is shape-specialized to the padded
+    receiver count. set_filters growing the group past the old padded count
+    used to keep serving the stale executable — a signature mismatch at the
+    next step. It must be invalidated (and NOT invalidated when the padded
+    count is unchanged)."""
+    import jax
+
+    from asciichat_tpu.models.server import RenderGroup
+    from asciichat_tpu.ops import cells
+    from asciichat_tpu.parallel import mesh as meshlib
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+    from conftest import synthetic_frame
+
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    sizes = [(32, 24)] * 8
+    stack = np.stack([synthetic_frame(24, 32, seed=i) for i in range(8)])
+    mesh = meshlib.make_mesh(8)
+    frames = jax.device_put(stack, meshlib.client_sharding(mesh))
+
+    grp = RenderGroup(sizes, 64, 20, caps, ["green"], mesh=mesh)
+    grp.step(frames)
+    first = grp._compiled
+    assert first is not None
+
+    # same padded count (3 -> pads to 8): executable survives
+    grp.set_filters(["green", "cyan", "none"])
+    assert grp._compiled is first
+
+    # crossing the pad boundary (9 -> pads to 16): must drop + recompile
+    grp.set_filters(["green"] * 9)
+    assert grp._compiled is None
+    rec = cells.records_to_numpy(grp.step(frames))
+    assert next(iter(rec.values())).shape[0] == 16
+    assert grp._compiled is not None and grp._compiled is not first
+
+
+def test_rainbow_tick_refresh_updates_only_tint():
+    """Only the rainbow tint is time-dependent (color_filter.c:169); the
+    per-tick refresh must re-upload tint alone — the other three param
+    arrays keep their identity — and must match a full set_filters at the
+    same timestamp exactly."""
+    from asciichat_tpu.models.server import RenderGroup
+    from asciichat_tpu.ops import filters
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    grp = RenderGroup([(32, 24)], 64, 20, caps, ["rainbow", "green"])
+    fg, isr, on = grp.fg_on_bg, grp.is_rainbow, grp.filter_on
+    t0 = np.asarray(grp.tint)
+
+    grp._refresh_rainbow_tint(1.25)
+    assert grp.fg_on_bg is fg and grp.is_rainbow is isr and grp.filter_on is on
+    want, _, _, _ = filters.filter_params(["rainbow", "green"], 1.25)
+    np.testing.assert_array_equal(np.asarray(grp.tint), np.asarray(want))
+    assert not np.array_equal(np.asarray(grp.tint), t0)
+
+
+def test_mesh_collectives_counts_instructions_not_substrings():
+    """grp.collectives must count collective INSTRUCTIONS in the compiled
+    HLO — the old substring count also hit SSA result names, operand
+    references, and both halves of async start/done pairs, overstating the
+    inspector's mesh_collectives severalfold."""
+    import jax
+
+    from asciichat_tpu.models.server import RenderGroup
+    from asciichat_tpu.parallel import mesh as meshlib
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+    from conftest import synthetic_frame
+
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    sizes = [(32, 24)] * 8
+    stack = np.stack([synthetic_frame(24, 32, seed=i) for i in range(8)])
+    mesh = meshlib.make_mesh(8)
+    frames = jax.device_put(stack, meshlib.client_sharding(mesh))
+    grp = RenderGroup(sizes, 64, 20, caps, ["green"] * 8, mesh=mesh)
+    grp.step(frames)
+
+    naive = sum(grp._compiled.as_text().count(op) for op in (
+        "all-gather", "all-reduce", "collective-permute", "all-to-all"))
+    assert 0 < grp.collectives < naive
