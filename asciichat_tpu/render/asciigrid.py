@@ -166,8 +166,15 @@ def create_grid(sources: list[bytes], width: int, height: int) -> bytes:
             vis = ansi_visual_width(line, copy_len)
             if copy_len > 0 and start_col + vis <= width:
                 at = (start_row + src_row) * (width + 1) + start_col
-                end = min(at + copy_len, len(buf))
-                buf[at:end] = line[: end - at]
+                # SAFE_MEMCPY is all-or-nothing (platform_memcpy rejects
+                # count > dest_size and copies NOTHING, common.h:468 +
+                # ascii.c:845): clamping to a partial write emitted a
+                # truncated CSI fragment and overwrote the final row's
+                # '\n'. (at+copy_len == mixed_size would land on the C NUL
+                # and make the closing strlen read OOB — C UB we refuse to
+                # reproduce, so that edge also drops.)
+                if at + copy_len < mixed_size:
+                    buf[at:at + copy_len] = line[:copy_len]
             if pos < n and src[pos] == ord("\n"):
                 pos += 1
             src_row += 1

@@ -58,6 +58,11 @@ def parse_utf8_chars(palette: str | bytes) -> list[bytes]:
     n = len(data)
     while i < n and len(chars) < 255:
         b = data[i]
+        if b == 0:
+            # the reference parser is NUL-terminated (common.c:394
+            # `while (*p && char_count < 255)`): an embedded NUL ends the
+            # palette; parsing past it built LUTs no C build could ever see
+            break
         if (b & 0xE0) == 0xC0:
             step = 2
         elif (b & 0xF0) == 0xE0:
@@ -104,10 +109,6 @@ class PaletteCache:
             )
         return self.cache64
 
-    def glyph_for_palette_index(self, idx: int) -> bytes:
-        """cache[char_idx] as used by the 16-color renderers (foreground.c:599)."""
-        return self.cache256[idx]
-
 
 @functools.lru_cache(maxsize=256)
 def get_palette_cache(palette: str) -> PaletteCache:
@@ -148,17 +149,6 @@ def get_palette_cache(palette: str) -> PaletteCache:
 def char_index_ramp_array(palette: str) -> np.ndarray:
     """char_index_ramp as uint8[64] for device-side luma->key mapping."""
     return np.asarray(get_palette_cache(palette).char_index_ramp, dtype=np.uint8)
-
-
-def default_luminance_palette() -> bytes:
-    """g_default_luminance_palette (common.c:578-587): 256-entry ASCII LUT."""
-    cache = get_palette_cache(DEFAULT_PALETTE)
-    n = cache.char_count
-    out = bytearray(256)
-    for i in range(256):
-        idx = min((i * (n - 1) + 127) // 255, n - 1)
-        out[i] = cache.chars[idx][0]
-    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -2924,3 +2924,47 @@ def test_mesh_collectives_counts_instructions_not_substrings():
     naive = sum(grp._compiled.as_text().count(op) for op in (
         "all-gather", "all-reduce", "collective-permute", "all-to-all"))
     assert 0 < grp.collectives < naive
+
+
+# ---- render layer sweep (asciigrid + palette) ------------------------------
+
+
+def test_grid_multi_source_overflow_drops_line_entirely():
+    """SAFE_MEMCPY in the reference grid compositor is all-or-nothing
+    (platform_memcpy rejects count > dest_size and copies NOTHING,
+    ascii.c:845): a too-long ANSI line near the end of the canvas must
+    leave spaces. The Python twin used to clamp to a PARTIAL write,
+    emitting a dangling CSI fragment and overwriting the final row's
+    newline."""
+    from asciichat_tpu.render import asciigrid as ag
+
+    # 21x7 -> 2x2 grid of 10x3 cells. Bottom-right cell's last line lands
+    # at byte 143 of a 154-byte canvas; a 25-byte ANSI line can't fit.
+    plain = [b"\n".join([c * 10] * 3)
+             for c in (b"a", b"b", b"1")]
+    ansi_line = b"\x1b[38;2;255;0;0m" + b"Z" * 10
+    overflowing = b"\n".join([b"x" * 10, b"y" * 10, ansi_line])
+    out = ag.create_grid(plain[:2] + [plain[2], overflowing], 21, 7)
+
+    assert out.endswith(b"\n"), "final row's newline was overwritten"
+    rows = out.split(b"\n")[:-1]
+    assert len(rows) == 7 and all(len(r) == 21 for r in rows)
+    # the overflowing line is dropped whole: spaces, no CSI fragment
+    assert b"\x1b" not in out
+    assert rows[6] == b"1" * 10 + b"|" + b" " * 10
+    # the two earlier (in-bounds) lines of the same source still copied
+    assert rows[4][11:] == b"x" * 10 and rows[5][11:] == b"y" * 10
+
+
+def test_palette_parse_stops_at_embedded_nul():
+    """The reference palette parser is NUL-terminated (common.c:394
+    `while (*p && char_count < 255)`): an embedded NUL ends the palette.
+    Parsing past it built LUTs no C build could ever see — every glyph
+    byte diverged from the reference for such palettes."""
+    from asciichat_tpu.render import palette as pal
+
+    assert pal.parse_utf8_chars("ab\x00cd") == [b"a", b"b"]
+    assert pal.parse_utf8_chars(b"\x00abc") == []
+    cache = pal.get_palette_cache("ab\x00cd")
+    assert cache.char_count == 2
+    assert set(cache.cache256) == {b"a", b"b"}
