@@ -178,6 +178,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("pid", type=int)
     q.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="serve the report over HTTP instead of one-shot")
+    q.add_argument("--force", action="store_true",
+                   help="signal SIGUSR1 even if the pid doesn't look like "
+                        "an asciichat process")
     q.set_defaults(fn=cmd_query, log_level="WARNING")
 
     comp = sub.add_parser("completions", help="generate shell completions")

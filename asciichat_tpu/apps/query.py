@@ -85,6 +85,30 @@ def open_fds(pid: int) -> dict:
     return fds
 
 
+def _looks_like_asciichat(pid: int) -> bool:
+    """Cheap identity check before signalling: a mistyped pid that happens
+    to catch SIGUSR1 (nginx/postgres reopen logs on it) would perform its
+    REAL handler action as a side effect of mere inspection."""
+    cmdline = _read(f"/proc/{pid}/cmdline").replace("\0", " ")
+    return "asciichat" in cmdline or "ascii-chat" in cmdline
+
+
+def _target_dump_path(pid: int) -> str:
+    """The dump file as the TARGET resolved it: dumps.py uses the target's
+    tempfile.gettempdir(), so a target started with its own TMPDIR writes
+    somewhere this process's gettempdir() never looks. Mirror the stdlib
+    lookup order against /proc/<pid>/environ; fall back to our own view
+    when environ is unreadable (different user)."""
+    env = _read(f"/proc/{pid}/environ")
+    if env:
+        entries = dict(e.split("=", 1) for e in env.split("\0") if "=" in e)
+        for var in ("TMPDIR", "TEMP", "TMP"):  # tempfile.gettempdir() order
+            d = entries.get(var)
+            if d:
+                return os.path.join(d, f"asciichat-dump-{pid}.txt")
+    return dump_path(pid)
+
+
 def _catches_sigusr1(pid: int) -> bool:
     """True iff the target has a SIGUSR1 handler installed (SigCgt bit in
     /proc/<pid>/status). MUST be checked before signalling: SIGUSR1's
@@ -102,13 +126,15 @@ def _catches_sigusr1(pid: int) -> bool:
     return False
 
 
-def python_stacks(pid: int, timeout: float = 5.0) -> str:
+def python_stacks(pid: int, timeout: float = 5.0, force: bool = False) -> str:
     """Trigger the ambient SIGUSR1 faulthandler dump and return the new
     content of the per-pid dump file ('' if the process never registered
-    the channel or does not respond)."""
+    the channel, is not an asciichat process, or does not respond)."""
     if not _catches_sigusr1(pid):
         return ""  # no handler: signalling would terminate the target
-    path = dump_path(pid)
+    if not force and not _looks_like_asciichat(pid):
+        return ""  # don't fire foreign SIGUSR1 handlers (--force overrides)
+    path = _target_dump_path(pid)
     try:
         before = os.path.getsize(path)
     except OSError:
@@ -140,27 +166,27 @@ def python_stacks(pid: int, timeout: float = 5.0) -> str:
     return ""
 
 
-def collect(pid: int) -> dict:
+def collect(pid: int, force: bool = False) -> dict:
     """Full attach report for a live pid."""
     return {
         "status": proc_status(pid),
         "kstacks": kernel_stacks(pid),
         "fds": open_fds(pid),
-        "pystacks": python_stacks(pid),
+        "pystacks": python_stacks(pid, force=force),
     }
 
 
-def serve(pid: int, port: int, host: str = "127.0.0.1"):
+def serve(pid: int, port: int, host: str = "127.0.0.1", force: bool = False):
     """HTTP surface over a live pid (the query-server shape). Returns the
     bound server; caller runs serve_forever/shutdown."""
     import http.server
 
     routes = {
-        "/": lambda: collect(pid),
+        "/": lambda: collect(pid, force),
         "/status": lambda: proc_status(pid),
         "/kstacks": lambda: kernel_stacks(pid),
         "/fds": lambda: open_fds(pid),
-        "/pystacks": lambda: {"dump": python_stacks(pid)},
+        "/pystacks": lambda: {"dump": python_stacks(pid, force=force)},
     }
 
     class Handler(http.server.BaseHTTPRequestHandler):
@@ -194,8 +220,9 @@ def main(args) -> int:
     if not os.path.isdir(f"/proc/{pid}"):
         print(f"no such process: {pid}")
         return 1
+    force = getattr(args, "force", False)
     if args.serve is not None:
-        httpd = serve(pid, args.serve)
+        httpd = serve(pid, args.serve, force=force)
         print(f"ascii-query serving pid {pid} on "
               f"http://127.0.0.1:{httpd.server_address[1]}/")
         try:
@@ -203,6 +230,6 @@ def main(args) -> int:
         except KeyboardInterrupt:
             pass
         return 0
-    report = collect(pid)
+    report = collect(pid, force)
     print(json.dumps(report, indent=2))
     return 0

@@ -83,24 +83,19 @@ def _glyph_index_tables(palette: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _xterm256_rgb() -> np.ndarray:
-    """[256, 3] uint8 xterm palette (indices 0-15 ANSI, 16-231 cube,
-    232-255 gray ramp) — same formula as web/ansiparse.xterm256."""
-    from asciichat_tpu.ops.pixel import ANSI16_RGB
+    """[256, 3] uint8 xterm palette — unpacked from web/ansiparse.xterm256,
+    the ONE copy of the cube/gray-ramp formula (a second local copy here
+    could silently drift from the parser twin's)."""
+    from asciichat_tpu.web.ansiparse import xterm256
 
-    cube = [0, 95, 135, 175, 215, 255]
-    out = np.zeros((256, 3), np.uint8)
-    out[:16] = ANSI16_RGB
-    for n in range(16, 232):
-        c = n - 16
-        out[n] = (cube[c // 36], cube[(c // 6) % 6], cube[c % 6])
-    for n in range(232, 256):
-        v = 8 + (n - 232) * 10
-        out[n] = (v, v, v)
-    return out
+    packed = np.array([xterm256(n) for n in range(256)], np.uint32)
+    return np.stack([(packed >> 16) & 255, (packed >> 8) & 255, packed & 255],
+                    axis=-1).astype(np.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "scale"))
-def cells_to_pixels(records: dict, mode: str, scale: int = 8) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("mode", "scale", "key_max"))
+def cells_to_pixels(records: dict, mode: str, scale: int = 8,
+                    key_max: int = 63) -> jax.Array:
     """Block-color fallback: cell records -> uint8 RGB frames. EVERY render
     mode maps here (the common non-truecolor terminals must be able to
     --render-file too): half-block rows are the glyph itself; quantized
@@ -132,12 +127,15 @@ def cells_to_pixels(records: dict, mode: str, scale: int = 8) -> jax.Array:
     elif mode == "16color":
         table = jnp.asarray(_xterm256_rgb())
         rgb = jnp.take(table, records["color"].astype(jnp.int32), axis=0).astype(jnp.int32)
-        cov = jnp.clip(records["key"].astype(jnp.int32) * 255 // 63,
+        # key is a PALETTE char index (0..char_count-1, ops/pixel.mono_keys),
+        # not a 0..63 luma bucket: //63 capped a pure-white pixel at 35%
+        # brightness for the standard palette (key_max = char_count-1)
+        cov = jnp.clip(records["key"].astype(jnp.int32) * 255 // key_max,
                        0, 255)[..., None]
         px = ((rgb * cov) // 255).astype(jnp.uint8)
     elif mode == "mono":
         key = records["key"].astype(jnp.int32)
-        v = jnp.clip(key * 255 // 63, 0, 255).astype(jnp.uint8)
+        v = jnp.clip(key * 255 // key_max, 0, 255).astype(jnp.uint8)
         px = jnp.stack([v, v, v], axis=-1)
     else:
         raise ValueError(f"render-file unsupported for mode {mode!r}")
@@ -162,7 +160,8 @@ def records_to_pixels(records: dict, mode: str, palette: str,
             gidx = jnp.take(key_dev, records["key"].astype(jnp.int32))
             fg = jnp.full((*records["key"].shape, 3), 204, jnp.uint8)  # grey text
         return raster_glyphs(fg, gidx, atlas)
-    return cells_to_pixels(records, mode, scale)
+    key_max = max(1, pal.get_palette_cache(palette).char_count - 1)
+    return cells_to_pixels(records, mode, scale, key_max=key_max)
 
 
 @functools.lru_cache(maxsize=16)
@@ -219,8 +218,15 @@ class NativeRecorder:
             from asciichat_tpu.runtime.codecs import CodecUnavailable
 
             raise CodecUnavailable(f"cannot open recorder for {path!r}")
+        self.width, self.height = width, height
 
     def write_rgb(self, frame: np.ndarray) -> None:
+        if frame.shape != (self.height, self.width, 3):
+            # ac_rec_frame's sws_scale reads width*3 x height bytes
+            # unconditionally: a smaller frame (source resolution changed
+            # mid-stream) is a native heap over-read, not a Python error
+            raise ValueError(
+                f"frame {frame.shape} != opened {(self.height, self.width, 3)}")
         if self._lib.ac_rec_frame(
             self._h, np.ascontiguousarray(frame, np.uint8).tobytes()
         ) != 0:
@@ -249,12 +255,22 @@ class Y4MWriter:
     """Minimal YUV4MPEG2 writer, C444 colorspace."""
 
     def __init__(self, path: str, width: int, height: int, fps: int = 30):
+        self.width, self.height = width, height
         self.f = open(path, "wb")
+        # XCOLORRANGE=FULL: rgb_to_ycbcr444 emits full-range BT.601; without
+        # the tag every consumer (incl. our own ffmpeg transcode) assumes
+        # limited range and crushes blacks / clips whites
         self.f.write(
-            f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode()
+            f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444 "
+            f"XCOLORRANGE=FULL\n".encode()
         )
 
     def write(self, ycbcr: np.ndarray) -> None:
+        if ycbcr.shape != (self.height, self.width, 3):
+            # raw planes under a fixed-size header: a resized later frame
+            # silently desyncs every following frame in the stream
+            raise ValueError(
+                f"frame {ycbcr.shape} != opened {(self.height, self.width, 3)}")
         self.f.write(b"FRAME\n")
         # planar: all Y, all Cb, all Cr
         self.f.write(np.ascontiguousarray(ycbcr[..., 0]).tobytes())
@@ -285,9 +301,15 @@ def render_to_file(
     use_native = not out_path.endswith(".y4m")
     recorder = None
     y4m_path = out_path if out_path.endswith(".y4m") else out_path + ".y4m"
+    # H.265/mp4 encoders are yuv420p (avshim ac_rec_open): odd glyph-raster
+    # dims (font-dependent cell size x caller scale) would fail the encode —
+    # after every frame rendered. Pad to even ONCE, for every container path
+    # (a .y4m deliverable keeps exact dims; C444 has no evenness rule).
+    pad_even = not out_path.endswith(".y4m")
 
     writer = None
     rendered = 0
+    fallback_audio: list[np.ndarray] = []
     try:
         for _ in range(max_frames):
             frame = source.read()
@@ -297,6 +319,9 @@ def render_to_file(
             plan = plan_render(frame.shape[1], frame.shape[0], width, height, caps)
             records = renderer.cells_for_plan(jnp.asarray(frame[None]), plan)
             px = records_to_pixels(records, plan.mode, palette, scale)
+            if pad_even and ((px.shape[1] | px.shape[2]) & 1):
+                px = jnp.pad(px, ((0, 0), (0, px.shape[1] & 1),
+                                  (0, px.shape[2] & 1), (0, 0)))
             if use_native and writer is None:
                 if recorder is None:
                     from asciichat_tpu.runtime.codecs import CodecUnavailable
@@ -318,19 +343,45 @@ def render_to_file(
             if writer is None:
                 writer = Y4MWriter(y4m_path, ycbcr.shape[1], ycbcr.shape[0], fps)
             writer.write(ycbcr)
+            if audio_source is not None:
+                # the fallback container has no audio mux; keep the samples
+                # so the ffmpeg-CLI transcode can carry the requested track
+                # instead of silently delivering a mute file
+                fallback_audio.append(
+                    np.asarray(audio_source.read(audio_rate // fps), np.float32))
             rendered += 1
     finally:
         # always flush + write trailers: a mid-render error must not leak
-        # the native contexts or leave an unplayable container behind
-        if recorder:
-            recorder.close()
-        if writer:
-            writer.close()
+        # the native contexts or leave an unplayable container behind. A
+        # close() failure must not MASK an in-flight render error (the root
+        # cause) — it only propagates when nothing else is already raising.
+        import sys as _sys
+
+        in_flight = _sys.exc_info()[0] is not None
+        for closer in (recorder, writer):
+            if closer:
+                try:
+                    closer.close()
+                except Exception:
+                    if not in_flight:
+                        raise
+                    from asciichat_tpu.utils.logsys import get_logger
+
+                    get_logger("renderfile").warning(
+                        "close failed while handling a render error",
+                        exc_info=True)
     if writer and out_path != y4m_path:
         if shutil.which("ffmpeg"):
-            subprocess.run(["ffmpeg", "-y", "-v", "error", "-i", y4m_path,
-                            out_path], check=True)
+            cmd = ["ffmpeg", "-y", "-v", "error", "-i", y4m_path]
+            wav_path = None
+            if fallback_audio:
+                wav_path = out_path + ".wav"
+                _write_wav(wav_path, np.concatenate(fallback_audio), audio_rate)
+                cmd += ["-i", wav_path, "-shortest"]
+            subprocess.run(cmd + [out_path], check=True)
             os.remove(y4m_path)  # intermediate, not a deliverable
+            if wav_path:
+                os.remove(wav_path)
         else:
             # neither libavcodec nor the ffmpeg CLI can produce the asked-for
             # container: FAIL LOUDLY instead of reporting success while
@@ -338,4 +389,22 @@ def render_to_file(
             raise RuntimeError(
                 f"no encoder available to produce {out_path!r}; raw frames "
                 f"kept at {y4m_path!r} (install ffmpeg or libavcodec)")
+    elif fallback_audio:
+        from asciichat_tpu.utils.logsys import get_logger
+
+        get_logger("renderfile").warning(
+            "Y4M carries no audio track: the requested audio was dropped "
+            "(ask for .mp4/.mkv to keep it)")
     return rendered
+
+
+def _write_wav(path: str, samples: np.ndarray, rate: int) -> None:
+    """Mono float32 [-1,1] -> 16-bit PCM WAV (the transcode side-channel)."""
+    import wave
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())

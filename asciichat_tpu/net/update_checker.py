@@ -109,7 +109,10 @@ class UpdateChecker:
         """GET releases/latest; raises on any failure (callers gate it)."""
         with urllib.request.urlopen(self.api_base + RELEASES_PATH,
                                     timeout=self.timeout) as r:
-            data = json.loads(r.read())
+            # cap the body: the timeout only bounds inter-chunk gaps, so an
+            # unbounded read() lets a hijacked endpoint stream the process
+            # out of memory during startup (the check must never break it)
+            data = json.loads(r.read(1 << 20))
         tag = data.get("tag_name") or ""
         if not tag:
             raise ValueError("no tag_name in release JSON")

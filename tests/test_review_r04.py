@@ -2968,3 +2968,281 @@ def test_palette_parse_stops_at_embedded_nul():
     cache = pal.get_palette_cache("ab\x00cd")
     assert cache.char_count == 2
     assert set(cache.cache256) == {b"a", b"b"}
+
+
+# ---- query / update_checker / renderfile sweep ------------------------------
+
+
+def test_renderfile_16color_white_reaches_full_brightness():
+    """The 16color/mono block fallback scaled the mono run key by //63, but
+    keys are PALETTE char indices (0..char_count-1, max 22 for the standard
+    palette): a pure-white input could never exceed ~35% brightness."""
+    import jax.numpy as jnp
+
+    from asciichat_tpu.models.renderfile import cells_to_pixels, records_to_pixels
+    from asciichat_tpu.ops import cells
+    from asciichat_tpu.render import palette as pal
+
+    white = jnp.full((1, 8, 10, 3), 255, jnp.uint8)
+    ramp = cells.ramp_for_palette(pal.DEFAULT_PALETTE)
+    recs = cells.render_cells(white, ramp, dst_h=8, dst_w=10, mode="16color")
+    px = np.asarray(records_to_pixels(recs, "16color", pal.DEFAULT_PALETTE))
+    assert px.max() >= 250, f"white capped at {px.max()} (key//63 regression)"
+    # mono block fallback with the correct key_max
+    recs_m = cells.render_cells(white, ramp, dst_h=8, dst_w=10, mode="mono")
+    n = pal.get_palette_cache(pal.DEFAULT_PALETTE).char_count
+    px_m = np.asarray(cells_to_pixels(recs_m, "mono", key_max=n - 1))
+    assert px_m.max() == 255
+
+
+def test_renderfile_writers_reject_dimension_changes(tmp_path):
+    """ac_rec_frame reads width*3 x height bytes unconditionally (a native
+    heap over-read for a smaller frame), and Y4M raw planes under a fixed
+    header silently desync: both writers must reject a frame whose shape
+    differs from the opened dimensions."""
+    from asciichat_tpu.models.renderfile import NativeRecorder, Y4MWriter
+
+    y = Y4MWriter(str(tmp_path / "a.y4m"), 10, 8)
+    y.write(np.zeros((8, 10, 3), np.uint8))
+    with pytest.raises(ValueError, match="opened"):
+        y.write(np.zeros((6, 10, 3), np.uint8))
+    y.close()
+
+    from asciichat_tpu.runtime.codecs import CodecUnavailable
+
+    try:
+        rec = NativeRecorder(str(tmp_path / "a.mp4"), 64, 64, 30)
+    except CodecUnavailable:
+        pytest.skip("no libavcodec")
+    try:
+        with pytest.raises(ValueError, match="opened"):
+            rec.write_rgb(np.zeros((32, 64, 3), np.uint8))
+        rec.write_rgb(np.zeros((64, 64, 3), np.uint8))
+    finally:
+        rec.close()
+
+
+def test_y4m_header_declares_full_range(tmp_path):
+    """rgb_to_ycbcr444 emits full-range BT.601; without XCOLORRANGE=FULL
+    every consumer assumes limited range and crushes blacks."""
+    from asciichat_tpu.models.renderfile import Y4MWriter
+
+    p = tmp_path / "r.y4m"
+    w = Y4MWriter(str(p), 4, 2)
+    w.close()
+    assert b"XCOLORRANGE=FULL" in p.read_bytes().split(b"\n", 1)[0]
+
+
+def test_renderfile_pads_odd_dims_even(tmp_path, monkeypatch):
+    """yuv420p encoders reject odd dimensions — discovered only AFTER the
+    full render. Non-.y4m targets pad the raster to even once, for both the
+    native and the transcode-intermediate paths."""
+    from asciichat_tpu.models import renderfile as rf
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    opened = {}
+
+    class FakeRecorder:
+        def __init__(self, path, w, h, fps, crf=28, audio_rate=0):
+            opened["dims"] = (w, h)
+            from asciichat_tpu.runtime.codecs import CodecUnavailable
+
+            raise CodecUnavailable("forced fallback")
+
+    monkeypatch.setattr(rf, "NativeRecorder", FakeRecorder)
+    monkeypatch.setattr(rf.shutil, "which", lambda *_: None)
+
+    class Src:
+        n = 0
+
+        def read(self):
+            Src.n += 1
+            return None if Src.n > 2 else np.full((12, 16, 3), 200, np.uint8)
+
+    caps = TerminalCapabilities(ColorLevel.COLOR_16, RenderMode.FOREGROUND)
+    out = str(tmp_path / "v.mp4")
+    # 15x5 cells at scale 3 -> 45x15 px, both odd
+    with pytest.raises(RuntimeError, match="no encoder"):
+        rf.render_to_file(Src(), out, caps, 15, 5, " .:-=+*#%@",
+                          max_frames=2, scale=3)
+    assert opened["dims"][0] % 2 == 0 and opened["dims"][1] % 2 == 0
+    header = open(out + ".y4m", "rb").readline()
+    fields = dict((f[:1], f[1:]) for f in header.split()[1:] if f[:1] in b"WH")
+    assert int(fields[b"W"]) % 2 == 0 and int(fields[b"H"]) % 2 == 0
+
+
+def test_renderfile_fallback_transcode_carries_audio(tmp_path, monkeypatch):
+    """--render-file with audio on the ffmpeg-CLI fallback silently dropped
+    the requested track (audio_source was only read in the native branch):
+    the transcode must now mux the collected samples."""
+    from asciichat_tpu.models import renderfile as rf
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+    from asciichat_tpu.runtime.codecs import CodecUnavailable
+
+    class NoRecorder:
+        def __init__(self, *a, **k):
+            raise CodecUnavailable("forced fallback")
+
+    calls = {}
+
+    def fake_run(cmd, check):
+        calls["cmd"] = cmd
+        open(cmd[-1], "wb").write(b"mp4")
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr(rf, "NativeRecorder", NoRecorder)
+    monkeypatch.setattr(rf.shutil, "which", lambda *_: "/usr/bin/ffmpeg")
+    monkeypatch.setattr(rf.subprocess, "run", fake_run)
+
+    class Src:
+        n = 0
+
+        def read(self):
+            Src.n += 1
+            return None if Src.n > 3 else np.full((12, 16, 3), 128, np.uint8)
+
+    class Tone:
+        def read(self, n):
+            return np.zeros(n, np.float32) + 0.25
+
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    out = str(tmp_path / "v.mp4")
+    rendered = rf.render_to_file(Src(), out, caps, 20, 6, " .:@",
+                                 max_frames=3, audio_source=Tone())
+    assert rendered == 3
+    cmd = calls["cmd"]
+    assert "-shortest" in cmd and any(str(a).endswith(".wav") for a in cmd)
+    # the temp wav was cleaned up after a successful transcode
+    assert not list(tmp_path.glob("*.wav")) and not list(tmp_path.glob("*.y4m"))
+
+
+def test_renderfile_close_failure_does_not_mask_render_error(tmp_path, monkeypatch):
+    """A close() failure in the finally block replaced the ORIGINAL
+    mid-render exception (the root cause) in the propagated traceback."""
+    from asciichat_tpu.models import renderfile as rf
+    from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
+
+    monkeypatch.setattr(rf.Y4MWriter, "close",
+                        lambda self: (_ for _ in ()).throw(RuntimeError("trailer")))
+
+    class Src:
+        n = 0
+
+        def read(self):
+            Src.n += 1
+            if Src.n == 2:
+                raise ValueError("boom mid-render")
+            return np.full((12, 16, 3), 99, np.uint8)
+
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+    with pytest.raises(ValueError, match="boom mid-render"):
+        rf.render_to_file(Src(), str(tmp_path / "v.y4m"), caps, 20, 6, " .:@",
+                          max_frames=5)
+
+
+def test_xterm256_rgb_matches_parser_twin():
+    """_xterm256_rgb now unpacks web/ansiparse.xterm256 (the one formula);
+    pin the ANSI16 head and cube/gray spot values."""
+    from asciichat_tpu.models.renderfile import _xterm256_rgb
+    from asciichat_tpu.ops.pixel import ANSI16_RGB
+
+    t = _xterm256_rgb()
+    np.testing.assert_array_equal(t[:16], np.asarray(ANSI16_RGB, np.uint8))
+    assert tuple(t[16]) == (0, 0, 0) and tuple(t[231]) == (255, 255, 255)
+    assert tuple(t[232]) == (8, 8, 8) and tuple(t[255]) == (238, 238, 238)
+
+
+def test_query_does_not_signal_foreign_sigusr1_handlers(tmp_path):
+    """A mistyped pid that happens to catch SIGUSR1 (nginx/postgres style)
+    used to receive the signal from mere inspection, firing its REAL
+    handler action. Non-asciichat processes are now skipped unless
+    --force."""
+    import subprocess
+    import sys
+    import time
+
+    from asciichat_tpu.apps import query
+
+    marker = tmp_path / "fired"
+    child = subprocess.Popen([
+        sys.executable, "-u", "-c",
+        "import signal, time, sys\n"
+        f"signal.signal(signal.SIGUSR1, lambda *a: open({str(marker)!r}, 'w'))\n"
+        "print('R', flush=True)\n"
+        "time.sleep(30)\n"], stdout=subprocess.PIPE)
+    try:
+        assert child.stdout.readline().strip() == b"R"
+        assert query._catches_sigusr1(child.pid)
+        assert not query._looks_like_asciichat(child.pid)
+        out = query.python_stacks(child.pid, timeout=0.6)
+        assert out == ""
+        time.sleep(0.3)
+        assert not marker.exists(), "inspection fired a foreign SIGUSR1 handler"
+        # --force still signals (the handler fires; no dump file appears)
+        query.python_stacks(child.pid, timeout=0.6, force=True)
+        deadline = time.monotonic() + 3
+        while not marker.exists() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert marker.exists()
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_query_dump_path_honors_target_tmpdir(tmp_path):
+    """dumps.py resolves the dump file with the TARGET's tempfile rules; a
+    target started with its own TMPDIR wrote somewhere the query tool's
+    gettempdir() never polled, so its successful dump read as 'no stacks'."""
+    import subprocess
+    import sys
+    import time
+
+    from asciichat_tpu.apps import query
+
+    custom = tmp_path / "owntmp"
+    custom.mkdir()
+    child = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(30)"],
+        env={**__import__('os').environ, "TMPDIR": str(custom)})
+    try:
+        time.sleep(0.3)
+        got = query._target_dump_path(child.pid)
+        assert got == str(custom / f"asciichat-dump-{child.pid}.txt")
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_update_checker_caps_response_size(tmp_path):
+    """fetch_latest read the release body unboundedly; a hijacked endpoint
+    streaming forever would OOM startup. The read is now capped (a too-big
+    body fails JSON parsing loudly instead)."""
+    import http.server
+    import threading
+
+    from asciichat_tpu.net.update_checker import UpdateChecker
+
+    class Huge(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"[" + b"1," * (1 << 20) + b"1]"  # ~2 MiB valid JSON
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Huge)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        uc = UpdateChecker(api_base=f"http://127.0.0.1:{srv.server_address[1]}",
+                           cache_path=str(tmp_path / "cache"))
+        with pytest.raises(ValueError):  # truncated JSON, not an OOM
+            uc.fetch_latest()
+    finally:
+        srv.shutdown()
