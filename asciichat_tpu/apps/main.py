@@ -14,6 +14,7 @@ import sys
 
 from asciichat_tpu.render.types import RenderMode
 from asciichat_tpu.utils import logsys
+from asciichat_tpu.utils.errors import AsciiChatError
 from asciichat_tpu.utils.options import Mode, apply_to_parser, default_registry
 
 
@@ -327,7 +328,13 @@ def main(argv=None) -> int:
         if banner:
             print(banner.decode(), file=sys.stderr)
 
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except AsciiChatError as e:
+        # expected operational failures (no frame from source, media open
+        # errors) exit with a one-line message, not a panic report
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -1016,7 +1016,9 @@ def main(args) -> int:
             host_identity = Identity.load_or_create(key_path)
             log.info("host identity %s (known_hosts pinning)",
                      host_identity.id_hex[:16])
-        except OSError as e:
+        except (OSError, ValueError) as e:
+            # ValueError = corrupt/truncated key file: serve with an
+            # ephemeral identity rather than crash-loop at startup
             log.warning("host key %s unavailable (%s); using an ephemeral "
                         "identity for this run", key_path, e)
     server = AsciiChatServer(args.host, args.port, compression_level=args.compress,

@@ -11,8 +11,11 @@ the shared session framework (models/session.py) — mirror is mode glue.
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
+
+from asciichat_tpu.utils.errors import AsciiChatError, ErrorCode
 
 from asciichat_tpu.models.session import DisplaySink, FrameTransform, Pacer
 from asciichat_tpu.render.pipeline import AsciiRenderer
@@ -119,6 +122,12 @@ class MirrorSession:
 
     def run_snapshot(self) -> bytes:
         frame = self.source.read()
+        if frame is None:
+            # dead webcam / zero-decodable-frame file: a clean MEDIA error,
+            # not np.asarray(None) exploding deep inside the renderer (the
+            # capture-thread path already handles the None contract)
+            raise AsciiChatError(ErrorCode.MEDIA,
+                                 "no frame available from the media source")
         out = self._convert(frame)
         self.display.writer.write_frame(out)
         return out
@@ -140,7 +149,13 @@ class MirrorSession:
         rendered = 0
         try:
             while not self._stop.is_set():
-                frame = self.queue.pop(timeout=1.0)
+                try:
+                    frame = self.queue.pop(timeout=1.0)
+                except queue.Empty:
+                    # no frame within the poll window (sub-1fps PTS pacing,
+                    # webcam stall, or 'q' racing the loop condition): keep
+                    # polling / re-check stop — framesource.py:233 convention
+                    continue
                 if frame is None:
                     break
                 if self.pacer.should_drop(time.monotonic()):

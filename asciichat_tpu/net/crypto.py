@@ -232,6 +232,7 @@ class CryptoContext:
         self.packet_threshold = packet_threshold
         self.time_threshold_s = time_threshold_s
         self._temp_private: X25519PrivateKey | None = None
+        self._temp_public: bytes = b""
         self.password_key: bytes | None = None
         self.previous_key: bytes | None = None
         self._previous_key_expiry = 0.0
@@ -353,9 +354,10 @@ class CryptoContext:
     def start_rekey(self) -> bytes:
         """-> new ephemeral public key (REKEY_REQUEST payload)."""
         self._temp_private = X25519PrivateKey.generate()
+        self._temp_public = self._temp_private.public_key().public_bytes_raw()
         self.rekey.in_progress = True
         self.rekey.started_at = time.monotonic()
-        return self._temp_private.public_key().public_bytes_raw()
+        return self._temp_public
 
     def rekey_stalled(self) -> bool:
         """A REKEY_RESPONSE that never arrives (lost packet, rate-limited
@@ -387,12 +389,19 @@ class CryptoContext:
         """Responder side: derive the new shared key but hold it PENDING —
         the current key stays active until the peer proves possession (any
         packet decrypting under the pending key commits it, see decrypt()).
-        Returns our fresh ephemeral public key for REKEY_RESPONSE."""
+        Returns our fresh ephemeral public key FOLLOWED BY an echo of the
+        request's public key: the echo binds the response to the request it
+        answers, so an initiator that abandoned a stalled rekey and started
+        a new one can detect (and ignore) the LATE response to the old
+        request instead of committing DH(new_priv, old_resp) — a key the
+        responder never computed, which would MAC-fail every subsequent
+        packet and tear the session down. finish_rekey tolerates a bare
+        32-byte response for compatibility."""
         temp = X25519PrivateKey.generate()
         self._pending_key = temp.exchange(
             X25519PublicKey.from_public_bytes(peer_new_public)
         )
-        return temp.public_key().public_bytes_raw()
+        return temp.public_key().public_bytes_raw() + peer_new_public[:32]
 
     def _commit_pending(self) -> None:
         # under _nonce_lock: encrypt() reads (session_id, counter, key) as
@@ -412,14 +421,19 @@ class CryptoContext:
             self.previous_session_id = self.session_id
             self.session_id = os.urandom(SESSION_ID_SIZE)
 
-    def finish_rekey(self, peer_new_public: bytes) -> None:
+    def finish_rekey(self, response: bytes) -> None:
         """Initiator side: install the new shared key (crypto.c:1298-1341).
+        `response` = responder_pub(32) [+ echo of our request pub(32)].
         Raises ValueError on an unsolicited rekey response (no rekey in
         progress) — the reference returns CRYPTO_ERROR_REKEY_FAILED for this
-        state instead of crashing the connection."""
+        state instead of crashing the connection — or on a response whose
+        echo names a DIFFERENT (abandoned) request: committing that key
+        would desync the session (see respond_rekey)."""
         if self._temp_private is None:
             raise ValueError("no rekey in progress")
+        if len(response) >= 64 and response[32:64] != self._temp_public:
+            raise ValueError("rekey response answers a stale request")
         self._pending_key = self._temp_private.exchange(
-            X25519PublicKey.from_public_bytes(peer_new_public)
+            X25519PublicKey.from_public_bytes(response[:32])
         )
         self._commit_pending()

@@ -129,6 +129,21 @@ async def client_handshake(
     ptype, payload = await t.recv()
     if ptype != P.CRYPTO_PARAMETERS:
         raise HandshakeError(f"expected CRYPTO_PARAMETERS, got {ptype}")
+    # VALIDATE the negotiated parameters (handshake/client.c checks the
+    # chosen algorithms + sizes): silently proceeding on X25519/XSalsa20
+    # assumptions against a server that picked something else would fail
+    # much later with opaque MAC errors instead of a clear handshake error
+    if len(payload) < PARAMETERS_STRUCT.size:
+        raise HandshakeError("short CRYPTO_PARAMETERS")
+    (kex, _srv_auth, cipher, _pw, kex_pub_size, _auth_pub, _sig, shared_size,
+     nonce_size, mac_size, _hmac, _pad) = PARAMETERS_STRUCT.unpack(
+        payload[:PARAMETERS_STRUCT.size])
+    if (kex != KEX_ALGO_X25519 or cipher != CIPHER_ALGO_XSALSA20_POLY1305
+            or kex_pub_size != 32 or shared_size != 32
+            or nonce_size != 24 or mac_size != 16):
+        raise HandshakeError(
+            f"unsupported crypto parameters (kex={kex} cipher={cipher} "
+            f"sizes={kex_pub_size}/{shared_size}/{nonce_size}/{mac_size})")
     ptype, payload = await t.recv()
     if ptype != P.CRYPTO_KEY_EXCHANGE_INIT or len(payload) < 32:
         raise HandshakeError("bad KEY_EXCHANGE_INIT")
@@ -421,9 +436,17 @@ class SecureChannel:
                     continue
                 if inner_type == P.CRYPTO_REKEY_RESPONSE:
                     try:
-                        self.ctx.finish_rekey(inner[:32])
+                        # under _rekey_lock: an executor-thread send_nowait
+                        # can abandon_rekey()/start_rekey() concurrently —
+                        # unlocked, _temp_private could be nulled between
+                        # finish_rekey's check and the DH (AttributeError
+                        # out of recv) or replaced so a LATE response for
+                        # the abandoned request commits a key the responder
+                        # never computed (the echo check catches that too)
+                        with self._rekey_lock:
+                            self.ctx.finish_rekey(inner)
                     except ValueError:
-                        continue  # unsolicited response: ignore, don't die
+                        continue  # unsolicited/stale response: ignore, don't die
                     # Proof-of-possession: a marker encrypted under the NEW
                     # key; the responder commits only once this decrypts
                     # (crypto.c:1225).

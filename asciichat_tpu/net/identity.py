@@ -23,6 +23,7 @@ participant. This module is the TPU framework's counterpart:
 from __future__ import annotations
 
 import struct
+from contextlib import suppress as contextlib_suppress
 from pathlib import Path
 
 from cryptography.exceptions import InvalidSignature
@@ -51,14 +52,34 @@ class Identity:
 
     @staticmethod
     def load_or_create(path: str | Path) -> "Identity":
-        """Persistent identity: 32-byte raw seed file (0600)."""
+        """Persistent identity: 32-byte raw seed file (0600).
+
+        A short/corrupt file (crash or full disk mid-write) raises a clear
+        ValueError naming the file instead of a bare cryptography traceback;
+        creation writes tmp-then-rename so a crash can never leave a
+        truncated key for the next start to trip over."""
+        import os as _os
+
         p = Path(path)
         if p.exists():
-            return Identity(Ed25519PrivateKey.from_private_bytes(p.read_bytes()[:32]))
+            raw = p.read_bytes()
+            if len(raw) < 32:
+                raise ValueError(
+                    f"corrupt identity key file {p} ({len(raw)} bytes, "
+                    f"expected a 32-byte seed) — delete it to regenerate")
+            return Identity(Ed25519PrivateKey.from_private_bytes(raw[:32]))
         ident = Identity()
         p.parent.mkdir(parents=True, exist_ok=True)
-        p.touch(mode=0o600)
-        p.write_bytes(ident._private.private_bytes_raw())
+        tmp = p.with_name(p.name + f".tmp{_os.getpid()}")
+        fd = _os.open(tmp, _os.O_WRONLY | _os.O_CREAT | _os.O_TRUNC, 0o600)
+        try:
+            with _os.fdopen(fd, "wb") as f:
+                f.write(ident._private.private_bytes_raw())
+            _os.replace(tmp, p)
+        except BaseException:
+            with contextlib_suppress(OSError):
+                _os.unlink(tmp)
+            raise
         return ident
 
     def sign(self, ptype: int, body: bytes) -> bytes:

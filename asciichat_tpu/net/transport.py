@@ -92,23 +92,31 @@ class Transport:
         getter future, and a cross-thread Future.set_result can race the
         event loop into InvalidStateError / lost wakeups). Off-loop callers
         get their enqueue marshalled via call_soon_threadsafe; `full()` is a
-        benign approximation for the drop decision there."""
-        buf = pkt.pack_packet(ptype, payload)
+        benign approximation for the drop decision there.
+
+        The full()/dead-sender checks run BEFORE pack_packet: shedding is
+        hot exactly when the queue is full, and paying a CRC32-C over a
+        multi-MB frame just to drop it defeats the point. A dead sender
+        (peer reset) reports False like send() raises — otherwise the tick
+        keeps buffering frames into a queue nobody will ever drain."""
+        task = self._sender_task
+        if task is not None and task.done():
+            return False
         loop = getattr(self, "_loop", None)
         try:
             running = asyncio.get_running_loop()
         except RuntimeError:
             running = None
+        if self._send_queue.full():
+            return False
         if loop is not None and running is not loop:
-            if self._send_queue.full():
-                return False
             try:
-                loop.call_soon_threadsafe(self._put_drop, buf)
+                loop.call_soon_threadsafe(self._put_drop, pkt.pack_packet(ptype, payload))
             except RuntimeError:
                 return False  # loop already closed
             return True
         try:
-            self._send_queue.put_nowait(buf)
+            self._send_queue.put_nowait(pkt.pack_packet(ptype, payload))
             return True
         except asyncio.QueueFull:
             return False
@@ -142,11 +150,26 @@ class Transport:
                 self._send_queue.put_nowait(None)
             except asyncio.QueueFull:
                 self._sender_task.cancel()
-            with contextlib.suppress(asyncio.CancelledError):
-                await self._sender_task
+            # BOUNDED flush: the sender can be parked in writer.drain()
+            # against a peer that stopped reading (TCP zero window) with the
+            # queue NOT full, so the sentinel alone never unblocks it and a
+            # bare await would hang close() — and leak the connection task,
+            # Transport, and socket — forever. wait_for cancels the task on
+            # timeout, which interrupts drain().
+            with contextlib.suppress(asyncio.CancelledError, TimeoutError,
+                                     asyncio.TimeoutError):
+                await asyncio.wait_for(self._sender_task, timeout=2.0)
         with contextlib.suppress(ConnectionError, OSError):
             self.writer.close()
-            await self.writer.wait_closed()
+            try:
+                # close() flushes buffered data before closing — against the
+                # same stalled peer that parked the sender, that flush never
+                # finishes and wait_closed() is a second forever-hang. Bound
+                # it and abort(): dropping undeliverable bytes IS the
+                # disconnect semantics here.
+                await asyncio.wait_for(self.writer.wait_closed(), timeout=2.0)
+            except (TimeoutError, asyncio.TimeoutError):
+                self.writer.transport.abort()
 
 
 async def connect_tcp(host: str, port: int) -> Transport:

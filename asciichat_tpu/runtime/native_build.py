@@ -78,6 +78,9 @@ def _python_embed_flags() -> tuple[str, ...]:
 # per-library extra compile/link flags (system libraries some shims bind)
 LIB_FLAGS: dict[str, tuple[str, ...]] = {
     "avshim": ("-lavcodec", "-lavformat", "-lavutil", "-lswscale"),
+    # no Qt dev package on this image: link the runtime .so.5 by exact name
+    "qjs": ("-L/usr/lib/x86_64-linux-gnu",
+            "-l:libQt5Qml.so.5", "-l:libQt5Core.so.5"),
 }
 
 

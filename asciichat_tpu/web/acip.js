@@ -137,7 +137,10 @@
 
   function parseAudioBatch(payload) {
     const dv = new DataView(payload.buffer, payload.byteOffset, payload.byteLength);
-    const total = dv.getUint32(4);
+    // clamp the declared count to what the payload actually carries: a
+    // short/corrupt packet must not throw a RangeError out of onmessage
+    const carried = payload.byteLength >= 16 ? (payload.byteLength - 16) >> 2 : 0;
+    const total = Math.min(dv.getUint32(4), carried);
     const rate = dv.getUint32(8) || 48000;
     const samples = new Float32Array(total);
     for (let i = 0; i < total; i++) samples[i] = dv.getFloat32(16 + i * 4, true);

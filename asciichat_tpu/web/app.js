@@ -285,6 +285,9 @@ let audioCtx = null, playCursor = 0;
 function playAudioBatch(payload) {
   if (!audioCtx) return; // needs the user-gesture opt-in
   const { samples, rate } = A.parseAudioBatch(payload);
+  // createBuffer throws on 0 frames or an out-of-range rate — a corrupt
+  // packet must not take down the onmessage handler
+  if (!samples.length || rate < 8000 || rate > 96000) return;
   const buf = audioCtx.createBuffer(1, samples.length, rate);
   buf.copyToChannel(samples, 0);
   const src = audioCtx.createBufferSource();

@@ -3246,3 +3246,254 @@ def test_update_checker_caps_response_size(tmp_path):
             uc.fetch_latest()
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# seventeenth sweep: mirror / transport / handshake / identity
+
+
+def test_mirror_run_survives_pop_timeout():
+    """A source slower than the 1 s pop window (sub-1fps PTS pacing, webcam
+    stall, 'q' racing the loop check) must keep polling, not raise
+    queue.Empty out of run()."""
+    import time as _time
+
+    from asciichat_tpu.models.mirror import MirrorSession
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    class SlowSource:
+        fps = 30.0
+
+        def __init__(self):
+            self.calls = 0
+
+        def read(self):
+            self.calls += 1
+            _time.sleep(1.3)  # longer than the main loop's pop timeout
+            return None  # then EOF
+
+        def close(self):
+            pass
+
+    class _NullWriter:
+        is_tty = False
+
+        def write_frame(self, b):
+            pass
+
+    class _NullDisplay:
+        writer = _NullWriter()
+        show_help = False
+
+        def setup(self):
+            pass
+
+        def teardown(self):
+            pass
+
+        def reset(self):
+            pass
+
+        def set_meta(self, *a):
+            pass
+
+        def write_frame(self, b):
+            pass
+
+    m = MirrorSession(SlowSource(),
+                      TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND),
+                      20, 8, "   .:-=+*#%@")
+    m.display = _NullDisplay()
+    assert m.run() == 0  # pre-fix: _queue.Empty traceback out of run()
+
+
+def test_mirror_snapshot_rejects_dead_source():
+    """--snapshot on a source with no decodable frame raises a clean MEDIA
+    error instead of feeding None into the render pipeline."""
+    import pytest as _pytest
+
+    from asciichat_tpu.models.mirror import MirrorSession
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.utils.errors import AsciiChatError
+
+    class DeadSource:
+        fps = 30.0
+
+        def read(self):
+            return None
+
+        def close(self):
+            pass
+
+    m = MirrorSession(DeadSource(),
+                      TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND),
+                      20, 8, "   .:-=+*#%@")
+    with _pytest.raises(AsciiChatError, match="no frame"):
+        m.run_snapshot()
+
+
+def test_transport_close_bounded_when_sender_stalled():
+    """close() must not await a sender parked forever in drain() against a
+    peer that stopped reading (TCP zero window) — pre-fix, the sentinel
+    landed in a non-full queue, the QueueFull->cancel branch was skipped,
+    and close() hung, leaking the connection task + Transport + socket."""
+    import asyncio
+    import socket
+
+    from asciichat_tpu.net.transport import connect_tcp
+
+    async def run():
+        accepted = []
+
+        async def on_conn(reader, writer):
+            # never read: the client's kernel send buffer fills up
+            accepted.append(writer)
+            await asyncio.sleep(30)
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        sock = t.writer.get_extra_info("socket")
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 8192)
+        # enqueue well past the socket buffer so the sender blocks in drain()
+        for _ in range(8):
+            assert t.send_nowait(9999, b"x" * (1 << 20))
+        await asyncio.sleep(0.2)  # sender picks one up and parks in drain()
+        await asyncio.wait_for(t.close(), 10)  # pre-fix: TimeoutError here
+        server.close()
+        for w in accepted:
+            w.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_transport_send_nowait_reports_dead_sender():
+    """After the peer is gone (sender task exited), send_nowait must report
+    False like send() raises — not keep buffering multi-MB frames into a
+    queue nobody drains."""
+    import asyncio
+
+    from asciichat_tpu.net.transport import connect_tcp
+
+    async def run():
+        async def on_conn(reader, writer):
+            writer.close()
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        t._sender_task.cancel()
+        await asyncio.sleep(0)  # let the cancellation land
+        assert t.send_nowait(9999, b"frame") is False
+        assert t._send_queue.empty()
+        await t.close()
+        server.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_stale_rekey_response_rejected_by_echo():
+    """A REKEY_RESPONSE answering an ABANDONED request (stall -> abandon ->
+    restart) must not be committed: DH(new_priv, old_resp) is a key the
+    responder never computed, and committing it MAC-fails every later
+    packet. The response's echo of the request pubkey binds it."""
+    import pytest as _pytest
+
+    from asciichat_tpu.net import crypto as C
+
+    a, b = C.CryptoContext(), C.CryptoContext()
+    a.compute_shared(b.public_key)
+    b.compute_shared(a.public_key)
+    req1 = a.start_rekey()
+    a.abandon_rekey()
+    req2 = a.start_rekey()
+    stale = b.respond_rekey(req1)
+    with _pytest.raises(ValueError, match="stale"):
+        a.finish_rekey(stale)
+    assert a.rekey.in_progress  # the live rekey is untouched
+    fresh = b.respond_rekey(req2)
+    a.finish_rekey(fresh)
+    # proof-of-possession commits the responder's pending key
+    b.decrypt(a.encrypt(b"REKEY-OK"))
+    assert a.shared_key == b.shared_key
+
+
+def test_identity_file_corrupt_and_atomic(tmp_path):
+    """A truncated key file (crash/disk-full mid-write) raises a clear
+    ValueError naming the file; creation is tmp+rename so the failure can't
+    happen again; the caller (apps/server) falls back to ephemeral."""
+    import pytest as _pytest
+
+    from asciichat_tpu.net.identity import Identity
+
+    # corrupt: clear, actionable error
+    bad = tmp_path / "host_key"
+    bad.write_bytes(b"short")
+    with _pytest.raises(ValueError, match="host_key"):
+        Identity.load_or_create(bad)
+    # create + reload roundtrip, no stray tmp files
+    good = tmp_path / "fresh" / "host_key"
+    i1 = Identity.load_or_create(good)
+    i2 = Identity.load_or_create(good)
+    assert i1.public_bytes == i2.public_bytes
+    assert [p.name for p in good.parent.iterdir()] == ["host_key"]
+    assert good.stat().st_size == 32
+
+
+def test_client_handshake_validates_parameters():
+    """A server selecting unsupported algorithms/sizes in CRYPTO_PARAMETERS
+    fails the handshake LOUDLY (handshake/client.c validates the negotiated
+    parameters) instead of dying later with opaque MAC errors."""
+    import asyncio
+    import struct as _struct
+
+    from asciichat_tpu.net import crypto as C
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.handshake import (
+        PARAMETERS_STRUCT, HandshakeError, client_handshake,
+    )
+    from asciichat_tpu.net.transport import Transport, connect_tcp
+
+    async def run():
+        P = pkt.PacketType
+
+        async def weird_server(t: Transport):
+            await t.recv()  # capabilities
+            bad = PARAMETERS_STRUCT.pack(0x7F, 0, 0x7F, 0, 16, 0, 0, 16,
+                                         12, 8, 32, b"\0\0\0")
+            await t.send(P.CRYPTO_PARAMETERS, bad)
+            await t.send(P.CRYPTO_KEY_EXCHANGE_INIT, C.CryptoContext().public_key)
+            try:
+                await t.recv()
+            except (ValueError, ConnectionError, asyncio.IncompleteReadError):
+                pass
+
+        server = await asyncio.start_server(
+            lambda r, w: weird_server(Transport(r, w)), "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        with pytest.raises(HandshakeError, match="unsupported crypto parameters"):
+            await client_handshake(t, C.CryptoContext())
+        await t.close()
+        server.close()
+
+        # short payload is equally fatal
+        async def short_server(t: Transport):
+            await t.recv()
+            await t.send(P.CRYPTO_PARAMETERS, b"\x01\x00")
+
+        server = await asyncio.start_server(
+            lambda r, w: short_server(Transport(r, w)), "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_tcp("127.0.0.1", port)
+        with pytest.raises(HandshakeError, match="short CRYPTO_PARAMETERS"):
+            await client_handshake(t, C.CryptoContext())
+        await t.close()
+        server.close()
+        _ = _struct  # keep the import local-style consistent
+
+    asyncio.run(asyncio.wait_for(run(), 30))

@@ -484,3 +484,175 @@ def test_parser_survives_garbage():
     # REP flood is bounded by capacity, not memory
     g = ansiparse.AnsiGrid().parse("X\x1b[2000000000b")
     assert g.w <= g.cap_w
+
+
+# --------------------------------------------------------------------------
+# REAL JS-engine execution (Qt5 QML V4 via native/qjs.cpp): this image has
+# no browser or node, but libQt5Qml.so.5 ships the full ES6/ES7 V4 engine.
+# These tests execute the ACTUAL shipped JS — not the Python twins — against
+# the same committed contracts.
+
+def _qjs():
+    from asciichat_tpu.web import jsrun
+
+    return jsrun if jsrun.available() else None
+
+
+# V4 (Qt 5.15) predates globalThis and has no DOM TextEncoder; the app
+# shims nothing (browsers have both), so the test prelude provides them.
+QJS_PRELUDE = """
+var globalThis = this;
+var module = undefined;
+function TextEncoder() {}
+TextEncoder.prototype.encode = function (s) {
+  var out = [];
+  for (var i = 0; i < s.length; i++) {
+    var c = s.codePointAt(i);
+    if (c > 0xffff) i++;
+    if (c < 0x80) out.push(c);
+    else if (c < 0x800) out.push(0xc0 | (c >> 6), 0x80 | (c & 63));
+    else if (c < 0x10000)
+      out.push(0xe0 | (c >> 12), 0x80 | ((c >> 6) & 63), 0x80 | (c & 63));
+    else
+      out.push(0xf0 | (c >> 18), 0x80 | ((c >> 12) & 63),
+               0x80 | ((c >> 6) & 63), 0x80 | (c & 63));
+  }
+  return new Uint8Array(out);
+};
+function hex(u8) {
+  var s = "";
+  for (var i = 0; i < u8.length; i++) s += (u8[i] + 256).toString(16).slice(1);
+  return s;
+}
+function unhex(s) {
+  var u = new Uint8Array(s.length / 2);
+  for (var i = 0; i < u.length; i++) u[i] = parseInt(s.substr(2 * i, 2), 16);
+  return u;
+}
+"""
+
+
+def test_qjs_engine_available():
+    """The Qt V4 shim must work on this image (guards the other tests from
+    silently skipping forever)."""
+    from asciichat_tpu.web import jsrun
+
+    if not Path("/usr/lib/x86_64-linux-gnu/libQt5Qml.so.5").exists():
+        pytest.skip("no libQt5Qml on this host")
+    assert jsrun.eval_js("6*7") == "42"
+    assert jsrun.eval_js("[...new Set([1,2,2])].map(x=>x*2).join()") == "2,4"
+    with pytest.raises(jsrun.JsError, match="boom"):
+        jsrun.eval_js("throw new Error('boom')")
+
+
+def test_js_parser_matches_committed_corpus_qjs():
+    """Run the ACTUAL web/ansi.js under the Qt V4 engine against the SAME
+    committed corpus that pins the Python twin — the executed-JS evidence
+    the node-gated test was waiting for."""
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+    corpus_text = CORPUS_PATH.read_text()
+    program = (
+        QJS_PRELUDE
+        + jsrun.load_twin("ansi.js")
+        + "\nvar G = globalThis.AsciichatAnsi.AnsiGrid;\n"
+        + "var doc = JSON.parse(" + json.dumps(corpus_text) + ");\n"
+        + """
+var bad = [];
+for (var e of doc.entries) {
+  var grid = new G();
+  grid.parse(e.text);
+  if (grid.w !== e.w || grid.h !== e.h) {
+    bad.push(e.name + " dims " + grid.w + "x" + grid.h);
+    continue;
+  }
+  var k = 0;
+  outer: for (var y = 0; y < grid.h; y++) {
+    for (var x = 0; x < grid.w; x++, k++) {
+      var c = grid.cell(x, y);
+      var w = e.cells[k];
+      if (c[0] !== w[0] || c[1] !== w[1] || c[2] !== w[2]) {
+        bad.push(e.name + " cell(" + x + "," + y + ")=" + c + " want " + w);
+        break outer;
+      }
+    }
+  }
+}
+bad.length ? "MISMATCH " + bad.join(" | ") : "OK " + doc.entries.length;
+"""
+    )
+    result = jsrun.eval_js(program)
+    assert result.startswith("OK "), result
+    assert int(result.split()[1]) >= 26
+
+
+def test_js_acip_wire_interop_qjs():
+    """Byte-level interop of the ACTUAL web/acip.js with the Python packet
+    layer: pack in JS -> verify in Python, pack in Python -> parse in JS.
+    This is the browser protocol path executed for real (packet framing +
+    CRC32-C + caps/size/audio payload builders)."""
+    import struct
+
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.protocol import SIZE_STRUCT, WireCapabilities
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+
+    payload = bytes(range(256)) * 3 + b"tail"
+    py_frame = pkt.pack_ascii_frame(b"\x1b[0mHello\nrow2", 5, 2, compress=False)
+    py_audio = pkt.pack_audio_batch(
+        struct.pack("<4f", 0.0, 0.5, -0.25, 1.0), 4, 1, 48000, 1)
+    program = (
+        QJS_PRELUDE
+        + jsrun.load_twin("acip.js")
+        + f"""
+var A = globalThis.AsciichatAcip;
+var payload = unhex({json.dumps(payload.hex())});
+var out = [];
+out.push(hex(new Uint8Array(A.packPacket(A.T.ASCII_FRAME, payload))));
+out.push(hex(A.capsPayload({{cols: 203, rows: 64, colorLevel: 3,
+  renderMode: 2, paletteCustom: "", desiredFps: 60, colorFilter: 4}})));
+out.push(hex(A.sizePayload(120, 40)));
+out.push(hex(A.audioBatchPayload(new Float32Array([0, 0.5, -0.25, 1]), 48000)));
+// parse side: Python-built ascii frame + audio batch
+var f = A.parseAsciiFrame(unhex({json.dumps(py_frame.hex())}));
+out.push(f.width + "x" + f.height + ":" + hex(f.body));
+var ab = A.parseAudioBatch(unhex({json.dumps(py_audio.hex())}));
+out.push(ab.rate + ":" + Array.prototype.join.call(ab.samples, ","));
+// header roundtrip of a Python packet
+var full = unhex({json.dumps(pkt.pack_packet(5001, b"ping!").hex())});
+var dv = new DataView(full.buffer);
+var h = A.unpackHeader(dv);
+out.push(h.type + ":" + h.length + ":" +
+         (A.crc32c(full.subarray(A.HEADER_SIZE)) === dv.getUint32(14)));
+out.join("|");
+"""
+    )
+    (js_pkt, js_caps, js_size, js_audio, js_frame, js_ab,
+     js_hdr) = jsrun.eval_js(program).split("|")
+    # JS-packed bytes are verbatim what Python would send / accepts
+    assert js_pkt == pkt.pack_packet(int(pkt.PacketType.ASCII_FRAME),
+                                     payload).hex()
+    raw = bytes.fromhex(js_pkt)
+    ptype, length, crc, _cid = pkt.unpack_header(raw[: pkt.HEADER_SIZE])
+    assert (ptype, length) == (pkt.PacketType.ASCII_FRAME, len(payload))
+    assert raw[pkt.HEADER_SIZE:] == payload
+    assert pkt.verify_payload(payload, crc)
+    want_caps = WireCapabilities(
+        caps=TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK),
+        capabilities_mask=1, width=203, height=64, term_type="xterm-web",
+        colorterm="truecolor", palette_custom="", desired_fps=60,
+        color_filter=4,
+    ).pack()
+    assert js_caps == want_caps.hex()
+    assert js_size == SIZE_STRUCT.pack(120, 40).hex()
+    assert js_audio == py_audio.hex()
+    assert js_frame == "5x2:" + b"\x1b[0mHello\nrow2".hex()
+    assert js_ab == "48000:0,0.5,-0.25,1"
+    assert js_hdr == "5001:5:true"
