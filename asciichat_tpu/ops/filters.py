@@ -54,19 +54,29 @@ def rainbow_color(time_s: float) -> tuple[int, int, int]:
     i = int(np.floor(h))
     f = f32(h - f32(i))
     q, t = f32(1.0) - f, f
-    seg = i % 6
+    # C `i % 6` truncates toward zero: a NEGATIVE time (clock skew, epoch-
+    # relative offsets) gives a negative remainder, which falls to the
+    # switch's `default: red` (color_filter.c:220-225) — Python's floored
+    # `%` would instead wrap into a valid hue segment and diverge
+    seg = i - int(i / 6) * 6
+    # the +0.5 round constants stay f32-wrapped: NumPy 1.x promotes
+    # float32 * python-float to float64, crossing rounding boundaries the
+    # C (all-float32) evaluation never sees
+    c255, chalf = f32(255.0), f32(0.5)
     if seg == 0:
-        r, g, b = 255, int(t * 255.0 + 0.5), 0
+        r, g, b = 255, int(t * c255 + chalf), 0
     elif seg == 1:
-        r, g, b = int(q * 255.0 + 0.5), 255, 0
+        r, g, b = int(q * c255 + chalf), 255, 0
     elif seg == 2:
-        r, g, b = 0, 255, int(t * 255.0 + 0.5)
+        r, g, b = 0, 255, int(t * c255 + chalf)
     elif seg == 3:
-        r, g, b = 0, int(q * 255.0 + 0.5), 255
+        r, g, b = 0, int(q * c255 + chalf), 255
     elif seg == 4:
-        r, g, b = int(t * 255.0 + 0.5), 0, 255
-    else:
-        r, g, b = 255, 0, int(q * 255.0 + 0.5)
+        r, g, b = int(t * c255 + chalf), 0, 255
+    elif seg == 5:
+        r, g, b = 255, 0, int(q * c255 + chalf)
+    else:  # negative segment: the C default case
+        r, g, b = 255, 0, 0
     # min-luminance boost, also float32 (0.2126f*r + ... , fminf):
     # np binary ops on two float32 scalars round to float32 at every step,
     # matching the C left-to-right evaluation

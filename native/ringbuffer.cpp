@@ -10,6 +10,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 
 namespace {
 
@@ -26,10 +27,24 @@ struct Ring {
 extern "C" {
 
 Ring* ac_ring_create(uint64_t min_capacity) {
+  // Bound the request BEFORE the round-up loop: a negative size wrapped
+  // through ctypes' uint64 would otherwise spin the doubling loop forever
+  // (cap overflows to 0) or overflow cap*sizeof(float) into a tiny
+  // allocation that every write then corrupts. 2^28 floats (1 GiB) is far
+  // beyond any audio ring this framework sizes.
+  const uint64_t kMaxCapacity = uint64_t(1) << 28;
+  if (min_capacity == 0 || min_capacity > kMaxCapacity) return nullptr;
   uint64_t cap = 1;
   while (cap < min_capacity) cap <<= 1;
-  Ring* r = new Ring();
+  // failures report as NULL across the C ABI (the Python wrapper raises
+  // MemoryError) — an escaping bad_alloc would std::terminate the process
+  Ring* r = new (std::nothrow) Ring();
+  if (!r) return nullptr;
   r->data = (float*)malloc(cap * sizeof(float));
+  if (!r->data) {
+    delete r;
+    return nullptr;
+  }
   r->capacity = cap;
   r->head.store(0);
   r->tail.store(0);
@@ -44,8 +59,13 @@ void ac_ring_destroy(Ring* r) {
 }
 
 uint64_t ac_ring_size(const Ring* r) {
-  return r->head.load(std::memory_order_acquire) -
-         r->tail.load(std::memory_order_acquire);
+  // Load TAIL first: a third (stats/shedding) thread racing both ends can
+  // otherwise see head from before a write and tail from after the
+  // matching read, and the unsigned subtraction reports ~2^64. Tail-first
+  // bounds any race to an under-estimate, which every caller tolerates.
+  uint64_t tail = r->tail.load(std::memory_order_acquire);
+  uint64_t head = r->head.load(std::memory_order_acquire);
+  return head >= tail ? head - tail : 0;
 }
 
 uint64_t ac_ring_capacity(const Ring* r) { return r->capacity; }

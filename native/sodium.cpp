@@ -75,6 +75,16 @@ void salsa20_rounds(uint32_t x[16]) {
 }
 
 // Salsa20 block function: 64-byte keystream block from key, 8B nonce, counter.
+// memset through a volatile function pointer so the wipe of dead stack
+// buffers survives -O3 dead-store elimination. Guarded: sanitize_harness.cpp
+// includes this file and argon2.cpp into one translation unit. Defined
+// ABOVE the cipher cores: they wipe their own locals (see below).
+#ifndef AC_SECURE_MEMZERO_DEFINED
+#define AC_SECURE_MEMZERO_DEFINED
+void* (*const volatile memset_v)(void*, int, size_t) = memset;
+inline void secure_memzero(void* p, size_t n) { memset_v(p, 0, n); }
+#endif
+
 void salsa20_block(uint8_t out[64], const uint8_t key[32], const uint8_t nonce[8],
                    uint64_t counter) {
   uint32_t in[16], x[16];
@@ -97,6 +107,11 @@ void salsa20_block(uint8_t out[64], const uint8_t key[32], const uint8_t nonce[8
   memcpy(x, in, sizeof(x));
   salsa20_rounds(x);
   for (int i = 0; i < 16; ++i) store32(out + 4 * i, x[i] + in[i]);
+  // the callers wipe THEIR key buffers (ac_secretbox_*:306-309), but this
+  // frame held verbatim subkey words (in[1..4], in[11..14]) and the raw
+  // keystream (x) — leaving them in dead stack memory defeats that wipe
+  secure_memzero(in, sizeof(in));
+  secure_memzero(x, sizeof(x));
 }
 
 // HSalsa20: 32-byte subkey from key + 16-byte nonce (no feedforward; outputs
@@ -128,16 +143,8 @@ void hsalsa20(uint8_t out[32], const uint8_t key[32], const uint8_t n[16]) {
   store32(out + 20, x[7]);
   store32(out + 24, x[8]);
   store32(out + 28, x[9]);
+  secure_memzero(x, sizeof(x));  // held the outer key words verbatim
 }
-
-// memset through a volatile function pointer so the wipe of dead stack
-// buffers survives -O3 dead-store elimination. Guarded: sanitize_harness.cpp
-// includes this file and argon2.cpp into one translation unit.
-#ifndef AC_SECURE_MEMZERO_DEFINED
-#define AC_SECURE_MEMZERO_DEFINED
-void* (*const volatile memset_v)(void*, int, size_t) = memset;
-inline void secure_memzero(void* p, size_t n) { memset_v(p, 0, n); }
-#endif
 
 // Salsa20 keystream XOR under an already-derived subkey, starting at block
 // `block0`. Taking the subkey (instead of re-running HSalsa20 on the outer

@@ -338,6 +338,10 @@ def test_rainbow_color_vs_c(reff):
              3.5, 7.0, 1e6 + 0.25]
     times += list(rng.uniform(0, 3.5, 400))
     times += list(rng.uniform(0, 1e5, 100))
+    # NEGATIVE times (clock skew / epoch-relative offsets): C's truncating
+    # `i % 6` yields a negative segment -> the switch default (red), where
+    # Python's floored % would wrap into a valid hue segment and diverge
+    times += [-1.0, -0.25, -3.4999, -7.5] + list(rng.uniform(-100, 0, 50))
     for t in times:
         want = reff.rainbow(t)
         got = rainbow_color(t)

@@ -3497,3 +3497,38 @@ def test_client_handshake_validates_parameters():
         _ = _struct  # keep the import local-style consistent
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+# ---------------------------------------------------------------------------
+# eighteenth sweep: native ring buffer / sodium / filters / mesh
+
+
+def test_audio_ring_rejects_absurd_capacities():
+    """A zero, negative-wrapped, or huge capacity must fail as the wrapper's
+    MemoryError — pre-fix the round-up loop hung forever (cap doubling to 0)
+    or overflowed cap*sizeof(float) into a tiny allocation that every write
+    then corrupted, and malloc/new failures crashed instead of reporting."""
+    from asciichat_tpu.runtime.ringbuffer import AudioRing
+
+    for bad in (0, -1, (1 << 62) + 1, 1 << 40):
+        with pytest.raises(MemoryError):
+            AudioRing(bad)
+    ring = AudioRing(1000)  # normal path still rounds up to a power of two
+    assert ring.capacity == 1024
+
+
+def test_rainbow_negative_time_hits_c_default_red():
+    """C's truncating `i % 6` on a negative hue segment falls to the switch
+    default (red, color_filter.c:220-225); Python's floored % wrapped into a
+    valid segment and tinted differently. The compiled-C gate
+    (test_reference_c.py) covers this when refc builds; this pins it always."""
+    from asciichat_tpu.ops.filters import rainbow_color
+
+    a = rainbow_color(-1.0)
+    b = rainbow_color(-99.37)
+    assert a == b  # every negative-segment time is the same default red
+    assert a[0] == 255 and a[1] == a[2]  # red + equal-channel luminance boost
+    # positive times are untouched by the fix (t=0 is also boosted pure red,
+    # verified against the compiled reference C in test_reference_c.py)
+    assert rainbow_color(0.0) == (255, 21, 21)
+    assert rainbow_color(1.0) != a
