@@ -656,3 +656,136 @@ out.join("|");
     assert js_frame == "5x2:" + b"\x1b[0mHello\nrow2".hex()
     assert js_ab == "48000:0,0.5,-0.25,1"
     assert js_hdr == "5001:5:true"
+
+
+RENDERER_DOM_SHIM = """
+function Ctx(canvas) {
+  this.canvas = canvas;
+  this.ops = [];
+  this.font = ""; this.fillStyle = ""; this.textBaseline = "";
+  this.imageSmoothingEnabled = true;
+}
+Ctx.prototype.measureText = function (s) { return { width: 8 }; };
+Ctx.prototype.createImageData = function (w, h) {
+  return { width: w, height: h, data: new Uint8ClampedArray(w * h * 4) };
+};
+Ctx.prototype.putImageData = function (img, x, y) {
+  this.canvas._img = img;
+  this.ops.push(["put", img.width, img.height]);
+};
+Ctx.prototype.drawImage = function (src, x, y, w, h) {
+  this.ops.push(["drawImage", w, h]);
+};
+Ctx.prototype.fillRect = function (x, y, w, h) {
+  this.ops.push(["rect", x, y, w, h, this.fillStyle]);
+};
+Ctx.prototype.fillText = function (s, x, y) {
+  this.ops.push(["text", s, x, y, this.fillStyle]);
+};
+function Canvas() { this.width = 0; this.height = 0; this._ctx = null; }
+Canvas.prototype.getContext = function () {
+  if (!this._ctx) this._ctx = new Ctx(this);
+  return this._ctx;
+};
+var document = { createElement: function (tag) { return new Canvas(); } };
+"""
+
+
+def test_renderer_js_pixel_path_bytes_qjs():
+    """Execute the ACTUAL web/renderer.js under the Qt V4 engine on an
+    oracle-rendered half-block frame and verify the ImageData it builds
+    BYTE-FOR-BYTE: every cell becomes (fg -> top px, bg -> bottom px),
+    spaces/defaults become the background — the canvas-blit architecture's
+    pixel math, previously unexecuted anywhere."""
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+    rng = np.random.default_rng(123)
+    rgb = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    rgb[2:5, 3:9] = 0  # transparent (all-black) region -> space cells
+    frame = oracle.render_halfblock_truecolor(rgb)
+    program = (
+        QJS_PRELUDE + RENDERER_DOM_SHIM
+        + jsrun.load_twin("ansi.js")
+        + jsrun.load_twin("renderer.js")
+        + f"""
+var grid = new globalThis.AsciichatAnsi.AnsiGrid();
+grid.parse({json.dumps(frame.decode())});
+var canvas = new Canvas();
+var r = new globalThis.AsciichatRenderer.CanvasRenderer(canvas, {{fontPx: 14}});
+var mode = r.draw(grid);
+[mode, grid.w, grid.h, canvas.width, canvas.height,
+ hex(new Uint8Array(r._img.data.buffer))].join("|");
+"""
+    )
+    mode, w, h, cw, ch, img_hex = jsrun.eval_js(program).split("|")
+    grid = ansiparse.AnsiGrid().parse(frame)
+    assert mode == "pixel" and (int(w), int(h)) == (grid.w, grid.h)
+    # canvas sized to the grid at the measured cell metrics (8 x ceil(14*1.2))
+    assert (int(cw), int(ch)) == (grid.w * 8, grid.h * 17)
+    # expected RGBA: glyph cells split fg/bg into two pixel rows; space cells
+    # (transparent runs) take the default background
+    g, f, b = grid.cells()
+    expect = np.zeros((2 * grid.h, grid.w, 4), np.uint8)
+    expect[..., 3] = 255
+    for y in range(grid.h):
+        for x in range(grid.w):
+            if g[y, x] == 32:
+                top = bot = 0x000000
+            else:
+                top = f[y, x] if f[y, x] >= 0 else 0x000000
+                bot = b[y, x] if b[y, x] >= 0 else 0x000000
+            expect[2 * y, x, :3] = [(top >> 16) & 255, (top >> 8) & 255, top & 255]
+            expect[2 * y + 1, x, :3] = [(bot >> 16) & 255, (bot >> 8) & 255, bot & 255]
+    got = np.frombuffer(bytes.fromhex(img_hex), np.uint8).reshape(expect.shape)
+    np.testing.assert_array_equal(got, expect)
+    # and the pixels ARE the resized source: top row = even source rows
+    np.testing.assert_array_equal(got[0, :, :3][got[0, :, 2] != 0],
+                                  rgb[0][rgb[0][:, 2] != 0])
+
+
+def test_renderer_js_cell_diff_path_qjs():
+    """The glyph (cells) path under the real engine: full first paint, then
+    a one-cell change redraws exactly that cell (diff path) with the right
+    styles; a lone half-block amid glyphs becomes a top-half rect."""
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+    program = (
+        QJS_PRELUDE + RENDERER_DOM_SHIM
+        + jsrun.load_twin("ansi.js")
+        + jsrun.load_twin("renderer.js")
+        + """
+var G = globalThis.AsciichatAnsi.AnsiGrid;
+var canvas = new Canvas();
+var r = new globalThis.AsciichatRenderer.CanvasRenderer(canvas, {fontPx: 14});
+var g1 = new G();
+g1.parse("\\x1b[38;2;255;0;0mAB\\nC\\u2580");
+var m1 = r.draw(g1);
+var ctx = canvas.getContext();
+var texts1 = ctx.ops.filter(o => o[0] === "text").length;
+var clears1 = ctx.ops.filter(
+  o => o[0] === "rect" && o[3] === canvas.width && o[4] === canvas.height).length;
+ctx.ops.length = 0;
+var g3 = new G();
+g3.parse("\\x1b[38;2;0;255;0mAB\\nC\\u2580"); // SAME dims, fg color changed
+r.draw(g3);
+var diffOps = JSON.stringify(ctx.ops);
+[m1, texts1, clears1, canvas.width + "x" + canvas.height, diffOps].join("|");
+"""
+    )
+    m1, texts1, clears1, dims, diff_ops = jsrun.eval_js(program).split("|")
+    assert m1 == "cells"
+    assert dims == "16x34"  # 2x2 grid at the shim's 8x17 cell metrics
+    assert int(texts1) == 3  # A, B, C drawn as text; the half-block as rects
+    assert int(clears1) == 1  # first paint clears the whole canvas
+    ops = json.loads(diff_ops)
+    # diff pass: every cell's fg changed -> 4 bg rects + 3 glyph texts + the
+    # lone half-block's top-half rect, and NO full-canvas clear
+    texts = [o for o in ops if o[0] == "text"]
+    rects = [o for o in ops if o[0] == "rect"]
+    assert len(texts) == 3 and all(o[4] == "rgb(0,255,0)" for o in texts)
+    assert len(rects) == 5
+    assert not any(o[3] == 16 and o[4] == 34 for o in rects)  # no clear
+    half = [o for o in rects if o[4] == "rgb(0,255,0)" or o[4] == 8.5]
+    assert any(o[4] == 8.5 or o[5] == "rgb(0,255,0)" for o in rects), half
