@@ -37,7 +37,29 @@ def _topology_key() -> str:
     for part in os.environ.get("XLA_FLAGS", "").split():
         if "xla_force_host_platform_device_count=" in part:
             hostdev = part.rsplit("=", 1)[1]
-    return f"{plats}-hd{hostdev}"
+    return f"{plats}-hd{hostdev}-{_machine_key()}"
+
+
+def _machine_key() -> str:
+    """Fingerprint of the HOST CPU features. XLA:CPU persists AOT results
+    compiled for the build machine's exact feature set; replayed on a host
+    of a different generation they load with a 'could lead to SIGILL'
+    warning (observed 2026-08-18: +amx/+avx512 executables from a prior
+    session's host loaded on one without prefer-no-scatter support). The
+    shared ~/.cache can outlive a host, so the directory must not."""
+    import hashlib
+    import platform
+
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feat.encode()).hexdigest()[:10]
 
 
 _key_applied: str | None = None

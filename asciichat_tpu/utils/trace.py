@@ -53,6 +53,14 @@ class Tracer:
         with self._lock:
             return {k: (self._totals[k], self._counts[k]) for k in self._totals}
 
+    def reset(self) -> None:
+        """Drop accumulated section totals (e.g. jit-warmup ticks before a
+        steady-state soak window — one compile-spiked 'convert' section
+        otherwise inflates the reported stage averages forever)."""
+        with self._lock:
+            self._totals.clear()
+            self._counts.clear()
+
     def breakdown(self, reset: bool = True, force: bool = False) -> str | None:
         """Rate-limited "BREAKDOWN: a=1.2ms, b=300us (total=1.5ms)" log line."""
         if not force and not self._rate.should_log(self.name):

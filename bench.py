@@ -142,17 +142,34 @@ def main():
     log(f"timed-step HLO fingerprint: {hlo_hash}")
     int(s1(frames, ramp))  # compile
     int(s2(frames, ramp))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        int(s1(frames, ramp))  # int() forces synchronous completion
-    t1 = time.perf_counter()
-    for _ in range(reps):
-        int(s2(frames, ramp))
-    t2 = time.perf_counter()
-    per_iter = ((t2 - t1) - (t1 - t0)) / (reps * (k2 - k1))
+    # best-of-reps each loop length INDEPENDENTLY (the bench_server_tick
+    # methodology): mean-differencing let a single tunnel/steal spike in the
+    # k1 phase produce a negative or absurd headline with no invalidation.
+    # A corrupted delta retries; if jitter never clears, fall back to the
+    # k2 loop's raw rate (includes dispatch overhead -> a LOWER bound,
+    # logged as such, never a negative/absurd headline).
+    best1 = best2 = float("inf")
+    per_iter = None
+    for attempt in range(3):
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(s1(frames, ramp))  # int() forces synchronous completion
+            best1 = min(best1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(s2(frames, ramp))
+            best2 = min(best2, time.perf_counter() - t0)
+        if best2 - best1 > 0:
+            per_iter = (best2 - best1) / (k2 - k1)
+            break
+        log(f"jitter-corrupted differencing pair (k1={best1 * 1e3:.1f}ms >= "
+            f"k2={best2 * 1e3:.1f}ms); retrying ({attempt + 1}/3)")
+    if per_iter is None:
+        per_iter = best2 / k2
+        log("WARNING: differencing never converged; reporting the k2 loop's "
+            "raw rate (dispatch overhead included -> lower bound)")
     fps = B / per_iter
     log(f"device conversion: {fps:,.0f} frames/s ({per_iter / B * 1e6:.2f} us/frame, "
-        f"k1={(t1 - t0) / reps * 1e3:.1f}ms k2={(t2 - t1) / reps * 1e3:.1f}ms)")
+        f"k1={best1 * 1e3:.1f}ms k2={best2 * 1e3:.1f}ms, best-of-{reps})")
 
     # --- end-to-end: records -> ANSI bytes (the serving-path bottleneck) --
     # Host emit in isolation first (same worst-case gradient content: color
@@ -325,11 +342,21 @@ def bench_datachannel() -> float:
 
             t0 = time.perf_counter()
             prod = asyncio.create_task(producer())
-            for _ in range(n):
-                await asyncio.wait_for(ch_b.recv(), 30)
-            dt = time.perf_counter() - t0
-            await prod
-            return n / dt
+            try:
+                for _ in range(n):
+                    await asyncio.wait_for(ch_b.recv(), 30)
+                dt = time.perf_counter() - t0
+                return n / dt
+            finally:
+                # a recv timeout must not abandon the producer mid-send:
+                # the agents close underneath it and its exception (which
+                # says WHICH side stalled) would be silently dropped
+                if not prod.done():
+                    prod.cancel()
+                try:
+                    await prod
+                except (asyncio.CancelledError, ConnectionError) as e:
+                    log(f"datachannel producer ended: {e!r}")
         finally:
             a.close()
             b.close()
@@ -383,15 +410,22 @@ def bench_server_tick() -> float:
     # preferentially select a jitter-corrupted pair (inflated baseline ->
     # tiny or negative delta)
     best8 = best40 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(ticks_k(frames, audio, st, 8)[0])
-        best8 = min(best8, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        int(ticks_k(frames, audio, st, 40)[0])
-        best40 = min(best40, time.perf_counter() - t0)
-    per_tick = max((best40 - best8) / 32, 1e-9)
-    return 1.0 / per_tick
+    for attempt in range(3):
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(ticks_k(frames, audio, st, 8)[0])
+            best8 = min(best8, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(ticks_k(frames, audio, st, 40)[0])
+            best40 = min(best40, time.perf_counter() - t0)
+        if best40 - best8 > 0:
+            return 32 / (best40 - best8)
+    # jitter never cleared: the 1e-9 floor used to report up to 1e9 ticks/s
+    # here — return the k40 loop's raw rate instead (dispatch overhead
+    # included -> an honest lower bound)
+    log("WARNING: tick differencing never converged; reporting the k40 "
+        "loop's raw rate (lower bound)")
+    return 40 / best40
 
 
 if __name__ == "__main__":

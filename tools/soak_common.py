@@ -1,0 +1,112 @@
+"""Shared soak-harness scaffolding for tools/soak_*.py.
+
+The latency, nine-client, and mixed-transport soaks all boot the same
+in-process server + tick loop, drive PRODUCTION clients against it, window
+out the jit warmup, and tear down observing failures. Keeping one copy here
+means a harness fix (warmup coverage, tick-crash observation, RSS math)
+lands in every soak at once instead of drifting per file.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rss_kib() -> int:
+    # sysconf, not a hardcoded 4096: on 16K/64K-page kernels (arm64) the
+    # resident-pages scaling under-reported RSS 4-16x, passing the leak
+    # gates on genuinely leaking builds
+    page = os.sysconf("SC_PAGE_SIZE")
+    return int(open("/proc/self/statm").read().split()[1]) * page // 1024
+
+
+async def boot_server():
+    """Pin the CPU platform (the soaks measure the serving runtime, not the
+    TPU tunnel — CLAUDE.md gotcha) and boot the in-process server + tick
+    loop. Returns (server, tcp_srv, port, tick_task)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from asciichat_tpu.apps.server import AsciiChatServer
+    from asciichat_tpu.net.transport import serve_tcp
+
+    server = AsciiChatServer()
+    tcp_srv = await serve_tcp(server._handle_conn, "127.0.0.1", 0)
+    port = tcp_srv.sockets[0].getsockname()[1]
+    tick = asyncio.get_running_loop().create_task(server._tick_loop())
+    return server, tcp_srv, port, tick
+
+
+async def stop_server(tcp_srv, tick) -> str | None:
+    """Cancel the tick loop and OBSERVE its outcome: a tick-loop crash
+    mid-soak must land in the artifact (-> returned repr), not vanish as an
+    unretrieved task exception that os._exit never even warns about."""
+    tick.cancel()
+    err = None
+    try:
+        await tick
+    except asyncio.CancelledError:
+        pass
+    except Exception as e:  # noqa: BLE001 — the whole point is to report it
+        err = repr(e)
+    tcp_srv.close()
+    return err
+
+
+def make_client(port, devnull, *, w, h, color, mode, palette="", filt="none"):
+    """One PRODUCTION client with a test-pattern source, display devnulled."""
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.ops import filters
+    from asciichat_tpu.render.types import TerminalCapabilities
+    from asciichat_tpu.runtime.framesource import open_source
+    from asciichat_tpu.utils import term
+
+    caps = TerminalCapabilities(color, mode)
+    wc = proto.WireCapabilities(
+        caps=caps, width=w, height=h, palette_custom=palette,
+        palette_type=5 if palette else 0,  # PALETTE_CUSTOM analog
+        color_filter=filters.FILTER_NAMES.index(filt),
+    )
+    c = AsciiChatClient("127.0.0.1", port, open_source(test_pattern=True),
+                        wc, reconnect=False)
+    c.display.writer = term.FrameWriter(devnull)
+    return c
+
+
+async def drive_client(client, until) -> tuple[int, str | None]:
+    """Run a client until `until` -> (frames_received, error_repr|None).
+    The error is RETURNED, never folded into a counts dict as a string —
+    that pattern made a churn-client death invisible to the pass gates."""
+    task = asyncio.create_task(client.run(max_frames=10**9))
+    try:
+        while time.monotonic() < until and not task.done():
+            await asyncio.sleep(1.0)
+        if task.done() and task.exception():
+            return client.frames_received, repr(task.exception())
+        return client.frames_received, None
+    finally:
+        task.cancel()
+        try:
+            await task
+        except (asyncio.CancelledError, Exception):
+            pass
+
+
+async def warmup_reset(server, warmup_until) -> None:
+    """Steady-state window: once warmup expires, apply production latency
+    tuning and reset ALL the trackers the artifact reports — including the
+    per-stage tick tracer (resetting only the percentile trackers left the
+    multi-second jit-compile spike in stage_avg_ms forever, inflating
+    'convert' by orders of magnitude next to honest p50/p99 columns)."""
+    while time.monotonic() < warmup_until:
+        await asyncio.sleep(0.5)
+    server._tune_latency()
+    server.tick_latency.reset()
+    server.frame_age.reset()
+    server.tick_tracer.reset()

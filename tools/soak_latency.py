@@ -6,10 +6,11 @@ The reference is a latency-oriented system (16.67 ms tick deadline,
 src/server/render.c:4-7; SLOW_ASCII_CONVERT warnings past 5 ms,
 src/server/stream.c:846-850). This artifact is the analog for this repo's
 serving path: the in-process server serves 3 REAL clients, jit warmup ticks
-are excluded (tracker reset after warmup), and the steady-state window's
-p50/p99/worst tick latency — tick start (frame pickup) through emit + queue —
-plus frame age (upload commit -> tick pickup wait) are reported as one JSON
-line and asserted against the deadline.
+are excluded (ALL trackers reset after warmup, including the per-stage
+tracer), and the steady-state window's p50/p99/worst tick latency — tick
+start (frame pickup) through emit + queue — plus frame age (upload commit ->
+tick pickup wait) are reported as one JSON line and asserted against the
+deadline. Harness scaffolding shared with the other soaks: soak_common.py.
 
 Usage: python tools/soak_latency.py [seconds] (defaults 60)
 """
@@ -22,79 +23,44 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from soak_common import (  # noqa: E402
+    boot_server, drive_client, make_client, stop_server, warmup_reset,
+)
 
 WARMUP_FRACTION = 0.25
 
 
 async def main(seconds: float) -> int:
-    import jax
+    from asciichat_tpu.render.types import ColorLevel, RenderMode
 
-    jax.config.update("jax_platforms", "cpu")
-    from asciichat_tpu.apps.client import AsciiChatClient
-    from asciichat_tpu.apps.server import AsciiChatServer
-    from asciichat_tpu.net import protocol as proto
-    from asciichat_tpu.net.transport import serve_tcp
-    from asciichat_tpu.render.types import (ColorLevel, RenderMode,
-                                            TerminalCapabilities)
-    from asciichat_tpu.runtime.framesource import open_source
-    from asciichat_tpu.utils import term
-
-    server = AsciiChatServer()
-    tcp_srv = await serve_tcp(server._handle_conn, "127.0.0.1", 0)
-    port = tcp_srv.sockets[0].getsockname()[1]
-    tick = asyncio.get_running_loop().create_task(server._tick_loop())
-
+    server, tcp_srv, port, tick = await boot_server()
     deadline = time.monotonic() + seconds
     warmup_until = time.monotonic() + max(5.0, seconds * WARMUP_FRACTION)
     devnull = open(os.devnull, "wb")
-    counts: dict[str, object] = {}
+    counts: dict[str, int] = {}
+    failures: dict[str, str] = {}
 
-    async def run_client(name, w, h, color):
-        caps = TerminalCapabilities(color, RenderMode.FOREGROUND)
-        c = AsciiChatClient("127.0.0.1", port, open_source(test_pattern=True),
-                            proto.WireCapabilities(caps=caps, width=w, height=h),
-                            reconnect=False)
-        c.display.writer = term.FrameWriter(devnull)
-        task = asyncio.create_task(c.run(max_frames=10**9))
-        try:
-            while time.monotonic() < deadline and not task.done():
-                await asyncio.sleep(0.5)
-            counts[name] = c.frames_received
-            if task.done() and task.exception():
-                counts[name] = f"DIED: {task.exception()!r}"
-        finally:
-            task.cancel()
-            try:
-                await task
-            except (asyncio.CancelledError, Exception):
-                pass
-
-    async def warmup_reset():
-        # steady-state window: drop jit-compile ticks from the percentiles
-        while time.monotonic() < warmup_until:
-            await asyncio.sleep(0.5)
-        # production tuning (server.run() applies this; the soak drives
-        # _tick_loop directly): gc freeze + 1 ms GIL switch interval
-        server._tune_latency()
-        server.tick_latency.reset()
-        server.frame_age.reset()
+    async def run_client(name):
+        c = make_client(port, devnull, w=60, h=18,
+                        color=ColorLevel.TRUECOLOR, mode=RenderMode.FOREGROUND)
+        got, err = await drive_client(c, deadline)
+        counts[name] = got
+        if err:
+            failures[name] = err
 
     t0 = time.monotonic()
     await asyncio.gather(
-        run_client("c1", 60, 18, ColorLevel.TRUECOLOR),
-        run_client("c2", 60, 18, ColorLevel.TRUECOLOR),
-        run_client("c3", 60, 18, ColorLevel.TRUECOLOR),
-        warmup_reset(),
+        run_client("c1"), run_client("c2"), run_client("c3"),
+        warmup_reset(server, warmup_until),
     )
     dt = time.monotonic() - t0
-    tick.cancel()
-    tcp_srv.close()
+    tick_error = await stop_server(tcp_srv, tick)
 
     lat = server.tick_latency.stats_ms()
     age = server.frame_age.stats_ms()
-    died = {k: v for k, v in counts.items() if not isinstance(v, int)}
-    total = sum(v for v in counts.values() if isinstance(v, int))
+    total = sum(counts.values())
     tick_rate = server.ticks / dt
     deadline_ms = server._tick_deadline * 1e3
     result = {
@@ -111,20 +77,24 @@ async def main(seconds: float) -> int:
         "frame_age_p50_ms": age["p50_ms"],
         "frame_age_p99_ms": age["p99_ms"],
         "deadline_ms": round(deadline_ms, 2),
+        # steady-state only: warmup_reset clears the tracer too, so the jit
+        # compile spike no longer haunts the stage decomposition
         "stage_avg_ms": {
             k: round(t / max(n, 1) * 1e3, 3)
             for k, (t, n) in server.tick_tracer.snapshot().items()
         },
     }
-    ok = (not died and total > 0 and lat["n"] > 50
-          and lat["p99_ms"] < deadline_ms)
+    ok = (not failures and tick_error is None and total > 0
+          and lat["n"] > 50 and lat["p99_ms"] < deadline_ms)
     result["ok"] = ok
-    if died:
-        result["died"] = {k: str(v) for k, v in died.items()}
+    if failures:
+        result["died"] = failures
+    if tick_error:
+        result["server_tick_error"] = tick_error
     print(json.dumps(result))
     print("RESULT:", "OK" if ok else
           f"FAILED (p99 {lat['p99_ms']} ms vs {deadline_ms:.2f} ms deadline, "
-          f"died={died})")
+          f"died={failures}, tick_error={tick_error})")
     return 0 if ok else 1
 
 

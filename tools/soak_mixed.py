@@ -23,10 +23,10 @@ import time
 
 # runnable as `python tools/soak_mixed.py` without installing the package
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def rss_kib() -> int:
-    return int(open("/proc/self/statm").read().split()[1]) * 4096 // 1024
+from soak_common import rss_kib, stop_server  # noqa: E402
 
 
 async def main(seconds: float) -> int:
@@ -62,7 +62,8 @@ async def main(seconds: float) -> int:
     ws_port = ws_srv.sockets[0].getsockname()[1]
     tick = asyncio.get_running_loop().create_task(server._tick_loop())
 
-    counts: dict[str, object] = {}
+    counts: dict[str, int] = {}
+    failures: dict[str, str] = {}
     deadline = time.monotonic() + seconds
 
     devnull = open(os.devnull, "wb")
@@ -83,9 +84,11 @@ async def main(seconds: float) -> int:
         try:
             while time.monotonic() < deadline and not task.done():
                 await asyncio.sleep(1.0)
+            # frames count and failure are SEPARATE: folding a death into
+            # the counts dict as a string hid it from arithmetic gates
             counts[name] = c.frames_received
             if task.done() and task.exception():
-                counts[name] = f"DIED: {task.exception()!r}"
+                failures[name] = repr(task.exception())
         finally:
             task.cancel()
             try:
@@ -120,12 +123,15 @@ async def main(seconds: float) -> int:
         warmup_reset(),
     )
     dt = time.monotonic() - t0
-    tick.cancel()
+    # observe the tick loop's outcome: a mid-soak crash must be reported,
+    # not dropped as an unretrieved task exception
+    tick_error = await stop_server(tcp_srv, tick)
     gw.close()
     ws_srv.close()
-    tcp_srv.close()
-    total = sum(v for v in counts.values() if isinstance(v, int))
-    died = {k: v for k, v in counts.items() if not isinstance(v, int)}
+    total = sum(counts.values())
+    died = dict(failures)
+    if tick_error:
+        died["server_tick"] = tick_error
     # leak signal: post-warmup slope only (jax CPU arena + compile caches
     # grow for the first minute and then plateau; compare the last quarter
     # against the third quarter, not against warmup)

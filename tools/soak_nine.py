@@ -16,6 +16,10 @@ Reported (one JSON line, docs/artifacts/soak_nine_r*.json):
 - steady-state tick latency p50/p99 vs the 16.67 ms deadline
 - RSS samples + post-warmup drift (leak slope)
 
+A death of ANY client — including the churn client — fails the soak, and a
+churn cycle only counts when its client actually streamed and exited
+cleanly. Harness scaffolding shared with the other soaks: soak_common.py.
+
 Usage: python tools/soak_nine.py [seconds] (defaults 600)
 """
 
@@ -27,39 +31,22 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def rss_kib() -> int:
-    return int(open("/proc/self/statm").read().split()[1]) * 4096 // 1024
+from soak_common import (  # noqa: E402
+    boot_server, drive_client, make_client, rss_kib, stop_server, warmup_reset,
+)
 
 
 async def main(seconds: float) -> int:
-    import jax
+    from asciichat_tpu.render.types import ColorLevel, RenderMode
 
-    # pin cpu: the soak measures the serving runtime, not the TPU tunnel
-    # (the axon sitecustomize would otherwise route the tick over a ~50 ms
-    # dispatch RTT — CLAUDE.md gotcha)
-    jax.config.update("jax_platforms", "cpu")
-    from asciichat_tpu.apps.client import AsciiChatClient
-    from asciichat_tpu.apps.server import AsciiChatServer
-    from asciichat_tpu.net import protocol as proto
-    from asciichat_tpu.net.transport import serve_tcp
-    from asciichat_tpu.ops import filters
-    from asciichat_tpu.render.types import (ColorLevel, RenderMode,
-                                            TerminalCapabilities)
-    from asciichat_tpu.runtime.framesource import open_source
-    from asciichat_tpu.utils import term
-
-    server = AsciiChatServer()
-    tcp_srv = await serve_tcp(server._handle_conn, "127.0.0.1", 0)
-    port = tcp_srv.sockets[0].getsockname()[1]
-    tick = asyncio.get_running_loop().create_task(server._tick_loop())
-
+    server, tcp_srv, port, tick = await boot_server()
     deadline = time.monotonic() + seconds
     warmup_until = time.monotonic() + min(60.0, seconds * 0.25)
     devnull = open(os.devnull, "wb")
-    counts: dict[str, object] = {}
+    counts: dict[str, int] = {}
+    failures: dict[str, str] = {}
     churn_events = 0
 
     # 9 persistent clients -> at least 4 distinct RenderGroup keys
@@ -80,38 +67,17 @@ async def main(seconds: float) -> int:
         ("d2", 60, 18, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, " .:#@", "red"),
     ]
 
-    def make_client(w, h, color, mode, palette, filt):
-        caps = TerminalCapabilities(color, mode)
-        wc = proto.WireCapabilities(
-            caps=caps, width=w, height=h, palette_custom=palette,
-            palette_type=5 if palette else 0,  # PALETTE_CUSTOM analog
-            color_filter=filters.FILTER_NAMES.index(filt),
-        )
-        c = AsciiChatClient("127.0.0.1", port, open_source(test_pattern=True),
-                            wc, reconnect=False)
-        c.display.writer = term.FrameWriter(devnull)
-        return c
-
     async def run_client(name, spec, until):
-        c = make_client(*spec)
-        task = asyncio.create_task(c.run(max_frames=10**9))
-        try:
-            while time.monotonic() < until and not task.done():
-                await asyncio.sleep(1.0)
-            got = c.frames_received
-            if task.done() and task.exception():
-                counts[name] = f"DIED: {task.exception()!r}"
-            else:
-                prev = counts.get(name, 0)
-                # a prior DIED entry is a string; a later successful join
-                # (churn loop) must not TypeError the whole soak
-                counts[name] = (prev if isinstance(prev, int) else 0) + got
-        finally:
-            task.cancel()
-            try:
-                await task
-            except (asyncio.CancelledError, Exception):
-                pass
+        w, h, color, mode, palette, filt = spec
+        c = make_client(port, devnull, w=w, h=h, color=color, mode=mode,
+                        palette=palette, filt=filt)
+        got, err = await drive_client(c, until)
+        counts[name] = counts.get(name, 0) + got
+        if err:
+            # keyed failures accumulate — a churn death used to overwrite
+            # the count with a string the pass gates never looked at
+            failures[f"{name}#{len(failures)}"] = err
+        return err is None and got > 0
 
     async def churner():
         # join/leave loop: a 10th streaming client with its OWN geometry
@@ -120,9 +86,10 @@ async def main(seconds: float) -> int:
         nonlocal churn_events
         spec = (52, 16, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, "", "teal")
         while time.monotonic() + 20 < deadline:
-            await run_client("churn", spec,
-                            min(deadline, time.monotonic() + 15))
-            churn_events += 1
+            ok = await run_client("churn", spec,
+                                  min(deadline, time.monotonic() + 15))
+            if ok:  # only a cycle that actually streamed counts as coverage
+                churn_events += 1
             await asyncio.sleep(10)
 
     rss0 = rss_kib()
@@ -133,30 +100,18 @@ async def main(seconds: float) -> int:
             await asyncio.sleep(max(5.0, seconds / 40))
             samples.append(rss_kib())
 
-    async def warmup_reset():
-        while time.monotonic() < warmup_until:
-            await asyncio.sleep(0.5)
-        server._tune_latency()
-        server.tick_latency.reset()
-        server.frame_age.reset()
-
     t0 = time.monotonic()
     await asyncio.gather(
-        *(run_client(name, spec, deadline)
-          for name, *spec in SPECS),
+        *(run_client(name, spec, deadline) for name, *spec in SPECS),
         churner(),
         sampler(),
-        warmup_reset(),
+        warmup_reset(server, warmup_until),
     )
     dt = time.monotonic() - t0
-    tick.cancel()
-    tcp_srv.close()
+    tick_error = await stop_server(tcp_srv, tick)
 
-    persistent = {k: v for k, v in counts.items() if k != "churn"}
-    died = {k: v for k, v in persistent.items() if not isinstance(v, int)}
-    nums = [v for v in persistent.values() if isinstance(v, int)]
-    total = sum(nums) + (counts.get("churn", 0)
-                         if isinstance(counts.get("churn"), int) else 0)
+    nums = [v for k, v in counts.items() if k != "churn"]
+    total = sum(counts.values())
     balance = (min(nums) / max(nums)) if nums and max(nums) > 0 else 0.0
     q = max(1, len(samples) // 4)
     drift = (sum(samples[-q:]) / q - sum(samples[-2 * q: -q]) / q
@@ -169,7 +124,7 @@ async def main(seconds: float) -> int:
         "render_groups_concurrent": 4,
         "distinct_filters": 6,
         "frames_delivered": total,
-        "per_client": {k: v for k, v in counts.items()},
+        "per_client": counts,
         "balance_min_over_max": round(balance, 3),
         "churn_joins": churn_events,
         "group_rebuilds": server.group_creates,
@@ -187,17 +142,23 @@ async def main(seconds: float) -> int:
         "rss_postwarmup_drift_kib": round(drift),
     }
     # 9 clients + churn on however many cores this host has (1 in CI): the
-    # pass gates are liveness, balance, churn-driven rebuilds observed, and
-    # no leak slope — raw cadence scales with the host
-    ok = (not died and total > 0 and balance > 0.5 and churn_events >= 3
+    # pass gates are liveness (every client INCLUDING churn), balance,
+    # churn-driven rebuilds observed, and no leak slope — raw cadence
+    # scales with the host
+    ok = (not failures and tick_error is None and total > 0
+          and balance > 0.5 and churn_events >= 3
           and server.group_creates >= churn_events  # layout churn re-traced
           and server.ticks / dt > 3 and drift < 50_000)
     result["ok"] = ok
+    if failures:
+        result["died"] = failures
+    if tick_error:
+        result["server_tick_error"] = tick_error
     print(json.dumps(result))
     print("RESULT:", "OK" if ok else
-          f"FAILED (died={died}, balance={balance:.2f}, "
-          f"churn={churn_events}, rebuilds={server.group_creates}, "
-          f"drift={drift:+.0f} KiB)")
+          f"FAILED (died={failures}, tick_error={tick_error}, "
+          f"balance={balance:.2f}, churn={churn_events}, "
+          f"rebuilds={server.group_creates}, drift={drift:+.0f} KiB)")
     return 0 if ok else 1
 
 
