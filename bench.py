@@ -49,8 +49,16 @@ def main():
     from asciichat_tpu.render.pipeline import plan_render
     from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
 
+    # ASCIICHAT_BENCH_SMOKE=1: tiny shapes on the CPU backend — validates
+    # every code path of this script end-to-end without a TPU (the driver
+    # runs bench.py unattended at round end; a harness bug must be caught
+    # before that). Numbers produced under smoke are meaningless and the
+    # JSON is marked accordingly.
+    smoke = os.environ.get("ASCIICHAT_BENCH_SMOKE") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     dev = jax.devices()[0]
-    log(f"device: {dev}")
+    log(f"device: {dev}" + (" [SMOKE MODE]" if smoke else ""))
 
     # Version block: rounds are only comparable if the stack is pinned.
     # BENCH_r01 -> r02 dropped 86.2k -> 75.9k with a byte-identical timed
@@ -67,8 +75,8 @@ def main():
         pass
     log(f"versions: {versions}")
 
-    B = 128
-    SRC_H, SRC_W = 1080, 1920
+    B = 8 if smoke else 128
+    SRC_H, SRC_W = (270, 480) if smoke else (1080, 1920)
     caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
     plan = plan_render(SRC_W, SRC_H, 203, 64, caps)
     log(f"plan: {plan}")
@@ -175,7 +183,8 @@ def main():
     # Host emit in isolation first (same worst-case gradient content: color
     # changes every pixel -> SGR every cell), zero-copy views, contiguous
     # staging (non-contiguous axon views would be re-copied on every call).
-    hb = {k: np.ascontiguousarray(np.asarray(v[:32])) for k, v in records.items()}
+    nslice = min(32, B)
+    hb = {k: np.ascontiguousarray(np.asarray(v[:nslice])) for k, v in records.items()}
     emit_iters, emit_reps = 8, 5
     emitter.emit_frames(hb, plan.mode, pal.DEFAULT_PALETTE,
                         pad_w=plan.pad_w, pad_h=plan.pad_h, nthreads=1, copy=False)
@@ -187,7 +196,7 @@ def main():
                                       pad_w=plan.pad_w, pad_h=plan.pad_h, nthreads=1,
                                       copy=False)
         best = min(best, time.perf_counter() - t0)
-    emit_fps = 32 * emit_iters / best
+    emit_fps = nslice * emit_iters / best
     frame_bytes = sum(len(o) for o in out) // len(out)
     log(f"host emitter (isolated, 1 thread, worst-case content, "
         f"{frame_bytes} B/frame): {emit_fps:,.0f} frames/s")
@@ -203,7 +212,7 @@ def main():
                                          pad_w=plan.pad_w, pad_h=plan.pad_h,
                                          nthreads=nthreads_mt, copy=False)
         best_mt = min(best_mt, time.perf_counter() - t0)
-    emit_fps_mt = 32 * emit_iters / best_mt
+    emit_fps_mt = nslice * emit_iters / best_mt
     log(f"host emitter ({nthreads_mt} threads on {os.cpu_count()} core(s)): "
         f"{emit_fps_mt:,.0f} frames/s ({emit_fps_mt / emit_fps:.2f}x)")
 
@@ -304,6 +313,7 @@ def main():
         "hlo_fingerprint": hlo_hash,
         "datachannel_fps": round(datachannel_fps, 1) if datachannel_fps else None,
         "versions": versions,
+        **({"smoke": True} if smoke else {}),
     }))
     return 0
 
@@ -375,10 +385,12 @@ def bench_server_tick() -> float:
     from asciichat_tpu.render.types import ColorLevel, RenderMode, TerminalCapabilities
 
     C = 9
+    smoke = os.environ.get("ASCIICHAT_BENCH_SMOKE") == "1"
+    src_w, src_h = (160, 120) if smoke else (800, 600)
     caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK)
-    plan = plan_tick([(800, 600)] * C, term_w=203, term_h=64, caps=caps)
+    plan = plan_tick([(src_w, src_h)] * C, term_w=203, term_h=64, caps=caps)
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, (C, 600, 800, 3), dtype=np.uint8))
+    frames = jnp.asarray(rng.integers(0, 256, (C, src_h, src_w, 3), dtype=np.uint8))
     audio = jnp.asarray(rng.normal(0, 0.1, (C, 480)).astype(np.float32))
     active = jnp.ones(C, bool)
     tick = ServerTick(plan, client_filters=["none", "green", "cyan", "none",
