@@ -305,7 +305,7 @@ class AsciiChatClient:
                 self.display.chat_line(payload)
             elif ptype == P.ERROR_MESSAGE:
                 code, msg = proto.unpack_error(payload)
-                if code == 3:
+                if code == proto.WireError.CODEC_UNAVAILABLE:
                     # server cannot decode our H.265 uplink: fall back to
                     # raw RGB instead of dying (capability mismatch is
                     # recoverable; the session continues). The server sends

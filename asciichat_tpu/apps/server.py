@@ -171,7 +171,7 @@ class AsciiChatServer:
         # all pass the check mid-handshake and blow straight past the cap
         if len(self.clients) + self._pending_conns >= MAX_CLIENTS:
             await t.send(pkt.PacketType.ERROR_MESSAGE,
-                         proto.pack_error(1, "server full"))
+                         proto.pack_error(proto.WireError.SERVER_FULL, "server full"))
             return
         self._pending_conns += 1
         try:
@@ -229,7 +229,7 @@ class AsciiChatServer:
                     or first[0] == pkt.PacketType.CRYPTO_NO_ENCRYPTION
                 ):
                     await t.send(pkt.PacketType.ERROR_MESSAGE,
-                                 proto.pack_error(2, "encryption required"))
+                                 proto.pack_error(proto.WireError.ENCRYPTION_REQUIRED, "encryption required"))
                     return None
                 if 1000 <= first[0] <= 1199:
                     ctx = CryptoContext()
@@ -310,7 +310,7 @@ class AsciiChatServer:
                     except codecs.CodecUnavailable as e:
                         # we never advertised h265; tell the client to fall back
                         await c.transport.send(P.ERROR_MESSAGE,
-                                               proto.pack_error(3, str(e)))
+                                               proto.pack_error(proto.WireError.CODEC_UNAVAILABLE, str(e)))
                         continue
                 # native decode (avcodec + swscale, several ms at 800x600)
                 # must not serialize ahead of every other client's recv on

@@ -278,16 +278,32 @@ class SessionDatabase:
                 "SELECT owner_id FROM reservations WHERE session_string=?",
                 (session_string,),
             ).fetchone()
-            return bool(row and row[0] == owner_id)
+            if row and row[0] == owner_id:
+                # a same-owner re-reserve is a KEEPALIVE: acking success
+                # while leaving the original reserved_at let the
+                # reservation lapse at the first TTL despite the fresh ack
+                self.db.execute(
+                    "UPDATE reservations SET reserved_at=? WHERE"
+                    " session_string=? AND owner_id=?",
+                    (time.time(), session_string, owner_id),
+                )
+                self.db.commit()
+                return True
+            return False
         self.db.commit()
         return True
 
     def reservation_owner(self, session_string: str) -> str | None:
-        """Current (unexpired) reservation holder, or None."""
+        """Current (unexpired) reservation holder, or None. Expiry is
+        enforced IN the query: the throttled sweep can lag up to its
+        interval, during which a dead reservation would still block another
+        identity's SESSION_CREATE (renew_string got the same deterministic
+        treatment for the same reason)."""
         self._expire()
         row = self.db.execute(
-            "SELECT owner_id FROM reservations WHERE session_string=?",
-            (session_string,),
+            "SELECT owner_id FROM reservations WHERE session_string=?"
+            " AND reserved_at >= ?",
+            (session_string, time.time() - RESERVATION_TTL_S),
         ).fetchone()
         return row[0] if row else None
 

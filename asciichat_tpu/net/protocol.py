@@ -62,6 +62,10 @@ class WireCapabilities:
 
     @staticmethod
     def unpack(buf: bytes) -> "WireCapabilities":
+        if len(buf) < CAPS_STRUCT.size:
+            raise ValueError(
+                f"short CLIENT_CAPABILITIES payload ({len(buf)} bytes, "
+                f"need {CAPS_STRUCT.size})")
         (mask, color_level, color_count, render_mode, w, h, term, colorterm,
          reliable, utf8, ptype, pcustom, fps, cfilter, padding, cv, ca) = (
             CAPS_STRUCT.unpack(buf[: CAPS_STRUCT.size])
@@ -100,7 +104,22 @@ def pack_size(width: int, height: int) -> bytes:
 
 
 def unpack_size(buf: bytes) -> tuple[int, int]:
+    # short payloads raise ValueError, NOT struct.error: struct.error is a
+    # bare Exception subclass that escapes every protocol-violation handler
+    # (the server's bad-data disconnect and the client's reconnect loop
+    # both catch ValueError)
+    if len(buf) < SIZE_STRUCT.size:
+        raise ValueError(f"short SIZE_MESSAGE payload ({len(buf)} bytes)")
     return SIZE_STRUCT.unpack(buf[: SIZE_STRUCT.size])
+
+
+# On-wire ERROR_MESSAGE codes (the apps' shared vocabulary — distinct from
+# utils.errors.ErrorCode, which is the INTERNAL errno-style enum; conflating
+# the two rendered a codec refusal as 'out of memory')
+class WireError:
+    SERVER_FULL = 1
+    ENCRYPTION_REQUIRED = 2
+    CODEC_UNAVAILABLE = 3
 
 
 def pack_error(code: int, message: str) -> bytes:
@@ -108,6 +127,8 @@ def pack_error(code: int, message: str) -> bytes:
 
 
 def unpack_error(buf: bytes) -> tuple[int, str]:
+    if len(buf) < 4:
+        raise ValueError(f"short ERROR_MESSAGE payload ({len(buf)} bytes)")
     (code,) = struct.unpack(">I", buf[:4])
     return code, buf[4:].decode(errors="replace")
 

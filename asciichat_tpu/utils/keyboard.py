@@ -47,22 +47,64 @@ class KeyboardReader:
         import tty
 
         fd = sys.stdin.fileno()
-        self._saved = termios.tcgetattr(fd)
-        tty.setcbreak(fd)
+        try:
+            self._saved = termios.tcgetattr(fd)
+            tty.setcbreak(fd)
+        except (termios.error, OSError):
+            # tty-like fd without termios support (or a background process
+            # denied tcsetattr): the docstring's promise is degrade, not
+            # crash — same contract as the win32 branch
+            self._saved = None
+            self.enabled = False
+            return
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def _loop(self) -> None:
+        import codecs
+
         fd = sys.stdin.fileno()
+        # incremental decode: a multibyte keypress ('é') must arrive as ONE
+        # key, not two U+FFFD halves that can never match a binding
+        dec = codecs.getincrementaldecoder("utf-8")(errors="replace")
         while not self._stop.is_set():
             r, _, _ = select.select([fd], [], [], 0.1)
-            if r:
-                try:
-                    key = os.read(fd, 1).decode(errors="replace")
-                except OSError:
-                    return
-                if key:
-                    self.on_key(key)
+            if not r:
+                continue
+            try:
+                raw = os.read(fd, 64)
+            except OSError:
+                return
+            if not raw:
+                # EOF (hangup / pty master closed): select() stays readable
+                # forever — looping on empty reads pegged the CPU core
+                return
+            text = dec.decode(raw)
+            i = 0
+            while i < len(text):
+                ch = text[i]
+                if ch == "\x1b":
+                    # swallow escape sequences (CSI/SS3 arrows, mouse
+                    # reports): emitting their bytes as individual keys
+                    # misfired letter bindings on sequence finals
+                    j = i + 1
+                    if j < len(text) and text[j] in "[O":
+                        j += 1
+                        while j < len(text) and not ("@" <= text[j] <= "~"):
+                            j += 1
+                        i = j + 1  # skip the final too (may be len: done)
+                        continue
+                    if j >= len(text):
+                        # lone ESC at buffer end: deliver it (quit-style
+                        # bindings); a real sequence arrives in one read
+                        # from any terminal
+                        self.on_key(ch)
+                        i = j
+                        continue
+                    i = j
+                    continue
+                self.on_key(ch)
+                i += 1
 
     def _loop_win(self) -> None:  # pragma: no cover - Windows console
         import msvcrt  # type: ignore[import-not-found]

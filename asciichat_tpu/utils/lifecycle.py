@@ -38,13 +38,23 @@ def on_shutdown(name: str, fn: Callable[[], None]) -> None:
 
 
 def shutdown_all() -> None:
-    """Run shutdown hooks in reverse registration order (asciichat_shared_destroy)."""
+    """Run shutdown hooks in reverse registration order (asciichat_shared_destroy).
+
+    State is cleared AFTER the hooks run: a hook that init_once()s a
+    dependency mid-teardown must see the truth (still initialized), and a
+    shutdown hook that dependency registers joins THIS round (drained until
+    quiescent) instead of being stranded in a just-cleared list while its
+    subsystem stays marked initialized with live resources."""
+    for _round in range(8):  # bounded: a hook-registering hook can't spin us
+        with _lock:
+            hooks = list(reversed(_shutdown_hooks))
+            _shutdown_hooks.clear()
+        if not hooks:
+            break
+        for _name, fn in hooks:
+            try:
+                fn()
+            except Exception:
+                pass
     with _lock:
-        hooks = list(reversed(_shutdown_hooks))
-        _shutdown_hooks.clear()
         _initialized.clear()
-    for _name, fn in hooks:
-        try:
-            fn()
-        except Exception:
-            pass

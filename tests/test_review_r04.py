@@ -3532,3 +3532,120 @@ def test_rainbow_negative_time_hits_c_default_red():
     # verified against the compiled reference C in test_reference_c.py)
     assert rainbow_color(0.0) == (255, 21, 21)
     assert rainbow_color(1.0) != a
+
+
+# ---------------------------------------------------------------------------
+# twentieth sweep: protocol / keyboard / discovery reservations / lifecycle
+
+
+def test_protocol_unpackers_raise_valueerror_on_short_payloads():
+    """struct.error is NOT a ValueError: it escaped the server's bad-data
+    disconnect and the client's reconnect catch, killing the process on a
+    truncated ERROR_MESSAGE/SIZE_MESSAGE/CLIENT_CAPABILITIES."""
+    from asciichat_tpu.net import protocol as proto
+
+    for fn, buf in ((proto.unpack_error, b"\x00\x01"),
+                    (proto.unpack_size, b"\x00"),
+                    (proto.WireCapabilities.unpack, b"x" * 10)):
+        with pytest.raises(ValueError):
+            fn(buf)
+    # wire stability of the shared error vocabulary (client fallback keys
+    # off CODEC_UNAVAILABLE == 3)
+    assert proto.WireError.SERVER_FULL == 1
+    assert proto.WireError.ENCRYPTION_REQUIRED == 2
+    assert proto.WireError.CODEC_UNAVAILABLE == 3
+    code, msg = proto.unpack_error(
+        proto.pack_error(proto.WireError.CODEC_UNAVAILABLE, "no h265"))
+    assert (code, msg) == (3, "no h265")
+
+
+def test_keyboard_reader_eof_and_escape_sequences(monkeypatch):
+    """The POSIX reader loop must exit on EOF (an empty read used to spin a
+    100% CPU busy loop on this 1-core host), swallow CSI/SS3 escape
+    sequences instead of firing letter bindings on their finals, and
+    deliver multibyte UTF-8 as ONE key."""
+    import sys as _sys
+    import threading
+    import time as _time
+
+    from asciichat_tpu.utils.keyboard import KeyboardReader
+
+    r_fd, w_fd = os.pipe()
+
+    class FakeStdin:
+        def fileno(self):
+            return r_fd
+
+        def isatty(self):
+            return False
+
+    keys = []
+    kr = KeyboardReader(keys.append)
+    monkeypatch.setattr(_sys, "stdin", FakeStdin())
+    t = threading.Thread(target=kr._loop, daemon=True)
+    t.start()
+    os.write(w_fd, b"q\x1b[Af" + "é".encode() + b"\x1bOPm")
+    _time.sleep(0.4)
+    os.close(w_fd)  # EOF: the loop must EXIT, not spin
+    t.join(timeout=2.0)
+    assert not t.is_alive(), "reader loop still running after EOF"
+    os.close(r_fd)
+    # arrow (CSI A) and F1 (SS3 P) swallowed; q/f/é/m delivered
+    assert keys == ["q", "f", "é", "m"]
+
+
+def test_reservation_keepalive_and_deterministic_owner_expiry():
+    """A same-owner re-reserve refreshes the TTL (it acked success but kept
+    the original reserved_at, so the reservation lapsed anyway), and
+    reservation_owner enforces expiry in the query instead of trusting the
+    throttled sweep (a dead reservation blocked SESSION_CREATE for up to a
+    sweep interval)."""
+    import time as _time
+
+    from asciichat_tpu.net.discovery import RESERVATION_TTL_S, SessionDatabase
+
+    db = SessionDatabase(":memory:")
+    s = "swift-river-mountain"
+    assert db.reserve_string(s, "owner-a")
+    # backdate close to expiry, then keepalive-re-reserve: must refresh
+    db.db.execute("UPDATE reservations SET reserved_at=?",
+                  (_time.time() - RESERVATION_TTL_S + 5,))
+    db.db.commit()
+    assert db.reserve_string(s, "owner-a")  # keepalive
+    (at,) = db.db.execute(
+        "SELECT reserved_at FROM reservations WHERE session_string=?",
+        (s,)).fetchone()
+    assert _time.time() - at < 5  # refreshed, not the backdated stamp
+    # a DIFFERENT owner is still rejected while live
+    assert not db.reserve_string(s, "owner-b")
+    # expired reservation: owner() must say None even though the throttled
+    # sweep hasn't run (we bypass it by writing the stale stamp directly)
+    db.db.execute("UPDATE reservations SET reserved_at=?",
+                  (_time.time() - RESERVATION_TTL_S - 1,))
+    db.db.commit()
+    db._last_expire = _time.time()  # pin the throttle window shut
+    assert db.reservation_owner(s) is None
+
+
+def test_lifecycle_shutdown_runs_hooks_before_clearing():
+    """A hook that initializes a dependency mid-teardown must see truthful
+    is_initialized() state, and the dependency's own shutdown hook joins
+    THIS round instead of being stranded."""
+    from asciichat_tpu.utils import lifecycle
+
+    lifecycle.shutdown_all()  # clean slate
+    order = []
+    lifecycle.init_once("sys-a")
+
+    def teardown_a():
+        order.append("a")
+        # mid-shutdown: state must still be truthful
+        assert lifecycle.is_initialized("sys-a")
+        if lifecycle.init_once("dep"):
+            lifecycle.on_shutdown("dep", lambda: order.append("dep"))
+
+    lifecycle.on_shutdown("sys-a", teardown_a)
+    lifecycle.shutdown_all()
+    assert order == ["a", "dep"]  # dep's hook ran in the same round
+    assert not lifecycle.is_initialized("sys-a")
+    assert not lifecycle.is_initialized("dep")
