@@ -388,12 +388,11 @@ class AsciiChatClient:
             # reference client sends updated dims on winch)
             import signal
 
+            self._live_transport = t  # request_resize() during this session
+
             def on_winch():
                 w, h = term.terminal_size(None, None)
-                self.wire_caps.width, self.wire_caps.height = w, h
-                self.display.set_meta(self.wire_caps.caps.renderer_key(),
-                                      (w, h))  # keep the fps overlay honest
-                t.send_nowait(pkt.PacketType.SIZE_MESSAGE, proto.pack_size(w, h))
+                self.request_resize(w, h)
 
             loop = asyncio.get_running_loop()
             try:
@@ -403,6 +402,7 @@ class AsciiChatClient:
             try:
                 await self._recv_loop(t, max_frames)
             finally:
+                self._live_transport = None
                 try:
                     loop.remove_signal_handler(signal.SIGWINCH)
                 except (ValueError, OSError, AttributeError):
@@ -442,6 +442,18 @@ class AsciiChatClient:
             self.display.show_fps = not self.display.show_fps
         elif key == "f":
             self.transform.flip_x = not self.transform.flip_x
+
+    def request_resize(self, w: int, h: int) -> None:
+        """Re-negotiate output dims mid-session (SIGWINCH path; also the
+        programmatic surface soaks/tests use to exercise live resize —
+        src/common/session/ SIZE_MESSAGE-on-winch role). No-op while
+        disconnected; the next CLIENT_CAPABILITIES carries the new dims."""
+        self.wire_caps.width, self.wire_caps.height = w, h
+        self.display.set_meta(self.wire_caps.caps.renderer_key(),
+                              (w, h))  # keep the fps overlay honest
+        t = getattr(self, "_live_transport", None)
+        if t is not None:
+            t.send_nowait(pkt.PacketType.SIZE_MESSAGE, proto.pack_size(w, h))
 
     async def run(self, max_frames: int | None = None) -> None:
         from asciichat_tpu.utils.keyboard import KeyboardReader

@@ -3649,3 +3649,67 @@ def test_lifecycle_shutdown_runs_hooks_before_clearing():
     assert order == ["a", "dep"]  # dep's hook ran in the same round
     assert not lifecycle.is_initialized("sys-a")
     assert not lifecycle.is_initialized("dep")
+
+
+def test_production_client_live_resize():
+    """AsciiChatClient.request_resize (the SIGWINCH surface, also used by
+    the soak's resize churn) re-negotiates dims mid-session: the server's
+    view of the client's terminal updates and frames keep flowing."""
+    import asyncio
+    import time as _time
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.apps.server import AsciiChatServer
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import serve_tcp
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.runtime.framesource import open_source
+    from asciichat_tpu.utils import term
+
+    async def run():
+        server = AsciiChatServer()
+        srv = await serve_tcp(server._handle_conn, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        tick = asyncio.get_running_loop().create_task(server._tick_loop())
+        caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+        c = AsciiChatClient("127.0.0.1", port, open_source(test_pattern=True),
+                            proto.WireCapabilities(caps=caps, width=60, height=18),
+                            reconnect=False)
+        c.display.writer = term.FrameWriter(open(os.devnull, "wb"))
+        task = asyncio.create_task(c.run(max_frames=10**9))
+        try:
+            t0 = _time.monotonic()
+            while _time.monotonic() - t0 < 20 and c.frames_received < 5:
+                await asyncio.sleep(0.1)
+            assert c.frames_received >= 5, "no frames before resize"
+            c.request_resize(44, 12)
+            t0 = _time.monotonic()
+            while _time.monotonic() - t0 < 20:
+                st = next(iter(server.clients.values()), None)
+                if st is not None and (st.wire_caps.width,
+                                       st.wire_caps.height) == (44, 12):
+                    break
+                await asyncio.sleep(0.1)
+            else:
+                raise AssertionError("server never saw the new dims")
+            before = c.frames_received
+            t0 = _time.monotonic()
+            while _time.monotonic() - t0 < 20 and c.frames_received < before + 5:
+                await asyncio.sleep(0.1)
+            assert c.frames_received >= before + 5, "stream stalled after resize"
+        finally:
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+            tick.cancel()
+            try:
+                await tick
+            except asyncio.CancelledError:
+                pass
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 90))

@@ -67,11 +67,17 @@ async def main(seconds: float) -> int:
         ("d2", 60, 18, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, " .:#@", "red"),
     ]
 
+    live: dict[str, object] = {}  # name -> running client (resize churn)
+
     async def run_client(name, spec, until):
         w, h, color, mode, palette, filt = spec
         c = make_client(port, devnull, w=w, h=h, color=color, mode=mode,
                         palette=palette, filt=filt)
-        got, err = await drive_client(c, until)
+        live[name] = c
+        try:
+            got, err = await drive_client(c, until)
+        finally:
+            live.pop(name, None)
         counts[name] = counts.get(name, 0) + got
         if err:
             # keyed failures accumulate — a churn death used to overwrite
@@ -92,6 +98,22 @@ async def main(seconds: float) -> int:
                 churn_events += 1
             await asyncio.sleep(10)
 
+    resize_events = 0
+
+    async def resizer():
+        # live mid-session resize churn (SIGWINCH role): every ~20 s one
+        # persistent client re-negotiates its dims, flipping between two
+        # RenderGroup keys — exercises group re-routing under load, which
+        # join/leave churn alone never does
+        nonlocal resize_events
+        dims = [(48, 14), (60, 18)]
+        while time.monotonic() + 15 < deadline:
+            await asyncio.sleep(20)
+            c = live.get("a1")
+            if c is not None:
+                c.request_resize(*dims[resize_events % 2])
+                resize_events += 1
+
     rss0 = rss_kib()
     samples: list[int] = []
 
@@ -104,6 +126,7 @@ async def main(seconds: float) -> int:
     await asyncio.gather(
         *(run_client(name, spec, deadline) for name, *spec in SPECS),
         churner(),
+        resizer(),
         sampler(),
         warmup_reset(server, warmup_until),
     )
@@ -127,6 +150,7 @@ async def main(seconds: float) -> int:
         "per_client": counts,
         "balance_min_over_max": round(balance, 3),
         "churn_joins": churn_events,
+        "live_resizes": resize_events,
         "group_rebuilds": server.group_creates,
         "tick_rate": round(server.ticks / dt, 1),
         "ticks": server.ticks,
@@ -148,6 +172,7 @@ async def main(seconds: float) -> int:
     ok = (not failures and tick_error is None and total > 0
           and balance > 0.5 and churn_events >= 3
           and server.group_creates >= churn_events  # layout churn re-traced
+          and (resize_events >= 3 or dt < 120)  # live-resize coverage ran
           and server.ticks / dt > 3 and drift < 50_000)
     result["ok"] = ok
     if failures:
