@@ -67,7 +67,11 @@ class ClientState:
         self.has_caps = False
         self.streaming = False
         self.video = LatestFrame()
-        self.audio = AudioRing(48000)  # 1s of headroom, drops oldest
+        # 1s of headroom; overflow truncates the WRITE (newest dropped) —
+        # oldest-dropping latency bounding is the CONSUMER's job, done by
+        # _audio_tick's backlog shed (do not remove that believing the ring
+        # handles it)
+        self.audio = AudioRing(48000)
         self.last_seen = time.monotonic()
         self.filter_name = "none"
         self.pending_first: tuple[int, bytes] | None = None

@@ -59,40 +59,38 @@ def resize_nn(frames: jax.Array, dst_h: int, dst_w: int, method: str = "auto") -
     src_h, src_w = frames.shape[-3], frames.shape[-2]
     if (src_h, src_w) == (dst_h, dst_w):
         return frames
-    if method == "auto":
-        # decide from where the computation actually RUNS, not just the
-        # default backend: under the axon sitecustomize the default stays
-        # "axon" even for arrays committed to CPU devices (the CLAUDE.md
-        # CPU pattern), and a baked-in MXU choice there means dense bf16
-        # matmuls on a 1-core host. Concrete arrays carry their devices;
-        # tracers (inside jit) fall back to the default backend — callers
-        # jitting for a non-default backend pass `method` explicitly.
-        platform = None
-        if not isinstance(frames, jax.core.Tracer):
-            try:
-                platform = next(iter(frames.devices())).platform
-            except Exception:
-                platform = None
-        if platform is None:
-            platform = jax.default_backend()
-        on_tpu = platform not in ("cpu",)
-        method = "mxu" if (on_tpu and src_h * src_w >= 256 * 256) else "gather"
-    if method == "mxu":
+
+    def mxu(f):
         sy = jnp.asarray(_one_hot_select(src_h, dst_h), jnp.bfloat16)
         sx = jnp.asarray(_one_hot_select(src_w, dst_w), jnp.bfloat16)
-        f = frames.astype(jnp.bfloat16)
+        fb = f.astype(jnp.bfloat16)
         # contract H first (reduces the big axis before the W contraction)
-        a = jnp.einsum("yh,...hwc->...ywc", sy, f, preferred_element_type=jnp.float32)
+        a = jnp.einsum("yh,...hwc->...ywc", sy, fb, preferred_element_type=jnp.float32)
         out = jnp.einsum(
             "xw,...ywc->...yxc", sx, a.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-        return out.astype(frames.dtype)
-    sy = jnp.asarray(resize_indices(src_h, dst_h))
-    sx = jnp.asarray(resize_indices(src_w, dst_w))
-    out = jnp.take(frames, sy, axis=-3)
-    out = jnp.take(out, sx, axis=-2)
-    return out
+        return out.astype(f.dtype)
+
+    def gather(f):
+        sy = jnp.asarray(resize_indices(src_h, dst_h))
+        sx = jnp.asarray(resize_indices(src_w, dst_w))
+        out = jnp.take(f, sy, axis=-3)
+        return jnp.take(out, sx, axis=-2)
+
+    if method == "auto":
+        if src_h * src_w < 256 * 256:
+            return gather(frames)  # small sources: gather wins everywhere
+        # decide by the platform the computation is LOWERED for, not the
+        # default backend: lax.platform_dependent resolves at lowering, so
+        # it is correct inside jit and for computation committed to a
+        # non-default backend (under the axon sitecustomize the default
+        # stays "axon" even when the server pins CPU — a backend-sniffing
+        # heuristic here once baked dense bf16 MXU matmuls onto a 1-core
+        # host). CPU gets the gather formulation; every accelerator
+        # (tpu/axon/gpu) gets the MXU/tensor-core einsum.
+        return jax.lax.platform_dependent(frames, cpu=gather, default=mxu)
+    return mxu(frames) if method == "mxu" else gather(frames)
 
 
 def luminance(frames: jax.Array) -> jax.Array:

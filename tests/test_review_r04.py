@@ -3713,3 +3713,90 @@ def test_production_client_live_resize():
             srv.close()
 
     asyncio.run(asyncio.wait_for(run(), 90))
+
+
+# ---------------------------------------------------------------------------
+# twenty-first sweep: emitter boundary / resize dispatch / buffer pool
+
+
+def test_emit_frames_validates_record_shapes():
+    """Shape validation at the NATIVE boundary: an unbatched [H,W,3] frame
+    used to become b=H, h=W, w=3 and drive ac_emit_* into a 9x out-of-bounds
+    heap read; mismatched records and unknown modes now fail loudly."""
+    from asciichat_tpu.render import emitter
+
+    rgb = np.zeros((8, 10, 3), np.uint8)  # unbatched
+    luma = np.zeros((8, 10), np.uint8)
+    with pytest.raises(ValueError, match="unbatched|B,H,W"):
+        emitter.emit_frames({"rgb": rgb, "luma": luma}, "truecolor_fg")
+    with pytest.raises(ValueError, match="disagrees"):
+        emitter.emit_frames({"rgb": np.zeros((2, 8, 10, 3), np.uint8),
+                             "luma": np.zeros((2, 4, 10), np.uint8)},
+                            "truecolor_fg")
+    with pytest.raises(ValueError, match="requires record"):
+        emitter.emit_frames({"rgb": np.zeros((2, 8, 10, 3), np.uint8)},
+                            "truecolor_fg")
+    with pytest.raises(ValueError, match="unknown mode"):
+        emitter.emit_frames({"key": np.zeros((1, 2, 2), np.uint8)}, "bogus")
+
+
+def test_long_palette_renders_color_modes():
+    """A 65-255 char palette is valid for the truecolor/256 paths (parse
+    clips at 255 like the reference); eagerly building the 64-ramp mono
+    table used to raise before ANY mode could render. Mono still rejects."""
+    from asciichat_tpu.render.pipeline import AsciiRenderer
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    long_pal = " " + "".join(chr(0x21 + i) for i in range(80))  # 81 chars
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    r = AsciiRenderer(long_pal)
+    out = r.convert(rgb, 20, 8,
+                    TerminalCapabilities(ColorLevel.TRUECOLOR,
+                                         RenderMode.FOREGROUND))
+    assert out and b"\x1b[38;2;" in out
+    with pytest.raises(ValueError, match="64"):
+        r.convert(rgb, 20, 8,
+                  TerminalCapabilities(ColorLevel.NONE, RenderMode.FOREGROUND))
+
+
+def test_emitter_buffer_pool_size_classes():
+    """Strides in the same 16 KiB class share one pooled buffer (resize
+    churn used to allocate — and page-fault — a fresh multi-MB array per
+    geometry, and the >8 bound cleared the hot buffer too)."""
+    from asciichat_tpu.render.emitter import _out_buffers
+
+    out1, _, cls1 = _out_buffers(4, 20000)
+    out2, _, cls2 = _out_buffers(4, 21000)  # same 32 KiB class
+    assert cls1 == cls2 and out1 is out2
+    out3, _, _ = _out_buffers(4, 40000)  # different class: different buffer
+    assert out3 is not out1
+    # eviction is per-entry FIFO, not clear(): the most recent stays
+    for i in range(12):
+        _out_buffers(4, 16384 * (3 + i))
+    out2b, _, _ = _out_buffers(4, 16384 * 14)  # still cached (recent)
+    assert out2b is not None
+
+
+def test_resize_auto_lowers_to_gather_on_cpu_inside_jit():
+    """'auto' now resolves by the LOWERING platform (lax.platform_dependent):
+    jitting for CPU must pick the gather formulation even for >=256x256
+    sources — the backend-sniffing fallback used to bake dense bf16 einsums
+    (visible as dot ops) into CPU lowerings when the default backend was
+    the accelerator."""
+    import jax
+
+    from asciichat_tpu.ops import pixel
+
+    big = np.zeros((1, 300, 300, 3), np.uint8)
+    txt = jax.jit(lambda f: pixel.resize_nn(f, 64, 64)).lower(big).as_text()
+    assert "dot" not in txt  # gather formulation: no matmuls on CPU
+    # and the choice is value-identical to the explicit methods
+    rng = np.random.default_rng(3)
+    f = rng.integers(0, 256, (1, 300, 300, 3), dtype=np.uint8)
+    auto = np.asarray(jax.jit(lambda x: pixel.resize_nn(x, 64, 64))(f))
+    gather = np.asarray(pixel.resize_nn(jax.numpy.asarray(f), 64, 64,
+                                        method="gather"))
+    np.testing.assert_array_equal(auto, gather)
