@@ -37,7 +37,11 @@ class Inspector:
         out = {}
         for t in threading.enumerate():
             frame = frames.get(t.ident)
-            out[t.name] = {
+            # keyed by name-AND-ident: thread names are not unique (two
+            # DeviceStreams share 'pipeline-fetch'), and a name-only key
+            # silently dropped one stack — possibly the deadlocked one this
+            # endpoint exists to find
+            out[f"{t.name}-{t.ident}"] = {
                 "daemon": t.daemon,
                 "alive": t.is_alive(),
                 "stack": traceback.format_stack(frame) if frame else [],
@@ -78,18 +82,23 @@ class Inspector:
 
             def do_GET(self):
                 try:
-                    if self.path == "/health":
+                    # query strings are routing noise ('/health?x'), and
+                    # provider names may need %-decoding ('frame%20age')
+                    from urllib.parse import unquote
+
+                    route = self.path.split("?", 1)[0]
+                    if route == "/health":
                         body = {"ok": True}
-                    elif self.path == "/threads":
+                    elif route == "/threads":
                         body = inspector._threads()
-                    elif self.path == "/gc":
+                    elif route == "/gc":
                         body = inspector._gc()
-                    elif self.path == "/memory":
+                    elif route == "/memory":
                         body = inspector._memory()
-                    elif self.path == "/state":
+                    elif route == "/state":
                         body = sorted(inspector.providers)
-                    elif self.path.startswith("/state/"):
-                        name = self.path[len("/state/"):]
+                    elif route.startswith("/state/"):
+                        name = unquote(route[len("/state/"):])
                         provider = inspector.providers.get(name)
                         if provider is None:
                             self.send_error(404, f"no provider {name!r}")
@@ -106,7 +115,14 @@ class Inspector:
                     self.wfile.write(data)
                 except Exception as e:  # inspector must never kill the app
                     try:
-                        self.send_error(500, str(e))
+                        # the status line must stay one latin-1 line: raw
+                        # multi-line / non-latin-1 exception text (common in
+                        # jax/numpy errors) corrupted the response or lost
+                        # it entirely — detail goes in the explain body
+                        brief = str(e).splitlines()[0][:120] if str(e) else ""
+                        brief = brief.encode("latin-1", "replace").decode("latin-1")
+                        self.send_error(500, f"provider failed: {type(e).__name__}",
+                                        explain=f"{type(e).__name__}: {brief}")
                     except Exception:
                         pass
 
@@ -119,3 +135,8 @@ class Inspector:
     def stop(self) -> None:
         if self._httpd:
             self._httpd.shutdown()
+            # shutdown() stops serve_forever but leaves the listening
+            # socket open — repeated start/stop cycles leaked fds and a
+            # fixed inspect_port could hit address-in-use on quick restart
+            self._httpd.server_close()
+            self._httpd = None

@@ -79,8 +79,12 @@ def fit_dimensions_pixel(
         out_w, out_h = max_w, height_if_fill_w
     else:
         out_w, out_h = width_if_fill_h, max_h
-    out_w = min(max(out_w, 1), max_w)
-    out_h = min(max(out_h, 1), max_h)
+    # clamp order matters and must match the C (aspect_ratio.c:185-193):
+    # UPPER bound first, then the >=1 floor — so a degenerate max dim
+    # (collapsed window mid-negotiation) yields 1 like the reference, not a
+    # 0 that detonates as ZeroDivisionError inside resize_indices later
+    out_w = max(min(out_w, max_w), 1)
+    out_h = max(min(out_h, max_h), 1)
     return out_w, out_h
 
 
@@ -90,6 +94,11 @@ def resize_indices(src: int, dst: int) -> np.ndarray:
     ratio = ((src << 16) / dst) + 1 (integer division); src_i = (i*ratio) >> 16,
     clamped to src-1.
     """
+    if src <= 0 or dst <= 0:
+        # the reference error-returns on degenerate dims (image.c guards +
+        # SET_ERRNO); OverflowError from np.uint32(-1) / ZeroDivisionError
+        # here were unhandleable by the protocol-violation paths
+        raise ValueError(f"resize_indices: degenerate dims src={src} dst={dst}")
     ratio = np.uint32((((src << 16) // dst) + 1) & 0xFFFFFFFF)
     # C multiplies in uint32 with wraparound (image.c:300,315).
     with np.errstate(over="ignore"):

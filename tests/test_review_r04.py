@@ -3800,3 +3800,121 @@ def test_resize_auto_lowers_to_gather_on_cpu_inside_jit():
     gather = np.asarray(pixel.resize_nn(jax.numpy.asarray(f), 64, 64,
                                         method="gather"))
     np.testing.assert_array_equal(auto, gather)
+
+
+# ---------------------------------------------------------------------------
+# twenty-second sweep: framefd / aspect / fps / inspector
+
+
+def test_framefd_survives_short_reads_and_flags_trailing_garbage():
+    """POSIX reads return short past the pipe buffer: a fragmented healthy
+    frame must reassemble (a single fd_read(total) misdiagnosed it as
+    'truncated'), and a body longer than its rows must fail AT the corrupt
+    frame, not one frame later as bad-magic."""
+    import io
+    import struct as _struct
+
+    from asciichat_tpu.utils import framefd
+
+    frame = b"\x1b[38;2;1;2;3m" + b"X" * 150_000 + b"\nrow2"
+    buf = io.BytesIO()
+    framefd.write_frame(buf.write, frame)
+    data = buf.getvalue()
+
+    class Dribble:  # returns at most 1000 bytes per call (pipe-like)
+        def __init__(self, raw):
+            self.raw, self.at = raw, 0
+
+        def read(self, n):
+            chunk = self.raw[self.at : self.at + min(n, 1000)]
+            self.at += len(chunk)
+            return chunk
+
+    assert framefd.read_frame(Dribble(data).read) == frame
+    # trailing garbage: total_len says 100, rows account for 5
+    bad = framefd.MAGIC + _struct.pack(">II", 100, 1) + _struct.pack(">I", 5)
+    bad += b"hello" + b"\x00" * 91
+    with pytest.raises(ValueError, match="trailing"):
+        framefd.read_frame(io.BytesIO(bad).read)
+
+
+def test_aspect_degenerate_dims_match_reference_clamps():
+    """C clamps upper-then-lower (aspect_ratio.c:185-193): a 0 max dim
+    yields 1, never a 0 that later explodes inside resize_indices — and
+    resize_indices itself rejects degenerate dims with ValueError instead
+    of OverflowError/ZeroDivisionError."""
+    from asciichat_tpu.utils.aspect import fit_dimensions_pixel, resize_indices
+
+    w, h = fit_dimensions_pixel(640, 480, 0, 24)
+    assert w == 1 and h >= 1
+    w, h = fit_dimensions_pixel(640, 480, 80, 0)
+    assert h == 1 and w >= 1
+    for src, dst in ((0, 10), (10, 0), (-1, 4)):
+        with pytest.raises(ValueError, match="degenerate"):
+            resize_indices(src, dst)
+
+
+def test_fps_counter_matches_reference_window_semantics():
+    """lib/ui/fps_counter.c: 30-timestamp circular window, rate =
+    (count-1)/elapsed, 0.0 until two ticks — the prior EMA cited the same
+    file while converging ~50% slower on rate steps."""
+    from asciichat_tpu.utils.fps import FPS_WINDOW_SIZE, FpsCounter
+
+    c = FpsCounter()
+    assert c.tick(now=0.0) == 0.0  # <2 ticks -> 0.0 like the C
+    assert c.tick(now=1 / 60) == pytest.approx(60.0)
+    t = 1 / 60
+    for _ in range(60):  # a full window at 60 fps
+        t += 1 / 60
+        c.tick(now=t)
+    assert c.fps == pytest.approx(60.0)
+    # step to 30 fps: after one full window the old rate is fully gone
+    for _ in range(FPS_WINDOW_SIZE):
+        t += 1 / 30
+        c.tick(now=t)
+    assert c.fps == pytest.approx(30.0)
+
+
+def test_inspector_duplicate_threads_routing_and_socket_close():
+    """Duplicate thread names must BOTH appear in /threads (the dropped one
+    could be the deadlocked thread the endpoint exists to find), routes
+    strip query strings and %-decode provider names, provider exceptions
+    with newlines still produce an HTTP 500, and stop() releases the
+    listening socket for immediate rebind."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from asciichat_tpu.runtime.inspector import Inspector
+
+    ins = Inspector()
+    ins.register("frame age", lambda: {"ok": 1})
+    ins.register("boom", lambda: (_ for _ in ()).throw(
+        RuntimeError("line1\nline2 ☃")))
+    port = ins.start()
+
+    stop_evt = threading.Event()
+    threads = [threading.Thread(target=stop_evt.wait, name="twin", daemon=True)
+               for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+                return _json.loads(r.read())
+
+        tmap = get("/threads?verbose=1")  # query string tolerated
+        assert sum(1 for k in tmap if k.startswith("twin-")) == 2
+        assert get("/state/frame%20age") == {"ok": 1}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get("/state/boom")
+        assert ei.value.code == 500  # newline/unicode exc still answered
+    finally:
+        stop_evt.set()
+        ins.stop()
+    # socket actually closed: immediate rebind of the same port works
+    ins2 = Inspector(port=port)
+    assert ins2.start() == port
+    ins2.stop()
