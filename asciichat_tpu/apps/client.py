@@ -326,20 +326,33 @@ class AsciiChatClient:
                     log.error("server error %d: %s", code, msg)
                     self._stop.set()
 
-    async def _session(self, max_frames: int | None) -> None:
+    async def _dial(self):
         if self.use_webrtc:
             # WebRTC transport (src/client/webrtc.c role): SDP signaling
             # against the server's /webrtc/offer + ICE/DTLS/SCTP; the
             # server sees this client exactly like a browser
             from asciichat_tpu.net.datachannel import connect_webrtc
 
-            raw = await connect_webrtc(self.host, self.port)
-        elif self.use_ws:
+            return await connect_webrtc(self.host, self.port)
+        if self.use_ws:
             from asciichat_tpu.net.websocket import connect_ws
 
-            raw = await connect_ws(self.host, self.port)
-        else:
-            raw = await connect_tcp(self.host, self.port)
+            return await connect_ws(self.host, self.port)
+        return await connect_tcp(self.host, self.port)
+
+    async def _session(self, max_frames: int | None) -> None:
+        # initial-dial retry ladder (lib/network/connection_attempt.c role):
+        # a refused/reset FIRST dial retries briefly even with
+        # --no-reconnect — that flag governs post-session behavior, not a
+        # SYN racing a server's momentarily-starved accept loop
+        for attempt in range(3):
+            try:
+                raw = await self._dial()
+                break
+            except (ConnectionError, OSError):
+                if attempt == 2 or self._stop.is_set():
+                    raise
+                await asyncio.sleep(0.25 * (attempt + 1))
         log.info("connected to %s:%d", self.host, self.port)
         t = raw
         try:

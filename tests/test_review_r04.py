@@ -3918,3 +3918,54 @@ def test_inspector_duplicate_threads_routing_and_socket_close():
     ins2 = Inspector(port=port)
     assert ins2.start() == port
     ins2.stop()
+
+
+def test_client_initial_dial_retries_briefly():
+    """The first dial retries a refused connection a few times even with
+    reconnect=False (connection_attempt.c role): --no-reconnect governs
+    post-session behavior, not a SYN racing a starved accept loop — this
+    was the suite's recurring contention-flake class."""
+    import asyncio
+    import time as _time
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import serve_tcp
+    from asciichat_tpu.runtime.framesource import open_source
+
+    async def run():
+        # grab a port, then DON'T listen yet
+        probe = await asyncio.start_server(lambda r, w: None, "127.0.0.1", 0)
+        port = probe.sockets[0].getsockname()[1]
+        probe.close()
+        await probe.wait_closed()
+        seen = asyncio.Event()
+
+        async def handler(t):
+            seen.set()
+            try:
+                while True:
+                    await t.recv()
+            except (ValueError, ConnectionError, asyncio.IncompleteReadError):
+                pass
+
+        c = AsciiChatClient("127.0.0.1", port, open_source(test_pattern=True),
+                            proto.WireCapabilities(), reconnect=False)
+        c.display.writer = __import__(
+            "asciichat_tpu.utils.term", fromlist=["term"]).FrameWriter(
+            open(os.devnull, "wb"))
+        task = asyncio.create_task(c.run(max_frames=5))
+        await asyncio.sleep(0.4)  # first dial refused; ladder is sleeping
+        srv = await serve_tcp(handler, "127.0.0.1", port)  # now listen
+        try:
+            await asyncio.wait_for(seen.wait(), 10)  # second attempt landed
+        finally:
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+    _ = _time
