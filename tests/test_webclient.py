@@ -789,3 +789,53 @@ var diffOps = JSON.stringify(ctx.ops);
     assert not any(o[3] == 16 and o[4] == 34 for o in rects)  # no clear
     half = [o for o in rects if o[4] == "rgb(0,255,0)" or o[4] == 8.5]
     assert any(o[4] == 8.5 or o[5] == "rgb(0,255,0)" for o in rects), half
+
+
+def test_js_parser_fuzz_lockstep_with_python_twin_qjs():
+    """Twin lockstep on ARBITRARY input under the real engine: random
+    oracle frames from every grammar plus garbage byte soup must parse to
+    identical (w, h, cells) in web/ansi.js (Qt V4) and web/ansiparse.py.
+    The committed corpus pins known-good frames; this pins the twins to
+    each other everywhere else."""
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+    rng = np.random.default_rng(4242)
+    texts = []
+    for mode, (render, _expect) in sorted(MODES.items()):
+        for rgb in _rand_frames(seed=_mode_seed(mode) ^ 0x5A5A, n=2,
+                                hmax=16, wmax=24):
+            texts.append(render(rgb, pal.DEFAULT_PALETTE).decode())
+    for _ in range(12):  # garbage soup: truncated escapes, raw bytes
+        raw = bytes(rng.integers(0, 256, int(rng.integers(1, 1500))))
+        texts.append(raw.decode("utf-8", errors="replace"))
+    texts += ["\x1b[38;2;1;2", "\x1b[999999999999m", "X\x1b[2000000000b",
+              "\x1b[;;;;m\n\n", "\x1b[38;5m\x1b[48;2;300;300;300mQ"]
+    program = (
+        QJS_PRELUDE
+        + jsrun.load_twin("ansi.js")
+        + "\nvar G = globalThis.AsciichatAnsi.AnsiGrid;\n"
+        + "var texts = JSON.parse(" + json.dumps(json.dumps(texts)) + ");\n"
+        + """
+var out = [];
+for (var text of texts) {
+  var g = new G();
+  g.parse(text);
+  var cells = [];
+  for (var y = 0; y < g.h; y++)
+    for (var x = 0; x < g.w; x++) cells.push(g.cell(x, y));
+  out.push([g.w, g.h, cells]);
+}
+JSON.stringify(out);
+"""
+    )
+    js = json.loads(jsrun.eval_js(program))
+    assert len(js) == len(texts)
+    for i, text in enumerate(texts):
+        grid = ansiparse.AnsiGrid().parse(text)
+        jw, jh, jcells = js[i]
+        assert (jw, jh) == (grid.w, grid.h), f"case {i}: dims"
+        it = iter(jcells)
+        for y in range(grid.h):
+            for x in range(grid.w):
+                assert tuple(next(it)) == grid.cell(x, y), (i, x, y)
