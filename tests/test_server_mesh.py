@@ -19,6 +19,7 @@ import subprocess
 import sys
 import time
 import urllib.request
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -253,3 +254,25 @@ def test_incremental_upload_byte_identical():
     assert srv._device_failures == 0
     assert ([p[-1] for p in _frames_sent(clients)]
             == fresh_render(f2)), "post-layout-change tick diverged"
+
+
+def test_dryrun_multichip_topology_generality():
+    """The full-tick dryrun must hold at topologies beyond the driver's 8:
+    a 16-device mesh (clients=8 x space=2) runs the REAL tick_compute
+    sharded and value-exact vs single-device. Subprocess: the dryrun owns
+    its XLA_FLAGS device pool and must not inherit this suite's."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the dryrun sets its own 16-device pool
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(16)"],
+        cwd=str(Path(__file__).resolve().parent.parent),
+        capture_output=True, text=True, timeout=580, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "dryrun_multichip OK" in r.stdout
+    assert "'clients': 8" in r.stdout and "'space': 2" in r.stdout
