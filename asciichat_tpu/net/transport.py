@@ -30,19 +30,22 @@ def _trace(direction: str, ptype: int, size: int) -> None:
         _log.log(DEV, "%s %s (%d bytes)", direction, name, size)
 
 
-class Transport:
-    """One framed ACIP connection (either side)."""
+class _QueuedSender:
+    """Shared bounded-queue sender machinery for framed transports.
 
-    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
-        self.reader = reader
-        self.writer = writer
-        self._send_queue: asyncio.Queue[bytes | None] = asyncio.Queue(maxsize=256)
+    One implementation for the TCP Transport AND the WebSocket transport
+    (net/websocket.py): the two used to be near-verbatim copies, and the
+    copies drifted — the WS one lost the dead-sender check in send_nowait
+    and the bounded close() await, re-growing the exact hang/buffer-bloat
+    bugs fixed in the TCP twin. Subclasses provide `async _write_one(buf)`
+    (write + flush one framed packet on the underlying stream)."""
+
+    QUEUE_MAX = 256
+
+    def _init_sender(self) -> None:
+        self._send_queue: asyncio.Queue[bytes | None] = asyncio.Queue(
+            maxsize=self.QUEUE_MAX)
         self._sender_task: asyncio.Task | None = None
-        self.closed = False
-
-    @property
-    def peername(self):
-        return self.writer.get_extra_info("peername")
 
     def start_sender(self) -> None:
         self._loop = asyncio.get_running_loop()
@@ -54,8 +57,7 @@ class Transport:
                 buf = await self._send_queue.get()
                 if buf is None:
                     break
-                self.writer.write(buf)
-                await self.writer.drain()
+                await self._write_one(buf)
         except asyncio.CancelledError:
             pass
         except (ConnectionError, OSError, RuntimeError):
@@ -72,8 +74,7 @@ class Transport:
         _trace("send", ptype, len(payload))
         buf = pkt.pack_packet(ptype, payload)
         if self._sender_task is None:
-            self.writer.write(buf)
-            await self.writer.drain()
+            await self._write_one(buf)
             return
         if self._sender_task.done():
             raise ConnectionError("sender task dead (peer gone)")
@@ -125,6 +126,44 @@ class Transport:
         with contextlib.suppress(asyncio.QueueFull):
             self._send_queue.put_nowait(buf)
 
+    async def _drain_sender(self) -> None:
+        """Stop the sender with a BOUNDED best-effort flush."""
+        if self._sender_task is None:
+            return
+        # NEVER a blocking put: if the sender died with a full queue
+        # (stalled peer that then reset), put(None) would block forever
+        # and leak the connection task + transport + socket
+        try:
+            self._send_queue.put_nowait(None)
+        except asyncio.QueueFull:
+            self._sender_task.cancel()
+        # BOUNDED flush: the sender can be parked in drain() against a
+        # peer that stopped reading (TCP zero window) with the queue NOT
+        # full, so the sentinel alone never unblocks it and a bare await
+        # would hang close() forever. wait_for cancels the task on
+        # timeout, which interrupts drain().
+        with contextlib.suppress(asyncio.CancelledError, TimeoutError,
+                                 asyncio.TimeoutError):
+            await asyncio.wait_for(self._sender_task, timeout=2.0)
+
+
+class Transport(_QueuedSender):
+    """One framed ACIP connection (either side)."""
+
+    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self.reader = reader
+        self.writer = writer
+        self._init_sender()
+        self.closed = False
+
+    @property
+    def peername(self):
+        return self.writer.get_extra_info("peername")
+
+    async def _write_one(self, buf: bytes) -> None:
+        self.writer.write(buf)
+        await self.writer.drain()
+
     async def recv(self) -> tuple[int, bytes]:
         """Read one verified packet -> (type, payload).
 
@@ -142,23 +181,7 @@ class Transport:
         if self.closed:
             return
         self.closed = True
-        if self._sender_task is not None:
-            # NEVER a blocking put: if the sender died with a full queue
-            # (stalled peer that then reset), put(None) would block forever
-            # and leak the connection task + Transport + StreamWriter
-            try:
-                self._send_queue.put_nowait(None)
-            except asyncio.QueueFull:
-                self._sender_task.cancel()
-            # BOUNDED flush: the sender can be parked in writer.drain()
-            # against a peer that stopped reading (TCP zero window) with the
-            # queue NOT full, so the sentinel alone never unblocks it and a
-            # bare await would hang close() — and leak the connection task,
-            # Transport, and socket — forever. wait_for cancels the task on
-            # timeout, which interrupts drain().
-            with contextlib.suppress(asyncio.CancelledError, TimeoutError,
-                                     asyncio.TimeoutError):
-                await asyncio.wait_for(self._sender_task, timeout=2.0)
+        await self._drain_sender()
         with contextlib.suppress(ConnectionError, OSError):
             self.writer.close()
             try:

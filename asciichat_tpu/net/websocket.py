@@ -18,6 +18,7 @@ import os
 import struct
 
 from asciichat_tpu.net import packet as pkt
+from asciichat_tpu.net.transport import _QueuedSender
 
 WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
@@ -142,7 +143,18 @@ class WebSocketConnection:
                 (length,) = struct.unpack(">H", await self.reader.readexactly(2))
             elif length == 127:
                 (length,) = struct.unpack(">Q", await self.reader.readexactly(8))
-            if length > MAX_MESSAGE_SIZE or len(message) + length > MAX_MESSAGE_SIZE:
+            if opcode >= 0x8:
+                # control frames: <=125 bytes and never fragmented (RFC
+                # 6455 §5.5) — accepting a 5 MB PING and echoing a 5 MB
+                # PONG is itself a violation compliant peers fail on; and
+                # a control frame's length must NOT count against the
+                # in-progress message budget (a legal ping near the cap
+                # spuriously failed as 'too large')
+                if length > 125 or not fin:
+                    raise ValueError(
+                        f"bad websocket control frame (op {opcode}, "
+                        f"{length} bytes, fin={bool(fin)})")
+            elif length > MAX_MESSAGE_SIZE or len(message) + length > MAX_MESSAGE_SIZE:
                 raise ValueError(f"websocket frame too large ({length} bytes)")
             mask = await self.reader.readexactly(4) if masked else None
             payload = await self.reader.readexactly(length) if length else b""
@@ -155,10 +167,22 @@ class WebSocketConnection:
                 continue
             if opcode == OP_CLOSE:
                 self.closed = True
-                with contextlib.suppress(ConnectionError):
+                # best-effort echo: drain() can raise RuntimeError
+                # ('transport is closing') or OSError here, which escaped
+                # as the wrong exception type past callers catching
+                # ConnectionError for clean disconnect
+                with contextlib.suppress(ConnectionError, OSError, RuntimeError):
                     await self.send_message(payload, OP_CLOSE)
                 raise ConnectionError("websocket closed by peer")
             if opcode in (OP_TEXT, OP_BINARY):
+                if message_op is not None:
+                    # a new data frame while a fragmented message is in
+                    # flight (RFC 6455 §5.4): silently dropping the partial
+                    # lost half an ACIP packet and desynced the shared
+                    # deflate window — fail the connection like the other
+                    # framing violations
+                    raise ValueError("websocket data frame interleaved "
+                                     "with unfinished fragmented message")
                 message_op = opcode
                 message = bytearray(payload)
                 compressed = bool(b1 & 0x40)  # RSV1 on the FIRST frame
@@ -206,82 +230,35 @@ class WebSocketConnection:
                     self.send_message(struct.pack(">H", 1000), OP_CLOSE), 1.0)
         with contextlib.suppress(ConnectionError, OSError):
             self.writer.close()
-            await self.writer.wait_closed()
+            try:
+                # the flush behind wait_closed() never finishes against a
+                # stalled peer — bound it and abort(), like the TCP twin
+                # (net/transport.py close): dropping undeliverable bytes IS
+                # the disconnect semantics
+                await asyncio.wait_for(self.writer.wait_closed(), timeout=2.0)
+            except (TimeoutError, asyncio.TimeoutError):
+                self.writer.transport.abort()
 
 
-class WebSocketTransport:
-    """ACIP-over-WebSocket with the net.transport.Transport interface."""
+class WebSocketTransport(_QueuedSender):
+    """ACIP-over-WebSocket with the net.transport.Transport interface.
+
+    The queue/sender/send/send_nowait/close-drain machinery is SHARED with
+    the TCP transport (net.transport._QueuedSender): the two used to be
+    near-verbatim copies that drifted — the WS copy lost the dead-sender
+    check and the bounded close() await, re-growing the hang/buffer-bloat
+    bugs the TCP twin had already fixed."""
 
     def __init__(self, ws: WebSocketConnection):
         self.ws = ws
-        self._send_queue: asyncio.Queue[bytes | None] = asyncio.Queue(maxsize=256)
-        self._sender_task: asyncio.Task | None = None
+        self._init_sender()
 
     @property
     def peername(self):
         return self.ws.writer.get_extra_info("peername")
 
-    def start_sender(self) -> None:
-        self._loop = asyncio.get_running_loop()
-        self._sender_task = self._loop.create_task(self._sender())
-
-    async def _sender(self) -> None:
-        try:
-            while True:
-                buf = await self._send_queue.get()
-                if buf is None:
-                    return
-                await self.ws.send_message(buf)
-        except asyncio.CancelledError:
-            pass
-        except (ConnectionError, OSError, RuntimeError):
-            # drain() raises past ConnectionError while a transport closes
-            # (RuntimeError) or under ENOBUFS (OSError) — exit cleanly
-            pass
-
-    async def send(self, ptype: int, payload: bytes = b"") -> None:
-        """TCP-twin parity (net/transport.Transport.send): a FULL queue or
-        dead sender raises ConnectionError — blocking would freeze the
-        caller's recv loop behind its own stalled browser tab."""
-        buf = pkt.pack_packet(ptype, payload)
-        if self._sender_task is None:
-            await self.ws.send_message(buf)
-            return
-        if self._sender_task.done():
-            raise ConnectionError("ws sender task dead (peer gone)")
-        try:
-            self._send_queue.put_nowait(buf)
-        except asyncio.QueueFull:
-            raise ConnectionError(
-                "ws send queue overflow (stalled peer)") from None
-
-    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
-        # thread-safe like net.transport.Transport.send_nowait: executor
-        # ticks enqueue via call_soon_threadsafe, never poking the
-        # loop-affine Queue from a foreign thread
-        buf = pkt.pack_packet(ptype, payload)
-        loop = getattr(self, "_loop", None)
-        try:
-            running = asyncio.get_running_loop()
-        except RuntimeError:
-            running = None
-        if loop is not None and running is not loop:
-            if self._send_queue.full():
-                return False
-            try:
-                loop.call_soon_threadsafe(self._put_drop, buf)
-            except RuntimeError:
-                return False
-            return True
-        try:
-            self._send_queue.put_nowait(buf)
-            return True
-        except asyncio.QueueFull:
-            return False
-
-    def _put_drop(self, buf: bytes) -> None:
-        with contextlib.suppress(asyncio.QueueFull):
-            self._send_queue.put_nowait(buf)
+    async def _write_one(self, buf: bytes) -> None:
+        await self.ws.send_message(buf)
 
     async def recv(self) -> tuple[int, bytes]:
         _, message = await self.ws.recv_message()
@@ -294,16 +271,7 @@ class WebSocketTransport:
         return ptype, payload
 
     async def close(self) -> None:
-        if self._sender_task is not None:
-            try:
-                self._send_queue.put_nowait(None)
-            except asyncio.QueueFull:
-                # the sender died (peer vanished) with a full queue: a
-                # blocking put would deadlock close() forever and leak the
-                # connection task + socket on every abrupt disconnect
-                self._sender_task.cancel()
-            with contextlib.suppress(asyncio.CancelledError):
-                await self._sender_task
+        await self._drain_sender()
         await self.ws.close()
 
 
@@ -364,11 +332,22 @@ def parse_deflate_response(value: str):
     server believes deflate is negotiated, so "speaking uncompressed" on
     our side still dies the moment the server sends its first compressed
     frame — raising here lets connect_ws fail cleanly instead."""
+    accepted = False
+    tx_wbits, tx_no_ctx = 15, False
     for part in value.split(","):
         tokens = [p.strip() for p in part.split(";")]
-        if not tokens or tokens[0] != "permessage-deflate":
+        if not tokens or not tokens[0]:
             continue
-        tx_wbits, tx_no_ctx = 15, False
+        if tokens[0] != "permessage-deflate":
+            # the server selected an extension we never offered — its
+            # framing would be applied to frames we can't interpret;
+            # silently ignoring it deferred the failure to a confusing
+            # mid-stream error instead of a clean handshake ConnectionError
+            raise ConnectionError(
+                f"server selected unoffered extension {tokens[0]!r}")
+        if accepted:
+            raise ConnectionError("duplicate permessage-deflate in response")
+        accepted = True
         for p in tokens[1:]:
             k, _, v = p.partition("=")
             k, v = k.strip(), v.strip().strip('"')
@@ -394,8 +373,9 @@ def parse_deflate_response(value: str):
             else:
                 raise ConnectionError(
                     f"unknown deflate response param {p!r}")
-        return True, tx_wbits, tx_no_ctx
-    return False, 15, False
+    # no early return: every listed extension is inspected, so a second
+    # (unoffered) extension after permessage-deflate also fails
+    return (accepted, tx_wbits, tx_no_ctx) if accepted else (False, 15, False)
 
 
 async def connect_ws(host: str, port: int, path: str = "/",
@@ -454,7 +434,15 @@ async def serve_ws(handler, host: str, port: int,
             status, headers = await asyncio.wait_for(
                 _read_http_headers(reader), 15.0)
             key = headers.get("sec-websocket-key")
-            if not key or "upgrade" not in headers.get("connection", "").lower():
+            # upgrade ONLY a real websocket handshake (RFC 6455 §4.2.1):
+            # method GET + Upgrade: websocket. An h2c probe carrying a
+            # stray Sec-WebSocket-Key used to be answered '101 ...
+            # websocket' and handed to the ACIP handler.
+            is_ws_upgrade = (
+                key is not None and status.startswith("GET")
+                and "upgrade" in headers.get("connection", "").lower()
+                and "websocket" in headers.get("upgrade", "").lower())
+            if not is_ws_upgrade:
                 page = None
                 if status.startswith("GET"):
                     path = status.split(" ")[1] if " " in status else "/"
@@ -465,8 +453,11 @@ async def serve_ws(handler, host: str, port: int,
                 elif status.startswith("POST") and post is not None:
                     path = status.split(" ")[1] if " " in status else "/"
                     clen = int(headers.get("content-length", "0"))
-                    body = await reader.readexactly(clen) if 0 < clen <= 1 << 20 \
-                        else b""
+                    # the 15 s header bound does not cover the BODY: a
+                    # slowloris POST declaring Content-Length and sending
+                    # nothing held the fd + task forever on the public port
+                    body = (await asyncio.wait_for(reader.readexactly(clen), 15.0)
+                            if 0 < clen <= 1 << 20 else b"")
                     page = post(path, body)
                     if asyncio.iscoroutine(page):
                         page = await page

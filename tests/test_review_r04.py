@@ -1227,7 +1227,14 @@ def test_deflate_response_unsupportable_fails_handshake():
         parse_deflate_response("permessage-deflate; client_max_window_bits=8")
     with pytest.raises(ConnectionError):
         parse_deflate_response("permessage-deflate; foo=bar")
-    assert parse_deflate_response("x-unknown-ext")[0] is False
+    # a server selecting an extension we never OFFERED fails the handshake
+    # (RFC 6455 §4.1 / 7692 §7.1) — it would apply framing we can't parse
+    with pytest.raises(ConnectionError, match="unoffered"):
+        parse_deflate_response("x-unknown-ext")
+    with pytest.raises(ConnectionError, match="unoffered"):
+        parse_deflate_response("permessage-deflate, x-custom")
+    # an EMPTY response still means "not negotiated", no error
+    assert parse_deflate_response("")[0] is False
 
 
 def test_gateway_malformed_offer_is_404():
@@ -3969,3 +3976,113 @@ def test_client_initial_dial_retries_briefly():
 
     asyncio.run(asyncio.wait_for(run(), 30))
     _ = _time
+
+
+# ---------------------------------------------------------------------------
+# twenty-third sweep: websocket RFC conformance + shared sender machinery
+
+
+def test_ws_control_frame_rules_and_interleave():
+    """RFC 6455: control frames are <=125 bytes and never fragmented (a
+    5 MB PING used to be accepted AND echoed as a 5 MB PONG — itself a
+    violation peers fail on), and a new data frame may not interleave an
+    unfinished fragmented message (the partial was silently discarded,
+    losing half an ACIP packet and desyncing the deflate window)."""
+    import asyncio
+    import struct as st
+
+    from asciichat_tpu.net.websocket import WebSocketConnection
+
+    async def run(frames: bytes):
+        r = asyncio.StreamReader()
+        r.feed_data(frames)
+        r.feed_eof()
+        ws = WebSocketConnection(r, None, is_client=False)
+        return await ws.recv_message()
+
+    # oversized PING (126-byte payload -> extended length)
+    big_ping = st.pack(">BBH", 0x89, 126, 300) + b"p" * 300
+    with pytest.raises(ValueError, match="control frame"):
+        asyncio.run(run(big_ping))
+    # fragmented PING (fin=0)
+    with pytest.raises(ValueError, match="control frame"):
+        asyncio.run(run(st.pack(">BB", 0x09, 1) + b"p"))
+    # BINARY(no FIN) then a NEW BINARY start: fail, don't drop the partial
+    interleave = (st.pack(">BB", 0x02, 2) + b"ab"
+                  + st.pack(">BB", 0x82, 2) + b"cd")
+    with pytest.raises(ValueError, match="interleaved"):
+        asyncio.run(run(interleave))
+    # a small ping between fragments still works mid-message
+    ok = (st.pack(">BB", 0x02, 2) + b"ab"
+          + st.pack(">BB", 0x80, 2) + b"cd")
+
+    async def run_no_writer(frames):
+        r = asyncio.StreamReader()
+        r.feed_data(frames)
+        r.feed_eof()
+        return await WebSocketConnection(r, None, is_client=False).recv_message()
+
+    op, msg = asyncio.run(run_no_writer(ok))
+    assert msg == b"abcd"
+
+
+def test_ws_upgrade_requires_get_and_websocket_header():
+    """An h2c probe (or POST) carrying a stray Sec-WebSocket-Key used to be
+    answered '101 ... websocket' and handed to the ACIP handler; upgrades
+    now require method GET + Upgrade: websocket (RFC 6455 §4.2.1)."""
+    import asyncio
+
+    from asciichat_tpu.net.websocket import serve_ws
+
+    async def run():
+        async def handler(t):
+            raise AssertionError("h2c probe must not reach the WS handler")
+
+        server = await serve_ws(handler, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\n"
+                     b"Connection: Upgrade\r\nUpgrade: h2c\r\n"
+                     b"Sec-WebSocket-Key: aaaabbbbccccdddd\r\n\r\n")
+        await writer.drain()
+        status = await reader.readline()
+        assert b"400" in status or b"404" in status, status
+        writer.close()
+        server.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_ws_transport_close_bounded_and_dead_sender():
+    """The WS transport now shares the TCP twin's sender machinery: close()
+    is bounded against a stalled peer (it used to await the parked sender
+    forever, leaking the connection on every stalled browser tab) and
+    send_nowait reports a dead sender instead of buffering into the void."""
+    import asyncio
+    import socket
+
+    from asciichat_tpu.net.websocket import connect_ws, serve_ws
+
+    async def run():
+        async def handler(t):
+            # never read application data: the client's sender will park
+            await asyncio.sleep(30)
+
+        server = await serve_ws(handler, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        t = await connect_ws("127.0.0.1", port)
+        sock = t.ws.writer.get_extra_info("socket")
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 8192)
+        for _ in range(8):
+            t.send_nowait(9999, os.urandom(1 << 20))  # incompressible
+        await asyncio.sleep(0.2)
+        await asyncio.wait_for(t.close(), 10)  # pre-fix: hang
+        # dead sender: a fresh transport whose sender task is cancelled
+        t2 = await connect_ws("127.0.0.1", port)
+        t2._sender_task.cancel()
+        await asyncio.sleep(0)
+        assert t2.send_nowait(9999, b"x") is False
+        await t2.close()
+        server.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
