@@ -32,6 +32,7 @@ Design notes:
 from __future__ import annotations
 
 import ctypes
+import threading
 import os
 import subprocess
 import tempfile
@@ -293,6 +294,17 @@ def _ctx_for_identity(identity: DtlsIdentity):
     context lives as long as the identity (freed in DtlsIdentity.__del__);
     SSL objects created from it hold their own reference."""
     global _verify_cb
+    # double-checked under a lock: two threads building endpoints for one
+    # identity both saw _ssl_ctx unset and leaked one SSL_CTX
+    with _ctx_build_lock:
+        return _ctx_for_identity_locked(identity)
+
+
+_ctx_build_lock = threading.Lock()
+
+
+def _ctx_for_identity_locked(identity: DtlsIdentity):
+    global _verify_cb
     if identity._ssl_ctx:
         return identity._ssl_ctx
     ctx = _ssl.SSL_CTX_new(_ssl.DTLS_method())
@@ -309,6 +321,12 @@ def _ctx_for_identity(identity: DtlsIdentity):
         pkey = _crypto.PEM_read_bio_PrivateKey(bio, None, None, None)
         _crypto.BIO_free(bio)
         if not x509 or not pkey:
+            # free whichever parse SUCCEEDED before bailing (cert-ok/key-bad
+            # leaked the X509 per connection attempt)
+            if x509:
+                _crypto.X509_free(x509)
+            if pkey:
+                _crypto.EVP_PKEY_free(pkey)
             raise DtlsError(f"bad identity PEM: {_ssl_errors()}")
         ok1 = _ssl.SSL_CTX_use_certificate(ctx, x509)
         ok2 = _ssl.SSL_CTX_use_PrivateKey(ctx, pkey)
@@ -502,6 +520,13 @@ class DtlsEndpoint:
                 continue
             err = _ssl.SSL_get_error(self._ssl, rc)
             if err == _SSL_ERROR_ZERO_RETURN:  # close_notify
+                self.closed = True
+            elif err not in (_SSL_ERROR_WANT_READ, _SSL_ERROR_WANT_WRITE):
+                # fatal alert / protocol error (SSL_ERROR_SSL): the peer's
+                # stack died WITHOUT close_notify. Swallowing it left
+                # closed=False, so the datachannel ghost-detection never
+                # fired and recv() blocked forever.
+                log.debug("DTLS read fatal (err %d): %s", err, _ssl_errors())
                 self.closed = True
             break
         return out

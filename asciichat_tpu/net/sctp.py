@@ -34,6 +34,7 @@ degrade gracefully instead of aborting the association.
 
 from __future__ import annotations
 
+import collections
 import hashlib
 import hmac
 import os
@@ -185,7 +186,9 @@ class SctpAssociation:
         # sender
         self._outstanding: dict[int, list] = {}  # tsn -> [bytes, t_sent, retx, miss]
         self._out_order: list[int] = []  # tsns in send order
-        self._send_queue: list[bytes] = []  # DATA chunks not yet transmitted
+        # DATA chunks not yet transmitted; deque: _flush popped a LIST's
+        # head per chunk — O(n^2) per flush with ~950 tuples buffered
+        self._send_queue: collections.deque = collections.deque()
         self._rto = RTO_INIT
         self._t3_start: float | None = None
         self._ssn_out: dict[int, int] = {}
@@ -281,7 +284,17 @@ class SctpAssociation:
         except ValueError as e:
             log.debug("dropping bad SCTP packet: %s", e)
             return
+        if self.state == "done":
+            return
         has_init = any(ct == CT_INIT for ct, _f, _v in chunks)
+        if has_init and (len(chunks) > 1 or vtag != 0):
+            # INIT MUST be the sole chunk in its packet and ride vtag 0
+            # (RFC 9260 §5.1): a bundled INIT used to disable the vtag
+            # check for every OTHER chunk in the packet, letting a forged
+            # INIT+ABORT with a garbage vtag kill an established
+            # association
+            log.debug("dropping packet bundling INIT with other chunks")
+            return
         if not has_init and vtag != self.my_vtag:
             # INIT_ACK arrives on the client before peer_vtag is known but
             # is keyed to OUR tag, so the same check applies (RFC 9260 §8.5)
@@ -289,6 +302,11 @@ class SctpAssociation:
             return
         saw_data = False
         for ctype, flags, value in chunks:
+            if self.state == "done":
+                # nothing after an ABORT/SHUTDOWN_COMPLETE in the same
+                # packet may be processed (§8.5.1) — bundled DATA used to
+                # fire on_message AFTER on_closed
+                return
             if ctype == CT_DATA:
                 saw_data |= self._on_data(flags, value)
             elif ctype == CT_SACK:
@@ -307,9 +325,23 @@ class SctpAssociation:
             elif ctype == CT_ABORT:
                 self._close("peer abort")
             elif ctype == CT_SHUTDOWN:
-                self.state = "shutdown-received"
-                self._xmit(_chunk(CT_SHUTDOWN_ACK, 0, b""))
+                # §9.2: the SHUTDOWN receiver must DRAIN its own
+                # outstanding/queued DATA before SHUTDOWN_ACK — acking
+                # immediately destroyed any message still in flight the
+                # other way (verified: 0 of 5000 bytes delivered when a
+                # graceful close raced a cwnd-limited send). The chunk's
+                # Cumulative TSN Ack frees our in-flight data like a SACK.
+                if len(value) >= 4:
+                    (sh_cum,) = struct.unpack_from(">I", value)
+                    self._on_sack(_SACK_HDR.pack(sh_cum, self.peer_rwnd, 0, 0))
+                if self.state in ("established", "shutdown-pending",
+                                  "shutdown-sent"):
+                    self.state = "shutdown-received"
+                self._maybe_shutdown_ack()
             elif ctype == CT_SHUTDOWN_ACK:
+                # best-effort COMPLETE: if it is lost, the peer's
+                # retransmitted SHUTDOWN_ACK eventually exhausts ITS retx
+                # budget and closes — bounded, unlike the pre-fix wedge
                 self._xmit(_chunk(CT_SHUTDOWN_COMPLETE, 0, b""))
                 self._close("shutdown complete")
             elif ctype == CT_SHUTDOWN_COMPLETE:
@@ -390,6 +422,17 @@ class SctpAssociation:
                  "client" if self.client else "server")
         self.on_established()
         self._flush()
+
+    def _transmit_chunk(self, flags, sid, ssn, ppid, piece) -> bytes:
+        """Assign a TSN, build and track one DATA chunk (shared by the
+        bundling loop and the zero-window probe — two verbatim copies had
+        to be kept in sync before)."""
+        tsn = self.my_tsn
+        self.my_tsn = _u32(self.my_tsn + 1)
+        ch = _chunk(CT_DATA, flags, _DATA_HDR.pack(tsn, sid, ssn, ppid) + piece)
+        self._outstanding[tsn] = [ch, self._now(), 0, 0]
+        self._out_order.append(tsn)
+        return ch
 
     # -- DATA receive ---------------------------------------------------------
     def _on_data(self, flags: int, value: bytes) -> bool:
@@ -542,7 +585,8 @@ class SctpAssociation:
         shutdown-pending: a graceful close must DRAIN the queue, not
         strand it (§9.2 — SHUTDOWN goes out only once everything is
         delivered)."""
-        if self.state not in ("established", "shutdown-pending"):
+        if self.state not in ("established", "shutdown-pending",
+                              "shutdown-received"):
             return
         cap = min(self.peer_rwnd, self.cwnd, 256 * 1024)
         inflight = sum(len(e[0]) for e in self._outstanding.values())
@@ -561,13 +605,8 @@ class SctpAssociation:
                 self._xmit(b"".join(bundle))
                 bundle, bundled = [], 0
                 continue
-            self._send_queue.pop(0)
-            tsn = self.my_tsn
-            self.my_tsn = _u32(self.my_tsn + 1)
-            ch = _chunk(CT_DATA, flags,
-                        _DATA_HDR.pack(tsn, sid, ssn, ppid) + piece)
-            self._outstanding[tsn] = [ch, self._now(), 0, 0]
-            self._out_order.append(tsn)
+            self._send_queue.popleft()
+            ch = self._transmit_chunk(flags, sid, ssn, ppid, piece)
             bundle.append(ch)
             bundled += len(ch)
             inflight += len(ch)
@@ -578,14 +617,8 @@ class SctpAssociation:
             # and a closed window, one chunk goes anyway — a 0-rwnd
             # receiver whose buffer later drains has no other trigger to
             # reopen the flow
-            flags, sid, ssn, ppid, piece = self._send_queue.pop(0)
-            tsn = self.my_tsn
-            self.my_tsn = _u32(self.my_tsn + 1)
-            ch = _chunk(CT_DATA, flags,
-                        _DATA_HDR.pack(tsn, sid, ssn, ppid) + piece)
-            self._outstanding[tsn] = [ch, self._now(), 0, 0]
-            self._out_order.append(tsn)
-            self._xmit(ch)
+            flags, sid, ssn, ppid, piece = self._send_queue.popleft()
+            self._xmit(self._transmit_chunk(flags, sid, ssn, ppid, piece))
         if self._outstanding and self._t3_start is None:
             # arming T3 from idle starts a NEW progress window: an
             # association that was quiet for >30 s must not be aborted on
@@ -599,6 +632,7 @@ class SctpAssociation:
         cum, rwnd, n_gaps, _n_dups = _SACK_HDR.unpack_from(value)
         if self._cum_acked is not None and _tsn_lt(cum, self._cum_acked):
             return  # §6.2.1: older than the current ack point — drop whole
+        cum_advanced = self._cum_acked is None or _tsn_lt(self._cum_acked, cum)
         self._cum_acked = cum
         self.peer_rwnd = rwnd
         now = self._now()
@@ -641,8 +675,11 @@ class SctpAssociation:
         # highest TSN that was outstanding when it began
         if self._fr_exit is not None and not _tsn_lt(cum, self._fr_exit):
             self._fr_exit = None
-        # congestion window growth on progress (RFC 9260 §7.2.1/7.2.2)
-        if acked_bytes:
+        # congestion window growth (RFC 9260 §7.2.1/7.2.2): ONLY when the
+        # cumulative point advances and not during fast recovery — pure
+        # gap-ack SACKs during a loss episode used to inflate cwnd by an
+        # MTU each, overdriving the already-lossy path
+        if acked_bytes and cum_advanced and self._fr_exit is None:
             if self.cwnd <= self.ssthresh:
                 self.cwnd += min(acked_bytes, self._mtu_budget)
             else:
@@ -698,6 +735,7 @@ class SctpAssociation:
         if (self.state == "shutdown-pending" and not self._outstanding
                 and not self._send_queue):
             self._begin_shutdown()
+        self._maybe_shutdown_ack()
 
     def _computed_rto(self) -> float:
         if self._srtt is None:
@@ -714,7 +752,8 @@ class SctpAssociation:
             if now - self._hs_start >= min(RTO_INIT * (2 ** self._hs_retx), RTO_MAX):
                 self._hs_retx += 1
                 if self._hs_retx > MAX_RETX:
-                    self._close("handshake timeout")
+                    s = "handshake" if self.state in ("cookie-wait", "cookie-echoed") else "shutdown"
+                    self._close(f"{s} retransmission timeout")
                     return
                 self._hs_start = now
                 self._xmit(self._hs_chunk, vtag=self._hs_vtag)
@@ -759,7 +798,21 @@ class SctpAssociation:
 
     def _begin_shutdown(self) -> None:
         self.state = "shutdown-sent"
-        self._xmit(_chunk(CT_SHUTDOWN, 0, struct.pack(">I", self.cum_tsn)))
+        sh = _chunk(CT_SHUTDOWN, 0, struct.pack(">I", self.cum_tsn))
+        # T2-shutdown retransmission rides the handshake-retx machinery: a
+        # single lost SHUTDOWN used to wedge BOTH endpoints permanently
+        # (verified: 40 s of ticks, zero retransmits, peer a ghost forever)
+        self._hs_chunk, self._hs_vtag = sh, None
+        self._hs_start, self._hs_retx = self._now(), 0
+        self._xmit(sh)
+
+    def _maybe_shutdown_ack(self) -> None:
+        if (self.state == "shutdown-received" and not self._outstanding
+                and not self._send_queue):
+            ack = _chunk(CT_SHUTDOWN_ACK, 0, b"")
+            self._hs_chunk, self._hs_vtag = ack, None  # T2 retx for the ack
+            self._hs_start, self._hs_retx = self._now(), 0
+            self._xmit(ack)
 
     def _abort(self, reason: str) -> None:
         try:
@@ -798,7 +851,12 @@ class SctpAssociation:
         if msg[0] == DCEP_OPEN and len(msg) >= 12:
             label_len, _proto_len = struct.unpack_from(">HH", msg, 8)
             label = msg[12 : 12 + label_len].decode(errors="replace")
-            self.send(sid, PPID_DCEP, bytes([DCEP_ACK]))
+            try:
+                self.send(sid, PPID_DCEP, bytes([DCEP_ACK]))
+            except ConnectionError:
+                # a DCEP_OPEN landing during shutdown: no ack channel left;
+                # raising out of on_packet aborted the whole datagram batch
+                return
             self.on_channel_open(sid, label)
         elif msg[0] == DCEP_ACK:
             self._dcep_acked.add(sid)

@@ -4086,3 +4086,179 @@ def test_ws_transport_close_bounded_and_dead_sender():
         server.close()
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+# ---------------------------------------------------------------------------
+# twenty-fourth sweep: SCTP shutdown semantics + DTLS lifecycle
+
+
+def _sctp_pair(now):
+    import random as _random
+
+    from asciichat_tpu.net import sctp as sctp_mod
+
+    qa, qb = [], []
+    a = sctp_mod.SctpAssociation(qb.append, client=True, now_fn=lambda: now[0])
+    b = sctp_mod.SctpAssociation(qa.append, client=False, now_fn=lambda: now[0])
+
+    def pump(loss=0.0, iters=400, seed=3):
+        rng = _random.Random(seed)
+        for _ in range(iters):
+            while qb:
+                p = qb.pop(0)
+                if rng.random() >= loss:
+                    b.on_packet(p)
+            while qa:
+                p = qa.pop(0)
+                if rng.random() >= loss:
+                    a.on_packet(p)
+            now[0] += 0.1
+            a.tick()
+            b.tick()
+
+    return a, b, qa, qb, pump
+
+
+def test_sctp_shutdown_drains_peer_in_flight_data():
+    """RFC 9260 §9.2: the SHUTDOWN receiver must deliver ITS outstanding/
+    queued DATA before SHUTDOWN_ACK — an immediate ack used to destroy a
+    cwnd-limited 5000-byte message entirely (0 bytes delivered)."""
+    from asciichat_tpu.net import sctp as sctp_mod
+
+    now = [0.0]
+    a, b, qa, qb, pump = _sctp_pair(now)
+    got_a = []
+    a.on_message = lambda s, p, d: got_a.append(d)
+    a.connect()
+    pump(iters=50)
+    assert a.state == "established"
+    msg = bytes(range(256)) * 40  # 10240 bytes: fragments + cwnd-limited
+    b.send(0, sctp_mod.PPID_BINARY, msg)
+    a.shutdown()  # graceful close races B's in-flight message
+    pump(iters=200)
+    assert got_a == [msg]  # pre-fix: []
+    assert a.state == "done" and b.state == "done"
+
+
+def test_sctp_lost_shutdown_retransmits_and_converges():
+    """A single lost SHUTDOWN/SHUTDOWN_ACK datagram used to wedge BOTH
+    endpoints forever (no T2 timer). The shutdown chunks now ride the
+    retransmission machinery and the close converges despite 30% loss."""
+    now = [0.0]
+    a, b, qa, qb, pump = _sctp_pair(now)
+    a.connect()
+    pump(iters=80)
+    assert a.state == "established"
+    qb.clear()  # drop everything A says for a moment…
+    a.shutdown()
+    qb.clear()  # …including the first SHUTDOWN: guaranteed lost
+    pump(loss=0.3, iters=600, seed=7)
+    assert a.state == "done", a.state
+    assert b.state == "done", b.state  # pre-fix: established ghost forever
+
+
+def test_sctp_rejects_bundled_init_and_post_abort_chunks():
+    """INIT must be the sole chunk of a vtag-0 packet (a bundled INIT
+    disabled the vtag check, letting a forged INIT+ABORT kill an
+    established association), and nothing after an ABORT in the same
+    packet may be processed (DATA used to deliver AFTER on_closed)."""
+    from asciichat_tpu.net import sctp as sctp_mod
+
+    now = [0.0]
+    a, b, qa, qb, pump = _sctp_pair(now)
+    events = []
+    b.on_message = lambda s, p, d: events.append(("msg", d))
+    b.on_closed = lambda r: events.append(("closed", r))
+    a.connect()
+    pump(iters=50)
+    assert b.state == "established"
+    import struct as _struct
+
+    # forged INIT+ABORT under a garbage vtag: must be ignored entirely
+    forged = sctp_mod.pack_packet(
+        5000, 5000, 0xDEADBEEF,
+        sctp_mod._chunk(sctp_mod.CT_INIT, 0,
+                        _struct.pack(">IIHHI", 1, 1, 1, 1, 1))
+        + sctp_mod._chunk(sctp_mod.CT_ABORT, 0, b""))
+    b.on_packet(forged)
+    assert b.state == "established" and not events
+    # ABORT then DATA bundled with the REAL vtag: closed fires, msg does not
+    data = sctp_mod._chunk(
+        sctp_mod.CT_DATA, 0x03,
+        sctp_mod._DATA_HDR.pack(0, 0, 0, sctp_mod.PPID_BINARY) + b"late")
+    pkt2 = sctp_mod.pack_packet(5000, 5000, b.my_vtag,
+                                sctp_mod._chunk(sctp_mod.CT_ABORT, 0, b"") + data)
+    b.on_packet(pkt2)
+    assert events == [("closed", "peer abort")]
+
+
+def test_sctp_cwnd_frozen_during_fast_recovery():
+    """cwnd must not grow on pure gap-ack SACKs while the cumulative point
+    stalls (RFC 9260 §7.2): each one used to add an MTU, overdriving the
+    lossy path through the whole loss episode."""
+    from asciichat_tpu.net import sctp as sctp_mod
+
+    now = [0.0]
+    a, b, qa, qb, pump = _sctp_pair(now)
+    a.connect()
+    pump(iters=50)
+    for i in range(30):
+        a.send(0, sctp_mod.PPID_BINARY, bytes([i]) * 900)
+    # drop the first DATA packet A sent; deliver the rest
+    dropped = False
+    for _ in range(400):
+        while qb:
+            p = qb.pop(0)
+            chunks = sctp_mod.unpack_packet(p)[3]
+            if (not dropped
+                    and any(c[0] == sctp_mod.CT_DATA for c in chunks)):
+                dropped = True
+                continue  # lose exactly the first data packet
+            b.on_packet(p)
+        if a._fr_exit is not None:
+            # WHILE in fast recovery, pure SACK progress must not grow
+            # cwnd; growth may legally resume once cum passes _fr_exit
+            while qa and a._fr_exit is not None:
+                before = a.cwnd
+                a.on_packet(qa.pop(0))
+                if a._fr_exit is not None:
+                    assert a.cwnd <= before, "cwnd grew during fast recovery"
+            break
+        while qa:
+            a.on_packet(qa.pop(0))
+        now[0] += 0.05
+        a.tick()
+        b.tick()
+    assert dropped
+
+
+def test_dtls_fatal_alert_marks_endpoint_closed(monkeypatch):
+    """A peer dying with a FATAL ALERT / protocol error (SSL_ERROR_SSL,
+    not close_notify) must mark the endpoint closed — it used to be
+    swallowed, so the datachannel ghost-detection never fired and recv()
+    blocked forever. The fatal path is injected at the OpenSSL boundary
+    for determinism."""
+    from asciichat_tpu.net import dtls as dtls_mod
+
+    if not dtls_mod.available():
+        pytest.skip("no OpenSSL 3")
+    ida = dtls_mod.DtlsIdentity.generate("peer-a")
+    idb = dtls_mod.DtlsIdentity.generate("peer-b")
+    a = dtls_mod.DtlsEndpoint(ida, server=False)
+    b = dtls_mod.DtlsEndpoint(idb, server=True)
+    a.start()
+    b.start()
+    for _ in range(40):
+        for dg in a.outgoing():
+            b.incoming(dg)
+        for dg in b.outgoing():
+            a.incoming(dg)
+        if a.handshake_complete and b.handshake_complete:
+            break
+    assert a.handshake_complete and b.handshake_complete
+    monkeypatch.setattr(dtls_mod._ssl, "SSL_read",
+                        lambda _s, _b, _n: -1)
+    monkeypatch.setattr(dtls_mod._ssl, "SSL_get_error",
+                        lambda _s, _rc: 1)  # SSL_ERROR_SSL
+    assert a.read() == []
+    assert a.closed  # pre-fix: stayed False forever
