@@ -83,6 +83,10 @@ def parse(data: bytes) -> tuple[int, bytes, dict[int, bytes]]:
     end = 20 + length
     while at + 4 <= end:
         t, n = struct.unpack(">HH", data[at : at + 4])
+        if at + 4 + n > end:
+            # an attribute claiming bytes past the declared message end is
+            # malformed input, not a short value to silently truncate
+            raise StunError("STUN attribute overruns message")
         if t == ATTR_MESSAGE_INTEGRITY:
             # RFC 5389 §15.4: attributes after MESSAGE-INTEGRITY (except
             # FINGERPRINT) are NOT covered by the MAC and MUST be ignored —
@@ -119,7 +123,7 @@ def verify_integrity(data: bytes, password: bytes) -> bool:
     return False
 
 
-def xor_mapped_address(addr: tuple[str, int], txid: bytes) -> bytes:
+def xor_mapped_address(addr: tuple[str, int]) -> bytes:
     """IPv4 XOR-MAPPED-ADDRESS value (RFC 5389 §15.2)."""
     ip, port = addr
     xport = port ^ (MAGIC_COOKIE >> 16)
@@ -127,7 +131,7 @@ def xor_mapped_address(addr: tuple[str, int], txid: bytes) -> bytes:
     return struct.pack(">BBHI", 0, 0x01, xport, xip)
 
 
-def parse_xor_mapped_address(value: bytes, txid: bytes) -> tuple[str, int]:
+def parse_xor_mapped_address(value: bytes) -> tuple[str, int]:
     if len(value) < 8 or value[1] != 0x01:
         raise StunError("only IPv4 XOR-MAPPED-ADDRESS supported")
     _, _fam, xport, xip = struct.unpack(">BBHI", value[:8])
@@ -164,5 +168,5 @@ def make_binding_request(txid: bytes, username: str, password: bytes,
 
 def make_binding_response(txid: bytes, peer_addr: tuple[str, int],
                           password: bytes) -> bytes:
-    attrs = [(ATTR_XOR_MAPPED_ADDRESS, xor_mapped_address(peer_addr, txid))]
+    attrs = [(ATTR_XOR_MAPPED_ADDRESS, xor_mapped_address(peer_addr))]
     return build(BINDING_SUCCESS, txid, attrs, password=password)

@@ -49,7 +49,12 @@ WINDOW = 64
 # loss) and triggers re-nomination, then the relay fallback.
 CONSENT_INTERVAL_S = 5.0
 CONSENT_EXPIRY_S = 30.0
-RENOMINATE_TIMEOUT_S = 4.0
+# must exceed the peer's CONSENT beat (5 s) with margin: the controlled
+# side's only re-nomination stimulus after a one-sided consent death is the
+# peer's next USE-CANDIDATE check, and a 4 s window expired BEFORE a healthy
+# peer's next 5 s beat ~20% of the time, downgrading a recoverable direct
+# path to the relay rung
+RENOMINATE_TIMEOUT_S = 12.0
 
 # Channel-stack default for new agents: "auto" upgrades to DTLS-SCTP
 # DataChannels when OpenSSL 3 is present AND the peer advertises a
@@ -96,6 +101,8 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         # insertion-ordered (dict) so the bound evicts the OLDEST txid —
         # set.pop() removes an arbitrary one, possibly the in-flight check's
         self._consent_txids: dict[bytes, None] = {}
+        self._check_txids: dict[bytes, tuple] = {}
+        self._pending_nominate = None
         self._last_consent = 0.0
         self.pair_deaths = 0  # consent expiries (observability)
         self.renominations = 0  # pairs re-nominated after a death
@@ -165,10 +172,12 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._srflx_waiters[txid] = fut
         try:
-            for _ in range(int(timeout / 0.5) + 1):
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:  # honor the DECLARED budget
                 self.transport.sendto(req, stun_server)
+                wait = min(0.5, max(0.05, deadline - time.monotonic()))
                 try:
-                    addr = await asyncio.wait_for(asyncio.shield(fut), 0.5)
+                    addr = await asyncio.wait_for(asyncio.shield(fut), wait)
                     return {"ip": addr[0], "port": addr[1], "type": "srflx"}
                 except asyncio.TimeoutError:
                     continue
@@ -182,13 +191,16 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         public key for the channel's X25519 exchange."""
         port = self.local_port
         ips = {"127.0.0.1"}
+        s = None
         try:
             s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             s.connect(("10.255.255.255", 1))
             ips.add(s.getsockname()[0])
-            s.close()
         except OSError:
-            pass
+            pass  # no route: loopback only
+        finally:
+            if s is not None:
+                s.close()
         cands = [{"ip": ip, "port": port} for ip in sorted(ips)]
         if self.srflx_candidate:
             cands.append(self.srflx_candidate)
@@ -238,6 +250,10 @@ class IceLiteAgent(asyncio.DatagramProtocol):
                              "dtls_fp; no secure channel possible")
         if self.controlling:
             self._start_checks()
+        pending = getattr(self, "_pending_nominate", None)
+        if pending is not None and self.peer_addr is None:
+            self._pending_nominate = None
+            self._nominate(pending)
 
     def _start_checks(self) -> None:
         if self._check_task is None or self._check_task.done():
@@ -271,8 +287,10 @@ class IceLiteAgent(asyncio.DatagramProtocol):
         for _attempt in range(25):  # ~5 s
             if self.connected.is_set() or self.transport is None:
                 return
+            self._check_txids.clear()  # one round outstanding at a time
             for cand in list(self.remote["candidates"]):
                 txid = stun.new_transaction_id()
+                self._check_txids[txid] = (cand["ip"], cand["port"])
                 req = stun.make_binding_request(txid, username, remote_pwd,
                                                 controlling=True)
                 self.transport.sendto(req, (cand["ip"], cand["port"]))
@@ -379,7 +397,13 @@ class IceLiteAgent(asyncio.DatagramProtocol):
                     # post-death check spray) without bound: evict the
                     # oldest prflx entry, never an advertised candidate
                     if len(cands) > 24:
-                        for i, c in enumerate(cands):
+                        # evict the OLDEST prflx, EXCLUDING the entry just
+                        # appended — with >=24 advertised candidates the
+                        # just-promoted one was the only prflx, so the old
+                        # loop deleted it immediately and promotion was a
+                        # permanent no-op. Advertised candidates are never
+                        # evicted (add_remote_candidate caps them at 64).
+                        for i, c in enumerate(cands[:-1]):
                             if c.get("type") == "prflx":
                                 del cands[i]
                                 break
@@ -399,7 +423,7 @@ class IceLiteAgent(asyncio.DatagramProtocol):
                 # STUN binding): deliver XOR-MAPPED-ADDRESS
                 try:
                     mapped = stun.parse_xor_mapped_address(
-                        attrs[stun.ATTR_XOR_MAPPED_ADDRESS], txid)
+                        attrs[stun.ATTR_XOR_MAPPED_ADDRESS])
                 except (KeyError, stun.StunError):
                     return
                 if not waiter.done():
@@ -415,7 +439,19 @@ class IceLiteAgent(asyncio.DatagramProtocol):
                     self._consent_txids.pop(txid, None)
                     self._last_consent = time.monotonic()
                     return
-                self._nominate(addr)
+                checked = self._check_txids.pop(txid, None)
+                if checked is None:
+                    # RFC 5389 §7.3.3: a response matching NO outstanding
+                    # request is discarded. The old path nominated on ANY
+                    # integrity-valid success — responses are signed with
+                    # the static ICE password, so one captured response
+                    # replayed from an attacker address used to move the
+                    # live channel there (blackhole until consent repair).
+                    log.debug("ignoring unsolicited BINDING_SUCCESS from %s",
+                              addr)
+                    return
+                # nominate the pair WE CHECKED, not the datagram's source
+                self._nominate(checked)
 
     def stop_ice(self) -> None:
         """Stop connectivity checks and release the UDP socket while keeping
@@ -432,8 +468,26 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             self.transport.close()
             self.transport = None
 
+    def _bind_pair(self, addr):
+        """Shared carrier-bind stanza (nomination, re-nomination, and the
+        controlled side's follow-the-move all need it; two hand-kept copies
+        used to drift)."""
+        self.peer_addr = addr
+        self._last_consent = time.monotonic()
+        sender = lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a)  # noqa: E731
+        return sender
+
     def _nominate(self, addr) -> None:
         if self._superseded:
+            return
+        if self.remote is None:
+            # DEFER: nomination can legitimately beat set_remote (a fast
+            # controlling peer's USE-CANDIDATE), but the channel protocol
+            # (DTLS vs secretbox) and the shared key are unknown until the
+            # remote description lands — building the channel now minted a
+            # KEYLESS legacy channel that silently dropped every DTLS
+            # datagram and was never upgraded. set_remote replays this.
+            self._pending_nominate = addr
             return
         if self.peer_addr is not None:
             # Already nominated. The controlled side still follows the
@@ -442,34 +496,29 @@ class IceLiteAgent(asyncio.DatagramProtocol):
             # swap the live channel's carrier to the new pair.
             if self.controlling or tuple(addr[:2]) == tuple(self.peer_addr[:2]):
                 return
-            self.peer_addr = addr
-            self._last_consent = time.monotonic()
-            sender = lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a)  # noqa: E731
+            sender = self._bind_pair(addr)
             if self.channel is not None:
                 self.channel.rebind(sender, addr, via_relay=False)
             self.renominations += 1
             log.info("controlling peer moved nomination to %s", addr)
             return
-        if self.peer_addr is None:
-            self.peer_addr = addr
-            self._last_consent = time.monotonic()
-            if self._fail_task is not None:
-                self._fail_task.cancel()
-                self._fail_task = None
-            sender = lambda enc, _t=self.transport, _a=addr: _t.sendto(enc, _a)  # noqa: E731
-            if self.channel is None:
-                self.channel = self.make_channel(sender, peername=addr)
-            else:
-                # RE-nomination after a consent death: the application holds
-                # the live channel — swap its carrier to the new pair; ARQ/
-                # SCTP retransmit in-flight data with original sequence nums
-                self.channel.rebind(sender, addr, via_relay=False)
-                self.renominations += 1
-            self.connected.set()
-            self._start_consent()
-            log.info("ICE pair nominated: %s (%s, %s)", addr,
-                     "controlling" if self.controlling else "controlled",
-                     "dtls-sctp" if self._use_dtls() else "secretbox")
+        sender = self._bind_pair(addr)
+        if self._fail_task is not None:
+            self._fail_task.cancel()
+            self._fail_task = None
+        if self.channel is None:
+            self.channel = self.make_channel(sender, peername=addr)
+        else:
+            # RE-nomination after a consent death: the application holds
+            # the live channel — swap its carrier to the new pair; ARQ/
+            # SCTP retransmit in-flight data with original sequence nums
+            self.channel.rebind(sender, addr, via_relay=False)
+            self.renominations += 1
+        self.connected.set()
+        self._start_consent()
+        log.info("ICE pair nominated: %s (%s, %s)", addr,
+                 "controlling" if self.controlling else "controlled",
+                 "dtls-sctp" if self._use_dtls() else "secretbox")
 
     async def wait_connected(self, timeout: float = 10.0) -> "SecureP2PChannel":
         await asyncio.wait_for(self.connected.wait(), timeout)
@@ -525,6 +574,7 @@ class SecureP2PChannel:
         self._ooo: dict[int, bytes] = {}  # out-of-order segments by seq
         self._recv_waiter: asyncio.Event = asyncio.Event()
         self._loop = asyncio.get_running_loop()
+        self._send_tasks: set = set()
         self._retx_task = self._loop.create_task(self._retx_loop())
         # serializes send(): a window-full await yields mid-packet, and a
         # concurrent send interleaving its bytes at that offset corrupts
@@ -605,8 +655,21 @@ class SecureP2PChannel:
         return True
 
     def _spawn_send(self, ptype: int, payload: bytes) -> None:
-        if not self.closed:
-            self._loop.create_task(self.send(ptype, payload))
+        if self.closed:
+            return
+        # strong refs + observed completion: asyncio keeps only weak refs
+        # to tasks (a parked one is GC-bait), and an unobserved
+        # ConnectionError from a post-close send was 'Task exception was
+        # never retrieved' noise at teardown
+        task = self._loop.create_task(self.send(ptype, payload))
+        self._send_tasks.add(task)
+
+        def _done(t, _tasks=self._send_tasks):
+            _tasks.discard(t)
+            if not t.cancelled() and t.exception() is not None:
+                log.debug("queued p2p send failed: %r", t.exception())
+
+        task.add_done_callback(_done)
 
     async def _retx_loop(self) -> None:
         while not self.closed:

@@ -4262,3 +4262,152 @@ def test_dtls_fatal_alert_marks_endpoint_closed(monkeypatch):
                         lambda _s, _rc: 1)  # SSL_ERROR_SSL
     assert a.read() == []
     assert a.closed  # pre-fix: stayed False forever
+
+
+# ---------------------------------------------------------------------------
+# twenty-fifth sweep: ICE agent / STUN second pass
+
+
+def test_stun_attribute_overrun_raises():
+    """An attribute claiming bytes past the declared message end must raise
+    StunError (it used to silently truncate the value, deferring the
+    failure to a confusing downstream parse)."""
+    import struct as _struct
+
+    from asciichat_tpu.net import stun
+
+    txid = stun.new_transaction_id()
+    body = _struct.pack(">HH", stun.ATTR_XOR_MAPPED_ADDRESS, 200) + b"\x00" * 4
+    msg = stun.HEADER.pack(stun.BINDING_SUCCESS, len(body),
+                           stun.MAGIC_COOKIE, txid) + body
+    with pytest.raises(stun.StunError, match="overrun"):
+        stun.parse(msg)
+
+
+def test_ice_unsolicited_binding_success_cannot_move_nomination():
+    """RFC 5389 §7.3.3: a BINDING_SUCCESS matching no outstanding check or
+    consent transaction is discarded. Responses are signed with the static
+    ICE password, so one captured response replayed from an attacker
+    address used to nominate/move the live channel there (blackhole DoS)."""
+    import asyncio
+
+    from asciichat_tpu.net import stun
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    async def run():
+        a = IceLiteAgent(controlling=True)
+
+        class FakeTx:
+            sent = []
+
+            def sendto(self, d, addr):
+                self.sent.append((d, addr))
+
+            def get_extra_info(self, *_):
+                return ("0.0.0.0", 1)
+
+            def close(self):
+                pass
+
+        a.transport = FakeTx()
+        peer = IceLiteAgent(controlling=False)
+        peer.transport = FakeTx()
+        a.set_remote(peer.local_description() | {"candidates": []})
+        # a VALID response (signed with the remote pwd) with a txid we
+        # never issued — must be ignored, not nominated
+        txid = stun.new_transaction_id()
+        resp = stun.make_binding_response(
+            txid, ("6.6.6.6", 666), peer.local_description()["pwd"].encode())
+        a._on_stun(resp, ("6.6.6.6", 666))
+        assert a.peer_addr is None and a.channel is None
+        # a response matching an outstanding CHECK nominates the pair we
+        # CHECKED (not the datagram's source)
+        a._check_txids[txid] = ("10.0.0.9", 999)
+        a._on_stun(resp, ("6.6.6.6", 666))
+        assert a.peer_addr == ("10.0.0.9", 999)
+        a.close()
+        peer.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_ice_prflx_promotion_survives_full_candidate_list():
+    """With >=24 advertised candidates, the prflx bound used to evict the
+    candidate that was JUST promoted (the only prflx), making promotion a
+    permanent no-op; advertised candidates must never be evicted."""
+    import asyncio
+
+    from asciichat_tpu.net import stun
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    async def run():
+        a = IceLiteAgent(controlling=False)
+
+        class FakeTx:
+            def sendto(self, d, addr):
+                pass
+
+            def get_extra_info(self, *_):
+                return ("0.0.0.0", 1)
+
+            def close(self):
+                pass
+
+        a.transport = FakeTx()
+        peer = IceLiteAgent(controlling=True)
+        peer.transport = FakeTx()
+        desc = peer.local_description()
+        desc["candidates"] = [{"ip": f"10.0.0.{i}", "port": 1000 + i}
+                              for i in range(25)]
+        a.set_remote(desc)
+        req = stun.make_binding_request(
+            stun.new_transaction_id(), "x:y", a.pwd.encode(),
+            controlling=True)
+        a._on_stun(req, ("198.51.100.7", 40000))
+        prflx = [c for c in a.remote["candidates"]
+                 if c.get("type") == "prflx"]
+        assert prflx == [{"ip": "198.51.100.7", "port": 40000,
+                          "type": "prflx"}]
+        # advertised entries all survived
+        assert len(a.remote["candidates"]) == 26
+        a.close()
+        peer.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_ice_nomination_before_set_remote_defers_channel():
+    """A USE-CANDIDATE landing before set_remote must NOT mint a keyless
+    legacy channel (it silently dropped every DTLS datagram and was never
+    upgraded): nomination defers and replays once the remote description
+    (protocol + key material) is known."""
+    import asyncio
+
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    async def run():
+        a = IceLiteAgent(controlling=False)
+
+        class FakeTx:
+            def sendto(self, d, addr):
+                pass
+
+            def get_extra_info(self, *_):
+                return ("0.0.0.0", 1)
+
+            def close(self):
+                pass
+
+        a.transport = FakeTx()
+        a._nominate(("192.0.2.4", 7000))  # before set_remote
+        assert a.channel is None and a.peer_addr is None
+        assert not a.connected.is_set()
+        peer = IceLiteAgent(controlling=True)
+        peer.transport = FakeTx()
+        a.set_remote(peer.local_description())
+        assert a.peer_addr == ("192.0.2.4", 7000)
+        assert a.channel is not None and a.connected.is_set()
+        a.close()
+        peer.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))

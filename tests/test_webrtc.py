@@ -33,7 +33,7 @@ def test_stun_message_roundtrip_and_integrity():
     resp = stun.make_binding_response(txid, ("192.168.1.7", 54321), pwd)
     _, _, rattrs = stun.parse(resp)
     addr = stun.parse_xor_mapped_address(
-        rattrs[stun.ATTR_XOR_MAPPED_ADDRESS], txid)
+        rattrs[stun.ATTR_XOR_MAPPED_ADDRESS])
     assert addr == ("192.168.1.7", 54321)
     assert not stun.is_stun(b"\x80hello-not-stun" + b"\0" * 20)
 
@@ -378,7 +378,7 @@ def test_srflx_gathering_against_stun_server():
                 resp = stun.build(
                     stun.BINDING_SUCCESS, txid,
                     [(stun.ATTR_XOR_MAPPED_ADDRESS,
-                      stun.xor_mapped_address(("203.0.113.5", 61000), txid))],
+                      stun.xor_mapped_address(("203.0.113.5", 61000)))],
                 )
                 self.transport.sendto(resp, addr)
 
