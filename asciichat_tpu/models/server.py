@@ -188,8 +188,12 @@ class RenderGroup:
             # error); placed straight from the plan's HOST arrays — going
             # through device_maps would pay a default-device upload plus a
             # blocking D2H fetch over the tunnel per group build
+            # straight from the HOST array: ramp_for_palette returns a
+            # DEVICE array on the default backend, and np.asarray() of it
+            # pays the exact default-device upload + blocking D2H fetch over
+            # the tunnel this block's comment forbids, per group build
             self.ramp = jax.device_put(
-                np.asarray(cells.ramp_for_palette(palette)), self._sh_rep)
+                pal.char_index_ramp_array(palette), self._sh_rep)
             self.cidx, self.src_y, self.src_x, self.comp_mask = (
                 jax.device_put(a, self._sh_rep)
                 for a in compositor.host_maps(comp))
@@ -262,16 +266,7 @@ class RenderGroup:
             )
 
         compiled = jax.jit(fn).lower(*self._step_args(frames)).compile()
-        hlo = compiled.as_text()
-        # count INSTRUCTIONS whose opcode is a collective — a plain
-        # substring count also hit SSA result names, operand references,
-        # and both halves of async start/done pairs, overstating the
-        # inspector's mesh_collectives severalfold
-        import re
-
-        self.collectives = len(re.findall(
-            r"= \S+ (?:all-gather|all-reduce|collective-permute|all-to-all)"
-            r"(?:-start)?\(", hlo))
+        self.collectives = count_collectives(compiled.as_text())
         self._compiled_c = self.tint.shape[0]
         return compiled
 
@@ -296,6 +291,21 @@ class RenderGroup:
         return records
 
 
+def count_collectives(hlo: str) -> int:
+    """Count INSTRUCTIONS whose opcode is a collective. A plain substring
+    count also hit SSA result names, operand references, and both halves of
+    async start/done pairs (overstating severalfold); and the shape token
+    must be '.+?' not '\\S+' — async starts have TUPLE result shapes with
+    spaces ('%ags = (u8[..], u8[..]) all-gather-start(') which \\S+ never
+    matched, so on real multi-chip hardware (where every collective lowers
+    async) the inspector's mesh_collectives read 0."""
+    import re
+
+    return len(re.findall(
+        r"= .+? (?:all-gather|all-reduce|reduce-scatter"
+        r"|collective-permute|all-to-all)(?:-start)?\(", hlo))
+
+
 class ServerTick:
     """Stateful wrapper owning mixer state + static plan arrays."""
 
@@ -309,7 +319,12 @@ class ServerTick:
         self.palette = palette
         self.ramp = cells.ramp_for_palette(palette)
         c = plan.num_clients
-        names = client_filters or ["none"] * c
+        # `is not None`, not truthiness: an EMPTY list is a valid zero-
+        # receiver transient (the falsy-list coercion bug class plan_tick's
+        # own comment pins)
+        names = client_filters if client_filters is not None else ["none"] * c
+        self._names = list(names)
+        self.has_rainbow = "rainbow" in names
         tint, fg_on_bg, is_rainbow, enabled = filters.filter_params(names)
         self.tint = jnp.asarray(tint)
         self.fg_on_bg = jnp.asarray(fg_on_bg)
@@ -325,7 +340,13 @@ class ServerTick:
         return (self.ramp, self.tint, self.fg_on_bg, self.is_rainbow,
                 self.filter_on, self.cidx, self.src_y, self.src_x, self.comp_mask)
 
-    def step(self, frames, audio, active):
+    def step(self, frames, audio, active, time_s: float = 0.0):
+        if self.has_rainbow:
+            # only tint is time-dependent (color_filter.c:169 cycles hue
+            # over 3.5 s); frozen at t=0, a rainbow receiver rendered the
+            # same static red-ish tint forever through this wrapper
+            tint, _, _, _ = filters.filter_params(self._names, time_s)
+            self.tint = jnp.asarray(tint)
         records, mixes, self.mixer_state = _tick_step(
             frames,
             audio,

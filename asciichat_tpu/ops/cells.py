@@ -95,7 +95,6 @@ def render_cells(
     return records_for_mode(resized, mode, ramp)
 
 
-_records_for_mode = records_for_mode  # backwards-compat alias
 
 
 def ramp_for_palette(palette: str) -> jax.Array:

@@ -28,9 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asciichat_tpu.utils.aspect import resize_indices
+from asciichat_tpu.utils.aspect import CHAR_ASPECT, resize_indices
 
-CHAR_ASPECT = np.float32(2.0)
 PIXELS_PER_CHAR_HEIGHT = 2
 MAX_COMPOSITE_SOURCES = 9  # stream.c:687
 
@@ -120,6 +119,11 @@ def plan_composite(
             # degenerate layout (more sources than composite rows on a tiny
             # terminal): there is no pixel to draw this source into — skip
             # it instead of a divide-by-zero + silently all-black frames
+            continue
+        if src_w <= 0 or src_h <= 0:
+            # a (0,0) source made src_aspect NaN and int(NaN) raised out of
+            # the library; degenerate sources compose nothing, like the
+            # zero-fit cases below
             continue
         src_aspect = np.float32(src_w) / np.float32(src_h)
         cell_aspect = np.float32(cell_w) / np.float32(cell_h)

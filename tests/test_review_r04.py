@@ -4411,3 +4411,67 @@ def test_ice_nomination_before_set_remote_defers_channel():
         peer.close()
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+# ---------------------------------------------------------------------------
+# twenty-sixth sweep: device tick model second pass
+
+
+def test_count_collectives_matches_async_tuple_form():
+    """On real multi-chip hardware XLA lowers collectives ASYNC with tuple
+    result shapes; the old '\\S+' shape token never matched the spaces in
+    '(u8[..], u8[..])' so mesh_collectives read 0 there (CPU's sync form
+    hid it). Operand references and done-halves still must not count."""
+    from asciichat_tpu.models.server import count_collectives
+
+    sync = "  %ag = u8[4,2]{1,0} all-gather(%p0), dimensions={0}\n"
+    async_ = ("  %ags = (u8[4]{0}, u8[8]{0}) all-gather-start(%p0), dims={0}\n"
+              "  %agd = u8[8]{0} all-gather-done(%ags)\n")
+    noise = ("  %not-all-gather-x = u8[2]{0} add(%all-gather-like, %b)\n"
+             "  ROOT %r = u8[8]{0} tuple(%agd)\n")
+    rs = "  %rs = (f32[2]{0}, f32[1]{0}) reduce-scatter-start(%x), dims={0}\n"
+    assert count_collectives(sync) == 1
+    assert count_collectives(async_) == 1  # start counts, done doesn't
+    assert count_collectives(noise) == 0
+    assert count_collectives(rs) == 1
+    assert count_collectives(sync + async_ + rs + noise) == 3
+
+
+def test_servertick_rainbow_cycles_over_time():
+    """ServerTick froze the rainbow tint at t=0 forever; the reference
+    cycles hue over 3.5 s (color_filter.c:169). step(time_s=...) now
+    refreshes the tint like the production RenderGroup does."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from asciichat_tpu.models.server import ServerTick, plan_tick
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK)
+    plan = plan_tick([(32, 24)] * 2, term_w=40, term_h=20, caps=caps)
+    tick = ServerTick(plan, client_filters=["rainbow", "none"])
+    assert tick.has_rainbow
+    rng = _np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 24, 32, 3), dtype=_np.uint8))
+    audio = jnp.zeros((2, 480), _np.float32)
+    active = jnp.ones(2, bool)
+    tick.step(frames, audio, active, time_s=0.0)
+    t0 = _np.asarray(tick.tint).copy()
+    tick.step(frames, audio, active, time_s=1.2)
+    t1 = _np.asarray(tick.tint)
+    assert not _np.array_equal(t0[0], t1[0])  # rainbow receiver cycled
+    _np.testing.assert_array_equal(t0[1], t1[1])  # 'none' stays put
+
+
+def test_plan_composite_skips_zero_by_zero_source():
+    """A (0,0) source used to make src_aspect NaN and raise ValueError out
+    of int(NaN); degenerate sources compose nothing like the other
+    zero-fit cases."""
+    from asciichat_tpu.ops.compositor import plan_composite
+
+    plan = plan_composite([(0, 0), (32, 24)], 80, 24)
+    assert plan is not None  # no crash; the real source still composes
+    assert (plan.client_idx == 1).any()
+    assert not (plan.client_idx == 0).any()  # the (0,0) source drew nothing
