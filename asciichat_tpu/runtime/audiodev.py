@@ -138,12 +138,14 @@ class WavFileSource:
             # a data chunk that is not a multiple of the sample size, or a
             # multichannel stream with a partial trailing frame
             raise AudioSourceUnavailable(f"corrupt WAV {path!r}: {e}") from None
+        if not len(data):
+            # BEFORE the resample: np.interp over an empty 44.1 kHz file
+            # raised a raw numpy ValueError instead of the class contract
+            raise AudioSourceUnavailable("empty WAV file")
         if rate != SAMPLE_RATE:
             out_len = int(len(data) * SAMPLE_RATE / rate)
             x = np.linspace(0.0, len(data) - 1, out_len)
             data = np.interp(x, np.arange(len(data)), data).astype(np.float32)
-        if not len(data):
-            raise AudioSourceUnavailable("empty WAV file")
         self._data = data
         self._pos = 0
         self._loop = loop
@@ -191,7 +193,7 @@ class MicSource:
 
     def close(self) -> None:
         self.proc.terminate()
-        self.proc.wait(timeout=5)
+        _reap(self.proc)
 
 
 def open_audio_source(tone_hz: float | None = None, wav: str | None = None,
@@ -259,10 +261,13 @@ class PlaybackSink(NullSink):
         super().__init__()
         if shutil.which("aplay") is None:
             raise AudioSourceUnavailable("aplay not found (no ALSA CLI)")
+        # bufsize=0: the default 8 KiB BufferedWriter released live audio
+        # to aplay in ~4-frame (40-50 ms) bursts — added latency/jitter and
+        # start-of-stream underruns on a REAL-TIME path
         self.proc = subprocess.Popen(
             ["aplay", "-q", "-D", device, "-f", "FLOAT_LE",
              "-r", str(SAMPLE_RATE), "-c", "1", "-t", "raw"],
-            stdin=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            stdin=subprocess.PIPE, stderr=subprocess.DEVNULL, bufsize=0,
         )
 
     def write(self, buf: np.ndarray) -> None:
@@ -286,8 +291,31 @@ class PlaybackSink(NullSink):
                 self.proc.stdin.close()
         except (BrokenPipeError, OSError):
             pass
-        self.proc.terminate()
-        self.proc.wait(timeout=5)
+        # aplay exits on stdin EOF after DRAINING its device buffer —
+        # terminating immediately cut the final up-to-hundreds-of-ms of
+        # every session's audio; escalate terminate->kill only on a hang
+        # (an ALSA-ioctl-stuck child can ignore SIGTERM, and a raw
+        # TimeoutExpired used to escape and crash the shutdown path)
+        _reap(self.proc)
+
+
+def _reap(proc) -> None:
+    """EOF-drain, then terminate, then kill — never raises, never leaves
+    a zombie (the codecs._close_pipe_codec discipline)."""
+    try:
+        proc.wait(timeout=5)
+        return
+    except Exception:
+        pass
+    proc.terminate()
+    try:
+        proc.wait(timeout=2)
+    except Exception:
+        proc.kill()
+        try:
+            proc.wait(timeout=5)
+        except Exception:
+            pass
 
 
 def open_audio_sink(out: str | None = None):

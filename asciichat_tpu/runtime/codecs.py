@@ -119,8 +119,14 @@ class OpusCodec:
 
     def encode(self, samples: np.ndarray) -> bytes:
         pcm = np.ascontiguousarray(samples, np.float32)
-        if len(pcm) != self.frame_samples:
-            raise ValueError(f"opus frame must be {self.frame_samples} samples")
+        if pcm.shape != (self.frame_samples,):
+            # shape, not len(): a (480, ch) stereo array passed the length
+            # gate and opus consumed interleaved L/R as 480 mono samples —
+            # corrupted audio with no error (same ctypes-boundary shape
+            # discipline as NativeH265Encoder.encode)
+            raise ValueError(
+                f"opus frame must be shape ({self.frame_samples},), "
+                f"got {pcm.shape}")
         out = self._c.create_string_buffer(4000)
         with self._lock:
             if not self._enc:
@@ -426,9 +432,16 @@ class FFmpegH265Encoder:
     def encode(self, frame: np.ndarray) -> list[bytes]:
         """Feed one RGB24 frame; -> the complete encoded AUs available so far
         (zerolatency: normally one per call after the first)."""
+        frame = np.ascontiguousarray(frame, np.uint8)
+        if frame.shape != (self.height, self.width, 3):
+            # rawvideo has NO framing: one wrong-sized frame desyncs every
+            # subsequent frame boundary in the pipe, silently, forever —
+            # the native encoder raises for this; the fallback must too
+            raise ValueError(
+                f"h265 frame must be {(self.height, self.width, 3)}, "
+                f"got {frame.shape}")
         try:
-            self._proc.stdin.write(
-                np.ascontiguousarray(frame, np.uint8).tobytes())
+            self._proc.stdin.write(frame.tobytes())
             self._proc.stdin.flush()
         except (ValueError, OSError) as e:
             # racing close() ("write to closed file") or a dead ffmpeg
@@ -552,6 +565,12 @@ def probe_h265_encoder(order: tuple = H265_PROBE_ORDER,
                 chosen = name
                 break
             tried.append(name)
+        if chosen is None and shutil.which("ffmpeg"):
+            # no buildable avshim but the ffmpeg CLI exists: H265Encoder()
+            # WILL encode via FFmpegH265Encoder — reporting None here made
+            # SERVER_STATE advertise h265 with 'h265_encoder: null' and log
+            # 'negotiated: none' on a box that encodes fine
+            chosen = "libx265/ffmpeg-cli"
         from asciichat_tpu.utils.logsys import get_logger
 
         get_logger("codecs").info(

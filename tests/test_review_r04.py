@@ -4475,3 +4475,101 @@ def test_plan_composite_skips_zero_by_zero_source():
     assert plan is not None  # no crash; the real source still composes
     assert (plan.client_idx == 1).any()
     assert not (plan.client_idx == 0).any()  # the (0,0) source drew nothing
+
+
+# ---------------------------------------------------------------------------
+# twenty-seventh sweep: codec runtime / audio devices second pass
+
+
+def test_ffmpeg_h265_encoder_rejects_wrong_shape():
+    """rawvideo has no framing: one wrong-sized frame permanently desyncs
+    every later frame boundary in the pipe with no error — the CLI fallback
+    must gate shapes like the native encoder does."""
+    import shutil as _shutil
+
+    import numpy as _np
+
+    from asciichat_tpu.runtime.codecs import FFmpegH265Encoder
+
+    if not _shutil.which("ffmpeg"):
+        pytest.skip("no ffmpeg CLI")
+    enc = FFmpegH265Encoder(64, 48, fps=30)
+    try:
+        with pytest.raises(ValueError, match="h265 frame must be"):
+            enc.encode(_np.zeros((24, 32, 3), _np.uint8))
+        enc.encode(_np.zeros((48, 64, 3), _np.uint8))  # right shape still works
+    finally:
+        enc.close()
+
+
+def test_opus_encode_rejects_stereo_shape():
+    """A (480, 2) stereo array passed the old len() gate and opus consumed
+    interleaved L/R as 480 mono samples — corrupted audio, no error."""
+    import numpy as _np
+
+    from asciichat_tpu.runtime.codecs import CodecUnavailable, OpusCodec
+
+    try:
+        c = OpusCodec()
+    except CodecUnavailable:
+        pytest.skip("no libopus")
+    try:
+        with pytest.raises(ValueError, match="shape"):
+            c.encode(_np.zeros((480, 2), _np.float32))
+        assert c.encode(_np.zeros(480, _np.float32))  # mono still encodes
+    finally:
+        c.close()
+
+
+def test_wav_empty_at_foreign_rate_maps_to_unavailable(tmp_path):
+    """An empty 44.1 kHz WAV hit np.interp before the emptiness check and
+    raised a raw numpy ValueError instead of the class's contract."""
+    import wave
+
+    from asciichat_tpu.runtime.audiodev import (
+        AudioSourceUnavailable, WavFileSource,
+    )
+
+    p = tmp_path / "empty.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)  # != 48000: forces the resample path
+    with pytest.raises(AudioSourceUnavailable, match="empty"):
+        WavFileSource(str(p))
+
+
+def test_audiodev_reap_never_raises(tmp_path):
+    """Device-process teardown escalates EOF-wait -> terminate -> kill and
+    never lets TimeoutExpired escape the client's shutdown path."""
+    import subprocess
+    import time as _time
+
+    from asciichat_tpu.runtime.audiodev import _reap
+
+    proc = subprocess.Popen(["sleep", "30"])
+    t0 = _time.monotonic()
+    _reap(proc)  # wait(5) times out -> terminate -> reaped
+    assert proc.poll() is not None
+    assert _time.monotonic() - t0 < 10
+
+
+def test_probe_reports_cli_fallback_when_shim_unavailable(monkeypatch):
+    """With no buildable avshim but ffmpeg on PATH, H265Encoder() encodes
+    via the CLI — the probe must say so instead of advertising h265 with a
+    null negotiated encoder."""
+    import shutil as _shutil
+
+    from asciichat_tpu.runtime import codecs
+    from asciichat_tpu.runtime.codecs import CodecUnavailable
+
+    if not _shutil.which("ffmpeg"):
+        pytest.skip("no ffmpeg CLI")
+
+    def no_shim():
+        raise CodecUnavailable("avshim unavailable (test)")
+
+    monkeypatch.setattr(codecs, "_avshim", no_shim)
+    # unique order tuple -> fresh cache key
+    got = codecs.probe_h265_encoder(order=("libx265", "hevc_vaapi"))
+    assert got == "libx265/ffmpeg-cli"
