@@ -76,6 +76,7 @@ class ClientState:
         self.filter_name = "none"
         self.pending_first: tuple[int, bytes] | None = None
         self.h265 = None  # per-client decoder ctx (session/h265/server.c:14-25)
+        self.h265_unavailable = False  # codec refused once: stop retrying
         self.opus = None  # per-client Opus ctx (render.c:57 per-client codec)
         self.next_frame_due = 0.0  # desired_fps pacing (sub-tick-rate only)
 
@@ -84,6 +85,22 @@ class ClientState:
         wc = self.wire_caps
         return (wc.caps, wc.width, wc.height, wc.palette_type, wc.palette_custom,
                 self.filter_name)
+
+
+# palette_type wire values (palette.h:88-98): 0 standard .. 4 cool, 5 custom
+_PALETTE_TYPE_NAMES = ("standard", "blocks", "digital", "minimal", "cool")
+
+
+def _client_palette(wc, server_palette: str) -> str:
+    """Per-client palette (initialize_client_palette, protocol.c:1670-1719):
+    non-empty palette_custom wins (our JS client sends custom chars with
+    type 0 — lenient where the reference requires type 5), builtin types
+    1-4 select their ramps, anything else inherits the server palette."""
+    if wc.palette_custom:
+        return wc.palette_custom
+    if 1 <= wc.palette_type <= 4:
+        return pal.BUILTIN_PALETTES[_PALETTE_TYPE_NAMES[wc.palette_type]]
+    return server_palette
 
 
 class AsciiChatServer:
@@ -306,13 +323,29 @@ class AsciiChatServer:
                     raise ValueError(f"bad h265 frame dims {w}x{h}")
                 from asciichat_tpu.runtime import codecs
 
+                if c.h265_unavailable:
+                    continue  # already told this client to fall back once
                 if c.h265 is None or (c.h265.width, c.h265.height) != (w, h):
-                    if c.h265 is not None:
-                        c.h265.close()
+                    # create/close are BLOCKING native/subprocess work (the
+                    # ffmpeg-fallback close waits up to ~15 s): on the loop
+                    # thread they stalled every client's recv — and a client
+                    # alternating dims forced it per frame. Same executor
+                    # discipline as decode(); only this task touches c.h265.
+                    old, c.h265 = c.h265, None
+
+                    def _reopen(_old=old, _w=w, _h=h):
+                        if _old is not None:
+                            _old.close()
+                        return codecs.H265Decoder(_w, _h)
+
                     try:
-                        c.h265 = codecs.H265Decoder(w, h)
+                        c.h265 = await asyncio.get_running_loop(
+                        ).run_in_executor(None, _reopen)
                     except codecs.CodecUnavailable as e:
-                        # we never advertised h265; tell the client to fall back
+                        # we never advertised h265; tell the client to fall
+                        # back ONCE — retrying the probe per frame re-sent
+                        # the error for every in-flight frame
+                        c.h265_unavailable = True
                         await c.transport.send(P.ERROR_MESSAGE,
                                                proto.pack_error(proto.WireError.CODEC_UNAVAILABLE, str(e)))
                         continue
@@ -566,10 +599,19 @@ class AsciiChatServer:
         from asciichat_tpu.ops import cells as cells_ops
         from asciichat_tpu.render import emitter
 
+        # desired_fps pacing BEFORE grouping/rendering: a group whose
+        # members are all paced out used to pay the full device render +
+        # tunnel fetch at 60 Hz only to discard the result at pack time
+        pace_now = time.monotonic()
+        receivers = [c for c in receivers
+                     if not self._frame_paced_out(c, pace_now)]
+        if not receivers:
+            return
         groups: dict[tuple, list[ClientState]] = {}
         for c in receivers:
             wc = c.wire_caps
-            key = (wc.caps, wc.width, wc.height, wc.palette_custom)
+            key = (wc.caps, wc.width, wc.height,
+                   _client_palette(wc, self.palette))
             groups.setdefault(key, []).append(c)
 
         with self.tick_tracer.section("upload"):
@@ -603,7 +645,7 @@ class AsciiChatServer:
                     self._group_cache.clear()
                 grp = RenderGroup(
                     list(sizes), wc0.width, wc0.height, wc0.caps,
-                    unique_filters, wc0.palette_custom or self.palette,
+                    unique_filters, key[3],  # the resolved client palette
                     mesh=self.mesh,
                 )
                 self._group_cache[cache_key] = grp
@@ -614,8 +656,10 @@ class AsciiChatServer:
                 records = grp.step(frames_dev, now)
             with self.tick_tracer.section("fetch"):
                 host = cells_ops.records_to_numpy(records)
-            if grp.n_real != len(unique_filters) or grp.mesh is not None:
+            if grp.mesh is not None:
                 # mesh padding rows (disabled-filter renders) end at n_real
+                # (only the mesh path pads; set_filters keeps n_real == the
+                # unique-filter count everywhere else)
                 host = {k: v[: grp.n_real] for k, v in host.items()}
             self.mesh_collectives = max(self.mesh_collectives, grp.collectives)
             with self.tick_tracer.section("emit"):
@@ -625,11 +669,8 @@ class AsciiChatServer:
                 )
             # per-slot packing cache: compress once per unique rendered frame
             packed: dict[tuple[int, bool], bytes] = {}
-            pace_now = time.monotonic()
             with self.tick_tracer.section("pack"):
                 for i, c in enumerate(members):
-                    if self._frame_paced_out(c, pace_now):
-                        continue
                     no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
                     pk = (member_slot[i], no_compress)
                     payload = packed.get(pk)
@@ -651,64 +692,88 @@ class AsciiChatServer:
         self.tick_compute_count += compute_count
 
     def _render_tick_host(self, receivers, sizes, stack) -> None:
-        """CPU fallback: host compositing + per-size-key conversion."""
-        # max terminal among receivers defines composite char space (the
-        # reference composites per client; identical composite -> shared)
-        term_w = max(c.wire_caps.width for c in receivers)
-        term_h = max(c.wire_caps.height for c in receivers)
-        # cache the plan by layout: rebuilding per tick re-ran the Python
-        # row-loop at 60 fps AND kept composite_gather's per-plan device_maps
-        # cache permanently cold (re-uploading the gather maps every tick)
-        plan_key = (tuple(sizes), term_w, term_h)
-        plan = self._host_plan_cache.get(plan_key)
-        if plan is None:
-            self._host_plan_cache.clear()  # layouts change rarely; keep one
-            plan = compositor.plan_composite(list(sizes), term_w, term_h)
-            self._host_plan_cache[plan_key] = plan
-        composite = np.asarray(compositor.composite_gather(stack, plan))
+        """CPU fallback: numpy compositing + CPU-pinned conversion.
 
-        rendered: dict[tuple, bytes] = {}
+        Genuinely independent of the default accelerator: the composite is
+        pure numpy (composite_reference) and the per-client conversion runs
+        under jax.default_device(cpu) with CPU-constructed renderers — the
+        old path dispatched the same jitted ops to the same (failing)
+        default backend, so the 'fallback' failed identically, and it also
+        fetched a full composite over the tunnel per tick. Composites are
+        per GEOMETRY like the device path and the reference (stream.c:673:
+        the composite is built at the TARGET client's dims) — one max-dims
+        composite rescaled down gave small receivers a letterboxed picture
+        of the large receiver's grid layout."""
+        import jax
+
+        cpu = jax.devices("cpu")[0]
         pace_now = time.monotonic()
-        for c in receivers:
-            if self._frame_paced_out(c, pace_now):
-                continue
-            key = c.size_key
-            if key not in rendered:
-                wc = c.wire_caps
-                frame_px = composite
-                if c.filter_name != "none":
-                    frame_px = filters.apply_color_filter_reference(
-                        composite, c.filter_name, time.monotonic()
-                    )
-                req_h = (
-                    wc.height * 2
-                    if wc.caps.render_mode == RenderMode.HALF_BLOCK
-                    else wc.height
-                )  # stream.c:831
-                # cached per palette: a fresh AsciiRenderer re-derives and
-                # re-uploads the palette ramp — per tick per client over the
-                # device link (the device path caches RenderGroup for the
-                # same reason)
-                renderer = self.renderer
-                if wc.palette_custom:
-                    renderer = self._renderer_cache.get(wc.palette_custom)
-                    if renderer is None:
-                        if len(self._renderer_cache) > 32:
-                            self._renderer_cache.clear()
-                        renderer = AsciiRenderer(wc.palette_custom)
-                        self._renderer_cache[wc.palette_custom] = renderer
-                rendered[key] = renderer.convert(frame_px, wc.width, req_h, wc.caps)
-            frame = rendered[key]
-            # capabilities bit0: client cannot decompress (browser clients)
-            no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
-            payload = pkt.pack_ascii_frame(
-                frame, c.wire_caps.width, c.wire_caps.height,
-                compress=not no_compress, level=self.compression_level,
-            )
-            if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
-                self.stats.frames_sent += 1
-                self.stats.bytes_sent += len(payload)
-        self.stats.frames_rendered += len(rendered)
+        live = [c for c in receivers if not self._frame_paced_out(c, pace_now)]
+        if not live:
+            return
+        by_geom: dict[tuple[int, int], list[ClientState]] = {}
+        for c in live:
+            by_geom.setdefault((c.wire_caps.width, c.wire_caps.height),
+                               []).append(c)
+        stack_np = np.asarray(stack)
+        with jax.default_device(cpu):
+            for (gw, gh), members in by_geom.items():
+                plan_key = (tuple(sizes), gw, gh)
+                plan = self._host_plan_cache.get(plan_key)
+                if plan is None:
+                    if len(self._host_plan_cache) > 16:
+                        self._host_plan_cache.clear()
+                    plan = compositor.plan_composite(list(sizes), gw, gh)
+                    self._host_plan_cache[plan_key] = plan
+                composite = compositor.composite_reference(stack_np, plan)
+                rendered: dict[tuple, bytes] = {}
+                packed: dict[tuple, bytes] = {}
+                for c in members:
+                    key = c.size_key
+                    if key not in rendered:
+                        wc = c.wire_caps
+                        frame_px = composite
+                        if c.filter_name != "none":
+                            frame_px = filters.apply_color_filter_reference(
+                                composite, c.filter_name, time.monotonic()
+                            )
+                        req_h = (
+                            wc.height * 2
+                            if wc.caps.render_mode == RenderMode.HALF_BLOCK
+                            else wc.height
+                        )  # stream.c:831
+                        rendered[key] = self._host_renderer(
+                            _client_palette(wc, self.palette)).convert(
+                            frame_px, wc.width, req_h, wc.caps)
+                    # payload reuse: N identical receivers used to pay N
+                    # zstd compressions over the same bytes per tick
+                    no_compress = bool(c.wire_caps.capabilities_mask & 0x1)
+                    pk = (key, no_compress)
+                    payload = packed.get(pk)
+                    if payload is None:
+                        payload = packed[pk] = pkt.pack_ascii_frame(
+                            rendered[key], c.wire_caps.width,
+                            c.wire_caps.height, compress=not no_compress,
+                            level=self.compression_level,
+                        )
+                    if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME,
+                                               payload):
+                        self.stats.frames_sent += 1
+                        self.stats.bytes_sent += len(payload)
+                self.stats.frames_rendered += len(rendered)
+
+    def _host_renderer(self, palette: str) -> AsciiRenderer:
+        """Renderer cache for the host path, CONSTRUCTED under the CPU
+        default device so its palette ramp commits to the CPU backend (a
+        renderer built at server init committed to the accelerator and
+        would drag the 'host' conversion back onto the failing device)."""
+        r = self._renderer_cache.get(palette)
+        if r is None:
+            if len(self._renderer_cache) > 32:
+                self._renderer_cache.clear()
+            r = AsciiRenderer(palette)
+            self._renderer_cache[palette] = r
+        return r
 
     # ------------------------------------------------------------------
     # Audio tick: exclude-self mixes for everyone in one batched op
@@ -836,15 +901,26 @@ class AsciiChatServer:
         """Probe quiet clients, disconnect silent ones (see CLIENT_TIMEOUT_S)."""
         now = time.monotonic()
         probe_after = min(PING_PROBE_S, self.client_timeout / 3)
+        async def _close_one(cl):
+            with contextlib.suppress(Exception):
+                await cl.transport.close()  # recv loop unwinds + cleans up
+
+        doomed = []
         for c in list(self.clients.values()):
             silent = now - c.last_seen
             if silent > self.client_timeout:
                 log.warning("client %d silent for %.0fs; disconnecting", c.id,
                             silent)
-                with contextlib.suppress(Exception):
-                    await c.transport.close()  # recv loop unwinds + cleans up
+                doomed.append(c)
             elif silent > probe_after:
                 c.transport.send_nowait(pkt.PacketType.PING, b"probe")
+        if doomed:
+            # CONCURRENT and detached: each bounded close can still take
+            # 2-4 s against a zero-window peer, and awaiting them serially
+            # inside the video loop froze rendering for every healthy
+            # client by 2-4 s PER dead client during a partition
+            task = asyncio.gather(*(_close_one(c) for c in doomed))
+            self._sweep_task = task  # strong ref; gather never raises here
 
     def _tune_latency(self) -> None:
         """Deadline-oriented runtime tuning (render.c:4-7 leaves no room for
@@ -1025,7 +1101,10 @@ def main(args) -> int:
             # ephemeral identity rather than crash-loop at startup
             log.warning("host key %s unavailable (%s); using an ephemeral "
                         "identity for this run", key_path, e)
-    server = AsciiChatServer(args.host, args.port, compression_level=args.compress,
+    server = AsciiChatServer(args.host, args.port,
+                             palette=pal.BUILTIN_PALETTES.get(args.palette,
+                                                              args.palette),
+                             compression_level=args.compress,
                              password=args.password, ws_port=args.ws_port,
                              mdns=args.mdns, inspect_port=args.inspect_port,
                              status_screen=args.status and _sys.stdout.isatty(),

@@ -4573,3 +4573,119 @@ def test_probe_reports_cli_fallback_when_shim_unavailable(monkeypatch):
     # unique order tuple -> fresh cache key
     got = codecs.probe_h265_encoder(order=("libx265", "hevc_vaapi"))
     assert got == "libx265/ffmpeg-cli"
+
+
+# ---------------------------------------------------------------------------
+# twenty-eighth sweep: production server second pass
+
+
+def test_client_palette_resolution_matches_reference_types():
+    """palette_type 1-4 select the builtin ramps (initialize_client_palette,
+    protocol.c:1670-1719) — only palette_custom was honored, so a reference
+    client sending --palette blocks (type=1, empty custom) got standard-
+    palette frames."""
+    from asciichat_tpu.apps.server import _client_palette
+    from asciichat_tpu.net.protocol import WireCapabilities
+    from asciichat_tpu.render import palette as pal
+
+    wc = WireCapabilities(palette_type=1, palette_custom="")
+    assert _client_palette(wc, pal.DEFAULT_PALETTE) == pal.BUILTIN_PALETTES["blocks"]
+    wc = WireCapabilities(palette_type=4, palette_custom="")
+    assert _client_palette(wc, pal.DEFAULT_PALETTE) == pal.BUILTIN_PALETTES["cool"]
+    # custom wins regardless of type (our JS client sends type 0 + chars)
+    wc = WireCapabilities(palette_type=0, palette_custom=" .:#")
+    assert _client_palette(wc, pal.DEFAULT_PALETTE) == " .:#"
+    # type 0 / out-of-range inherit the server palette
+    wc = WireCapabilities(palette_type=0, palette_custom="")
+    assert _client_palette(wc, "XYZ") == "XYZ"
+    wc = WireCapabilities(palette_type=5, palette_custom="")
+    assert _client_palette(wc, "XYZ") == "XYZ"
+
+
+def test_server_main_forwards_palette(monkeypatch):
+    """`server --palette blocks` was accepted and silently ignored — the
+    constructor call skipped the palette argument entirely."""
+    import asyncio
+
+    from asciichat_tpu.apps import main as main_mod
+    from asciichat_tpu.apps import server as server_mod
+    from asciichat_tpu.render import palette as pal
+
+    seen = {}
+
+    class FakeServer:
+        def __init__(self, *a, **kw):
+            seen.update(kw)
+
+        async def run(self):
+            return None
+
+    monkeypatch.setattr(server_mod, "AsciiChatServer", FakeServer)
+    args = main_mod.build_parser().parse_args(["server", "--palette", "blocks"])
+    server_mod.main(args)
+    assert seen.get("palette") == pal.BUILTIN_PALETTES["blocks"]
+    _ = asyncio  # silence unused-import style
+
+
+def test_host_render_tick_per_geometry_and_palette(monkeypatch):
+    """The host fallback composites per GEOMETRY (one max-dims composite
+    rescaled down gave small receivers a letterboxed picture of the large
+    receiver's grid layout), honors palette_type, reuses payloads, and its
+    renderers commit to the CPU backend (true device independence)."""
+    import jax
+
+    from asciichat_tpu.apps.server import AsciiChatServer, ClientState
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.web import ansiparse
+
+    srv = AsciiChatServer()
+
+    class FakeTransport:
+        def __init__(self):
+            self.sent = []
+
+        def send_nowait(self, ptype, payload):
+            self.sent.append((ptype, payload))
+            return True
+
+    def mk(cid, w, h, ptype=0):
+        c = ClientState(cid, FakeTransport())
+        c.wire_caps.width, c.wire_caps.height = w, h
+        c.wire_caps.caps = TerminalCapabilities(ColorLevel.NONE,
+                                                RenderMode.FOREGROUND)
+        c.wire_caps.palette_type = ptype
+        c.has_caps = True
+        return c
+
+    small = mk(1, 40, 12)
+    big = mk(2, 90, 26)
+    blocks = mk(3, 40, 12, ptype=1)  # same geometry as small, blocks ramp
+    # BRIGHT content: the ramp maps random-luma frames mostly into the
+    # palettes' leading spaces (byte-exact vs the oracle); white pins the
+    # top ramp entry so the glyph set is observable
+    stack = np.full((1, 48, 64, 3), 255, np.uint8)
+    srv._render_tick_host([small, big, blocks], ((64, 48),), stack)
+    for c in (small, big, blocks):
+        assert c.transport.sent, f"client {c.id} got no frame"
+    # per-client dims in the frame header — NOT the max geometry
+    for c, (w, h) in ((small, (40, 12)), (big, (90, 26)), (blocks, (40, 12))):
+        frame, fw, fh, _ = pkt.unpack_ascii_frame(c.transport.sent[0][1])
+        assert (fw, fh) == (w, h)
+        grid = ansiparse.AnsiGrid().parse(frame)
+        assert (grid.w, grid.h) == (w, h)
+    # the blocks-palette receiver renders from the blocks ramp
+    # the palette must CHANGE the bytes (glyph identity is governed by the
+    # reference's deliberate cache64[char_idx] double-indexing quirk,
+    # foreground.c:100-103 — byte-exactness is gated elsewhere; here we
+    # pin that palette_type routed a DIFFERENT ramp at all)
+    bframe = pkt.unpack_ascii_frame(blocks.transport.sent[0][1])[0]
+    sframe = pkt.unpack_ascii_frame(small.transport.sent[0][1])[0]
+    assert bframe != sframe
+    # renderers committed to CPU (the point of the fallback)
+    cpu = jax.devices("cpu")[0]
+    for r in srv._renderer_cache.values():
+        ramp = r._ramp
+        assert set(getattr(ramp, "devices", lambda: {cpu})()) == {cpu}
