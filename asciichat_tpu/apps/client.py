@@ -99,8 +99,10 @@ class AsciiChatClient:
             from asciichat_tpu.runtime import codecs
 
             try:
-                self.opus_enc = codecs.OpusCodec()
-                self.opus_dec = codecs.OpusCodec()
+                # ONE instance: it already holds both native contexts
+                # (~45 KB each of gc-invisible memory); two instances
+                # wasted half of them
+                self.opus_enc = self.opus_dec = codecs.OpusCodec()
                 self.wire_caps.codec_audio = 1
             except codecs.CodecUnavailable as e:
                 log.warning("opus requested but unavailable (%s); raw PCM", e)
@@ -121,7 +123,7 @@ class AsciiChatClient:
         self._stop = asyncio.Event()
         self._loop: asyncio.AbstractEventLoop | None = None  # set in run()
         self._password_key: bytes | None = None  # Argon2id cache (reconnects)
-        self._last_rx = time.time()
+        self._last_rx = time.monotonic()
 
     async def _capture_task(self, t: Transport) -> None:
         if self.source is None:
@@ -130,10 +132,26 @@ class AsciiChatClient:
         loop = asyncio.get_running_loop()
         while not self._stop.is_set():
             t0 = loop.time()
-            frame = await loop.run_in_executor(None, self.source.read)
+            try:
+                frame = await loop.run_in_executor(None, self.source.read)
+            except Exception as e:
+                log.warning("video capture ended: %s", e)
+                t.send_nowait(pkt.PacketType.STREAM_STOP)
+                return
             if frame is None:
+                # end of stream: tell the server to remove our tile — the
+                # STREAM_START at session setup otherwise left viewers
+                # looking at our last frame frozen in the grid forever
+                t.send_nowait(pkt.PacketType.STREAM_STOP)
                 break
-            frame = self.transform(frame)
+            try:
+                frame = self.transform(frame)
+            except Exception:
+                # a transient transform failure (filter math on a torn
+                # frame) must skip the frame, not kill the uplink for the
+                # rest of a possibly hours-long session
+                log.exception("frame transform failed; frame skipped")
+                continue
             if not self.h265_active and self._h265_enc is not None:
                 # the capture task is the encoder's sole owner: the recv
                 # loop only flips h265_active (closing here, between
@@ -206,9 +224,13 @@ class AsciiChatClient:
             except Exception as e:
                 log.warning("audio capture ended: %s", e)
                 return
-            processed = await loop.run_in_executor(
-                None, self.audio_pipeline.process, frame
-            )
+            try:
+                processed = await loop.run_in_executor(
+                    None, self.audio_pipeline.process, frame
+                )
+            except Exception:
+                log.exception("audio pipeline failed; frame skipped")
+                continue
             if self.audio_gain != 1.0:
                 processed = np.clip(processed * self.audio_gain, -1.0, 1.0)
             if self.opus_enc is not None:
@@ -242,9 +264,11 @@ class AsciiChatClient:
             # means the link is gone; closing the transport unwinds the
             # recv loop into the reconnect path instead of hanging until
             # the OS TCP timeout (~15+ min)
-            if time.time() - self._last_rx > 3 * KEEPALIVE_INTERVAL + 5:
+            # monotonic, not wall-clock: an NTP step forward instantly
+            # 'aged' a healthy session past the threshold and dropped it
+            if time.monotonic() - self._last_rx > 3 * KEEPALIVE_INTERVAL + 5:
                 log.warning("server silent for %.0fs; dropping dead link",
-                            time.time() - self._last_rx)
+                            time.monotonic() - self._last_rx)
                 await t.close()
                 return
             t.send_nowait(pkt.PacketType.PING, str(time.time()).encode())
@@ -253,7 +277,7 @@ class AsciiChatClient:
         P = pkt.PacketType
         while not self._stop.is_set():
             ptype, payload = await t.recv()
-            self._last_rx = time.time()
+            self._last_rx = time.monotonic()
             if ptype == P.ASCII_FRAME:
                 frame, _w, _h, _flags = pkt.unpack_ascii_frame(payload)
                 self.display.write_frame(frame)
@@ -272,9 +296,11 @@ class AsciiChatClient:
 
                     try:
                         codecs_adv = json.loads(payload).get("codecs", [])
-                    except ValueError:
+                    except (ValueError, AttributeError):
+                        # valid-but-non-dict JSON (a list) raised
+                        # AttributeError past run()'s reconnect catches
                         codecs_adv = []
-                    if "h265" in codecs_adv:
+                    if isinstance(codecs_adv, list) and "h265" in codecs_adv:
                         self.h265_active = True
                         log.info("server supports h265: switching uplink")
             elif ptype == P.AUDIO_OPUS_BATCH:
@@ -320,6 +346,12 @@ class AsciiChatClient:
                         log.warning("server refused h265 (%s); "
                                     "raw RGB fallback", msg)
                         self.h265_active = False
+                        # LATCH: the server's refusal is per-session final
+                        # (it stops even answering after its own latch) —
+                        # without clearing want_h265, the next SERVER_STATE
+                        # broadcast re-enabled the uplink and every frame
+                        # streamed into a void for the rest of the session
+                        self.want_h265 = False
                     else:
                         log.debug("repeated h265 refusal ignored: %s", msg)
                 else:
@@ -391,7 +423,7 @@ class AsciiChatClient:
             # session's _last_rx across a reconnect let the keepalive
             # declare the new healthy link dead before the server's first
             # packet arrived (silence + backoff + handshake > threshold)
-            self._last_rx = time.time()
+            self._last_rx = time.monotonic()
             tasks = [
                 asyncio.create_task(self._capture_task(t)),
                 asyncio.create_task(self._audio_capture_task(t)),
@@ -442,11 +474,20 @@ class AsciiChatClient:
         overlay, fps overlay, horizontal flip of the uplink."""
         if key in ("q", "\x03"):
             # runs on the KeyboardReader THREAD: asyncio.Event.set() is not
-            # thread-safe (works today only because nothing awaits _stop;
-            # the first `await _stop.wait()` added later would race) —
-            # marshal onto the loop
+            # thread-safe — marshal onto the loop. Setting the flag alone
+            # never unblocked a recv parked on a HALF-OPEN link (and the
+            # keepalive task exits on the flag before its dead-link close
+            # could fire): also close the live transport so quit always
+            # unwinds within the close bound instead of hanging forever.
+            def _quit():
+                self._stop.set()
+                t = getattr(self, "_live_transport", None)
+                if t is not None:
+                    task = asyncio.get_running_loop().create_task(t.close())
+                    self._quit_close_task = task  # strong ref
+
             if self._loop is not None:
-                self._loop.call_soon_threadsafe(self._stop.set)
+                self._loop.call_soon_threadsafe(_quit)
             else:
                 self._stop.set()
         elif key == "?":
@@ -492,6 +533,10 @@ class AsciiChatClient:
                     raise
                 except (ConnectionError, asyncio.IncompleteReadError, OSError,
                         ValueError) as e:
+                    if self._stop.is_set():
+                        # the quit key closed the transport to unwind a
+                        # parked recv: that is a CLEAN exit, not an error
+                        return
                     # ValueError = corrupt packet (CRC/framing): treat like a
                     # broken connection — disconnect + reconnect, never crash
                     if not self.reconnect_policy.enabled:
@@ -543,15 +588,21 @@ def main(args) -> int:
         source = open_source(test_pattern=args.test_pattern, file=args.file,
                              loop=args.loop, stdin_size=args.stdin_size)
     audio_source = audio_sink = None
-    want_audio = args.audio or args.tone_hz is not None or args.audio_wav
-    if want_audio:
+    want_uplink = args.audio or args.tone_hz is not None or args.audio_wav
+    # a LISTEN-ONLY client (--audio-out or --opus without a capture source)
+    # still needs the sink open: --audio-out used to be silently inert and
+    # the received mix was discarded
+    want_downlink = want_uplink or args.audio_out or args.opus
+    if want_uplink or want_downlink:
         from asciichat_tpu.runtime.audiodev import open_audio_sink, open_audio_source
 
-        audio_source = open_audio_source(
-            tone_hz=args.tone_hz, wav=args.audio_wav,
-            mic=args.audio and args.tone_hz is None and not args.audio_wav,
-        )
-        audio_sink = open_audio_sink(args.audio_out)
+        if want_uplink:
+            audio_source = open_audio_source(
+                tone_hz=args.tone_hz, wav=args.audio_wav,
+                mic=args.audio and args.tone_hz is None and not args.audio_wav,
+            )
+        if want_downlink:
+            audio_sink = open_audio_sink(args.audio_out)
     ssh_identity = None
     if args.ssh_key or args.ssh_agent:
         from asciichat_tpu.net import sshauth
@@ -581,4 +632,15 @@ def main(args) -> int:
         asyncio.run(client.run(max_frames=args.max_frames))
     except KeyboardInterrupt:
         pass
+    except Exception as e:
+        from asciichat_tpu.net.handshake import HandshakeError
+
+        if isinstance(e, HandshakeError):
+            # wrong password / TOFU host-key mismatch: the SECURITY-relevant
+            # one-liner, not a buried multi-frame traceback
+            import sys as _sys
+
+            print(f"error: {e}", file=_sys.stderr)
+            return 1
+        raise
     return 0

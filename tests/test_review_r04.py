@@ -2115,10 +2115,10 @@ def test_client_session_resets_dead_link_clock(monkeypatch):
 
     monkeypatch.setattr(client_mod, "connect_tcp", fake_connect)
     c = client_mod.AsciiChatClient("127.0.0.1", 1, reconnect=False)
-    c._last_rx = time.time() - 100  # stale from a dead previous session
+    c._last_rx = time.monotonic() - 100  # stale from a dead previous session
     with pytest.raises(asyncio.IncompleteReadError):  # scripted end-of-stream
         asyncio.run(asyncio.wait_for(c._session(None), 10))
-    assert time.time() - c._last_rx < 10  # fresh clock for the session
+    assert time.monotonic() - c._last_rx < 10  # fresh clock for the session
 
 
 def test_client_caches_argon2_password_key(monkeypatch):
@@ -4689,3 +4689,124 @@ def test_host_render_tick_per_geometry_and_palette(monkeypatch):
     for r in srv._renderer_cache.values():
         ramp = r._ramp
         assert set(getattr(ramp, "devices", lambda: {cpu})()) == {cpu}
+
+
+# ---------------------------------------------------------------------------
+# twenty-ninth sweep: production client second pass
+
+
+def test_client_h265_refusal_latches_against_server_state():
+    """A CODEC_UNAVAILABLE refusal must latch: the next SERVER_STATE
+    broadcast used to re-enable the uplink, and (the server having latched
+    its own refusal) every subsequent H.265 frame streamed into a void —
+    viewers saw the last raw frame frozen forever."""
+    import asyncio
+    import contextlib
+    import json as _json
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import Transport, serve_tcp
+    from asciichat_tpu.utils import term
+
+    async def run():
+        state = _json.dumps({"clients": 1, "max_clients": 32, "streaming": 0,
+                             "codecs": ["raw_rgb24", "h265"]}).encode()
+
+        async def handler(t: Transport):
+            # minimal plaintext session: accept anything, drive the script
+            await t.recv()  # NO_ENCRYPTION or caps
+            with contextlib.suppress(Exception):
+                while True:
+                    ptype, _ = await t.recv()
+                    if ptype == pkt.PacketType.CLIENT_CAPABILITIES:
+                        break
+            await t.send(pkt.PacketType.SERVER_STATE, state)  # enables h265
+            await asyncio.sleep(0.3)
+            await t.send(pkt.PacketType.ERROR_MESSAGE,
+                         proto.pack_error(proto.WireError.CODEC_UNAVAILABLE,
+                                          "no decoder"))
+            await asyncio.sleep(0.3)
+            await t.send(pkt.PacketType.SERVER_STATE, state)  # re-broadcast
+            await asyncio.sleep(1.0)
+
+        srv = await serve_tcp(handler, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        c = AsciiChatClient("127.0.0.1", port, None, proto.WireCapabilities(),
+                            reconnect=False, want_h265=True)
+        c.display.writer = term.FrameWriter(open(os.devnull, "wb"))
+        task = asyncio.create_task(c.run())
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 10 and not c.h265_active:
+            await asyncio.sleep(0.05)
+        assert c.h265_active  # first SERVER_STATE enabled it
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 10 and c.h265_active:
+            await asyncio.sleep(0.05)
+        assert not c.h265_active  # refusal flipped it off
+        await asyncio.sleep(1.0)  # the re-broadcast lands in this window
+        assert not c.h265_active and not c.want_h265  # LATCHED
+        task.cancel()
+        with contextlib.suppress(asyncio.CancelledError, Exception):
+            await task
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_client_quit_unblocks_halfopen_recv():
+    """'q' must end the session even with recv parked on a half-open link —
+    setting the stop flag alone never unblocked it and the keepalive task
+    exits on the flag before its dead-link close can fire."""
+    import asyncio
+    import contextlib
+
+    from asciichat_tpu.apps.client import AsciiChatClient
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import Transport, serve_tcp
+    from asciichat_tpu.utils import term
+
+    async def run():
+        async def handler(t: Transport):
+            with contextlib.suppress(Exception):
+                while True:
+                    await t.recv()  # accept everything, answer NOTHING
+
+        srv = await serve_tcp(handler, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        c = AsciiChatClient("127.0.0.1", port, None, proto.WireCapabilities(),
+                            reconnect=False)
+        c.display.writer = term.FrameWriter(open(os.devnull, "wb"))
+        task = asyncio.create_task(c.run())
+        await asyncio.sleep(1.0)  # connected, recv parked
+        c._on_key("q")
+        await asyncio.wait_for(task, 10)  # pre-fix: hangs forever
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_client_audio_out_alone_opens_sink(tmp_path, monkeypatch):
+    """`client --audio-out file` without a capture source used to be
+    silently inert (the sink never opened, received audio discarded)."""
+    from asciichat_tpu.apps import client as client_mod
+    from asciichat_tpu.apps import main as main_mod
+
+    seen = {}
+
+    class FakeClient:
+        def __init__(self, *a, **kw):
+            seen.update(kw)
+
+        async def run(self, max_frames=None):
+            return None
+
+    monkeypatch.setattr(client_mod, "AsciiChatClient", FakeClient)
+    out = tmp_path / "mix.f32"
+    args = main_mod.build_parser().parse_args(
+        ["client", "127.0.0.1", "--audio-out", str(out)])
+    client_mod.main(args)
+    assert seen.get("audio_sink") is not None
+    assert seen.get("audio_source") is None  # still listen-only
+    seen["audio_sink"].close()
