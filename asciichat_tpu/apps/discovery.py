@@ -16,6 +16,7 @@ import asyncio
 import contextlib
 import json
 import secrets
+import time
 
 from asciichat_tpu.net import consensus as cons
 from asciichat_tpu.net import identity as ident
@@ -143,15 +144,32 @@ class RingRunner:
         self.results_verified = 0
         self.results_rejected = 0
 
-    def _sign_entry(self, m: cons.ParticipantMetrics) -> bytes:
-        """Bind our metrics entry to our Ed25519 identity: without this a
-        malicious ring leader can forge every OTHER member's metric values
-        in a result that honest verifiers accept (the recompute matches
-        the forged inputs)."""
-        return self.sess.identity.sign(self.METRICS_ENTRY_PTYPE, m.pack())
+    def _sign_entry(self, m: cons.ParticipantMetrics, rid: int) -> bytes:
+        """Bind our metrics entry to our Ed25519 identity AND the round it
+        was measured for: without the identity a malicious ring leader can
+        forge every OTHER member's values; without the ROUND binding it can
+        replay members' previously-signed entries under a fresh round_id
+        (stale addresses honest verifiers would re-adopt)."""
+        import struct as _struct
+
+        return self.sess.identity.sign(
+            self.METRICS_ENTRY_PTYPE, _struct.pack(">I", rid) + m.pack())
+
+    # entries older than this are stale regardless of envelope freshness:
+    # the backstop against replaying a whole captured result (same ring,
+    # post-reformation floor reset) — ~2 collection intervals + skew
+    ENTRY_MAX_AGE_S = 2 * RING_COLLECTION_INTERVAL_S + 30
 
     def _verify_entry(self, m: cons.ParticipantMetrics,
-                      sig: bytes | None) -> bool:
+                      sig: bytes | None, rid: int) -> bool:
+        import struct as _struct
+        import time as _time
+
+        now_ms = _time.time() * 1000
+        if m.measured_at_ms and (
+                m.measured_at_ms < now_ms - self.ENTRY_MAX_AGE_S * 1000
+                or m.measured_at_ms > now_ms + 30_000):
+            return False  # stale (replayed round) or future-dated entry
         pinned = self.sess.pins.get(m.participant_id)
         if m.participant_id == self.sess.participant_id:
             pinned = self.sess.identity.public_bytes  # my own entry: my key
@@ -163,8 +181,8 @@ class RingRunner:
             pub, body = ident.open_envelope(self.METRICS_ENTRY_PTYPE, sig)
         except ident.SignatureError:
             return False
-        if body != m.pack():
-            return False  # signature is for DIFFERENT metric values
+        if body != _struct.pack(">I", rid) + m.pack():
+            return False  # different values OR a different round's entry
         return pinned is None or pub == pinned
 
     # -- wiring -------------------------------------------------------------
@@ -260,6 +278,11 @@ class RingRunner:
                 sess.on_host_changed(host_m.address, host_m.port)
 
 
+class _OfferGlare(Exception):
+    """Simultaneous p2p_connect offers; the lower id yields (see
+    _p2p_answer) and its p2p_connect delegates to p2p_accept."""
+
+
 class DiscoverySession:
     """ACDS-side participation: register, report metrics, track the host."""
 
@@ -302,13 +325,19 @@ class DiscoverySession:
         self._settings_acked: set[str] = set()
         self.on_settings = None  # callback(settings dict)
         self._t = None
+        self._acds_rtt_ms = 20.0  # measured at connect()
+        self._pre_ack: list[tuple[int, bytes]] = []  # broadcasts racing acks
 
     def attach_ring(self, interval_s: float = RING_COLLECTION_INTERVAL_S) -> "RingRunner":
         self.ring = RingRunner(self, interval_s)
         return self.ring
 
     async def connect(self) -> None:
+        t0 = time.monotonic()
         raw = await connect_tcp(self.acds_host, self.acds_port)
+        # TCP connect time ~= one RTT to the rendezvous: the cheapest real
+        # latency measurement available for the election metrics
+        self._acds_rtt_ms = (time.monotonic() - t0) * 1000
         self._t = SignedAcdsChannel(raw, self.identity, self.pins)
 
     async def create(self, my_port: int, my_address: str = "127.0.0.1",
@@ -324,6 +353,12 @@ class DiscoverySession:
             ptype, payload = await self._t.recv()
             if ptype == pkt.PacketType.ERROR_MESSAGE:
                 raise RuntimeError(json.loads(payload).get("error", "create failed"))
+            if ptype not in (pkt.PacketType.ACIP_SESSION_CREATED,):
+                # a signed broadcast racing the ack (PARTICIPANT_LIST with
+                # peers' pubkeys, HOST_DESIGNATED) used to be silently
+                # dropped here — buffer it for event_loop
+                self._pre_ack.append((ptype, payload))
+                continue
             if ptype == pkt.PacketType.ACIP_SESSION_CREATED:
                 resp = json.loads(payload)
                 self.session_string = resp["session_string"]
@@ -344,6 +379,10 @@ class DiscoverySession:
             ptype, payload = await self._t.recv()
             if ptype == pkt.PacketType.ERROR_MESSAGE:
                 raise RuntimeError(json.loads(payload).get("error"))
+            if ptype != pkt.PacketType.ACIP_SESSION_JOINED:
+                # see create(): pre-ack broadcasts are buffered, not eaten
+                self._pre_ack.append((ptype, payload))
+                continue
             if ptype == pkt.PacketType.ACIP_SESSION_JOINED:
                 resp = json.loads(payload)
                 self.session_string = session_string
@@ -351,12 +390,26 @@ class DiscoverySession:
                 self.host_address = resp["host_address"]
                 self.host_port = resp["host_port"]
                 return self.host_address, self.host_port
-            # PARTICIPANT_LIST etc. may arrive first; keep reading
 
     def metrics(self) -> cons.ParticipantMetrics:
+        """Election inputs (metrics.c role). Honest where cheaply
+        measurable: nat_tier from the advertised address's routability
+        (a publicly-routable host beats a NATed one as session host) and
+        rtt from the measured ACDS connect time; upload/stun stay nominal
+        (no bandwidth probe exists — exact ties are resolved by the
+        incumbent-sticky election instead of first-wins flapping)."""
+        import ipaddress
+
+        tier = 1
+        try:
+            ip = ipaddress.ip_address(self.my_address)
+            tier = 0 if ip.is_global else 1 if ip.is_private else 2
+        except ValueError:
+            tier = 1  # hostname: assume NATed-but-reachable
         return cons.ParticipantMetrics(
             participant_id=self.participant_id,
-            nat_tier=1, upload_kbps=10_000, rtt_ms=20, stun_success_pct=100,
+            nat_tier=tier, upload_kbps=10_000,
+            rtt_ms=max(1, int(self._acds_rtt_ms)), stun_success_pct=100,
             address=self.my_address,
             port=self.my_port,
         )
@@ -373,11 +426,25 @@ class DiscoverySession:
         reporter = asyncio.create_task(report())
         try:
             while True:
-                ptype, payload = await self._t.recv()
+                if self._pre_ack:
+                    # broadcasts that raced the create/join ack: dispatch
+                    # them first (they carry peers' pubkeys and host
+                    # designations that everything below depends on)
+                    ptype, payload = self._pre_ack.pop(0)
+                else:
+                    ptype, payload = await self._t.recv()
                 if ptype == P.ACIP_PARTICIPANT_LIST:
-                    info = json.loads(payload)
+                    try:
+                        info = json.loads(payload)
+                        participants = list(info["participants"])
+                    except (KeyError, ValueError, TypeError) as e:
+                        # the only handlers WITHOUT a bad-data guard were
+                        # the two whose death silently disabled failover,
+                        # pinning and settings sync for the whole session
+                        log.warning("bad participant list dropped: %s", e)
+                        continue
                     prev = set(self.participants)
-                    self.participants = info["participants"]
+                    self.participants = participants
                     # host-authoritative settings reach LATE JOINERS too
                     if (self.settings and self.host_id == self.participant_id):
                         newcomers = [p for p in self.participants
@@ -429,7 +496,12 @@ class DiscoverySession:
                         self._settings_acked.add(ack["from"])
                         self.settings_acks = len(self._settings_acked)
                 elif ptype == P.ACIP_HOST_DESIGNATED:
-                    info = json.loads(payload)
+                    try:
+                        info = json.loads(payload)
+                        _ = info["host_id"], info["host_address"], info["host_port"]
+                    except (KeyError, ValueError, TypeError) as e:
+                        log.warning("bad host designation dropped: %s", e)
+                        continue
                     if info["host_id"] != self.host_id:
                         self.host_id = info["host_id"]
                         self.host_address = info["host_address"]
@@ -505,7 +577,16 @@ class DiscoverySession:
             if agent is None or agent.remote is None:
                 log.warning("relay-req from %s without prior offer; ignored", frm)
                 return
-            if frm not in self._p2p_relay:
+            relay = self._p2p_relay.get(frm)
+            relay_live = (relay is not None and not relay.closed
+                          and not relay.failed)
+            if not relay_live:
+                # a FAILED prior relay channel must be rebuilt, not kept:
+                # answering relay-ok over a dead channel wedged the peer's
+                # retry (it waits for a handshake our side will never run)
+                if relay is not None:
+                    relay.close()
+                    del self._p2p_relay[frm]
                 agent.stop_ice()
                 self._make_relay_channel(frm)
                 log.info("P2P with %s falling back to ACDS relay (TURN role)",
@@ -570,6 +651,25 @@ class DiscoverySession:
         from asciichat_tpu.net.webrtc import IceLiteAgent
 
         stale = self._p2p_agents.get(frm)
+        if (stale is not None and stale.controlling
+                and not stale.connected.is_set()
+                and frm not in self._p2p_relay):
+            # OFFER GLARE: both sides called p2p_connect simultaneously.
+            # Deterministic tie-break — the HIGHER id ignores the incoming
+            # offer (its own offer wins on the peer, who yields); the LOWER
+            # id yields: closes its outgoing attempt and answers. Without
+            # this, each side closed the other's in-flight controlling
+            # agent and direct ICE could never succeed.
+            if self.participant_id > frm:
+                log.info("offer glare with %s: keeping OUR offer", frm)
+                return
+            log.info("offer glare with %s: yielding to the peer's offer", frm)
+            fut = self._p2p_pending.pop(frm, None)
+            if fut is not None and not fut.done():
+                # a typed exception, not cancel(): p2p_connect catches it
+                # and delegates to p2p_accept — its normal cleanup would
+                # otherwise close the FRESH controlled agent installed below
+                fut.set_exception(_OfferGlare(frm))
         if stale is not None:
             relay = self._p2p_relay.get(frm)
             # "live" for a relay channel means READY and not failed: a DTLS
@@ -622,7 +722,13 @@ class DiscoverySession:
             "kind": "offer", "desc": agent.local_description(),
         }).encode())
         try:
-            desc = await asyncio.wait_for(fut, timeout)
+            try:
+                desc = await asyncio.wait_for(fut, timeout)
+            except _OfferGlare:
+                # both sides offered at once and we are the yielding (lower)
+                # id: our agent was replaced by the peer's-offer controlled
+                # agent — wait for THAT negotiation instead
+                return await self.p2p_accept(peer_id, timeout)
             agent.set_remote(desc)
             try:
                 ch = await agent.wait_connected(ice_timeout)
@@ -704,8 +810,16 @@ class DiscoverySession:
             if loop.time() > deadline:
                 raise TimeoutError(f"no P2P offer from {peer_id}")
             await asyncio.sleep(0.05)
-        agent = self._p2p_agents[peer_id]
         while True:
+            # re-fetch EVERY pass: a retried offer replaces the agent in
+            # _p2p_answer, and polling a captured (closed) first agent made
+            # the accept time out while a live channel sat in the map
+            agent = self._p2p_agents.get(peer_id)
+            if agent is None:
+                if loop.time() > deadline:
+                    raise TimeoutError(f"no P2P channel with {peer_id}")
+                await asyncio.sleep(0.05)
+                continue
             # relay wins ties: a relay-req means the peer's direct path is
             # dead even if OUR side nominated one (one-way-UDP asymmetry)
             ch = self._p2p_relay.get(peer_id)
@@ -727,9 +841,12 @@ class DiscoverySession:
             ch.close()
         for agent in self._p2p_agents.values():
             agent.close()
-        if self._t and self.session_string:
-            with contextlib.suppress(ConnectionError):
-                await self._t.send(pkt.PacketType.ACIP_SESSION_LEAVE, b"{}")
+        if self._t:
+            if self.session_string:
+                with contextlib.suppress(ConnectionError):
+                    await self._t.send(pkt.PacketType.ACIP_SESSION_LEAVE, b"{}")
+            # close unconditionally: a connect()-then-failed-create session
+            # used to leak the ACDS connection for the process lifetime
             await self._t.close()
 
 
@@ -817,6 +934,16 @@ async def run_discovery(args) -> int:
         log.info("hosting session %s on port %d", session_string, args.port)
 
     events = asyncio.create_task(sess.event_loop())
+
+    def _events_died(t):
+        # the event loop carries failover/pinning/settings for the WHOLE
+        # session — its death must be loud, not an unobserved exception
+        # discovered at exit
+        if not t.cancelled() and t.exception() is not None:
+            log.error("ACDS event loop died: %r — host failover, key "
+                      "pinning and settings sync are DISABLED", t.exception())
+
+    events.add_done_callback(_events_died)
     ring_task = asyncio.create_task(ring.leader_loop())
     try:
         if args.join or args.view:

@@ -50,10 +50,18 @@ class ParticipantMetrics:
             raise ValueError(
                 f"participant_id {self.participant_id!r} exceeds the 16-byte "
                 "participant_metrics_t field")
+        addr = self.address.encode()
+        if len(addr) > 64:
+            # silent truncation could cut mid-UTF-8 (unpack then raises on
+            # every ring message carrying the entry — permanent consensus
+            # failure) or adopt a nonexistent host address — fail loudly
+            raise ValueError(
+                f"address {self.address!r} exceeds the 64-byte "
+                "participant_metrics_t field")
         return self.STRUCT.pack(
             pid.ljust(16, b"\0"),
             self.nat_tier, self.upload_kbps, self.rtt_ms, self.stun_success_pct,
-            self.address.encode()[:64], self.port,
+            addr, self.port,
             self.measured_at_ms or int(time.time() * 1000),
         )
 
@@ -97,6 +105,22 @@ def elect(metrics: list[ParticipantMetrics]) -> tuple[str, str]:
         elif scores[i] > scores[second]:
             second = i
     return metrics[best].participant_id, metrics[second].participant_id
+
+
+def elect_sticky(metrics: list[ParticipantMetrics],
+                 prev_host: str | None) -> tuple[str, str]:
+    """elect() with incumbent hysteresis: the CURRENT host wins EXACT score
+    ties (the challenger becomes backup). Without real differentiating
+    measurements every participant ties, and first-wins picked whichever
+    entry the leader collected first — a gratuitous host migration (stream
+    interruption for every viewer) one collection interval into every
+    session. Deviation from find_best_two is deliberate and tie-only."""
+    host, backup = elect(metrics)
+    if prev_host and prev_host != host:
+        scores = {m.participant_id: compute_score(m) for m in metrics}
+        if prev_host in scores and scores[prev_host] == scores[host]:
+            return prev_host, host
+    return host, backup
 
 
 def ring_order(participant_ids: list[str]) -> list[str]:
@@ -148,7 +172,11 @@ class ConsensusParticipant:
             lambda: ParticipantMetrics(participant_id=self.my_id)
         )
         # Per-entry metric signatures (optional, wired by RingRunner):
-        # entry_signer(m) -> sig bytes over m.pack(); entry_verifier(m, sig)
+        # entry_signer(m, rid) -> sig over be32(rid)||m.pack();
+        # entry_verifier(m, sig, rid) — binding the ROUND ID prevents a
+        # malicious leader replaying other members' previously-signed
+        # entries under a fresh round_id (stale addresses/metrics that
+        # honest verifiers would re-accept)
         # -> bool. Without them a malicious ring LEADER can forge every
         # OTHER participant's metric values in a result that verifiers then
         # accept (the recompute matches the forged inputs); with them each
@@ -163,23 +191,24 @@ class ConsensusParticipant:
         self.host_id: str | None = None
         self.backup_id: str | None = None
 
-    def _my_entry(self) -> tuple[ParticipantMetrics, bytes | None]:
+    def _my_entry(self, rid: int) -> tuple[ParticipantMetrics, bytes | None]:
         m = self.metrics_provider()
         if not m.measured_at_ms:
             # pin the timestamp NOW: pack() stamps lazily, so a signature
             # over pack() would not match a later re-pack of the same entry
             m = dataclasses.replace(
                 m, measured_at_ms=int(time.time() * 1000))
-        sig = self.entry_signer(m) if self.entry_signer else None
+        sig = self.entry_signer(m, rid) if self.entry_signer else None
         return m, sig
 
     def _entries_verify(self, metrics: list[ParticipantMetrics],
-                        sigs) -> bool:
+                        sigs, rid: int) -> bool:
         if self.entry_verifier is None:
             return True
         if not isinstance(sigs, list) or len(sigs) != len(metrics):
             sigs = [None] * len(metrics)
-        return all(self.entry_verifier(m, s) for m, s in zip(metrics, sigs))
+        return all(self.entry_verifier(m, s, rid)
+                   for m, s in zip(metrics, sigs))
 
     @property
     def is_leader(self) -> bool:
@@ -190,9 +219,11 @@ class ConsensusParticipant:
         """Phase 1: ring (re)formation on join/leave. Reformation starts a
         new round EPOCH: the replay floor resets, because a new leader
         numbers its rounds from 1 and must not be locked out by the old
-        leader's higher counter. Cross-epoch replays are already rejected
-        by the exact-membership check (a result's metrics must cover
-        exactly the CURRENT ring)."""
+        leader's higher counter. The exact-membership check rejects
+        cross-epoch replays for CHANGED memberships; a recurring membership
+        (leave + fast rejoin) is covered by the per-entry measured_at
+        freshness bound RingRunner._verify_entry enforces — a replayed
+        result's entries age out within ~2 collection intervals."""
         self.positions = ring_positions(participant_ids)
         self.phase = Phase.IDLE
         self.round_id = 0
@@ -203,7 +234,7 @@ class ConsensusParticipant:
         assert self.is_leader, "only the ring leader starts collection"
         self.round_id += 1
         self.phase = Phase.COLLECTING
-        me, sig = self._my_entry()
+        me, sig = self._my_entry(self.round_id)
         msg = {
             "type": "STATS_UPDATE",
             "round_id": self.round_id,
@@ -249,7 +280,7 @@ class ConsensusParticipant:
         sigs = msg.get("sigs")
         sigs = list(sigs) if isinstance(sigs, list) and len(sigs) == len(
             metrics) else [None] * len(metrics)
-        if not self._entries_verify(metrics, sigs):
+        if not self._entries_verify(metrics, sigs, rid):
             return None  # an entry not signed by its owner's pinned key
         if any(m.participant_id == self.my_id for m in metrics):
             # collection returned to the leader: everyone measured
@@ -264,7 +295,9 @@ class ConsensusParticipant:
                 # every honest member then rejects (split-brain that the
                 # ACDS, trusting the leader, would ratify)
                 return None
-            host, backup = elect(metrics)
+            # incumbent hysteresis: exact-tie scores keep the current host
+            host, backup = elect_sticky(metrics, self.host_id)
+            prev_host = self.host_id
             self.host_id, self.backup_id = host, backup
             self.phase = Phase.DECIDED
             return None, {
@@ -272,10 +305,11 @@ class ConsensusParticipant:
                 "round_id": rid,
                 "host_id": host,
                 "backup_id": backup,
+                "prev_host_id": prev_host,
                 "metrics": metrics,
                 "sigs": sigs,
             }
-        me, sig = self._my_entry()
+        me, sig = self._my_entry(rid)
         return (
             self.positions[self.my_id].next_id,
             {"type": "STATS_UPDATE", "round_id": rid,
@@ -316,9 +350,16 @@ class ConsensusParticipant:
             # per-entry ownership: each metrics entry must carry its
             # owner's signature (when verification is wired) — a malicious
             # leader can then only misreport its OWN metrics
-            ok = self._entries_verify(list(msg["metrics"]), msg.get("sigs"))
+            ok = self._entries_verify(list(msg["metrics"]), msg.get("sigs"),
+                                      rid)
         if ok:
-            host, backup = elect(msg["metrics"])
+            # the leader's claimed incumbent must be a ring member; the
+            # sticky recompute is otherwise attacker-steerable only on
+            # EXACT ties (equal fitness)
+            prev = msg.get("prev_host_id")
+            if prev not in self.positions:
+                prev = None
+            host, backup = elect_sticky(msg["metrics"], prev)
             ok = host == msg.get("host_id") and backup == msg.get("backup_id")
         if ok:
             self.host_id = msg["host_id"]

@@ -4810,3 +4810,135 @@ def test_client_audio_out_alone_opens_sink(tmp_path, monkeypatch):
     assert seen.get("audio_sink") is not None
     assert seen.get("audio_source") is None  # still listen-only
     seen["audio_sink"].close()
+
+
+# ---------------------------------------------------------------------------
+# thirtieth sweep: discovery mode / ring consensus second pass
+
+
+def test_ring_entry_signatures_bind_round_id():
+    """A malicious leader could replay other members' previously-signed
+    metric entries under a FRESH round_id (within envelope freshness) and
+    get a forged election accepted; entries now sign the round id, and
+    stale measured_at timestamps are rejected outright."""
+    import dataclasses as _dc
+    import time as _time
+
+    from asciichat_tpu.apps.discovery import DiscoverySession, RingRunner
+    from asciichat_tpu.net import consensus as cons
+
+    sess = DiscoverySession("127.0.0.1", 1)
+    sess.participant_id = "p-aaa"
+    runner = RingRunner(sess)
+    m = cons.ParticipantMetrics(participant_id="p-aaa", nat_tier=1,
+                                upload_kbps=100, rtt_ms=5,
+                                stun_success_pct=100, address="127.0.0.1",
+                                port=5000,
+                                measured_at_ms=int(_time.time() * 1000))
+    sig = runner._sign_entry(m, 3)
+    assert runner._verify_entry(m, sig, 3)
+    assert not runner._verify_entry(m, sig, 4)  # round replay rejected
+    stale = _dc.replace(
+        m, measured_at_ms=int(_time.time() * 1000)
+        - int((runner.ENTRY_MAX_AGE_S + 5) * 1000))
+    sig_stale = runner._sign_entry(stale, 3)
+    assert not runner._verify_entry(stale, sig_stale, 3)  # aged out
+    future = _dc.replace(m, measured_at_ms=int(_time.time() * 1000) + 60_000)
+    assert not runner._verify_entry(future, runner._sign_entry(future, 3), 3)
+
+
+def test_elect_sticky_incumbent_wins_exact_ties():
+    """Identical scores used to migrate the host to whichever entry the
+    leader collected first — a gratuitous stream interruption one
+    collection interval into every session. Exact ties keep the incumbent;
+    a genuinely better challenger still wins."""
+    from asciichat_tpu.net.consensus import (
+        ParticipantMetrics, elect, elect_sticky,
+    )
+
+    def m(pid, rtt=20):
+        return ParticipantMetrics(participant_id=pid, nat_tier=1,
+                                  upload_kbps=1000, rtt_ms=rtt,
+                                  stun_success_pct=100, address="h", port=1)
+
+    tie = [m("p-zzz"), m("p-aaa")]  # identical scores, p-zzz collected first
+    assert elect(tie)[0] == "p-zzz"  # reference first-wins
+    assert elect_sticky(tie, "p-aaa") == ("p-aaa", "p-zzz")  # incumbent holds
+    better = [m("p-zzz", rtt=1), m("p-aaa", rtt=500)]
+    assert elect_sticky(better, "p-aaa")[0] == "p-zzz"  # real winner unseated
+    assert elect_sticky(tie, None)[0] == "p-zzz"  # no incumbent: pure elect
+
+
+def test_metrics_address_overflow_is_loud():
+    """A >64-byte UTF-8 address silently truncated (possibly mid-codepoint:
+    every ring message carrying the entry then failed to decode — permanent
+    consensus outage) or round-tripped to a nonexistent host."""
+    from asciichat_tpu.net.consensus import ParticipantMetrics
+
+    m = ParticipantMetrics(participant_id="p", nat_tier=1, upload_kbps=1,
+                           rtt_ms=1, stun_success_pct=1,
+                           address="ü" * 40, port=1)  # 80 UTF-8 bytes
+    with pytest.raises(ValueError, match="64-byte"):
+        m.pack()
+
+
+def test_discovery_leave_closes_transport_without_session():
+    """connect()-then-failed-create used to leak the ACDS connection: leave
+    skipped close() whenever session_string was unset."""
+    import asyncio
+
+    from asciichat_tpu.apps.discovery import DiscoverySession
+
+    class FakeT:
+        def __init__(self):
+            self.closed = False
+
+        async def send(self, *a):
+            pass
+
+        async def close(self):
+            self.closed = True
+
+    async def run():
+        sess = DiscoverySession("127.0.0.1", 1)
+        sess._t = FakeT()
+        assert sess.session_string is None
+        await sess.leave()
+        assert sess._t.closed
+
+    asyncio.run(asyncio.wait_for(run(), 10))
+
+
+def test_discovery_join_buffers_pre_ack_broadcasts():
+    """A PARTICIPANT_LIST (carrying peers' pubkeys) racing the SESSION_JOINED
+    ack used to be silently eaten; it is now buffered for event_loop."""
+    import asyncio
+    import json as _json
+
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import packet as pkt
+
+    plist = _json.dumps({"participants": ["p-x"], "pubkeys": {}}).encode()
+    joined = _json.dumps({"host_id": "p-x", "host_address": "1.2.3.4",
+                          "host_port": 9}).encode()
+
+    class FakeT:
+        def __init__(self):
+            self.script = [(int(pkt.PacketType.ACIP_PARTICIPANT_LIST), plist),
+                           (int(pkt.PacketType.ACIP_SESSION_JOINED), joined)]
+
+        async def send(self, *a):
+            pass
+
+        async def recv(self):
+            return self.script.pop(0)
+
+    async def run():
+        sess = DiscoverySession("127.0.0.1", 1)
+        sess._t = FakeT()
+        host, port = await sess.join("swift-river-mountain")
+        assert (host, port) == ("1.2.3.4", 9)
+        assert len(sess._pre_ack) == 1
+        assert sess._pre_ack[0][0] == int(pkt.PacketType.ACIP_PARTICIPANT_LIST)
+
+    asyncio.run(asyncio.wait_for(run(), 10))
