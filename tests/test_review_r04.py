@@ -2238,17 +2238,20 @@ def test_consensus_signed_entries_defeat_leader_forgery():
     keys = {pid: ident.Identity() for pid in ("a", "b", "c")}
     PT = 6999
 
-    def sign_as(pid, m):
-        return keys[pid].sign(PT, m.pack())
+    import struct as _struct
 
-    def verifier(m, sig):
+    def sign_as(pid, m, rid):
+        return keys[pid].sign(PT, _struct.pack(">I", rid) + m.pack())
+
+    def verifier(m, sig, rid):
         if sig is None:
             return False
         try:
             pub, body = ident.open_envelope(PT, sig)
         except ident.SignatureError:
             return False
-        return body == m.pack() and pub == keys[m.participant_id].public_bytes
+        return (body == _struct.pack(">I", rid) + m.pack()
+                and pub == keys[m.participant_id].public_bytes)
 
     a = cons.ConsensusParticipant("a", entry_verifier=verifier)
     a.on_ring_members(["a", "b", "c"])
@@ -2260,7 +2263,7 @@ def test_consensus_signed_entries_defeat_leader_forgery():
 
     good = {"type": "RING_ELECTION_RESULT", "round_id": 1,
             "host_id": host, "backup_id": backup, "metrics": ms,
-            "sigs": [sign_as(m.participant_id, m) for m in ms]}
+            "sigs": [sign_as(m.participant_id, m, 1) for m in ms]}
     assert a.on_election_result(good, sender="c")["ack_status"] == "ACCEPTED"
 
     # leader 'c' forges a's metrics (tanks them so c wins) and signs the
@@ -2269,7 +2272,7 @@ def test_consensus_signed_entries_defeat_leader_forgery():
     fh, fb = cons.elect(forged_ms)
     forged = {"type": "RING_ELECTION_RESULT", "round_id": 2,
               "host_id": fh, "backup_id": fb, "metrics": forged_ms,
-              "sigs": [sign_as("c", m) for m in forged_ms]}
+              "sigs": [sign_as("c", m, 2) for m in forged_ms]}
     assert a.on_election_result(forged, sender="c")["ack_status"] == "REJECTED"
 
     # unsigned entries with known owners: also rejected
