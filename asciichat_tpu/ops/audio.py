@@ -450,13 +450,18 @@ class EchoCanceller:
         # computed inside the jitted graph, not as separate dispatches)
         dt_frac, out_e, mic_e = np.asarray(stats)
         self.double_talk_frac = float(dt_frac)
-        # Divergence control: a healthy canceller REMOVES energy. If the
-        # residual carries substantially more than the mic, the echo model
-        # is wrong (path changed / froze mid-adaptation) — pull it back.
+        self.apply_divergence_control(float(out_e), float(mic_e))
+        return out
+
+    def apply_divergence_control(self, out_e: float, mic_e: float) -> None:
+        """Divergence control, the ONE copy (the fused client pipeline
+        calls it too — a duplicated threshold drifted silently otherwise):
+        a healthy canceller REMOVES energy; a residual carrying well above
+        the mic means the echo model is wrong (path changed / froze
+        mid-adaptation) — pull the weights back."""
         if out_e > 2.0 * mic_e + 1e-9:
             self.weights = self.weights * 0.5
             self.divergence_resets += 1
-        return out
 
 
 # ---------------------------------------------------------------------------
@@ -505,40 +510,62 @@ class ClientAudioPipeline:
         self.hp_out = jnp.zeros((), jnp.float32)
         self.gate_env = jnp.zeros((), jnp.float32)
         self.gate_open = jnp.zeros((), bool)
-        self._far = np.zeros(0, np.float32)
+        # chunked FIFO: np.concatenate rebuilt the ENTIRE retained backlog
+        # (up to 192 KB) on every 10 ms add_far — pure memmove on the
+        # event-loop thread. Whole chunks in a deque keep appends O(1) and
+        # the 1 s bound drop-OLDEST (the far reference must stay aligned to
+        # the most recent playback).
+        import collections as _collections
+        import threading as _threading
+
+        self._far_chunks: _collections.deque = _collections.deque()
+        self._far_len = 0
         # add_far runs on the receive (event-loop) thread while process runs
         # in the capture executor: unguarded, the consume's two reads race
         # the append and duplicate far-end samples (AEC misalignment)
-        import threading as _threading
-
         self._far_lock = _threading.Lock()
 
     def add_far(self, buf: np.ndarray) -> None:
         """Feed received playback audio as the AEC far-end reference; bounded
         to 1 s so a stalled playback path cannot grow it without limit."""
+        chunk = np.asarray(buf, np.float32).ravel()
+        if not len(chunk):
+            return
         with self._far_lock:
-            self._far = np.concatenate(
-                [self._far, np.asarray(buf, np.float32).ravel()]
-            )[-SAMPLE_RATE:]
+            self._far_chunks.append(chunk)
+            self._far_len += len(chunk)
+            while (self._far_chunks
+                   and self._far_len - len(self._far_chunks[0]) >= SAMPLE_RATE):
+                self._far_len -= len(self._far_chunks.popleft())
+
+    def _take_far(self, n: int) -> np.ndarray:
+        """Pop n far-end samples FIFO (zero-padded on underrun — consuming
+        what exists keeps the reference causally aligned; see process)."""
+        out = np.zeros(n, np.float32)
+        at = 0
+        with self._far_lock:
+            while at < n and self._far_chunks:
+                head = self._far_chunks[0]
+                take = min(n - at, len(head))
+                out[at: at + take] = head[:take]
+                at += take
+                if take == len(head):
+                    self._far_chunks.popleft()
+                else:
+                    self._far_chunks[0] = head[take:]
+                self._far_len -= take
+        return out
 
     def process(self, mic: np.ndarray) -> np.ndarray:
         n = len(mic)
         x = jnp.asarray(mic, jnp.float32)
         aec = self.aec
         if aec is not None:
-            with self._far_lock:
-                if len(self._far) >= n:
-                    far, self._far = self._far[:n], self._far[n:]
-                else:
-                    # UNDERRUN: consume what's queued + pad zeros. Padding
-                    # without consuming would permanently shift the far
-                    # reference one frame behind the mic — the echo then
-                    # needs a NEGATIVE filter delay, outside the causal tap
-                    # window, and the AEC can never re-converge.
-                    far = np.zeros(n, np.float32)
-                    if len(self._far):
-                        far[: len(self._far)] = self._far
-                        self._far = self._far[:0]
+            # underruns zero-pad AFTER consuming what exists: padding
+            # without consuming would permanently shift the far reference
+            # one frame behind the mic (a negative filter delay the causal
+            # tap window can never represent)
+            far = self._take_far(n)
             w, ft, hg = aec.weights, aec.far_tail, aec.hang
             taps, mu, gg, ho = aec.taps, aec.mu, aec.geigel_t, aec.hangover
         else:
@@ -558,10 +585,5 @@ class ClientAudioPipeline:
             aec.weights, aec.far_tail, aec.hang = w, ft, hg
             dt_frac, out_e, mic_e = np.asarray(stats)  # already computed
             aec.double_talk_frac = float(dt_frac)
-            # Divergence control (EchoCanceller.process semantics): a
-            # residual carrying well above the mic energy means the echo
-            # model is ADDING energy — halve the weights for the next frame
-            if out_e > 2.0 * mic_e + 1e-9:
-                aec.weights = aec.weights * 0.5
-                aec.divergence_resets += 1
+            aec.apply_divergence_control(float(out_e), float(mic_e))
         return out

@@ -18,6 +18,10 @@ import time
 
 import numpy as np
 
+from asciichat_tpu.utils.logsys import get_logger
+
+log = get_logger("framesource")
+
 
 class FrameSource:
     """Iterator of uint8 [H, W, 3] frames at a native size."""
@@ -75,6 +79,8 @@ class NativeVideoFileSource(FrameSource):
     media path) — the primary --file video source, matching the reference's
     direct libav linkage (lib/media/ffmpeg_decoder.c). Any container
     libavformat demuxes; frames come back RGB24 at native size + fps."""
+
+    _native_ctx = True  # close() frees a native context (no process to kill)
 
     def __init__(self, path: str, loop: bool = False):
         import ctypes
@@ -151,9 +157,19 @@ class FFmpegFileSource(FrameSource):
             "-show_entries", "stream=width,height,r_frame_rate",
             "-of", "csv=p=0", path,
         ]
-        probe = subprocess.run(probe_cmd, capture_output=True, text=True,
-                               check=True)
-        w, h, rate = probe.stdout.strip().split(",")
+        probe = subprocess.run(probe_cmd, capture_output=True, text=True)
+        if probe.returncode != 0:
+            # surface ffprobe's actual diagnostic (check=True discarded the
+            # captured stderr, leaving only a command + exit status)
+            raise RuntimeError(
+                f"ffprobe failed for {path!r}: "
+                f"{probe.stderr.strip() or f'exit {probe.returncode}'}")
+        fields = probe.stdout.strip().split(",")
+        if len(fields) != 3 or not fields[0]:
+            # audio-only / no-video-stream file: empty csv, which used to
+            # detonate as a bare not-enough-values ValueError
+            raise RuntimeError(f"no video stream in {path!r}")
+        w, h, rate = fields
         self.width, self.height = int(w), int(h)
         num, _, den = rate.partition("/")
         # ffprobe reports "0/0" for single-image streams and some broken
@@ -228,6 +244,11 @@ class PrefetchSource(FrameSource):
         import queue as _queue
 
         while True:
+            # EOF with a drained queue: answer now — the sentinel was
+            # already consumed and the 0.2 s blocking get charged every
+            # post-EOF read (reconnect loops) 200 ms of dead executor wait
+            if getattr(self, "_eof", False) and self._q.empty():
+                return None
             try:
                 return self._q.get(timeout=0.2)
             except _queue.Empty:
@@ -245,9 +266,18 @@ class PrefetchSource(FrameSource):
         # JOIN before closing the inner source: the producer may be inside
         # inner.read() right now, and closing a native source under it is a
         # use-after-free (ac_media_read_frame on a freed Media*). A producer
-        # stuck in a blocking pipe read won't join — fall through and let
-        # inner.close() (which kills the decoder process) unblock it.
+        # stuck in a blocking pipe read won't join — for PROCESS-backed
+        # sources inner.close() kills the decoder process and unblocks it,
+        # so fall through. A NATIVE source has no process to kill: freeing
+        # the Media* under the stuck thread corrupts the heap — LEAK the
+        # context instead (a stalled network stream read can block
+        # indefinitely; one leaked decoder beats a corrupted process).
         self._thread.join(timeout=5.0)
+        if self._thread.is_alive() and getattr(self.inner, "_native_ctx",
+                                               False):
+            log.warning("prefetch producer stuck in a native read; leaking "
+                        "the decoder context instead of freeing it in use")
+            return
         self.inner.close()
 
 

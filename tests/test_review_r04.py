@@ -2633,8 +2633,7 @@ def test_client_pipeline_fused_matches_separate_stages():
 
         # the separate-stage composition the pipeline used to run
         manual.add_far(frame_far)
-        with manual._far_lock:
-            mfar, manual._far = manual._far[:n], manual._far[n:]
+        mfar = manual._take_far(n)
         x = manual.aec.process(jnp.asarray(frame_mic, jnp.float32), mfar)
         x, manual.hp_in, manual.hp_out = A.highpass(
             x, manual.hp_in, manual.hp_out, manual.hp_alpha)
@@ -4945,3 +4944,91 @@ def test_discovery_join_buffers_pre_ack_broadcasts():
         assert sess._pre_ack[0][0] == int(pkt.PacketType.ACIP_PARTICIPANT_LIST)
 
     asyncio.run(asyncio.wait_for(run(), 10))
+
+
+# ---------------------------------------------------------------------------
+# thirty-first sweep: audio DSP pipeline / frame sources second pass
+
+
+def test_prefetch_post_eof_read_is_immediate():
+    """After the EOF sentinel is consumed, read() must answer at once — the
+    blocking get charged every post-EOF read (reconnect loops) 200 ms of
+    dead executor wait."""
+    import time as _time
+
+    from asciichat_tpu.runtime.framesource import PrefetchSource
+
+    class OneFrame:
+        width = height = 4
+        fps = 30.0
+
+        def __init__(self):
+            self.n = 0
+
+        def read(self):
+            self.n += 1
+            return np.zeros((4, 4, 3), np.uint8) if self.n == 1 else None
+
+        def close(self):
+            pass
+
+    src = PrefetchSource(OneFrame())
+    assert src.read() is not None
+    assert src.read() is None  # the sentinel
+    t0 = _time.monotonic()
+    for _ in range(5):
+        assert src.read() is None
+    assert _time.monotonic() - t0 < 0.5  # pre-fix: ~1 s (5 x 0.2 s waits)
+    src.close()
+
+
+def test_prefetch_close_leaks_not_frees_stuck_native_reader():
+    """A producer stuck in a NATIVE read has no process to kill: freeing the
+    decoder context under it corrupted the heap — close() now leaks the
+    context instead (and says so)."""
+    import threading
+
+    from asciichat_tpu.runtime.framesource import PrefetchSource
+
+    release = threading.Event()
+    closed = []
+
+    class StuckNative:
+        width = height = 4
+        fps = 30.0
+        _native_ctx = True
+
+        def read(self):
+            release.wait(30)  # simulates av_read_frame on a stalled stream
+            return None
+
+        def close(self):
+            closed.append(True)
+
+    src = PrefetchSource(StuckNative())
+    src._thread.join(timeout=0.2)  # let the producer park
+    t0 = time.monotonic()
+    src.close()  # pre-fix: called inner.close() under the live reader
+    assert time.monotonic() - t0 < 10
+    assert not closed  # leaked deliberately, never freed in use
+    release.set()
+
+
+def test_far_reference_fifo_drops_oldest_and_bounds():
+    """The far-end AEC reference keeps the MOST RECENT second (drop-oldest)
+    and pops FIFO without rebuilding the backlog per call."""
+    from asciichat_tpu.ops.audio import SAMPLE_RATE, ClientAudioPipeline
+
+    p = ClientAudioPipeline()
+    # 2 s of labeled far audio in 480-sample chunks
+    for i in range(200):
+        p.add_far(np.full(480, float(i), np.float32))
+    assert p._far_len <= SAMPLE_RATE + 480  # bounded ~1 s
+    head = p._take_far(480)
+    assert head[0] >= 100.0  # the oldest second was dropped
+    # FIFO continuity across chunk boundaries
+    nxt = p._take_far(720)
+    assert nxt[0] == head[0] + 1  # next chunk follows in order
+    # underrun zero-pads after consuming the remainder
+    drained = p._take_far(SAMPLE_RATE * 2)
+    assert drained[-1] == 0.0 and p._far_len == 0
