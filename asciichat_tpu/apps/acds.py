@@ -33,11 +33,7 @@ log = get_logger("acds")
 
 ELECTION_INTERVAL_S = 300.0  # "every 5 minutes" (ring-consensus-protocol.md)
 
-# Every ACDS subprotocol payload (packet types 6000-6099) is Ed25519-signed
-# (the reference signs its packed ACDS structs, acds.h): clients sign with
-# their participant identity (pinned first-use), the service signs with its
-# own identity (clients TOFU-pin it). Forged/tampered payloads are dropped.
-SIGNED_RANGE = range(6000, 6100)
+from asciichat_tpu.net.packet import ACDS_SIGNED_RANGE as SIGNED_RANGE  # noqa: E501 — one protocol ground truth
 
 
 def _j(obj) -> bytes:
@@ -134,6 +130,30 @@ class AcdsServer:
             self._last_touch[session_string] = now
             self.db.touch(session_string)
 
+    def _pin_matches(self, pid: str, pub: bytes | None) -> bool:
+        """Verify against an existing pin WITHOUT creating one: pinning
+        before a registration validates let failed joins squat ids."""
+        if pub is None:
+            return self.pins.get(pid) is None
+        pinned = self.pins.get(pid)
+        return pinned is None or pinned == pub
+
+    def _pin(self, pid: str, pub: bytes | None) -> None:
+        """Pin a SUCCESSFUL registration's key; bounded — when the table
+        grows past the cap, ids with no live connection age out (eviction
+        re-opens first-use pinning for those ids, the explicit cost of
+        bounding an otherwise unbounded table)."""
+        if pub is None:
+            return
+        pins = self.pins._pins
+        if len(pins) > 8192 and pid not in pins:
+            for old in list(pins):
+                if old not in self.clients:
+                    del pins[old]
+                if len(pins) <= 4096:
+                    break
+        self.pins.check(pid, pub)
+
     def _signed_send(self, t: Transport, ptype: int, body: bytes) -> None:
         t.send_nowait(ptype, self.identity.sign(ptype, body))
 
@@ -203,6 +223,13 @@ class AcdsServer:
         session_string: str | None = None
         P = pkt.PacketType
         sender_pub: bytes | None = None
+        # per-connection registration nonce (anti-replay channel binding):
+        # ACDS traffic is plaintext TCP, so a captured signed SESSION_JOIN
+        # envelope replayed on another connection within the envelope
+        # freshness window used to rebind the victim's delivery to the
+        # attacker's transport. Signed registrations must echo THIS nonce.
+        conn_nonce = secrets.token_hex(16)
+        self._signed_send(t, P.ACIP_ACDS_HELLO, _j({"nonce": conn_nonce}))
 
         async def _unbind() -> None:
             """Tear down this connection's CURRENT identity binding: clients
@@ -212,6 +239,15 @@ class AcdsServer:
             mismatch, and on disconnect."""
             nonlocal participant_id, session_string
             if participant_id:
+                bound = self.clients.get(participant_id)
+                if bound is not None and bound[0] is not t:
+                    # a NEWER connection rebound this id (silent-drop then
+                    # reconnect): the stale connection's teardown must not
+                    # destroy the fresh binding — kicking the live client
+                    # (and re-electing, if it hosts) out of its session
+                    participant_id = None
+                    session_string = None
+                    return
                 self.clients.pop(participant_id, None)
                 if session_string:
                     info = self.db.lookup(session_string)
@@ -237,7 +273,14 @@ class AcdsServer:
                     # id with a different key is refused (first-use pinning)
                     try:
                         sender_pub, payload = ident.open_envelope(ptype, payload)
-                        if participant_id is not None:
+                        if participant_id is not None and ptype not in (
+                                P.ACIP_SESSION_CREATE, P.ACIP_SESSION_JOIN,
+                                P.ACIP_SESSION_RECONNECT):
+                            # registrations may legitimately switch to a
+                            # DIFFERENT identity/key (their handlers verify
+                            # the NEW id's pin); gating them on the OLD
+                            # binding's key made cross-key re-identification
+                            # unreachable
                             self.pins.check(participant_id, sender_pub)
                     except ident.SignatureError as e:
                         log.warning("dropping unsigned/forged packet %d from %s: %s",
@@ -258,11 +301,18 @@ class AcdsServer:
                         await t.send(P.ERROR_MESSAGE, _j(
                             {"error": "participant_id too long (max 16 bytes)"}))
                         continue
-                    try:
-                        self.pins.check(new_pid, sender_pub)
-                    except ident.SignatureError:
+                    if not self._pin_matches(new_pid, sender_pub):
+                        # VERIFY without pinning: pinning before the create
+                        # validated let a failed attempt squat arbitrary ids
+                        # forever (and grow the pin table without bound)
                         await t.send(P.ERROR_MESSAGE, _j({"error": "identity key mismatch"}))
                         await _unbind()
+                        continue
+                    if sender_pub is not None and req.get("nonce") != conn_nonce:
+                        # channel binding: a replayed signed envelope carries
+                        # the VICTIM's connection nonce, not this one's
+                        await t.send(P.ERROR_MESSAGE, _j(
+                            {"error": "stale or replayed registration"}))
                         continue
                     reserved = req.get("reserved_string")
                     if reserved:
@@ -274,6 +324,19 @@ class AcdsServer:
                             await t.send(P.ERROR_MESSAGE, _j(
                                 {"error": "string reserved by another identity"}))
                             continue
+                    try:
+                        info = self.db.create_session(
+                            new_pid, req.get("address", peer),
+                            req.get("port", 27224),
+                            session_string=reserved,
+                            # reservations are keyed by the VERIFIED identity
+                            owner_id=(sender_pub.hex() if sender_pub else peer),
+                        )
+                    except ValueError as e:
+                        # validate BEFORE unbinding: a failed create used to
+                        # evict the client from its PREVIOUS session first
+                        await t.send(P.ERROR_MESSAGE, _j({"error": str(e)}))
+                        continue
                     if participant_id:
                         # re-identification OR creating a new session while
                         # bound to another: either way the OLD registration
@@ -281,17 +344,7 @@ class AcdsServer:
                         # member/host in the previous session
                         await _unbind()
                     participant_id = new_pid
-                    try:
-                        info = self.db.create_session(
-                            participant_id, req.get("address", peer),
-                            req.get("port", 27224),
-                            session_string=reserved,
-                            # reservations are keyed by the VERIFIED identity
-                            owner_id=(sender_pub.hex() if sender_pub else peer),
-                        )
-                    except ValueError as e:
-                        await t.send(P.ERROR_MESSAGE, _j({"error": str(e)}))
-                        continue
+                    self._pin(new_pid, sender_pub)  # pin only on SUCCESS
                     session_string = info.session_string
                     self._session_cache.pop(session_string, None)
                     self.clients[participant_id] = (t, session_string)
@@ -328,11 +381,23 @@ class AcdsServer:
                         await t.send(P.ERROR_MESSAGE, _j(
                             {"error": "participant_id too long (max 16 bytes)"}))
                         continue
-                    try:
-                        self.pins.check(new_pid, sender_pub)
-                    except ident.SignatureError:
+                    if not self._pin_matches(new_pid, sender_pub):
                         await t.send(P.ERROR_MESSAGE, _j({"error": "identity key mismatch"}))
                         await _unbind()
+                        continue
+                    if sender_pub is not None and req.get("nonce") != conn_nonce:
+                        await t.send(P.ERROR_MESSAGE, _j(
+                            {"error": "stale or replayed registration"}))
+                        continue
+                    try:
+                        info = self.db.join(req["session_string"], new_pid,
+                                            req.get("address", peer), req.get("port", 0))
+                        self._session_cache.pop(req["session_string"], None)
+                    except KeyError:
+                        # validate BEFORE unbinding (a failed join used to
+                        # evict the client from its previous session) and
+                        # never pin a failed attempt
+                        await t.send(P.ERROR_MESSAGE, _j({"error": "session not found"}))
                         continue
                     if participant_id and (
                             participant_id != new_pid
@@ -343,14 +408,7 @@ class AcdsServer:
                         # re-election)
                         await _unbind()
                     participant_id = new_pid
-                    try:
-                        info = self.db.join(req["session_string"], participant_id,
-                                            req.get("address", peer), req.get("port", 0))
-                        self._session_cache.pop(req["session_string"], None)
-                    except KeyError:
-                        await t.send(P.ERROR_MESSAGE, _j({"error": "session not found"}))
-                        await _unbind()  # no half-bound identity
-                        continue
+                    self._pin(new_pid, sender_pub)  # pin only on SUCCESS
                     session_string = info.session_string
                     self.clients[participant_id] = (t, session_string)
                     self._signed_send(t, P.ACIP_SESSION_JOINED, _j({
@@ -386,10 +444,13 @@ class AcdsServer:
                             await _unbind()
                 elif ptype in (P.ACIP_STRING_RESERVE, P.ACIP_STRING_RENEW,
                                P.ACIP_STRING_RELEASE):
-                    req = _uj(payload)
+                    # limit BEFORE parsing (every other handler's order): a
+                    # flood of 5 MB JSON bodies otherwise pays a multi-MB
+                    # json.loads per packet after the budget is exhausted
                     if not self.limiter.allow(peer, "string_reserve"):
                         await t.send(P.ERROR_MESSAGE, _j({"error": "rate limited"}))
                         continue
+                    req = _uj(payload)
                     # ownership is the VERIFIED identity key, never a
                     # claimed owner_id: every participant_id is public (it
                     # rides every ACIP_PARTICIPANT_LIST), so claim-based
@@ -452,13 +513,28 @@ class AcdsServer:
                                 log.warning("announced host %s is not a "
                                             "participant; refused", req["host_id"])
                                 continue
+                            if not req.get("host_address"):
+                                # defaulting to the ANNOUNCER's IP recorded a
+                                # wrong address for a DIFFERENT host — every
+                                # later lookup/join then dialed the leader
+                                log.warning("host announcement without "
+                                            "host_address refused")
+                                continue
                             self._broadcast_host(
                                 session_string, req["host_id"],
-                                req.get("host_address", peer),
+                                req["host_address"],
                                 int(req.get("host_port", 0)),
                                 req.get("backup_id"),
                             )
                         else:
+                            # stale-binding guard (same as metrics/relay): a
+                            # ghost whose session ended and whose string was
+                            # recreated by strangers must not trigger
+                            # elections in the successor session
+                            info = self._session_info_cached(session_string)
+                            if (info is None
+                                    or participant_id not in info.participants):
+                                continue
                             await self._run_election(session_string)
                 elif ptype in (P.ACIP_WEBRTC_SDP, P.ACIP_WEBRTC_ICE,
                                P.ACIP_WEBRTC_RELAY, P.ACIP_RING_COLLECT,
@@ -488,7 +564,12 @@ class AcdsServer:
                     # bodies — the exact amplifier abuse the budget exists
                     # to stop (signaling is tiny, so the budget is
                     # invisible to legitimate use)
-                    if not self.relay_budget.allow(participant_id,
+                    budget_key = (sender_pub.hex() if sender_pub
+                                  else f"ip:{peer}")
+                    # keyed by the PINNED KEY (fallback: peer IP), never the
+                    # rebindable participant_id — cycling ids granted a
+                    # fresh burst per join
+                    if not self.relay_budget.allow(budget_key,
                                                    len(raw_payload)):
                         self.relay_dropped += 1
                         if self.relay_dropped % 500 == 1:

@@ -26,7 +26,7 @@ from asciichat_tpu.utils.logsys import get_logger
 
 log = get_logger("discovery")
 
-SIGNED_RANGE = range(6000, 6100)  # Ed25519-signed ACDS subprotocol (acds.h)
+from asciichat_tpu.net.packet import ACDS_SIGNED_RANGE as SIGNED_RANGE  # noqa: E501 — one protocol ground truth
 
 
 class SignedAcdsChannel:
@@ -327,6 +327,7 @@ class DiscoverySession:
         self._t = None
         self._acds_rtt_ms = 20.0  # measured at connect()
         self._pre_ack: list[tuple[int, bytes]] = []  # broadcasts racing acks
+        self._conn_nonce: str | None = None  # ACDS HELLO channel binding
 
     def attach_ring(self, interval_s: float = RING_COLLECTION_INTERVAL_S) -> "RingRunner":
         self.ring = RingRunner(self, interval_s)
@@ -339,6 +340,18 @@ class DiscoverySession:
         # latency measurement available for the election metrics
         self._acds_rtt_ms = (time.monotonic() - t0) * 1000
         self._t = SignedAcdsChannel(raw, self.identity, self.pins)
+        # the ACDS greets with a per-connection registration nonce (signed;
+        # TOFU-pins the service key as a side effect): echoing it in
+        # create/join binds the signed body to THIS connection, closing the
+        # captured-envelope replay that could rebind a victim's delivery
+        try:
+            ptype, payload = await asyncio.wait_for(self._t.recv(), 10)
+            if ptype == pkt.PacketType.ACIP_ACDS_HELLO:
+                self._conn_nonce = json.loads(payload).get("nonce")
+            else:  # pre-nonce server: buffer whatever arrived
+                self._pre_ack.append((ptype, payload))
+        except (asyncio.TimeoutError, ValueError):
+            self._conn_nonce = None
 
     async def create(self, my_port: int, my_address: str = "127.0.0.1",
                      reserved_string: str | None = None) -> str:
@@ -348,6 +361,7 @@ class DiscoverySession:
             "address": my_address,
             "port": my_port,
             "reserved_string": reserved_string,
+            "nonce": self._conn_nonce,
         }).encode())
         while True:
             ptype, payload = await self._t.recv()
@@ -374,6 +388,7 @@ class DiscoverySession:
             "session_string": session_string,
             "address": my_address,
             "port": my_port,
+            "nonce": self._conn_nonce,
         }).encode())
         while True:
             ptype, payload = await self._t.recv()

@@ -108,6 +108,16 @@ class PacketType(enum.IntEnum):
     ACIP_HOST_DESIGNATED = 6062
     ACIP_SETTINGS_SYNC = 6063
     ACIP_SETTINGS_ACK = 6064
+    # server->client greeting carrying the per-connection registration
+    # nonce (anti-replay channel binding for signed create/join bodies)
+    ACIP_ACDS_HELLO = 6070
+
+
+# Every ACDS subprotocol payload (6000-6099) travels Ed25519-signed (the
+# reference signs its packed ACDS structs, acds.h). ONE definition: the
+# server gate (apps/acds.py) and the client signer (apps/discovery.py)
+# must never drift on what counts as signed.
+ACDS_SIGNED_RANGE = range(6000, 6100)
 
 
 # ---------------------------------------------------------------------------

@@ -320,6 +320,8 @@ def test_signed_acds_rejects_forgery_and_imposters():
 
             # (c) tampered payload to the ACDS: signature breaks, dropped
             raw = await connect_tcp("127.0.0.1", port)
+            ptype, _hello = await asyncio.wait_for(raw.recv(), 5)
+            assert ptype == pkt.PacketType.ACIP_ACDS_HELLO  # greeting first
             evil_env = bytearray(attacker.sign(
                 pkt.PacketType.ACIP_SESSION_JOIN,
                 ('{"participant_id": "p2", "session_string": "%s"}'

@@ -5032,3 +5032,105 @@ def test_far_reference_fifo_drops_oldest_and_bounds():
     # underrun zero-pads after consuming the remainder
     drained = p._take_far(SAMPLE_RATE * 2)
     assert drained[-1] == 0.0 and p._far_len == 0
+
+
+# ---------------------------------------------------------------------------
+# thirty-second sweep: ACDS server second pass
+
+
+def test_acds_registration_replay_and_pin_squatting_blocked():
+    """Three binding-lifecycle holes: (1) a captured signed JOIN envelope
+    replayed on another connection used to rebind the victim's delivery to
+    the attacker's transport — the HELLO nonce now channel-binds it; (2) a
+    FAILED join used to pin the attacker's key for an arbitrary id forever
+    (identity squatting); (3) a stale connection's teardown used to destroy
+    a reconnected client's fresh binding."""
+    import asyncio
+    import json as _json
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import identity as ident
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import connect_tcp, serve_tcp
+
+    async def hello(t):
+        ptype, payload = await asyncio.wait_for(t.recv(), 5)
+        assert ptype == pkt.PacketType.ACIP_ACDS_HELLO
+        _pub, body = ident.open_envelope(int(ptype), payload)
+        return _json.loads(body)["nonce"]
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        creator = DiscoverySession("127.0.0.1", port, participant_id="host")
+        await creator.connect()
+        session = await creator.create(my_port=15001)
+
+        # (1) REPLAY: a signed JOIN bound to conn A's nonce replayed on B
+        victim = ident.Identity()
+        a = await connect_tcp("127.0.0.1", port)
+        nonce_a = await hello(a)
+        join_body = _json.dumps({"participant_id": "vic",
+                                 "session_string": session,
+                                 "nonce": nonce_a}).encode()
+        envelope = victim.sign(int(pkt.PacketType.ACIP_SESSION_JOIN), join_body)
+        await a.send(pkt.PacketType.ACIP_SESSION_JOIN, envelope)
+        ptype, _ = await asyncio.wait_for(a.recv(), 5)
+        assert ptype == pkt.PacketType.ACIP_SESSION_JOINED
+        vic_srv_t = acds.clients["vic"][0]  # server-side binding transport
+        b = await connect_tcp("127.0.0.1", port)
+        await hello(b)
+        await b.send(pkt.PacketType.ACIP_SESSION_JOIN, envelope)  # replay
+        while True:
+            ptype, payload = await asyncio.wait_for(b.recv(), 5)
+            if ptype == pkt.PacketType.ERROR_MESSAGE:
+                break
+            assert ptype != pkt.PacketType.ACIP_SESSION_JOINED
+        assert b"replayed" in payload
+        assert acds.clients["vic"][0] is vic_srv_t  # binding NOT rebound
+
+        # (2) PIN SQUATTING: attacker fails a join under id 'squat'
+        attacker = ident.Identity()
+        c = await connect_tcp("127.0.0.1", port)
+        nonce_c = await hello(c)
+        bad = attacker.sign(int(pkt.PacketType.ACIP_SESSION_JOIN), _json.dumps(
+            {"participant_id": "squat", "session_string": "no-such-one",
+             "nonce": nonce_c}).encode())
+        await c.send(pkt.PacketType.ACIP_SESSION_JOIN, bad)
+        ptype, payload = await asyncio.wait_for(c.recv(), 5)
+        assert ptype == pkt.PacketType.ERROR_MESSAGE
+        assert acds.pins.get("squat") is None  # no pin for a failed join
+        # the real 'squat' (different key) can still register
+        real = DiscoverySession("127.0.0.1", port, participant_id="squat")
+        await real.connect()
+        await real.join(session)  # pre-fix: 'identity key mismatch'
+
+        # (3) STALE UNBIND: rebind 'vic' on a new connection, then close the
+        # OLD one — the fresh binding must survive
+        d = await connect_tcp("127.0.0.1", port)
+        nonce_d = await hello(d)
+        rejoin = victim.sign(int(pkt.PacketType.ACIP_SESSION_JOIN), _json.dumps(
+            {"participant_id": "vic", "session_string": session,
+             "nonce": nonce_d}).encode())
+        await d.send(pkt.PacketType.ACIP_SESSION_JOIN, rejoin)
+        while True:
+            ptype, _ = await asyncio.wait_for(d.recv(), 5)
+            if ptype == pkt.PacketType.ACIP_SESSION_JOINED:
+                break
+        rebound_t = acds.clients["vic"][0]
+        assert rebound_t is not vic_srv_t  # fresh server-side binding
+        await a.close()  # the STALE connection dies
+        await asyncio.sleep(0.3)
+        assert acds.clients.get("vic", (None,))[0] is rebound_t  # intact
+        info = acds.db.lookup(session)
+        assert "vic" in info.participants  # still a member
+
+        for t in (b, c, d):
+            await t.close()
+        await real.leave()
+        await creator.leave()
+        srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
