@@ -103,6 +103,7 @@ class WebRtcGateway:
         self._max_pending = max_pending
         self._tasks: set[asyncio.Task] = set()
         self._agents_by_ufrag: dict[str, object] = {}  # trickle routing
+        self._task_by_agent: dict[object, asyncio.Task] = {}
         self.closed = False
 
     def available(self) -> bool:
@@ -142,10 +143,21 @@ class WebRtcGateway:
         # the browser trickles them via POST /webrtc/candidate, keyed by its
         # own ufrag (on_candidate). ICE-lite needs no checks of its own, so
         # the offer is answerable immediately either way.
+        # a retried offer with the SAME ufrag supersedes the in-flight agent:
+        # cancel the old task NOW (its finally closes the agent/UDP socket)
+        # instead of letting it hold a socket + pending slot for up to 60 s
+        old = self._agents_by_ufrag.get(info.ufrag)
+        if old is not None:
+            stale_task = self._task_by_agent.pop(old, None)
+            if stale_task is not None:
+                stale_task.cancel()
         self._agents_by_ufrag[info.ufrag] = agent
         task = asyncio.get_running_loop().create_task(self._run(agent))
         self._tasks.add(task)
+        self._task_by_agent[agent] = task
         task.add_done_callback(self._tasks.discard)
+        task.add_done_callback(
+            lambda _t, a=agent: self._task_by_agent.pop(a, None))
         def _unroute(_t, u=info.ufrag, a=agent):
             # identity-checked: a retried offer with the SAME ufrag replaces
             # the agent; the stale task's completion must not delete the

@@ -37,6 +37,17 @@ FORGE_URLS = {
 MAX_RESPONSE = 256 * 1024  # a keys page is a few hundred bytes; cap hard
 
 
+class _HttpsOnlyRedirect(urllib.request.HTTPRedirectHandler):
+    """Follow redirects only to https:// targets (key material stays
+    certificate-verified end to end)."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        if not newurl.lower().startswith("https://"):
+            raise urllib.error.URLError(
+                f"refusing non-HTTPS redirect to {newurl!r}")
+        return super().redirect_request(req, fp, code, msg, headers, newurl)
+
+
 def fetch_keys_text(spec: str, *, forge_urls: dict[str, str] | None = None,
                     cafile: str | None = None, timeout: float = 10.0) -> str:
     """GET the authorized_keys-format text for 'github:user' / 'gitlab:user'."""
@@ -51,8 +62,13 @@ def fetch_keys_text(spec: str, *, forge_urls: dict[str, str] | None = None,
         raise SshAuthError(f"bad forge username {user!r}")
     url = forge_urls[forge].format(user=user)
     ctx = ssl.create_default_context(cafile=cafile)
+    # urllib's default redirect handler happily follows an https -> http
+    # Location, silently downgrading a certificate-verified fetch of auth
+    # material to plaintext; refuse any non-HTTPS redirect target instead
+    opener = urllib.request.build_opener(
+        _HttpsOnlyRedirect(), urllib.request.HTTPSHandler(context=ctx))
     try:
-        with urllib.request.urlopen(url, timeout=timeout, context=ctx) as r:
+        with opener.open(url, timeout=timeout) as r:
             if r.status != 200:
                 raise SshAuthError(f"{url}: HTTP {r.status}")
             body = r.read(MAX_RESPONSE + 1)
@@ -77,7 +93,18 @@ def load_allowed_keys(spec: str, **kw) -> AuthorizedKeys:
     import os as _os
 
     if "forge_urls" not in kw and _os.environ.get("ASCIICHAT_FORGE_URLS"):
-        kw["forge_urls"] = _json.loads(_os.environ["ASCIICHAT_FORGE_URLS"])
+        raw = _os.environ["ASCIICHAT_FORGE_URLS"]
+        try:
+            parsed = _json.loads(raw)
+            if not (isinstance(parsed, dict)
+                    and all(isinstance(k, str) and isinstance(v, str)
+                            for k, v in parsed.items())):
+                raise ValueError("not a {forge: url} object")
+        except ValueError as e:
+            # keep the SshAuthError contract: a typo'd env var must surface
+            # as a clear auth-config error, not a JSONDecodeError traceback
+            raise SshAuthError(f"bad ASCIICHAT_FORGE_URLS: {e}") from e
+        kw["forge_urls"] = parsed
     if "cafile" not in kw and _os.environ.get("ASCIICHAT_FORGE_CA"):
         kw["cafile"] = _os.environ["ASCIICHAT_FORGE_CA"]
     effective = kw.get("forge_urls") or FORGE_URLS

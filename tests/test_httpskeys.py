@@ -199,3 +199,47 @@ def test_forge_username_allowlist_and_custom_forge_override(monkeypatch, tmp_pat
     # SshAuthError contract, not FileNotFoundError)
     with pytest.raises(SshAuthError):
         load_allowed_keys("myforge:alice", timeout=0.3)
+
+
+def test_https_downgrade_redirect_refused(tmp_path):
+    """A forge answering 302 -> http://... must NOT be followed: urllib's
+    default redirect handler would silently downgrade a certificate-verified
+    fetch of auth material to plaintext. The fetch fails with SshAuthError."""
+
+    class _RedirectingForge(_FakeForge):
+        def do_GET(self):
+            if self.path == "/alice.keys":
+                self.send_response(302)
+                self.send_header("Location", "http://127.0.0.1:1/alice.keys")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            super().do_GET()
+
+    certfile, keyfile = _make_cert(tmp_path)
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), _RedirectingForge)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    urls = {"github": f"https://127.0.0.1:{port}/{{user}}.keys"}
+    try:
+        with pytest.raises(SshAuthError, match="non-HTTPS redirect"):
+            load_allowed_keys("github:alice", forge_urls=urls,
+                              cafile=certfile)
+    finally:
+        httpd.shutdown()
+
+
+def test_bad_forge_urls_env_is_clean_error(monkeypatch):
+    """A typo'd ASCIICHAT_FORGE_URLS surfaces as SshAuthError (the module's
+    documented contract), not a JSONDecodeError traceback at startup."""
+    monkeypatch.setenv("ASCIICHAT_FORGE_URLS", "{not json")
+    with pytest.raises(SshAuthError, match="ASCIICHAT_FORGE_URLS"):
+        load_allowed_keys("github:alice")
+    # valid JSON of the wrong shape is refused too
+    monkeypatch.setenv("ASCIICHAT_FORGE_URLS", '["github"]')
+    with pytest.raises(SshAuthError, match="ASCIICHAT_FORGE_URLS"):
+        load_allowed_keys("github:alice")

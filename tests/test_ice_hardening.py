@@ -247,6 +247,56 @@ def test_gateway_trickle_endpoint():
     asyncio.run(asyncio.wait_for(run(), 30))
 
 
+def test_gateway_retried_offer_supersedes_stale_agent():
+    """A browser retrying POST /webrtc/offer with the SAME ufrag (HTTP
+    timeout + retry) must supersede the in-flight agent: the stale agent's
+    task is cancelled so its UDP socket closes NOW (not after a 30 s
+    wait_connected timeout), and the trickle route points at the new agent."""
+    from asciichat_tpu.apps.webclient import WebRtcGateway
+    from asciichat_tpu.net import dtls
+
+    if not dtls.available():
+        pytest.skip("no OpenSSL: gateway requires DTLS")
+    from asciichat_tpu.net import sdp
+    from asciichat_tpu.net.webrtc import IceLiteAgent
+
+    async def run():
+        async def handler(t):
+            pass
+
+        gw = WebRtcGateway(handler)
+        browser = IceLiteAgent(controlling=True)
+        await browser.start("127.0.0.1")
+        try:
+            offer_desc = browser.local_description()
+            offer_desc["candidates"] = []
+            offer = sdp.build(offer_desc, setup="actpass", ice_lite=False)
+            assert await gw.on_offer(offer.encode()) is not None
+            first = gw._agents_by_ufrag[browser.ufrag]
+            first_task = gw._task_by_agent[first]
+            assert await gw.on_offer(offer.encode()) is not None
+            second = gw._agents_by_ufrag[browser.ufrag]
+            assert second is not first
+            # the stale task was cancelled; its finally closes the agent
+            # (transport torn down => its UDP port is released)
+            await asyncio.sleep(0.05)
+            assert first_task.cancelled() or first_task.done()
+            assert first not in gw._task_by_agent
+            assert first.transport is None or first.transport.is_closing()
+            # trickle still routes to the LIVE replacement
+            line = (f"candidate:0 1 udp 2130706431 127.0.0.1 "
+                    f"{browser.local_port} typ host")
+            assert gw.on_candidate(
+                f"/webrtc/candidate?ufrag={browser.ufrag}",
+                line.encode()) == ("text/plain", b"ok")
+            assert len(second.remote["candidates"]) == 1
+        finally:
+            browser.close()
+            gw.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
 def test_midsession_path_death_survives_via_relay(monkeypatch):
     """The headline scenario: a direct P2P session is ESTABLISHED and
     exchanging frames when the path dies for good (NAT rebind/timeout that
