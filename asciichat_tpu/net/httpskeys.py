@@ -61,6 +61,10 @@ def fetch_keys_text(spec: str, *, forge_urls: dict[str, str] | None = None,
     if not re.fullmatch(r"[A-Za-z0-9._-]+", user):
         raise SshAuthError(f"bad forge username {user!r}")
     url = forge_urls[forge].format(user=user)
+    if not url.lower().startswith("https://"):
+        # same rule as the redirect guard below: key material is only ever
+        # fetched over verified TLS (https_keys.c is HTTPS-only by linkage)
+        raise SshAuthError(f"forge URL must be https:// (got {url!r})")
     ctx = ssl.create_default_context(cafile=cafile)
     # urllib's default redirect handler happily follows an https -> http
     # Location, silently downgrading a certificate-verified fetch of auth

@@ -243,3 +243,14 @@ def test_bad_forge_urls_env_is_clean_error(monkeypatch):
     monkeypatch.setenv("ASCIICHAT_FORGE_URLS", '["github"]')
     with pytest.raises(SshAuthError, match="ASCIICHAT_FORGE_URLS"):
         load_allowed_keys("github:alice")
+
+
+def test_plain_http_forge_url_refused(monkeypatch):
+    """Key material is HTTPS-only: an http:// base URL (misconfigured env
+    override) is refused up front, before any plaintext GET happens."""
+    import json
+
+    monkeypatch.setenv("ASCIICHAT_FORGE_URLS", json.dumps(
+        {"myforge": "http://127.0.0.1:1/{user}.keys"}))
+    with pytest.raises(SshAuthError, match="must be https"):
+        load_allowed_keys("myforge:alice", timeout=0.3)
