@@ -234,6 +234,10 @@ function wireTransport(w, kind) {
   };
   ws.onerror = () => {};
   ws.onmessage = (ev) => {
+    // a text frame has no byteLength: `undefined < N` is false, so without
+    // the type check it would reach new DataView(string) and throw out of
+    // onmessage — same drop-don't-throw rule as the checks below
+    if (!(ev.data instanceof ArrayBuffer)) return;
     if (ev.data.byteLength < A.HEADER_SIZE) return;
     const dv = new DataView(ev.data);
     // validate magic + declared length against the actual buffer: a
