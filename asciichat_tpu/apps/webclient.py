@@ -117,7 +117,7 @@ class WebRtcGateway:
         from asciichat_tpu.net import sdp
         from asciichat_tpu.net.webrtc import IceLiteAgent
 
-        if self.closed or len(self._tasks) >= self._max_pending:
+        if self.closed:
             return None
         try:
             # sdp.parse raises ValueError on malformed numeric attributes
@@ -128,6 +128,14 @@ class WebRtcGateway:
             return None
         if not (info.ufrag and info.pwd and info.fingerprint):
             return None  # not a DataChannel offer this stack can secure
+        # a same-ufrag retry REPLACES its in-flight agent rather than adding
+        # one, so it is exempt from the max_pending gate — otherwise a
+        # legitimate browser retry at max_pending was 404'd while the stale
+        # agent kept holding its slot + UDP socket until the 30 s
+        # wait_connected timeout (the exact condition the supersede targets)
+        if (info.ufrag not in self._agents_by_ufrag
+                and len(self._tasks) >= self._max_pending):
+            return None
         agent = IceLiteAgent(controlling=False)
         if agent.dtls_identity is None:
             agent.close()

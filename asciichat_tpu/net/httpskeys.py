@@ -37,14 +37,30 @@ FORGE_URLS = {
 MAX_RESPONSE = 256 * 1024  # a keys page is a few hundred bytes; cap hard
 
 
-class _HttpsOnlyRedirect(urllib.request.HTTPRedirectHandler):
-    """Follow redirects only to https:// targets (key material stays
-    certificate-verified end to end)."""
+class _PinnedHostRedirect(urllib.request.HTTPRedirectHandler):
+    """Follow redirects only to https:// targets ON THE ORIGINAL FORGE HOST.
+
+    The reference's https_keys.c does one direct BearSSL GET and follows no
+    redirects at all; auth-material provenance matters as much as transport
+    encryption, so a compromised/misconfigured forge must not be able to
+    302 the fetch to an arbitrary third-party https host (urllib would
+    follow up to 10 hops). Same-host redirects (github's trailing-slash
+    normalizations) remain usable."""
+
+    def __init__(self, host: str):
+        self._host = host.lower()
 
     def redirect_request(self, req, fp, code, msg, headers, newurl):
-        if not newurl.lower().startswith("https://"):
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(newurl)
+        if parts.scheme.lower() != "https":
             raise urllib.error.URLError(
                 f"refusing non-HTTPS redirect to {newurl!r}")
+        if (parts.hostname or "").lower() != self._host:
+            raise urllib.error.URLError(
+                f"refusing cross-host redirect to {newurl!r} "
+                f"(key fetch is pinned to {self._host})")
         return super().redirect_request(req, fp, code, msg, headers, newurl)
 
 
@@ -67,10 +83,14 @@ def fetch_keys_text(spec: str, *, forge_urls: dict[str, str] | None = None,
         raise SshAuthError(f"forge URL must be https:// (got {url!r})")
     ctx = ssl.create_default_context(cafile=cafile)
     # urllib's default redirect handler happily follows an https -> http
-    # Location, silently downgrading a certificate-verified fetch of auth
-    # material to plaintext; refuse any non-HTTPS redirect target instead
+    # Location (silent plaintext downgrade of auth material) or a 302 to
+    # an arbitrary third-party host; pin redirects to https on the forge's
+    # own host instead
+    from urllib.parse import urlsplit as _urlsplit
+
     opener = urllib.request.build_opener(
-        _HttpsOnlyRedirect(), urllib.request.HTTPSHandler(context=ctx))
+        _PinnedHostRedirect(_urlsplit(url).hostname or ""),
+        urllib.request.HTTPSHandler(context=ctx))
     try:
         with opener.open(url, timeout=timeout) as r:
             if r.status != 200:
