@@ -5,6 +5,17 @@
  * client over the WebSocket transport). Rendering is parse-once-to-cells
  * (ansi.js) + canvas blit/diff (renderer.js) — NOT per-frame HTML.
  *
+ * Syntax ceiling: Qt-V4-compatible ES6/ES7 ON PURPOSE — no async/await, no
+ * object spread, and no `new Promise` on any driven path. Browser APIs that
+ * return Promises are consumed via .then/.catch chains, which work equally
+ * on real Promises and on the synchronous thenables the CI harness's
+ * browser shims return (the only JS engine in CI, Qt5 QML V4 via
+ * native/qjs.cpp, never drains promise reaction jobs: there is no event
+ * loop inside one evaluate call). This is what lets the file EXECUTE in CI
+ * (tests/test_webclient.py) instead of being audited by inspection —
+ * matching the reference's executed-web-code discipline
+ * (/root/reference/web/ test scripts; src/web/main_wasm.c:1-37).
+ *
  * Bench modes (also used by tests/headless drivers):
  *   ?bench=local  render a synthetic 203x64 truecolor frame stream offline
  *                 (no server needed); results in #hud and window.__bench.
@@ -94,7 +105,8 @@ function updateHud() {
     `draw ${stats.drawMs.toFixed(2)}ms (${stats.renderPath}) -> ` +
     `${headroom.toFixed(0)} fps render capacity | ${grid.w}x${grid.h} | ` +
     `${(stats.kbps || 0).toFixed(0)} kB/s | ${stats.transport || "ws"}`;
-  window.__stats = { ...stats, gridW: grid.w, gridH: grid.h, headroom };
+  window.__stats = Object.assign({}, stats,
+    { gridW: grid.w, gridH: grid.h, headroom: headroom });
 }
 
 // ---------------------------------------------------------------------------
@@ -105,16 +117,16 @@ function computeGridSize() {
   const avail = $("stage");
   const cols = Math.max(20, Math.floor(avail.clientWidth / renderer.cellW));
   const rows = Math.max(10, Math.floor(avail.clientHeight / renderer.cellH));
-  return { cols, rows };
+  return { cols: cols, rows: rows };
 }
 
 function sendCaps() {
   if (!ws || ws.readyState !== 1) return;
-  const { cols, rows } = computeGridSize();
-  settings.cols = cols;
-  settings.rows = rows;
+  const size = computeGridSize();
+  settings.cols = size.cols;
+  settings.rows = size.rows;
   ws.send(A.packPacket(A.T.CLIENT_CAPABILITIES, A.capsPayload({
-    cols, rows,
+    cols: size.cols, rows: size.rows,
     colorLevel: settings.colorLevel,
     renderMode: settings.renderMode,
     paletteCustom: settings.palette === "standard" ? "" : PALETTES[settings.palette],
@@ -128,8 +140,8 @@ window.addEventListener("resize", () => {
   clearTimeout(resizeTimer);
   resizeTimer = setTimeout(() => {
     if (!ws || ws.readyState !== 1) return;
-    const { cols, rows } = computeGridSize();
-    ws.send(A.packPacket(A.T.SIZE_MESSAGE, A.sizePayload(cols, rows)));
+    const size = computeGridSize();
+    ws.send(A.packPacket(A.T.SIZE_MESSAGE, A.sizePayload(size.cols, size.rows)));
   }, 250);
 });
 
@@ -154,13 +166,29 @@ function connect() {
   wireTransport(w, "ws");
 }
 
+/* A thenable that resolves when ICE gathering completes (or 2 s pass).
+ * Deliberately NOT `new Promise`: returning a plain thenable keeps the
+ * chain synchronous under the CI engine while assimilating identically
+ * into the real-browser Promise chain. */
+function iceGatheringDone(pc) {
+  return { then: function (res) {
+    if (pc.iceGatheringState === "complete") { res(); return; }
+    let fired = false;
+    const fire = () => { if (!fired) { fired = true; res(); } };
+    pc.onicegatheringstatechange = () => {
+      if (pc.iceGatheringState === "complete") fire();
+    };
+    setTimeout(fire, 2000);
+  } };
+}
+
 /* WebRTC DataChannel transport (?transport=webrtc): the browser-native
  * ICE+DTLS+SCTP stack against the server's /webrtc/offer signaling endpoint
  * (net/{dtls,sctp,datachannel}.py + apps/webclient.WebRtcGateway). The
  * DataChannel carries the SAME ACIP binary packets as the WebSocket, so
  * everything above the transport is shared; a wrapper gives it the
  * WebSocket surface (numeric readyState, onmessage/onopen/onclose). */
-async function connectWebRtc() {
+function connectWebRtc() {
   const pc = new RTCPeerConnection();
   const dc = pc.createDataChannel("acip");
   dc.binaryType = "arraybuffer";
@@ -178,23 +206,7 @@ async function connectWebRtc() {
   };
   dc.onmessage = (ev) => { if (shim.onmessage) shim.onmessage(ev); };
   wireTransport(shim, "webrtc");
-  try {
-    await pc.setLocalDescription(await pc.createOffer());
-    await new Promise((res) => {  // non-trickle: wait for ICE gathering
-      if (pc.iceGatheringState === "complete") return res();
-      pc.onicegatheringstatechange = () =>
-        pc.iceGatheringState === "complete" && res();
-      setTimeout(res, 2000);
-    });
-    const resp = await fetch("/webrtc/offer", {
-      method: "POST",
-      headers: { "Content-Type": "application/sdp" },
-      body: pc.localDescription.sdp,
-    });
-    if (!resp.ok) throw new Error(`signaling ${resp.status}`);
-    await pc.setRemoteDescription({ type: "answer", sdp: await resp.text() });
-    // dc.onopen fires once ICE+DTLS+SCTP+DCEP complete
-  } catch (e) {
+  const fail = (e) => {
     // signaling or stack failure: permanent fallback to the WebSocket.
     // Detach the shim's handlers FIRST — pc.close() fires dc teardown
     // asynchronously, and the wired onclose would otherwise clear the new
@@ -205,7 +217,22 @@ async function connectWebRtc() {
     transportPref = "ws";
     try { pc.close(); } catch (e2) {}
     if (!intentionalClose) connect();
-  }
+  };
+  pc.createOffer()
+    .then((offer) => pc.setLocalDescription(offer))
+    .then(() => iceGatheringDone(pc)) // non-trickle: wait for gathering
+    .then(() => fetch("/webrtc/offer", {
+      method: "POST",
+      headers: { "Content-Type": "application/sdp" },
+      body: pc.localDescription.sdp,
+    }))
+    .then((resp) => {
+      if (!resp.ok) throw new Error(`signaling ${resp.status}`);
+      return resp.text();
+    })
+    .then((sdp) => pc.setRemoteDescription({ type: "answer", sdp: sdp }))
+    // dc.onopen fires once ICE+DTLS+SCTP+DCEP complete
+    .catch(fail);
 }
 
 function wireTransport(w, kind) {
@@ -243,7 +270,8 @@ function wireTransport(w, kind) {
     // validate magic + declared length against the actual buffer: a
     // truncated/corrupt packet must be dropped, not throw out of onmessage
     if (dv.getUint32(0) !== 0x0000000a || dv.getUint32(4) !== 0x5c11c4a1) return;
-    const { type, length } = A.unpackHeader(dv);
+    const hdr = A.unpackHeader(dv);
+    const type = hdr.type, length = hdr.length;
     if (length > ev.data.byteLength - A.HEADER_SIZE) return;
     const payload = new Uint8Array(ev.data, A.HEADER_SIZE, length);
     if (type === A.T.ASCII_FRAME) handleFrame(payload);
@@ -288,7 +316,8 @@ let audioCtx = null, playCursor = 0;
 
 function playAudioBatch(payload) {
   if (!audioCtx) return; // needs the user-gesture opt-in
-  const { samples, rate } = A.parseAudioBatch(payload);
+  const batch = A.parseAudioBatch(payload);
+  const samples = batch.samples, rate = batch.rate;
   // createBuffer throws on 0 frames or an out-of-range rate — a corrupt
   // packet must not take down the onmessage handler
   if (!samples.length || rate < 8000 || rate > 96000) return;
@@ -302,11 +331,11 @@ function playAudioBatch(payload) {
   playCursor += samples.length / rate;
 }
 
-async function enableAudio() {
+function enableAudio() {
   audioCtx = new (window.AudioContext || window.webkitAudioContext)({ sampleRate: 48000 });
   $("aud").disabled = true;
-  try { // mic -> AUDIO_BATCH (f32le mono 48k, 480-sample frames)
-    const stream = await navigator.mediaDevices.getUserMedia({ audio: true });
+  // mic -> AUDIO_BATCH (f32le mono 48k, 480-sample frames)
+  navigator.mediaDevices.getUserMedia({ audio: true }).then((stream) => {
     const src = audioCtx.createMediaStreamSource(stream);
     const proc = audioCtx.createScriptProcessor(512, 1, 1);
     let pending = new Float32Array(0);
@@ -326,7 +355,7 @@ async function enableAudio() {
     };
     src.connect(proc);
     proc.connect(audioCtx.destination);
-  } catch (e) { /* no mic: playback-only */ }
+  }, (e) => { /* no mic: playback-only */ });
 }
 
 // ---------------------------------------------------------------------------
@@ -334,28 +363,33 @@ async function enableAudio() {
 
 let camTimer = null;
 
-async function toggleCamera() {
+function toggleCamera() {
   if (camTimer) { clearInterval(camTimer); camTimer = null; $("cam").textContent = "share camera"; return; }
-  const [w, h] = $("camres").value.split("x").map(Number);
-  const stream = await navigator.mediaDevices.getUserMedia({ video: { width: w, height: h } });
-  const video = document.createElement("video");
-  video.srcObject = stream;
-  await video.play();
-  const canvas = document.createElement("canvas");
-  canvas.width = w;
-  canvas.height = h;
-  const ctx = canvas.getContext("2d", { willReadFrequently: true });
-  const rgb = new Uint8Array(w * h * 3);
-  $("cam").textContent = "stop camera";
-  camTimer = setInterval(() => {
-    if (!ws || ws.readyState !== 1) return;
-    ctx.drawImage(video, 0, 0, w, h);
-    const img = ctx.getImageData(0, 0, w, h).data;
-    for (let i = 0, j = 0; i < img.length; i += 4) {
-      rgb[j++] = img[i]; rgb[j++] = img[i + 1]; rgb[j++] = img[i + 2];
-    }
-    ws.send(A.packPacket(A.T.IMAGE_FRAME, A.imageFramePayload(rgb, w, h)));
-  }, 1000 / 15);
+  const res = $("camres").value.split("x").map(Number);
+  const w = res[0], h = res[1];
+  navigator.mediaDevices.getUserMedia({ video: { width: w, height: h } })
+    .then((stream) => {
+      const video = document.createElement("video");
+      video.srcObject = stream;
+      return video.play().then(() => video);
+    })
+    .then((video) => {
+      const canvas = document.createElement("canvas");
+      canvas.width = w;
+      canvas.height = h;
+      const ctx = canvas.getContext("2d", { willReadFrequently: true });
+      const rgb = new Uint8Array(w * h * 3);
+      $("cam").textContent = "stop camera";
+      camTimer = setInterval(() => {
+        if (!ws || ws.readyState !== 1) return;
+        ctx.drawImage(video, 0, 0, w, h);
+        const img = ctx.getImageData(0, 0, w, h).data;
+        for (let i = 0, j = 0; i < img.length; i += 4) {
+          rgb[j++] = img[i]; rgb[j++] = img[i + 1]; rgb[j++] = img[i + 2];
+        }
+        ws.send(A.packPacket(A.T.IMAGE_FRAME, A.imageFramePayload(rgb, w, h)));
+      }, 1000 / 15);
+    });
 }
 
 // ---------------------------------------------------------------------------
@@ -419,7 +453,11 @@ function synthFrame(cols, rows, t) {
   return parts.join("");
 }
 
-async function benchLocal(cols, rows, frames) {
+/* Chunked via requestAnimationFrame callbacks, not awaited Promises: 32
+ * frames per rAF slice keeps the page responsive in a browser AND lets the
+ * promise-job-free CI engine drive it to completion. `done(result)` fires
+ * after the last slice; the result also lands in window.__bench. */
+function benchLocal(cols, rows, frames, done) {
   cols = cols || 203; rows = rows || 64; frames = frames || 300;
   setStatus(`bench: ${cols}x${rows} x${frames}…`, "warn");
   // pre-generate a few distinct frames (content changes every frame, the
@@ -427,33 +465,37 @@ async function benchLocal(cols, rows, frames) {
   const texts = [];
   for (let t = 0; t < 16; t++) texts.push(synthFrame(cols, rows, t));
   grid.parse(texts[0]); renderer.draw(grid); // warm
-  let parseMs = 0, drawMs = 0;
+  let parseMs = 0, drawMs = 0, f = 0;
   const tStart = performance.now();
-  for (let f = 0; f < frames; f++) {
-    const t0 = performance.now();
-    grid.parse(texts[f & 15]);
-    const t1 = performance.now();
-    renderer.draw(grid);
-    const t2 = performance.now();
-    parseMs += t1 - t0;
-    drawMs += t2 - t1;
-    if ((f & 31) === 31) await new Promise(requestAnimationFrame);
+  function slice() {
+    const stop = Math.min(f + 32, frames);
+    for (; f < stop; f++) {
+      const t0 = performance.now();
+      grid.parse(texts[f & 15]);
+      const t1 = performance.now();
+      renderer.draw(grid);
+      const t2 = performance.now();
+      parseMs += t1 - t0;
+      drawMs += t2 - t1;
+    }
+    if (f < frames) { requestAnimationFrame(slice); return; }
+    const total = performance.now() - tStart;
+    const fps = frames / (total / 1000);
+    const result = {
+      cols: cols, rows: rows, frames: frames, fps: +fps.toFixed(1),
+      parseMsPerFrame: +(parseMs / frames).toFixed(3),
+      drawMsPerFrame: +(drawMs / frames).toFixed(3),
+      path: renderer.lastMode,
+    };
+    window.__bench = result;
+    document.title = `bench: ${result.fps} fps`;
+    $("hud").textContent = `BENCH ${cols}x${rows}: ${result.fps} fps ` +
+      `(parse ${result.parseMsPerFrame}ms + draw ${result.drawMsPerFrame}ms, ` +
+      `${result.path} path)`;
+    setStatus("bench done", "ok");
+    if (done) done(result);
   }
-  const total = performance.now() - tStart;
-  const fps = frames / (total / 1000);
-  const result = {
-    cols, rows, frames, fps: +fps.toFixed(1),
-    parseMsPerFrame: +(parseMs / frames).toFixed(3),
-    drawMsPerFrame: +(drawMs / frames).toFixed(3),
-    path: renderer.lastMode,
-  };
-  window.__bench = result;
-  document.title = `bench: ${result.fps} fps`;
-  $("hud").textContent = `BENCH ${cols}x${rows}: ${result.fps} fps ` +
-    `(parse ${result.parseMsPerFrame}ms + draw ${result.drawMsPerFrame}ms, ` +
-    `${result.path} path)`;
-  setStatus("bench done", "ok");
-  return result;
+  slice();
 }
 
 // ---------------------------------------------------------------------------

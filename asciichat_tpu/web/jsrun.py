@@ -7,10 +7,13 @@ native/qjs.cpp binds it without Qt headers. This wrapper exposes one call:
 
     eval_js(program) -> str   (result of the last expression, stringified)
 
-used by tests to execute web/ansi.js and web/acip.js against the same
-committed contracts their Python twins are pinned to. Engine-level caveats
-vs a browser: no DOM/canvas (renderer.js/app.js still need a browser), no
-TextEncoder/TextDecoder (tests shim it in the prelude).
+used by tests to execute ALL FOUR web/ JS files: ansi.js and acip.js
+against the same committed contracts their Python twins are pinned to,
+renderer.js on a recorded-ops canvas shim, and app.js on the full
+micro-browser in tests/data/browser_shim.js. Engine-level caveats vs a
+browser: no DOM/TextEncoder/TextDecoder (tests shim them), and promise
+reaction jobs never drain (no event loop inside one evaluate) — which is
+why app.js is written promise-free to a Qt-V4 ES6 ceiling.
 """
 
 from __future__ import annotations

@@ -839,3 +839,367 @@ JSON.stringify(out);
         for y in range(grid.h):
             for x in range(grid.w):
                 assert tuple(next(it)) == grid.cell(x, y), (i, x, y)
+
+
+# --------------------------------------------------------------------------
+# app.js EXECUTION under the Qt V4 engine (the last shipped JS file that
+# previously had zero execution evidence — the reference executes its web
+# code: /root/reference/web/ test scripts, src/web/main_wasm.c:1-37).
+# tests/data/browser_shim.js provides a deterministic micro-browser: DOM,
+# manually-pumped timers, WebSocket/fetch/RTCPeerConnection/getUserMedia/
+# AudioContext fakes, and synchronous thenables in place of Promises (the
+# V4 engine never drains promise jobs — app.js is written promise-free).
+
+BROWSER_SHIM = (REPO / "tests" / "data" / "browser_shim.js").read_text()
+
+
+def _app_program(jsrun, driver_js: str, search: str = "") -> str:
+    return (
+        QJS_PRELUDE
+        + BROWSER_SHIM
+        + "\nwindow.RTCPeerConnection = RTCPeerConnection;"
+        + "\nwindow.AudioContext = AudioContext;\n"
+        + jsrun.load_twin("ansi.js")
+        + jsrun.load_twin("renderer.js")
+        + jsrun.load_twin("acip.js")
+        + jsrun.load_twin("app.js")
+        + f"\nlocation.search = {json.dumps(search)};\n"
+        + driver_js
+    )
+
+
+def _wire_caps(cols, rows, level, mode, palette="", fps=60, color_filter=0):
+    from asciichat_tpu.net.protocol import WireCapabilities
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    return WireCapabilities(
+        caps=TerminalCapabilities(ColorLevel(level), RenderMode(mode)),
+        capabilities_mask=1, width=cols, height=rows, term_type="xterm-web",
+        color_count=[2, 16, 256, 16_777_216][level],
+        colorterm="truecolor" if level == 3 else "",
+        palette_custom=palette, desired_fps=fps, color_filter=color_filter,
+    ).pack()
+
+
+def test_app_js_connect_caps_dispatch_qjs():
+    """Execute the ACTUAL web/app.js: boot -> WebSocket connect -> caps
+    handshake -> keepalive ping -> ASCII frame parse+draw+HUD -> server
+    state -> ping/pong echo -> chat -> corrupt-packet drops -> settings
+    renegotiation (select + keyboard shortcut)."""
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+
+    # a real oracle half-block frame so the renderer takes the pixel path
+    rgb = next(_rand_frames(seed=77, n=1, hmax=9, wmax=9))
+    caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK)
+    # half-block: 2 pixel rows per text cell, so height=4 -> a 10x2 grid
+    body = oracle.ascii_convert_with_capabilities(rgb, 10, 4, caps)
+    frame_payload = pkt.pack_ascii_frame(body, 10, 2, compress=False)
+    hex_frame = pkt.pack_packet(
+        int(pkt.PacketType.ASCII_FRAME), frame_payload).hex()
+    hex_state = pkt.pack_packet(
+        int(pkt.PacketType.SERVER_STATE),
+        json.dumps({"clients": 3, "max_clients": 32, "streaming": 2}).encode(),
+    ).hex()
+    hex_ping = pkt.pack_packet(int(pkt.PacketType.PING), b"12345").hex()
+    hex_chat = pkt.pack_packet(
+        int(pkt.PacketType.TEXT_MESSAGE), "hi from srv".encode()).hex()
+    hex_badmagic = ("00" * 8 + pkt.pack_packet(
+        int(pkt.PacketType.PING), b"x").hex()[16:])
+
+    driver = f"""
+__fire("DOMContentLoaded");
+var R = {{}};
+var s0 = __sockets[0];
+R.url = s0.url;
+R.binaryType = s0.binaryType;
+s0._open();
+R.status_after_open = document.getElementById("status").textContent;
+R.sent_on_open = s0.sent.slice();
+__pump(5001);  // keepalive interval fires at 5000
+R.n_after_keepalive = s0.sent.length;
+s0._recv({json.dumps(hex_frame)});
+R.stats = window.__stats || null;
+R.render_ops = document.getElementById("screen").getContext().ops.length;
+s0._recv({json.dumps(hex_state)});
+R.roster = document.getElementById("roster").textContent;
+var before = s0.sent.length;
+s0._recv({json.dumps(hex_ping)});
+R.pong = s0.sent.slice(before);
+s0._recv({json.dumps(hex_chat)});
+R.chat = document.getElementById("chat").childNodes.map(
+  function (c) {{ return c.textContent; }});
+before = s0.sent.length;
+s0._recvText("a rogue text frame");
+s0._recv({json.dumps(hex_frame[:20])});
+s0._recv({json.dumps(hex_badmagic)});
+R.dropped = (s0.sent.length === before);
+document.getElementById("mode").dispatch("change", {{ target: {{ value: "0" }} }});
+R.caps_fg = s0.sent[s0.sent.length - 1];
+document.dispatch("keydown", {{ key: "c", target: {{ tagName: "DIV" }} }});
+R.caps_256 = s0.sent[s0.sent.length - 1];
+JSON.stringify(R);
+"""
+    R = json.loads(jsrun.eval_js(_app_program(jsrun, driver)))
+    assert R["url"] == "ws://srv.test:27226/ws"
+    assert R["binaryType"] == "arraybuffer"
+    assert R["status_after_open"] == "connected"
+    # the open handshake sent exactly one packet: CLIENT_CAPABILITIES for
+    # the fit-to-window 203x64 truecolor half-block defaults
+    assert len(R["sent_on_open"]) == 1
+    raw = bytes.fromhex(R["sent_on_open"][0])
+    ptype, length, crc, _ = pkt.unpack_header(raw[: pkt.HEADER_SIZE])
+    assert ptype == pkt.PacketType.CLIENT_CAPABILITIES
+    assert raw[pkt.HEADER_SIZE:] == _wire_caps(203, 64, 3, 2)
+    # keepalive PING fired at t=5000
+    assert R["n_after_keepalive"] == 2
+    # the frame updated stats + drew via the pixel path
+    assert R["stats"]["gridW"] == 10 and R["stats"]["gridH"] == 2
+    assert R["stats"]["renderPath"] == "pixel"
+    assert R["stats"]["transport"] == "ws"
+    assert R["render_ops"] >= 1
+    assert R["roster"] == "3/32 connected, 2 streaming"
+    # PING echoed as PONG with the same payload
+    assert len(R["pong"]) == 1
+    assert R["pong"][0] == pkt.pack_packet(
+        int(pkt.PacketType.PONG), b"12345").hex()
+    assert R["chat"] == ["> hi from srv"]
+    assert R["dropped"], "corrupt/text frames must be dropped, not answered"
+    # select change -> renderMode FG renegotiation
+    fg = bytes.fromhex(R["caps_fg"])
+    assert fg[pkt.HEADER_SIZE:] == _wire_caps(203, 64, 3, 0)
+    # 'c' shortcut -> colorLevel 2 (256-color), renderMode still FG
+    k = bytes.fromhex(R["caps_256"])
+    assert k[pkt.HEADER_SIZE:] == _wire_caps(203, 64, 2, 0)
+
+
+def test_app_js_reconnect_backoff_qjs():
+    """app.js reconnect state machine: exponential backoff 250 -> 500 ->
+    1000 -> ... capped at 8000 ms, reset to 250 on a successful open
+    (src/client/keepalive.c role)."""
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+
+    driver = """
+__fire("DOMContentLoaded");
+var R = { delays: [], sockets: [] };
+__sockets[0]._open();
+__sockets[0]._drop();
+for (var i = 0; i < 8; i++) {
+  var pend = __timerDelays();
+  R.delays.push(pend[pend.length - 1]);
+  __pump(9000); // run the reconnect timer -> new socket created
+  R.sockets.push(__sockets.length);
+  __sockets[__sockets.length - 1]._drop(); // connect fails again
+}
+// now a successful open resets the ladder
+var pend2 = __timerDelays();
+__pump(9000);
+var s = __sockets[__sockets.length - 1];
+s._open();
+R.status = document.getElementById("status").textContent;
+s._drop();
+var pend3 = __timerDelays();
+R.after_reset = pend3[pend3.length - 1];
+JSON.stringify(R);
+"""
+    R = json.loads(jsrun.eval_js(_app_program(jsrun, driver)))
+    assert R["delays"] == [250, 500, 1000, 2000, 4000, 8000, 8000, 8000]
+    assert R["sockets"] == [2, 3, 4, 5, 6, 7, 8, 9]
+    assert R["status"] == "connected"
+    assert R["after_reset"] == 250
+
+
+def test_app_js_webrtc_signaling_success_qjs():
+    """?transport=webrtc drives the RTCPeerConnection flow: offer ->
+    POST /webrtc/offer -> answer -> setRemoteDescription; the opened
+    DataChannel gets the caps handshake and carries frames like the
+    WebSocket (apps/webclient.WebRtcGateway counterpart)."""
+    from asciichat_tpu.net import packet as pkt
+
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+
+    driver = """
+__fetchResponder = function (url, opts) {
+  return { ok: true, status: 200, text: "v=0 fake-answer" };
+};
+__fire("DOMContentLoaded");
+var R = {};
+var pc = __pcs[0];
+R.fetch_url = __fetchCalls[0].url;
+R.fetch_body = __fetchCalls[0].body;
+R.answer = pc.remoteDescription ? pc.remoteDescription.sdp : null;
+R.answer_type = pc.remoteDescription ? pc.remoteDescription.type : null;
+pc._dc._open();
+R.dc_sent = pc._dc.sent.slice();
+R.status = document.getElementById("status").textContent;
+R.n_ws = __sockets.length;
+JSON.stringify(R);
+"""
+    R = json.loads(jsrun.eval_js(
+        _app_program(jsrun, driver, search="?transport=webrtc")))
+    assert R["fetch_url"] == "/webrtc/offer"
+    assert R["fetch_body"] == "v=0 fake-offer"
+    assert R["answer"] == "v=0 fake-answer"
+    assert R["answer_type"] == "answer"
+    assert R["status"] == "connected"
+    assert R["n_ws"] == 0, "no WebSocket while the DataChannel succeeds"
+    raw = bytes.fromhex(R["dc_sent"][0])
+    ptype, _, _, _ = pkt.unpack_header(raw[: pkt.HEADER_SIZE])
+    assert ptype == pkt.PacketType.CLIENT_CAPABILITIES
+    assert raw[pkt.HEADER_SIZE:] == _wire_caps(203, 64, 3, 2)
+
+
+def test_app_js_webrtc_fallback_to_websocket_qjs():
+    """Signaling failure (fetch rejects; separately a non-200 answer) falls
+    back PERMANENTLY to the WebSocket, detaching the dead shim's handlers
+    so the async dc teardown can't clear the new socket's keepalive or
+    schedule a second connect."""
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+
+    for responder in (
+        "null",  # network-level failure: fetch rejects
+        "function (u, o) { return { ok: false, status: 404 }; }",
+    ):
+        driver = f"""
+__fetchResponder = {responder};
+__fire("DOMContentLoaded");
+var R = {{}};
+R.n_pc = __pcs.length;
+R.n_ws = __sockets.length;        // fallback created a WebSocket
+R.status = document.getElementById("status").textContent;
+__pump(100);                       // run the pc.close() dc-teardown timer
+R.n_ws_after = __sockets.length;   // the dead dc must not reconnect again
+__sockets[0]._open();
+R.caps = __sockets[0].sent.length;
+__pump(10000);
+R.n_ws_final = __sockets.length;
+JSON.stringify(R);
+"""
+        R = json.loads(jsrun.eval_js(
+            _app_program(jsrun, driver, search="?transport=webrtc")))
+        assert R["n_pc"] == 1
+        assert R["n_ws"] == 1, "fallback must dial the WebSocket"
+        assert R["n_ws_after"] == 1, "dc teardown must not spawn a 2nd connect"
+        assert R["caps"] == 1
+        assert R["n_ws_final"] == 1, "healthy ws must not be re-dialed"
+
+
+def test_app_js_bench_local_qjs():
+    """?bench=local runs the built-in 203x64-default benchmark offline; with
+    explicit dims it must complete through the rAF-sliced loop and publish
+    window.__bench with the pixel path."""
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+
+    driver = """
+__fire("DOMContentLoaded");
+__pump(60000);  // drain every rAF slice (64 frames / 32 per slice)
+var R = { bench: window.__bench || null,
+          title: document.title,
+          hud: document.getElementById("hud").textContent,
+          ops: document.getElementById("screen").getContext().ops.length };
+JSON.stringify(R);
+"""
+    R = json.loads(jsrun.eval_js(
+        _app_program(jsrun, driver, search="?bench=local&cols=24&rows=8&frames=64")))
+    b = R["bench"]
+    assert b is not None, "bench never completed"
+    assert (b["cols"], b["rows"], b["frames"]) == (24, 8, 64)
+    assert b["path"] == "pixel"
+    assert b["fps"] > 0
+    assert R["title"].startswith("bench:")
+    assert R["hud"].startswith("BENCH 24x8:")
+    assert R["ops"] >= 65  # warm + 64 frames drawn
+
+
+def test_app_js_audio_and_camera_uplink_qjs():
+    """Audio duplex + camera uplink: a server AUDIO_BATCH schedules playback
+    through the (fake) AudioContext; the mic ScriptProcessor path frames
+    captured samples into 480-sample AUDIO_BATCH packets; toggleCamera
+    streams RGB24 IMAGE_FRAMEs at ~15 fps (src/client/{audio,capture}.c)."""
+    import struct
+
+    from asciichat_tpu.net import packet as pkt
+
+    jsrun = _qjs()
+    if jsrun is None:
+        pytest.skip("Qt V4 engine unavailable")
+
+    hex_audio = pkt.pack_packet(
+        int(pkt.PacketType.AUDIO_BATCH),
+        pkt.pack_audio_batch(struct.pack("<480f", *([0.25] * 480)),
+                             480, 1, 48000, 1)).hex()
+
+    driver = f"""
+__gumResult = {{}};  // grant mic + camera
+__fire("DOMContentLoaded");
+var R = {{}};
+var s0 = __sockets[0];
+s0._open();
+document.getElementById("aud").dispatch("click");
+var actx = AudioContext._last;
+R.rate = actx.sampleRate;
+R.aud_disabled = document.getElementById("aud").disabled;
+s0._recv({json.dumps(hex_audio)});
+R.played = actx._played;
+// mic: feed 512 captured samples -> one 480-sample AUDIO_BATCH uplink
+var before = s0.sent.length;
+var proc = actx._procs[0];
+var inp = new Float32Array(512);
+for (var i = 0; i < 512; i++) inp[i] = i / 1024;
+proc.onaudioprocess({{ inputBuffer: {{ getChannelData: function () {{ return inp; }} }} }});
+R.mic_sent = s0.sent.slice(before);
+// camera: 15 fps IMAGE_FRAME interval
+before = s0.sent.length;
+document.getElementById("cam").dispatch("click");
+R.cam_label = document.getElementById("cam").textContent;
+__pump(70);
+R.cam_sent = s0.sent.slice(before);
+document.getElementById("cam").dispatch("click");  // toggle off
+R.cam_label_off = document.getElementById("cam").textContent;
+var n = s0.sent.length;
+__pump(500);
+R.cam_stopped = (s0.sent.length === n);
+JSON.stringify(R);
+"""
+    R = json.loads(jsrun.eval_js(_app_program(jsrun, driver)))
+    assert R["rate"] == 48000
+    assert R["aud_disabled"] is True
+    assert R["played"] == [{"length": 480, "rate": 48000, "at": 0.05}]
+    # mic path: exactly one 480-sample batch (32 samples remain pending)
+    assert len(R["mic_sent"]) == 1
+    raw = bytes.fromhex(R["mic_sent"][0])
+    ptype, _, _, _ = pkt.unpack_header(raw[: pkt.HEADER_SIZE])
+    assert ptype == pkt.PacketType.AUDIO_BATCH
+    samples = np.frombuffer(raw[pkt.HEADER_SIZE + 16:], dtype="<f4")
+    assert len(samples) == 480
+    assert np.allclose(samples, np.arange(480) / 1024, atol=1e-6)
+    # camera path: one IMAGE_FRAME at t=66.7ms with the shim's gradient
+    assert R["cam_label"] == "stop camera"
+    assert len(R["cam_sent"]) == 1
+    raw = bytes.fromhex(R["cam_sent"][0])
+    ptype, _, _, _ = pkt.unpack_header(raw[: pkt.HEADER_SIZE])
+    assert ptype == pkt.PacketType.IMAGE_FRAME
+    # image-frame payload header is 24 bytes: w, h, fmt, rsvd, crc, stamp
+    w, h, fmt = struct.unpack(">III", raw[pkt.HEADER_SIZE:pkt.HEADER_SIZE + 12])
+    assert (w, h, fmt) == (320, 240, 0)
+    rgb = np.frombuffer(raw[pkt.HEADER_SIZE + 24:], np.uint8).reshape(-1, 3)
+    assert rgb.shape[0] == 320 * 240
+    assert rgb[0].tolist() == [0, 0, 7] and rgb[1].tolist() == [1, 0, 7]
+    assert R["cam_label_off"] == "share camera"
+    assert R["cam_stopped"]
