@@ -140,6 +140,13 @@ async def main(seconds: float) -> int:
     drift = (sum(samples[-q:]) / q - sum(samples[-2 * q: -q]) / q
              if len(samples) >= 4 else 0.0)
     lat = server.tick_latency.stats_ms()
+    # per-stage averages (post-warmup: warmup_reset cleared the tracer) —
+    # the roofline evidence for where each tick's ms actually go
+    stage_avg_ms = {
+        k: round(t / max(n, 1) * 1e3, 3)
+        for k, (t, n) in sorted(server.tick_tracer.snapshot().items())
+    }
+    postwarm = samples[2:] if len(samples) > 4 else samples
     result = {
         "soak": "nine_heterogeneous_churn_cpu",
         "seconds": round(dt, 1),
@@ -160,20 +167,32 @@ async def main(seconds: float) -> int:
         "latency_worst_ms": lat["worst_ms"],
         "latency_samples": lat["n"],
         "deadline_ms": 16.67,
+        "stage_avg_ms": stage_avg_ms,
         "rss_start_kib": rss0,
+        "rss_peak_kib": max(samples) if samples else rss0,
+        "rss_peak_postwarmup_kib": max(postwarm) if postwarm else rss0,
         "rss_samples_kib": samples[:3] + ["..."] + samples[-3:]
         if len(samples) > 6 else samples,
         "rss_postwarmup_drift_kib": round(drift),
     }
-    # 9 clients + churn on however many cores this host has (1 in CI): the
-    # pass gates are liveness (every client INCLUDING churn), balance,
-    # churn-driven rebuilds observed, and no leak slope — raw cadence
-    # scales with the host
-    ok = (not failures and tick_error is None and total > 0
-          and balance > 0.5 and churn_events >= 3
-          and server.group_creates >= churn_events  # layout churn re-traced
-          and (resize_events >= 3 or dt < 120)  # live-resize coverage ran
-          and server.ticks / dt > 3 and drift < 50_000)
+    # Liveness gates: every client INCLUDING churn survives, balanced
+    # delivery, churn-driven rebuilds observed, no leak slope.
+    ok_liveness = (not failures and tick_error is None and total > 0
+                   and balance > 0.5 and churn_events >= 3
+                   and server.group_creates >= churn_events  # churn re-traced
+                   and (resize_events >= 3 or dt < 120)  # resize coverage ran
+                   and server.ticks / dt > 3 and drift < 50_000)
+    # Cadence gates (VERDICT r04 #2): the reference serves 60 ticks/s with
+    # p99 under the 16.67 ms deadline (src/server/render.c:4-7). Gated HERE
+    # so the artifact says honestly whether this host met the reference
+    # cadence — on a 1-vCPU CI box it will not (the server shares its one
+    # core with all 10 client processes; see the committed roofline in
+    # ARCHITECTURE.md), and ok goes false rather than presenting the soak
+    # as a pure win.
+    ok_cadence = (server.ticks / dt >= 60.0 and lat["p99_ms"] < 16.67)
+    result["ok_liveness"] = ok_liveness
+    result["ok_cadence"] = ok_cadence
+    ok = ok_liveness and ok_cadence
     result["ok"] = ok
     if failures:
         result["died"] = failures
@@ -181,7 +200,9 @@ async def main(seconds: float) -> int:
         result["server_tick_error"] = tick_error
     print(json.dumps(result))
     print("RESULT:", "OK" if ok else
-          f"FAILED (died={failures}, tick_error={tick_error}, "
+          f"FAILED (liveness={ok_liveness}, cadence={ok_cadence} "
+          f"[{server.ticks / dt:.1f}/s p99={lat['p99_ms']}ms], "
+          f"died={failures}, tick_error={tick_error}, "
           f"balance={balance:.2f}, churn={churn_events}, "
           f"rebuilds={server.group_creates}, drift={drift:+.0f} KiB)")
     return 0 if ok else 1
