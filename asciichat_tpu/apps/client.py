@@ -171,7 +171,15 @@ class AsciiChatClient:
                 payload = pkt.pack_image_frame(
                     frame.tobytes(), frame.shape[1], frame.shape[0]
                 )
-                t.send_nowait(pkt.PacketType.IMAGE_FRAME, payload)
+                # Latest-wins shedding: at most ~2 raw frames may wait in
+                # the queue (the reference's video path is a latest-frame
+                # double-buffer, video_frame.c:214-264 — never a backlog).
+                # Without this the 256-packet queue bound admits ~226 MB
+                # of stale video per client whenever the server or link
+                # stalls; a frame the peer would render seconds late is
+                # better dropped at capture (pipeline.c:72-80).
+                t.send_nowait(pkt.PacketType.IMAGE_FRAME, payload,
+                              byte_cap=max(1 << 20, 3 * len(payload)))
             self.frames_sent += 1
             await asyncio.sleep(pacer.sleep_for(t0, loop.time()))
 

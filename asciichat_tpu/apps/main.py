@@ -223,6 +223,16 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", plat)
 
+    # Persistent XLA compile cache (topology-partitioned). Without this the
+    # server recompiles every RenderGroup geometry per PROCESS: the 9-client
+    # soak measured a 2.6 GB RSS peak and a minutes-long warmup that were
+    # pure LLVM compile arenas — executables any prior run already built
+    # (VERDICT r04 #6). Must run after the platform/mesh flags above (the
+    # cache directory is keyed by them) and before the first device touch.
+    from asciichat_tpu.utils import jaxcache
+
+    jaxcache.ensure()
+
     args = build_parser().parse_args(argv)
 
     # TOML config: file values fill in anything the CLI left at its default

@@ -666,6 +666,16 @@ class AsciiChatServer:
         to_send: list[tuple[ClientState, bytes]] = []
         frames_rendered = 0
         compute_count = 0
+        # Dispatch phase: resolve every group and LAUNCH its device step
+        # before the first D2H fetch blocks. JAX dispatch is asynchronous on
+        # every backend, so all G launches queue up and group k+1's device
+        # compute overlaps group k's fetch + emit + pack (VERDICT r04 #2's
+        # "merge per-group device steps" — a literal merged single launch
+        # would pad every group to the max geometry and waste device work;
+        # pipelined launches get the overlap without the padding). The
+        # "convert" tracer section therefore measures dispatch only; the
+        # device-compute wait lands in the first blocked "fetch".
+        staged: list[tuple] = []  # (grp, members, member_slot, n_uniq, records)
         for key, members in groups.items():
             wc0 = members[0].wire_caps
             # identical receivers (same filter within the same geometry
@@ -686,7 +696,9 @@ class AsciiChatServer:
                     # LRU eviction, not clear-all: geometry/layout churn
                     # (live resizes, churn joins) must neither wipe the hot
                     # serving groups nor ratchet dead groups' device buffers
-                    # (VERDICT r04 #6 — the 2.8 GB warmup peak's tail)
+                    # (VERDICT r04 #6 — the 2.8 GB warmup peak's tail).
+                    # An evicted group still staged this tick stays alive
+                    # via its `staged` reference until drained.
                     stale = sorted(self._group_cache,
                                    key=lambda k: self._group_last_used.get(k, 0))
                     for k in stale[: len(stale) - GROUP_CACHE_MAX + 1]:
@@ -704,6 +716,10 @@ class AsciiChatServer:
             self._group_last_used[cache_key] = self._tick_seq
             with self.tick_tracer.section("convert"):
                 records = grp.step(frames_dev, now)
+            staged.append((grp, members, member_slot, len(unique_filters),
+                           records))
+        # Drain phase: fetch (blocks on that group's compute), emit, pack.
+        for grp, members, member_slot, n_uniq, records in staged:
             with self.tick_tracer.section("fetch"):
                 host = cells_ops.records_to_numpy(records)
             if grp.mesh is not None:
@@ -731,11 +747,15 @@ class AsciiChatServer:
                             level=self.compression_level,
                         )
                     to_send.append((c, payload))
-            frames_rendered += len(unique_filters)
+            frames_rendered += n_uniq
             compute_count += 1
         with self.tick_tracer.section("send"):
             for c, payload in to_send:
-                if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload):
+                # stale ASCII frames are worthless to a stalled reader:
+                # shed past ~3 frames' worth of backlog (latest-wins, same
+                # rationale as the client's video uplink byte_cap)
+                if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME, payload,
+                                           byte_cap=max(1 << 19, 4 * len(payload))):
                     self.stats.frames_sent += 1
                     self.stats.bytes_sent += len(payload)
         self.stats.frames_rendered += frames_rendered
@@ -806,8 +826,9 @@ class AsciiChatServer:
                             c.wire_caps.height, compress=not no_compress,
                             level=self.compression_level,
                         )
-                    if c.transport.send_nowait(pkt.PacketType.ASCII_FRAME,
-                                               payload):
+                    if c.transport.send_nowait(
+                            pkt.PacketType.ASCII_FRAME, payload,
+                            byte_cap=max(1 << 19, 4 * len(payload))):
                         self.stats.frames_sent += 1
                         self.stats.bytes_sent += len(payload)
                 self.stats.frames_rendered += len(rendered)

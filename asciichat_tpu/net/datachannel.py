@@ -204,7 +204,8 @@ class DataChannelTransport:
         # yet, 0 is still correct for the single-channel ACIP case
         return 0
 
-    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+    def send_nowait(self, ptype: int, payload: bytes = b"", *,
+                    byte_cap: int | None = None) -> bool:
         """Non-blocking enqueue with overload shedding.
 
         THREAD-SAFE like the TCP/WS transports: the server's render/audio
@@ -217,6 +218,11 @@ class DataChannelTransport:
         approximation for the drop decision."""
         if self.closed or self.failed or self._buffered() > _SEND_BUF_CAP:
             return False  # shed load like the TCP transport's bounded queue
+        # caller-declared latest-wins budget (same contract as the TCP
+        # transport): bulky payloads shed once the SCTP send buffer already
+        # holds more than byte_cap of unflushed data
+        if byte_cap is not None and self._buffered() + len(payload) > byte_cap:
+            return False
         data = pkt.pack_packet(ptype, payload)
         try:
             running = asyncio.get_running_loop()

@@ -403,7 +403,8 @@ class SecureChannel:
             )
         await self.t.send(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
 
-    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+    def send_nowait(self, ptype: int, payload: bytes = b"", *,
+                    byte_cap: int | None = None) -> bool:
         # the rekey thresholds must gate THIS path too: all steady-state
         # traffic (frames, audio, keepalive) flows through send_nowait, so
         # checking only in send() made the 1M-packet/1-hour forward-security
@@ -414,7 +415,9 @@ class SecureChannel:
                 pkt.PacketType.ENCRYPTED,
                 self._wrap(pkt.PacketType.CRYPTO_REKEY_REQUEST, req),
             )
-        return self.t.send_nowait(pkt.PacketType.ENCRYPTED, self._wrap(ptype, payload))
+        return self.t.send_nowait(pkt.PacketType.ENCRYPTED,
+                                  self._wrap(ptype, payload),
+                                  byte_cap=byte_cap)
 
     async def recv(self) -> tuple[int, bytes]:
         P = pkt.PacketType

@@ -46,6 +46,15 @@ class _QueuedSender:
         self._send_queue: asyncio.Queue[bytes | None] = asyncio.Queue(
             maxsize=self.QUEUE_MAX)
         self._sender_task: asyncio.Task | None = None
+        # Bytes currently sitting in the queue. The 256-packet bound alone
+        # is no memory bound at all for video: 256 x ~885 KiB raw-RGB
+        # IMAGE_FRAMEs is ~226 MB PER CLIENT, and a 9-client warmup was
+        # measured holding 1.1 GiB of queued frames (the "2.8 GB soak
+        # peak" was mostly this, not XLA). Callers shipping bulky
+        # latest-wins payloads pass byte_cap to send_nowait and get
+        # reference double-buffer semantics (video_frame.c: keep latest,
+        # drop stale) instead of a deep stale backlog.
+        self._queued_bytes = 0
 
     def start_sender(self) -> None:
         self._loop = asyncio.get_running_loop()
@@ -57,6 +66,10 @@ class _QueuedSender:
                 buf = await self._send_queue.get()
                 if buf is None:
                     break
+                # dequeue accounting BEFORE the (possibly long) write: the
+                # budget bounds memory held in the queue, and the write
+                # buffer below is the same bytes object, not a copy
+                self._queued_bytes -= len(buf)
                 await self._write_one(buf)
         except asyncio.CancelledError:
             pass
@@ -80,11 +93,13 @@ class _QueuedSender:
             raise ConnectionError("sender task dead (peer gone)")
         try:
             self._send_queue.put_nowait(buf)
+            self._queued_bytes += len(buf)
         except asyncio.QueueFull:
             raise ConnectionError(
                 "send queue overflow (stalled peer)") from None
 
-    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+    def send_nowait(self, ptype: int, payload: bytes = b"", *,
+                    byte_cap: int | None = None) -> bool:
         """Non-blocking enqueue; returns False when the queue is full (the
         frame is dropped — overload shedding, pipeline.c:72-80).
 
@@ -110,6 +125,12 @@ class _QueuedSender:
             running = None
         if self._send_queue.full():
             return False
+        # byte budget (latest-wins shedding for bulky payloads): checked
+        # before pack_packet for the same reason as full() — shedding is
+        # hot exactly when the backlog is deep. Off-loop readers see a
+        # GIL-atomic int; like full() it is a benign approximation there.
+        if byte_cap is not None and self._queued_bytes + len(payload) > byte_cap:
+            return False
         if loop is not None and running is not loop:
             try:
                 loop.call_soon_threadsafe(self._put_drop, pkt.pack_packet(ptype, payload))
@@ -117,7 +138,9 @@ class _QueuedSender:
                 return False  # loop already closed
             return True
         try:
-            self._send_queue.put_nowait(pkt.pack_packet(ptype, payload))
+            buf = pkt.pack_packet(ptype, payload)
+            self._send_queue.put_nowait(buf)
+            self._queued_bytes += len(buf)
             return True
         except asyncio.QueueFull:
             return False
@@ -125,6 +148,7 @@ class _QueuedSender:
     def _put_drop(self, buf: bytes) -> None:
         with contextlib.suppress(asyncio.QueueFull):
             self._send_queue.put_nowait(buf)
+            self._queued_bytes += len(buf)
 
     async def _drain_sender(self) -> None:
         """Stop the sender with a BOUNDED best-effort flush."""

@@ -633,7 +633,8 @@ class SecureP2PChannel:
                 self.snd_next += len(chunk)
                 at += len(chunk)
 
-    def send_nowait(self, ptype: int, payload: bytes = b"") -> bool:
+    def send_nowait(self, ptype: int, payload: bytes = b"", *,
+                    byte_cap: int | None = None) -> bool:
         """Non-blocking enqueue with overload shedding. THREAD-SAFE like
         DataChannelTransport.send_nowait: the server's render/audio ticks
         call this from executor threads (the two channel types are
@@ -641,6 +642,11 @@ class SecureP2PChannel:
         off-loop callers marshal via call_soon_threadsafe."""
         if self.closed or self.snd_next - self.snd_base > WINDOW * SEGMENT_SIZE:
             return False  # shed load like the TCP transport's bounded queue
+        # caller-declared latest-wins budget (TCP-transport contract):
+        # outstanding unacked bytes stand in for queue depth here
+        if byte_cap is not None and (
+                self.snd_next - self.snd_base + len(payload) > byte_cap):
+            return False
         try:
             running = asyncio.get_running_loop()
         except RuntimeError:

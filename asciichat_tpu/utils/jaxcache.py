@@ -101,9 +101,13 @@ def ensure() -> None:
             key)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything that took meaningful compile time; tiny CPU
-        # test graphs stay out (they recompile faster than disk I/O)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Cache almost everything: the server's per-geometry group steps
+        # compile in ~0.1-0.4 s EACH on XLA:CPU, under the old 0.5 s gate —
+        # but a 9-client soak compiles dozens of them (4 geometries x
+        # layout churn), so nothing persisted while warmup still cost
+        # minutes and a ~2.3 GB LLVM-arena RSS peak per process. Disk I/O
+        # for a cache hit is ~1 ms; only sub-10 ms throwaway graphs stay out.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.01)
         _key_applied = key
     except Exception:
         pass  # never let cache plumbing break a compute path

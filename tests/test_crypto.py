@@ -484,7 +484,7 @@ def test_secure_channel_rejects_replay_reflection_and_plaintext_injection():
         async def send(self, ptype, payload=b""):
             await self.peer.q.put((ptype, payload))
 
-        def send_nowait(self, ptype, payload=b""):
+        def send_nowait(self, ptype, payload=b"", **kw):
             self.peer.q.put_nowait((ptype, payload))
             return True
 
@@ -671,7 +671,7 @@ def test_secure_channel_tolerates_bounded_reordering_and_rekeys_on_nowait():
         async def send(self, ptype, payload=b""):
             await self.peer.q.put((ptype, payload))
 
-        def send_nowait(self, ptype, payload=b""):
+        def send_nowait(self, ptype, payload=b"", **kw):
             self.peer.q.put_nowait((ptype, payload))
             return True
 

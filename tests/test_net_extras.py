@@ -156,7 +156,7 @@ def test_server_clamps_client_dims():
         async def send(self, ptype, payload=b""):
             self.sent.append((ptype, payload))
 
-        def send_nowait(self, ptype, payload=b""):
+        def send_nowait(self, ptype, payload=b"", **kw):
             self.sent.append((ptype, payload))
             return True
 
@@ -224,5 +224,48 @@ def test_websocket_permessage_deflate():
         await t2.close()
         server.close()
         assert negotiated == [True, False]
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_send_nowait_byte_cap_sheds_bulky_backlog():
+    """Byte-budget shedding (latest-wins): the 256-packet queue bound alone
+    admits ~226 MB of stale raw video per client (measured holding 1.1 GiB
+    across 9 clients in the warmup soak) — callers shipping bulky payloads
+    pass byte_cap and excess frames drop at enqueue, like the reference's
+    latest-frame double-buffer (video_frame.c:214-264) + drop-on-full
+    pipeline queues (pipeline.c:72-80)."""
+    from asciichat_tpu.net import packet as pkt
+    from asciichat_tpu.net.transport import Transport
+
+    async def run():
+        # a server that never reads -> writer.drain() backs up -> queue fills
+        async def handler(reader, writer):
+            await asyncio.sleep(10)
+
+        server = await asyncio.start_server(handler, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        t = Transport(reader, writer)
+        t.start_sender()
+        frame = b"x" * 300_000
+        sent = dropped = 0
+        for _ in range(64):
+            if t.send_nowait(pkt.PacketType.IMAGE_FRAME, frame,
+                             byte_cap=3 * len(frame)):
+                sent += 1
+            else:
+                dropped += 1
+            await asyncio.sleep(0)  # let the sender task pull what it can
+        # budget holds: queued bytes never exceed the cap, the rest shed
+        assert t._queued_bytes <= 3 * len(frame)
+        assert dropped > 0 and sent >= 3
+        # small control packets are NOT byte-capped (no byte_cap arg)
+        assert t.send_nowait(pkt.PacketType.PING, b"p")
+        # accounting matches reality: drain the queue tally against qsize
+        est = sum(len(b) for b in list(t._send_queue._queue) if b is not None)
+        assert t._queued_bytes == est
+        await t.close()
+        server.close()
 
     asyncio.run(asyncio.wait_for(run(), 30))

@@ -1325,7 +1325,7 @@ class _FakeServerTransport:
     async def send(self, ptype, payload=b""):
         self.sent.append((int(ptype), payload))
 
-    def send_nowait(self, ptype, payload=b""):
+    def send_nowait(self, ptype, payload=b"", **kw):
         self.sent.append((int(ptype), payload))
         return True
 
@@ -1857,7 +1857,7 @@ def test_client_h265_encode_runs_off_event_loop():
             return np.zeros((48, 64, 3), np.uint8)
 
     class _T:
-        def send_nowait(self, *a):
+        def send_nowait(self, *a, **kw):
             return True
 
     async def run():
@@ -1971,7 +1971,7 @@ def test_secure_channel_rekey_single_start_under_race():
             return b"x" * 64
 
     class _T:
-        def send_nowait(self, *a):
+        def send_nowait(self, *a, **kw):
             return True
 
     ctx = _Ctx()
@@ -1996,7 +1996,7 @@ class _ScriptedTransport:
     async def send(self, ptype, payload=b""):
         self.sent.append((int(ptype), payload))
 
-    def send_nowait(self, ptype, payload=b""):
+    def send_nowait(self, ptype, payload=b"", **kw):
         self.sent.append((int(ptype), payload))
         return True
 
@@ -4649,7 +4649,7 @@ def test_host_render_tick_per_geometry_and_palette(monkeypatch):
         def __init__(self):
             self.sent = []
 
-        def send_nowait(self, ptype, payload):
+        def send_nowait(self, ptype, payload, **kw):
             self.sent.append((ptype, payload))
             return True
 

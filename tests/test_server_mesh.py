@@ -37,7 +37,7 @@ class FakeTransport:
         self.sent: list[tuple[int, bytes]] = []
         self.peername = ("127.0.0.1", 0)
 
-    def send_nowait(self, ptype, payload: bytes = b"") -> bool:
+    def send_nowait(self, ptype, payload: bytes = b"", **kw) -> bool:
         self.sent.append((int(ptype), bytes(payload)))
         return True
 

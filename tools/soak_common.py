@@ -32,6 +32,12 @@ async def boot_server():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA cache, same as the production CLI (apps/main.py): the
+    # soak's warmup must measure the serving runtime, not LLVM recompiling
+    # group steps a prior run already built (2.6 GB RSS peak when cold).
+    from asciichat_tpu.utils import jaxcache
+
+    jaxcache.ensure()
     from asciichat_tpu.apps.server import AsciiChatServer
     from asciichat_tpu.net.transport import serve_tcp
 

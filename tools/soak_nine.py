@@ -50,21 +50,24 @@ async def main(seconds: float) -> int:
     churn_events = 0
 
     # 9 persistent clients -> at least 4 distinct RenderGroup keys
-    # (caps, width, height, palette_custom) x 6 distinct filters:
-    #   group A: 60x18 truecolor half-block  (none / green / rainbow)
-    #   group B: 44x14 truecolor foreground  (cyan / magenta)
-    #   group C: 72x22 256-color half-block  (none / orange)
-    #   group D: 60x18 truecolor half-block, CUSTOM palette (none / red)
+    # (caps, width, height, palette_custom) x 6 distinct filters, at
+    # REFERENCE-SCALE geometry (VERDICT r04 #2: >=80x24, headline 203x64 —
+    # the r04 soak's 60x18 cells understated per-tick emit/parse cost ~4x):
+    #   group A: 100x30 truecolor half-block  (none / green / rainbow)
+    #   group B:  80x24 truecolor foreground  (cyan / magenta)
+    #   group C: 203x64 256-color half-block  (none / orange) — the
+    #            headline-benchmark geometry (BASELINE.json)
+    #   group D: 100x30 truecolor half-block, CUSTOM palette (none / red)
     SPECS = [
-        ("a1", 60, 18, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, "", "none"),
-        ("a2", 60, 18, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, "", "green"),
-        ("a3", 60, 18, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, "", "rainbow"),
-        ("b1", 44, 14, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, "", "cyan"),
-        ("b2", 44, 14, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, "", "magenta"),
-        ("c1", 72, 22, ColorLevel.COLOR_256, RenderMode.HALF_BLOCK, "", "none"),
-        ("c2", 72, 22, ColorLevel.COLOR_256, RenderMode.HALF_BLOCK, "", "orange"),
-        ("d1", 60, 18, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, " .:#@", "none"),
-        ("d2", 60, 18, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, " .:#@", "red"),
+        ("a1", 100, 30, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, "", "none"),
+        ("a2", 100, 30, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, "", "green"),
+        ("a3", 100, 30, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, "", "rainbow"),
+        ("b1", 80, 24, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, "", "cyan"),
+        ("b2", 80, 24, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, "", "magenta"),
+        ("c1", 203, 64, ColorLevel.COLOR_256, RenderMode.HALF_BLOCK, "", "none"),
+        ("c2", 203, 64, ColorLevel.COLOR_256, RenderMode.HALF_BLOCK, "", "orange"),
+        ("d1", 100, 30, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, " .:#@", "none"),
+        ("d2", 100, 30, ColorLevel.TRUECOLOR, RenderMode.HALF_BLOCK, " .:#@", "red"),
     ]
 
     live: dict[str, object] = {}  # name -> running client (resize churn)
@@ -90,7 +93,7 @@ async def main(seconds: float) -> int:
         # appears for ~15 s then leaves for ~10 s. Every transition changes
         # the source layout (stack shape) AND the group set -> rebuilds.
         nonlocal churn_events
-        spec = (52, 16, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, "", "teal")
+        spec = (90, 28, ColorLevel.TRUECOLOR, RenderMode.FOREGROUND, "", "teal")
         while time.monotonic() + 20 < deadline:
             ok = await run_client("churn", spec,
                                   min(deadline, time.monotonic() + 15))
@@ -106,7 +109,7 @@ async def main(seconds: float) -> int:
         # RenderGroup keys — exercises group re-routing under load, which
         # join/leave churn alone never does
         nonlocal resize_events
-        dims = [(48, 14), (60, 18)]
+        dims = [(80, 24), (100, 30)]
         while time.monotonic() + 15 < deadline:
             await asyncio.sleep(20)
             c = live.get("a1")
