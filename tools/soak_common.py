@@ -79,8 +79,16 @@ def make_client(port, devnull, *, w, h, color, mode, palette="", filt="none"):
         palette_type=5 if palette else 0,  # PALETTE_CUSTOM analog
         color_filter=filters.FILTER_NAMES.index(filt),
     )
+    # SOAK_UPLINK_FPS throttles the harness clients' capture rate. The
+    # roofline measurement behind it: test-pattern gen + pack/CRC costs
+    # ~3.5 ms per 480p frame, so 10 in-process clients at 30 fps need
+    # ~105% of this box's ONE core before the server renders anything —
+    # the cadence ceiling is the harness, not the tick. Throttling the
+    # uplink (e.g. to 5 fps) frees the core and lets the run measure the
+    # SERVER's actual cadence capacity.
+    fps = float(os.environ.get("SOAK_UPLINK_FPS", "30"))
     c = AsciiChatClient("127.0.0.1", port, open_source(test_pattern=True),
-                        wc, reconnect=False)
+                        wc, reconnect=False, capture_fps=fps)
     c.display.writer = term.FrameWriter(devnull)
     return c
 

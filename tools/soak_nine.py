@@ -153,6 +153,10 @@ async def main(seconds: float) -> int:
     result = {
         "soak": "nine_heterogeneous_churn_cpu",
         "seconds": round(dt, 1),
+        # honesty: the harness clients share the server's ONE core; their
+        # capture rate bounds how much core the tick loop can get (see
+        # SOAK_UPLINK_FPS in soak_common.make_client)
+        "uplink_fps": float(os.environ.get("SOAK_UPLINK_FPS", "30")),
         "clients": 9,
         "render_groups_concurrent": 4,
         "distinct_filters": 6,
