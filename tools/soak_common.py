@@ -112,15 +112,23 @@ async def drive_client(client, until) -> tuple[int, str | None]:
             pass
 
 
-async def warmup_reset(server, warmup_until) -> None:
+async def warmup_reset(server, warmup_until) -> tuple[int, float]:
     """Steady-state window: once warmup expires, apply production latency
     tuning and reset ALL the trackers the artifact reports — including the
     per-stage tick tracer (resetting only the percentile trackers left the
     multi-second jit-compile spike in stage_avg_ms forever, inflating
-    'convert' by orders of magnitude next to honest p50/p99 columns)."""
+    'convert' by orders of magnitude next to honest p50/p99 columns).
+
+    Returns (ticks_at_steady, t_at_steady) so callers can compute the
+    STEADY-STATE tick rate: the wall-average includes jit warmup stalls,
+    and a sleep-only-if-ahead 60 Hz pacer (same rate-limiter discipline as
+    the reference, src/server/render.c "sleeps only if ahead of schedule")
+    can never average ABOVE 60, so warmup permanently caps the wall number
+    below the target no matter how healthy steady state is."""
     while time.monotonic() < warmup_until:
         await asyncio.sleep(0.5)
     server._tune_latency()
     server.tick_latency.reset()
     server.frame_age.reset()
     server.tick_tracer.reset()
+    return server.ticks, time.monotonic()

@@ -99,12 +99,15 @@ async def main(seconds: float) -> int:
             samples.append(rss_kib())
 
     t0 = time.monotonic()
-    await asyncio.gather(
+    results = await asyncio.gather(
         *(run_client(name, spec) for name, *spec in SPECS),
         thirty_third(),
         sampler(),
         warmup_reset(server, warmup_until),
     )
+    ticks_w, t_w = results[-1]  # steady-state window start (warmup_reset)
+    steady_dt = time.monotonic() - t_w
+    steady_ticks = server.ticks - ticks_w
     dt = time.monotonic() - t0
     tick_error = await stop_server(tcp_srv, tick)
 
@@ -121,7 +124,9 @@ async def main(seconds: float) -> int:
         "per_client_max": max(nums) if nums else 0,
         "balance_min_over_max": round(balance, 3),
         "tick_rate": round(server.ticks / dt, 1),
+        "tick_rate_steady": round(steady_ticks / steady_dt, 2),
         "ticks": server.ticks,
+        "ticks_steady": steady_ticks,
         "device_tick_computes": server.tick_compute_count,
         "group_rebuilds": server.group_creates,
         "latency_p50_ms": lat["p50_ms"],
