@@ -45,15 +45,24 @@ class TestPatternSource(FrameSource):
         self.fps = fps
         self._t0 = time.monotonic()
         yy, xx = np.mgrid[0:height, 0:width]
-        self._r = (xx * 255 // max(width - 1, 1)).astype(np.uint8)
-        self._g = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
-        self._xx = xx
+        # R/G are static gradients and B is a phase-shifted COLUMN gradient
+        # ((x+phase)%256, constant down each column) — so a frame is one
+        # base copy + one broadcast row write instead of a full-frame modulo
+        # + np.stack (3.2 ms -> ~0.3 ms per 480p read; at N soak clients
+        # uplinking this was the single largest harness cost on a 1-core box)
+        base = np.empty((height, width, 3), np.uint8)
+        base[..., 0] = (xx * 255 // max(width - 1, 1)).astype(np.uint8)
+        base[..., 1] = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
+        self._base = base
+        # doubled row: phase<=255, x<width -> phase+x < width+256, so a
+        # slice of this row IS ((x+phase)%256) for every phase
+        self._brow = (np.arange(width + 256) % 256).astype(np.uint8)
 
     def read(self) -> np.ndarray:
         t = time.monotonic() - self._t0
         phase = int(t * 60) % 256
-        b = ((self._xx + phase) % 256).astype(np.uint8)
-        frame = np.stack([self._r, self._g, b], axis=-1)
+        frame = self._base.copy()
+        frame[..., 2] = self._brow[phase : phase + self.width]
         # moving vertical bar for motion
         bar = int((t * self.width / 4) % self.width)
         frame[:, bar : min(bar + 8, self.width)] = (255, 255, 255)

@@ -132,3 +132,30 @@ async def warmup_reset(server, warmup_until) -> tuple[int, float]:
     server.frame_age.reset()
     server.tick_tracer.reset()
     return server.ticks, time.monotonic()
+
+
+async def lag_sampler(until, warmup_until, out: dict) -> None:
+    """Event-loop scheduling-lag sampler (steady-state window only).
+
+    The server's tick latency is measured on a shared asyncio loop: any
+    other task's long coroutine step (a client's capture/pack, a conn
+    handler's CRC pass) lands INSIDE the tick's wall time. This task sleeps
+    5 ms in a loop and records the overshoot — pure foreign-work exposure,
+    zero server involvement — so an artifact can attribute tick p99 between
+    the server's own stages (tick_tracer) and loop timesharing. Writes
+    {"p50_ms", "p99_ms", "worst_ms", "samples"} into `out`."""
+    lags: list[float] = []
+    while time.monotonic() < until:
+        t0 = time.monotonic()
+        await asyncio.sleep(0.005)
+        lag = (time.monotonic() - t0 - 0.005) * 1e3
+        if time.monotonic() >= warmup_until:
+            lags.append(lag)
+    lags.sort()
+    if lags:
+        out.update(
+            p50_ms=round(lags[len(lags) // 2], 3),
+            p99_ms=round(lags[int(len(lags) * 0.99)], 3),
+            worst_ms=round(lags[-1], 3),
+            samples=len(lags),
+        )

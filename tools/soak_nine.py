@@ -34,7 +34,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from soak_common import (  # noqa: E402
-    boot_server, drive_client, make_client, rss_kib, stop_server, warmup_reset,
+    boot_server, drive_client, lag_sampler, make_client, rss_kib, stop_server,
+    warmup_reset,
 )
 
 
@@ -125,12 +126,14 @@ async def main(seconds: float) -> int:
             await asyncio.sleep(max(5.0, seconds / 40))
             samples.append(rss_kib())
 
+    loop_lag: dict = {}
     t0 = time.monotonic()
     results = await asyncio.gather(
         *(run_client(name, spec, deadline) for name, *spec in SPECS),
         churner(),
         resizer(),
         sampler(),
+        lag_sampler(deadline, warmup_until, loop_lag),
         warmup_reset(server, warmup_until),
     )
     ticks_w, t_w = results[-1]  # steady-state window start (warmup_reset)
@@ -180,6 +183,9 @@ async def main(seconds: float) -> int:
         "latency_worst_ms": lat["worst_ms"],
         "latency_samples": lat["n"],
         "deadline_ms": 16.67,
+        # foreign-work exposure of ANY task on this shared loop (a 5 ms
+        # sleep's overshoot, steady window): tick p99 ~= own stages + this
+        "loop_lag_ms": loop_lag,
         "stage_avg_ms": stage_avg_ms,
         "rss_start_kib": rss0,
         "rss_peak_kib": max(samples) if samples else rss0,
