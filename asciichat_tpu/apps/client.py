@@ -28,6 +28,19 @@ from asciichat_tpu.utils.logsys import get_logger
 
 log = get_logger("client")
 
+
+class ServerError(Exception):
+    """Terminal server-reported error (ERROR_MESSAGE packet): SERVER_FULL,
+    bad-data disconnect, ... Raised from run() instead of exiting cleanly —
+    a refused client must be observable to its caller (the reference client
+    prints the error packet and exits non-zero). Deliberately NOT a
+    ConnectionError: run()'s reconnect handler must never retry it."""
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(f"server error {code}: {msg}")
+        self.code = code
+        self.msg = msg
+
 CAPTURE_FPS_CAP = 144  # src/client/capture.c:33
 MAX_UPLOAD_W, MAX_UPLOAD_H = 800, 600  # capture.c:41-44
 KEEPALIVE_INTERVAL = 5.0
@@ -121,6 +134,7 @@ class AsciiChatClient:
         self._h265_enc = None
         self.h265_frames_sent = 0
         self._stop = asyncio.Event()
+        self._server_error: tuple[int, str] | None = None
         self._loop: asyncio.AbstractEventLoop | None = None  # set in run()
         self._password_key: bytes | None = None  # Argon2id cache (reconnects)
         self._last_rx = time.monotonic()
@@ -363,7 +377,14 @@ class AsciiChatClient:
                     else:
                         log.debug("repeated h265 refusal ignored: %s", msg)
                 else:
+                    # TERMINAL server-reported error (SERVER_FULL, bad-data
+                    # disconnect...): record it so run() can surface it —
+                    # swallowing it into a clean stop made a refused client
+                    # indistinguishable from a finished one (the reference
+                    # client prints the error packet and exits non-zero,
+                    # README.md:305-313 error semantics)
                     log.error("server error %d: %s", code, msg)
+                    self._server_error = (int(code), msg)
                     self._stop.set()
 
     async def _dial(self):
@@ -530,6 +551,8 @@ class AsciiChatClient:
 
                 try:
                     await self._session(max_frames)
+                    if self._server_error is not None:
+                        raise ServerError(*self._server_error)
                     self.reconnect_policy.reset()
                     if not self.reconnect_policy.enabled:
                         return
@@ -541,6 +564,10 @@ class AsciiChatClient:
                     raise
                 except (ConnectionError, asyncio.IncompleteReadError, OSError,
                         ValueError) as e:
+                    if self._server_error is not None:
+                        # the server closed right after its ERROR_MESSAGE:
+                        # surface the REPORTED error, not the raw EOF
+                        raise ServerError(*self._server_error) from e
                     if self._stop.is_set():
                         # the quit key closed the transport to unwind a
                         # parked recv: that is a CLEAN exit, not an error

@@ -294,3 +294,45 @@ def test_nat_tier_classification_from_stun():
         assert m.nat_tier == 4 and m.stun_success_pct == 0
 
     asyncio.run(asyncio.wait_for(run(), 30))
+
+
+def test_refused_client_raises_server_error():
+    """A client turned away by a full server (SERVER_FULL ERROR_MESSAGE,
+    apps/server.py _handle_conn) must surface the refusal from run() —
+    swallowing it into a clean stop made a refused client indistinguishable
+    from a finished one (the 32-client scale run's 33rd-client gate).
+    Reference: the client prints the error packet and exits non-zero
+    (README.md:305-313 error packet semantics)."""
+    import asyncio
+    import os
+
+    from asciichat_tpu.apps.client import AsciiChatClient, ServerError
+    from asciichat_tpu.apps import server as server_mod
+    from asciichat_tpu.net import protocol as proto
+    from asciichat_tpu.net.transport import serve_tcp
+    from asciichat_tpu.render.types import (
+        ColorLevel, RenderMode, TerminalCapabilities,
+    )
+    from asciichat_tpu.runtime.framesource import open_source
+    from asciichat_tpu.utils import term
+
+    async def run():
+        server = server_mod.AsciiChatServer()
+        # table full: pending reservations count exactly like live clients
+        server._pending_conns = server_mod.MAX_CLIENTS
+        srv = await serve_tcp(server._handle_conn, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        caps = TerminalCapabilities(ColorLevel.TRUECOLOR, RenderMode.FOREGROUND)
+        c = AsciiChatClient("127.0.0.1", port, open_source(test_pattern=True),
+                            proto.WireCapabilities(caps=caps, width=40, height=12),
+                            reconnect=False)
+        c.display.writer = term.FrameWriter(open(os.devnull, "wb"))
+        try:
+            with pytest.raises(ServerError) as ei:
+                await asyncio.wait_for(c.run(max_frames=10**9), 30)
+            assert ei.value.code == int(proto.WireError.SERVER_FULL)
+            assert c.frames_received == 0
+        finally:
+            srv.close()
+
+    asyncio.run(asyncio.wait_for(run(), 40))
